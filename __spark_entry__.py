@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each. Temporal
+operators (gate/switch/latch/…) are exercised on the ``events`` table with
+``user_id`` as the stream key — the per-key formulation is exactly what
+partitions state at 100 TB.
 """
 
 from __future__ import annotations
@@ -12,27 +12,548 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamtasks_spark.functions import calculator as calc
+from streamtasks_spark.functions.text import string_matcher, text_format
+from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
+from streamtasks_spark.operators.joins import asof_join, last_value_join
+from streamtasks_spark.operators.stateful import (
+    gate,
+    message_detector,
+    sr_latch,
+    string_concatenator,
+    switch,
+)
+from streamtasks_spark.operators.timing import repeater, time_buffer
+from streamtasks_spark.relational import queries as rq
+from streamtasks_spark.session import load_tables, read_parquet
+
+# calculator expressions shared by the Spark query and its generated oracle
+CALC_EXPR = "sin(v) * 10 + (v % 7) ** 2 > 20 ? v * 2 : v / 2 + min(v, 5)"
+CALC2_EXPR = "(a > b ? a - b : b - a) * (a & b) + max(a, b, 1) / 2"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/events.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a composed pipeline — gate the click/view stream by the
+    latest purchase-derived control per user, evaluate a calculator
+    expression on the passed rows, aggregate hourly."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _events(spark, sf_dir)
+    data = ev.filter(F.col("event_type").isin("click", "view"))
+    control = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    gated = gate(data, control, keys=["user_id"], seq_col="event_id")
+    calced = gated.withColumn(
+        "calc", calc.compile_column(CALC_EXPR, {"v": F.col("value")})
+    )
+    return (
+        calced.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("calc"), 4).alias("sum_calc"),
+        )
+    )
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_calculator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.round(calc.compile_column(CALC_EXPR, {"v": F.col("value")}), 6).alias(
+            "calc_value"
+        ),
+    )
+
+
+def _q_calculator_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference calculator's real shape: N input streams as named
+    variables, evaluated on each arrival with the latest value of each
+    (calculator.py:227-239) — last_value_join + expression compile."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = last_value_join(
+        clicks,
+        {"b": views},
+        keys=["user_id"],
+        ts="ts",
+        control_first=True,
+        seq_col="event_id",
+    )
+    return joined.filter(F.col("b").isNotNull()).select(
+        "event_id",
+        F.round(
+            calc.compile_column(CALC2_EXPR, {"a": F.col("value"), "b": F.col("b")}), 6
+        ).alias("calc_value"),
+    )
+
+
+def _q_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    data = ev.filter(F.col("event_type").isin("click", "view"))
+    control = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    out = gate(data, control, keys=["user_id"], seq_col="event_id")
+    return out.select("event_id", "user_id", "ts", "event_type", "value")
+
+
+def _q_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    d0 = ev.filter(F.col("event_type") == "view")
+    d1 = ev.filter(F.col("event_type") == "error")
+    c0 = ev.filter(F.col("event_type") == "click")
+    c1 = ev.filter(F.col("event_type") == "purchase")
+    out = switch([(d0, c0), (d1, c1)], keys=["user_id"], seq_col="event_id")
+    return out.select("event_id", "user_id", "ts", "event_type", "value")
+
+
+def _q_sr_latch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    thr = F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+    sets = ev.filter(F.col("event_type") == "purchase").withColumn("value", thr)
+    resets = ev.filter(F.col("event_type") == "error").withColumn("value", thr)
+    return sr_latch(sets, resets, keys=["user_id"], default=False)
+
+
+def _q_message_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    return message_detector(clicks, keys=["user_id"], timeout_ms=1_800_000)
+
+
+def _q_string_concatenator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    data = ev.filter(F.col("event_type").isin("click", "view")).withColumn(
+        "value", F.col("event_type")
+    )
+    control = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return string_concatenator(data, control, keys=["user_id"], seq_col="event_id")
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pvalue")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        right_cols=["pvalue"],
+        tolerance_ms=7 * 24 * 3600 * 1000,
+    )
+    return out.select("event_id", "user_id", "ts", "pvalue")
+
+
+def _q_string_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        string_matcher(F.col("text"), r"(join|merge)\s+batch", flags="i").alias(
+            "matched"
+        ),
+    )
+
+
+def _q_text_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        text_format(
+            "u{user_id} did {event_type}",
+            {"user_id": F.col("user_id"), "event_type": F.col("event_type")},
+        ).alias("msg"),
+    )
+
+
+def _q_time_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id", time_to_text(F.col("ts"), "%Y-%m-%d %H:%M:%S").alias("tstr")
+    )
+
+
+def _q_timestamp_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id", timestamp_update(F.col("ts"), offset_ms=90_000).alias("ts")
+    )
+
+
+def _q_time_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return time_buffer(ev, delay_ms=5_000).select("event_id", "ts")
+
+
+def _q_repeater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = repeater(
+        purchases, keys=["user_id"], interval_ms=86_400_000, value_cols=["value"]
+    )
+    return out.select("user_id", "ts", "value")
+
+
+def _q_synchronizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamtasks_spark.operators.timing import synchronizer
+
+    ev = _events(spark, sf_dir)
+    streams = [
+        ev.filter(F.col("event_type") == t).select("user_id", "ts", "value", "event_id")
+        for t in ("click", "view", "error")
+    ]
+    out = synchronizer(streams, keys=["user_id"], drop_late=True, seq_col="event_id")
+    return out.select("user_id", "ts", "value", "event_id", "stream_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def rel(fn):
+        return lambda spark, sf_dir: fn(load_tables(spark, sf_dir))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # functions / scalar transforms (SURVEY §2.2)
+        "calculator": _q_calculator,
+        "calculator_multivar": _q_calculator_multivar,
+        "string_matcher": _q_string_matcher,
+        "text_format": _q_text_format,
+        "time_to_text": _q_time_to_text,
+        "timestamp_update": _q_timestamp_update,
+        # filters / routing (SURVEY §2.3)
+        "gate": _q_gate,
+        "switch": _q_switch,
+        "sr_latch": _q_sr_latch,
+        "message_detector": _q_message_detector,
+        # aggregation-ish stateful (SURVEY §2.4)
+        "string_concatenator": _q_string_concatenator,
+        # temporal joins (SURVEY §2.5)
+        "asof_join": _q_asof_join,
+        # time ops (SURVEY §2.6)
+        "time_buffer": _q_time_buffer,
+        "repeater": _q_repeater,
+        "synchronizer": _q_synchronizer,
+        # relational surface (SURVEY §2.5/2.7, table side)
+        "q1_pricing_summary": rel(rq.q1_pricing_summary),
+        "q3_shipping_priority": rel(rq.q3_shipping_priority),
+        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
+        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
+        "top_customers_per_nation": rel(rq.top_customers_per_nation),
+        "orders_without_lineitems": rel(rq.orders_without_lineitems),
+        "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
+        "events_hourly_stats": rel(rq.events_hourly_stats),
+        "events_session_windows": rel(rq.events_session_windows),
+        "set_ops": rel(rq.union_intersect_except),
+    }
+
+
+# ------------------------------------------------------------ oracle SQL
+
+_CTL = "CASE WHEN value > 25 THEN 1.0 ELSE 0.0 END"
+
+_GATE_SQL = f"""
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS prio,
+    CASE WHEN event_type = 'purchase' THEN {_CTL} END AS ctl
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+), st AS (
+  SELECT *, last_value(ctl IGNORE NULLS) OVER w AS gate_ctl
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, prio, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, event_type, value
+FROM st WHERE prio = 1 AND coalesce(gate_ctl > 0.5, false)
+"""
+
+_SWITCH_SQL = """
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN event_type = 'view' THEN 0 WHEN event_type = 'error' THEN 1 END AS pair,
+    CASE WHEN event_type IN ('click', 'purchase') THEN 0 ELSE 1 END AS prio,
+    CASE WHEN event_type = 'click' THEN value END AS c0,
+    CASE WHEN event_type = 'purchase' THEN value END AS c1
+  FROM events
+), st AS (
+  SELECT *,
+    last_value(c0 IGNORE NULLS) OVER w AS s0,
+    last_value(c1 IGNORE NULLS) OVER w AS s1
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, prio, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, event_type, value
+FROM st
+WHERE pair IS NOT NULL AND (s0 IS NOT NULL OR s1 IS NOT NULL)
+  AND pair = (CASE WHEN s0 IS NOT NULL AND s0 >= coalesce(s1, s0) THEN 0 ELSE 1 END)
+"""
+
+_SR_LATCH_SQL = f"""
+WITH u AS (
+  SELECT user_id, ts,
+    CASE WHEN event_type = 'purchase' THEN 'set' ELSE 'reset' END AS src,
+    {_CTL} AS v
+  FROM events WHERE event_type IN ('purchase', 'error')
+), st AS (
+  SELECT user_id, ts, src,
+    coalesce(last_value(CASE WHEN src = 'set' THEN v END IGNORE NULLS)
+             OVER w > 0.5, false) AS sb,
+    coalesce(last_value(CASE WHEN src = 'reset' THEN v END IGNORE NULLS)
+             OVER w > 0.5, false) AS rb
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, src
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st2 AS (
+  SELECT user_id, ts,
+    CAST(coalesce(last_value(CASE WHEN sb <> rb THEN
+               (CASE WHEN sb THEN 1.0 ELSE 0.0 END) END IGNORE NULLS)
+             OVER w2, 0.0) AS DOUBLE) AS value
+  FROM st
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, src
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts, value FROM st2
+"""
+
+_DETECTOR_SQL = """
+WITH d AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), g AS (
+  SELECT user_id, ts, lag(ts) OVER w AS prev, lead(ts) OVER w AS next
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, ts, CAST(1.0 AS DOUBLE) AS value FROM g
+WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+UNION ALL
+SELECT user_id, ts + INTERVAL '30 minutes' AS ts, CAST(0.0 AS DOUBLE) AS value FROM g
+WHERE next IS NULL OR epoch_us(next) - epoch_us(ts) > 1800000000
+"""
+
+_CONCAT_SQL = f"""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type IN ('click', 'view') THEN event_type END AS txt,
+    CASE WHEN event_type = 'purchase' THEN {_CTL} END AS ctl,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS prio
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+), st AS (
+  SELECT *, coalesce(last_value(ctl IGNORE NULLS) OVER w, 0.0) > 0.5 AS cur
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, prio, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st2 AS (
+  SELECT *, coalesce(lag(cur) OVER (PARTITION BY user_id ORDER BY ts, prio, event_id),
+                     false) AS prev
+  FROM st
+), st3 AS (
+  SELECT *, ((NOT prev) AND cur AND ctl IS NOT NULL) AS flush FROM st2
+), st4 AS (
+  SELECT *, coalesce(sum(CASE WHEN flush THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, prio, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+  FROM st3
+), texts AS (
+  SELECT user_id, seg, string_agg(txt, '' ORDER BY ts, event_id) AS value
+  FROM st4 WHERE txt IS NOT NULL GROUP BY user_id, seg
+)
+SELECT f.user_id, f.ts, t.value
+FROM (SELECT user_id, ts, seg FROM st4 WHERE flush) f
+JOIN texts t ON f.user_id = t.user_id AND f.seg = t.seg
+"""
+
+_ASOF_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts,
+  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 604800000000 THEN p.value END AS pvalue
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+_REPEATER_SQL = """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM p GROUP BY user_id
+), ticks AS (
+  SELECT user_id, unnest(generate_series(t0 + INTERVAL '1 day', t1,
+                                          INTERVAL '1 day')) AS ts
+  FROM b
+)
+SELECT t.user_id, t.ts, p.value
+FROM ticks t ASOF JOIN p ON t.user_id = p.user_id AND t.ts >= p.ts
+"""
+
+_SYNC_SQL = """
+SELECT user_id, ts, value, event_id,
+  CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 ELSE 2 END AS stream_idx
+FROM events WHERE event_type IN ('click', 'view', 'error')
+"""
+
+_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+  FROM g
+), sess AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    calc_sql = calc.compile_sql(CALC_EXPR, {"v": "value"})
+    calc2_sql = calc.compile_sql(CALC2_EXPR, {"a": "value", "b": "b"})
+    return {
+        "calculator": (
+            f"SELECT event_id, round({calc_sql}, 6) AS calc_value FROM events"
+        ),
+        "calculator_multivar": f"""
+            WITH u AS (
+              SELECT user_id, ts, event_id, value,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_data,
+                CASE WHEN event_type = 'view' THEN value END AS bval
+              FROM events WHERE event_type IN ('click', 'view')
+            ), st AS (
+              SELECT *, last_value(bval IGNORE NULLS) OVER w AS b
+              FROM u
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_data, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, round({calc2_sql}, 6) AS calc_value
+            FROM st WHERE is_data = 1 AND b IS NOT NULL
+        """,
+        "string_matcher": r"""
+            SELECT doc_id,
+              CAST(CASE WHEN regexp_matches(text, '(?i)(join|merge)\s+batch')
+                   THEN 1.0 ELSE 0.0 END AS DOUBLE) AS matched
+            FROM documents
+        """,
+        "text_format": """
+            SELECT event_id,
+              'u' || CAST(user_id AS VARCHAR) || ' did ' || event_type AS msg
+            FROM events
+        """,
+        "time_to_text": """
+            SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tstr FROM events
+        """,
+        "timestamp_update": """
+            SELECT event_id, ts + INTERVAL '90 seconds' AS ts FROM events
+        """,
+        "gate": _GATE_SQL,
+        "switch": _SWITCH_SQL,
+        "sr_latch": _SR_LATCH_SQL,
+        "message_detector": _DETECTOR_SQL,
+        "string_concatenator": _CONCAT_SQL,
+        "asof_join": _ASOF_SQL,
+        "time_buffer": "SELECT event_id, ts + INTERVAL '5 seconds' AS ts FROM events",
+        "repeater": _REPEATER_SQL,
+        "synchronizer": _SYNC_SQL,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(l_extendedprice), 4) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem, orders, customer, supplier, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "top_customers_per_nation": """
+            WITH ranked AS (
+              SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rank
+              FROM customer
+            )
+            SELECT n_name, c_custkey, c_name, round(c_acctbal, 4) AS acctbal,
+              CAST(rank AS INTEGER) AS rank
+            FROM ranked JOIN nation ON c_nationkey = n_nationkey
+            WHERE rank <= 3
+        """,
+        "orders_without_lineitems": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+            FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        """,
+        "customers_with_orders_semi": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment
+        """,
+        "events_hourly_stats": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+              count(*) AS n_events,
+              round(sum(value), 4) AS sum_value,
+              round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_session_windows": _SESSION_SQL,
+        "set_ops": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error' AND value > 49.5
+        """,
+    }

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Driver-emulating correctness check: run every __spark_entry__.queries()
+entry on Spark AND its oracle_sql() on DuckDB over the same parquet dir,
+compare row count + column names + order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_conn(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+    s, o = normalize(sdf), normalize(odf)
+    if len(s) == len(o):
+        for c in s.columns:
+            sv, ov = s[c], o[c]
+            if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+                a = sv.astype("float64").to_numpy()
+                b = ov.astype("float64").to_numpy()
+                both_nan = np.isnan(a) & np.isnan(b)
+                eq = (a == b) | both_nan
+                if not eq.all():
+                    bad = int((~eq).sum())
+                    mx = np.nanmax(np.abs(np.where(eq, 0, a - b)))
+                    problems.append(f"col {c}: {bad} value mismatches (max abs diff {mx:.3e})")
+            else:
+                eq = (sv.astype(str) == ov.astype(str))
+                if not eq.all():
+                    i = int(np.argmax(~eq.to_numpy()))
+                    problems.append(
+                        f"col {c}: {int((~eq).sum())} mismatches, first at row {i}: "
+                        f"spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r}"
+                    )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from streamtasks_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duck_conn(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} spark rows, {len(odf)} oracle rows):")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            print(f"OK   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,215 @@
+"""Temporal join primitives.
+
+The reference's ONLY join semantic is "latest value of stream B as of event
+time of a row in stream A" plus event-time ordered merge (SURVEY §2.5;
+reference gate.py:70-93, switch.py:52-72, calculator.py:227-239). These two
+primitives power gate, switch, calculator, formatter, scaler, repeater.
+
+Scale notes (100 TB): both primitives are ONE shuffle on the partition
+keys + a sort within partitions (window function). No range-join row
+explosion, no driver collect. Skewed keys are the hazard — mitigated by
+AQE skew handling and, where a key is genuinely hot, by pre-salting the
+control stream (controls are small; data rows only need the latest value,
+so salt-broadcast of latched control state is an optimization left to the
+streaming tier).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# priority constants: at equal event time, lower sorts first.
+# Reference gate.py:52-54 — control messages processed BEFORE data at the
+# same timestamp; stringconcatenator.py:24-27 — data BEFORE control.
+PRIO_CONTROL_FIRST = 0
+PRIO_DATA = 1
+PRIO_CONTROL_LAST = 2
+
+
+def last_value_join(
+    data: DataFrame,
+    controls: dict[str, DataFrame],
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    value_col: str = "value",
+    control_first: bool = True,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """For each row of ``data``, attach the latest ``value_col`` of every
+    control stream as of that row's event time, as new columns named by the
+    ``controls`` dict keys.
+
+    Implementation: tagged union + ``last(x, ignorenulls=True)`` over an
+    event-time window partitioned by ``keys`` — one shuffle, sorted within
+    partitions, fully JVM-side.
+
+    ``control_first``: at equal timestamps the control row takes effect
+    before the data row (gate semantics). ``seq_col``: optional
+    deterministic final tie-break column present in all inputs.
+    """
+    data_cols = [c for c in data.columns]
+    ctrl_names = list(controls)
+    prio_ctrl = PRIO_CONTROL_FIRST if control_first else PRIO_CONTROL_LAST
+
+    tagged = data.select(
+        *data_cols,
+        F.lit(PRIO_DATA).alias("__prio"),
+        *[F.lit(None).cast("double").alias(f"__ctl_{n}") for n in ctrl_names],
+    )
+    for n in ctrl_names:
+        cdf = controls[n]
+        sel = [
+            *[
+                (cdf[c] if c in cdf.columns else F.lit(None).cast(data.schema[c].dataType)).alias(c)
+                for c in data_cols
+            ],
+            F.lit(prio_ctrl).alias("__prio"),
+            *[
+                (cdf[value_col].cast("double") if m == n else F.lit(None).cast("double")).alias(f"__ctl_{m}")
+                for m in ctrl_names
+            ],
+        ]
+        tagged = tagged.unionByName(cdf.select(*sel))
+
+    order = [F.col(ts).asc(), F.col("__prio").asc()]
+    if seq_col is not None:
+        order.append(F.col(seq_col).asc_nulls_first())
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged
+    for n in ctrl_names:
+        out = out.withColumn(n, F.last(f"__ctl_{n}", ignorenulls=True).over(w))
+    return out.filter(F.col("__prio") == PRIO_DATA).select(*data_cols, *ctrl_names)
+
+
+def ordered_merge(
+    streams: Sequence[DataFrame],
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    stream_col: str | None = "stream_idx",
+    priorities: Sequence[int] | None = None,
+    drop_late: bool = False,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Event-time ordered union of N streams (reference Synchronizer,
+    system/tasks/synchronizer.py:14-44 over client/topic.py:117-141).
+
+    In batch, global order is realized lazily by downstream sorts; the
+    semantic content here is (a) the union with a deterministic priority
+    tie-break column and (b) the per-stream late-data drop rule
+    (client/topic.py:127 "drop the past"): a row whose ts is smaller than a
+    previous row's ts *within the same stream and keys* is discarded.
+    """
+    priorities = list(priorities or range(len(streams)))
+    tagged = []
+    for i, s in enumerate(streams):
+        sel = s
+        if stream_col is not None:
+            sel = sel.withColumn(stream_col, F.lit(priorities[i]))
+        tagged.append(sel)
+    out = tagged[0]
+    for s in tagged[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    if drop_late:
+        # "drop the past" is defined against ARRIVAL order: a row is late iff
+        # an earlier-arriving row of the same stream had a greater ts. Batch
+        # has no implicit arrival order, so seq_col (an arrival sequence
+        # column) is required for the rule to be meaningful.
+        if seq_col is None:
+            raise ValueError("ordered_merge(drop_late=True) needs seq_col")
+        part = [*keys] + ([stream_col] if stream_col is not None else [])
+        w = (
+            Window.partitionBy(*[F.col(c) for c in part])
+            .orderBy(F.col(seq_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = (
+            out.withColumn("__prev_max", F.max(ts).over(w))
+            .filter(F.col("__prev_max").isNull() | (F.col(ts) >= F.col("__prev_max")))
+            .drop("__prev_max")
+        )
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    tolerance_ms: int | None = None,
+    suffix: str = "_right",
+    allow_exact_match: bool = True,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right row
+    with ``right_ts <= left_ts`` (or ``<`` if not allow_exact_match) within
+    the same ``keys``, optionally within ``tolerance_ms``.
+
+    Spark has no native as-of join; the scalable pattern (SURVEY §4) is a
+    tagged union + one window pass — O(n log n) per partition, one shuffle,
+    instead of a range-join explosion.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    rstruct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+
+    lhs = left.select(
+        *left.columns,
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(
+            right.select(rstruct.alias("s")).schema["s"].dataType
+        ).alias("__rstruct"),
+        F.col(left_ts).alias("__ts"),
+    )
+    rhs = right.select(
+        *[
+            (F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            if c not in keys
+            else F.col(c).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("__is_left"),
+        rstruct.alias("__rstruct"),
+        F.col(right_ts).alias("__ts"),
+    )
+    union = lhs.unionByName(rhs)
+
+    # right rows sort before left rows at equal ts iff exact match allowed
+    right_prio = 0 if allow_exact_match else 2
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(
+            F.col("__ts").asc(),
+            F.when(F.col("__is_left") == 0, F.lit(right_prio)).otherwise(F.lit(1)).asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = union.withColumn("__m", F.last("__rstruct", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__is_left") == 1)
+    if tolerance_ms is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__m.__rts"))
+                <= F.lit(tolerance_ms * 1000),
+                F.col("__m"),
+            ),
+        )
+    result_cols = [F.col(c) for c in left.columns]
+    for c in right_cols:
+        name = c + (suffix if c in left.columns else "")
+        result_cols.append(F.col(f"__m.{c}").alias(name))
+    result_cols.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}_asof"))
+    return out.select(*result_cols)

@@ -1,0 +1,112 @@
+"""Time-domain operators: buffer/delay, repeater (sample-and-hold),
+synchronizer, replay re-timestamping.
+
+Reference: system/tasks/timebuffer.py, repeater.py, synchronizer.py,
+replaybuffer.py. Batch formulations; streaming variants in
+streamtasks_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from streamtasks_spark.operators.joins import asof_join, ordered_merge
+
+
+def time_buffer(
+    data: DataFrame, *, ts: str = "ts", delay_ms: int = 0
+) -> DataFrame:
+    """TimeBuffer (reference system/tasks/timebuffer.py:20-77), message-time
+    mode: every row is released ``delay_ms`` after its event time. In batch
+    that is a pure timestamp shift; in streaming the holdback is realized by
+    a watermark of the same size."""
+    return data.withColumn(
+        ts,
+        F.timestamp_micros(
+            (F.unix_micros(F.col(ts)) + F.lit(delay_ms * 1000)).cast("long")
+        ),
+    )
+
+
+def synchronizer(
+    streams: Sequence[DataFrame],
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    drop_late: bool = True,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Synchronizer (reference system/tasks/synchronizer.py:14-44 over
+    client/topic.py:117-141): event-time ordered merge of N streams with
+    the per-stream "drop the past" late-data rule (topic.py:127)."""
+    return ordered_merge(
+        streams, keys=keys, ts=ts, drop_late=drop_late, seq_col=seq_col,
+        stream_col="stream_idx",
+    )
+
+
+def repeater(
+    data: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    interval_ms: int = 1000,
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Repeater (reference system/tasks/repeater.py:21-69): sample-and-hold
+    — re-emit the latest row at a fixed rate with refreshed timestamps.
+
+    Batch formulation: generate a per-key tick grid from the key's first
+    event (exclusive) to its last event, then as-of join the latest row at
+    each tick. ``sequence()`` generates ticks distributed per key — no
+    driver-side loop, no cross join."""
+    if value_cols is None:
+        value_cols = [c for c in data.columns if c not in keys and c != ts]
+    bounds = data.groupBy(*keys).agg(
+        F.min(ts).alias("__t0"), F.max(ts).alias("__t1")
+    )
+    step_us = interval_ms * 1000
+    ticks = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.unix_micros("__t0") + F.lit(step_us),
+                F.unix_micros("__t1"),
+                F.lit(step_us),
+            )
+        ).alias("__tick_us"),
+    ).select(*keys, F.timestamp_micros(F.col("__tick_us").cast("long")).alias(ts))
+    held = asof_join(
+        ticks,
+        data.select(*keys, ts, *value_cols),
+        keys=keys,
+        left_ts=ts,
+        right_ts=ts,
+        right_cols=list(value_cols),
+        suffix="_src",
+    )
+    return held.select(*keys, ts, *value_cols)
+
+
+def replay_rebase(
+    recorded: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    new_start_ms: int = 0,
+) -> DataFrame:
+    """ReplayBuffer's re-timestamping step (reference system/tasks/
+    replaybuffer.py:21-90): shift a recorded stream so its earliest event
+    lands on ``new_start_ms`` (per key), preserving inter-row spacing."""
+    w_min = F.min(F.unix_micros(F.col(ts))).over(
+        Window.partitionBy(*[F.col(k) for k in keys])
+    )
+    return recorded.withColumn(
+        ts,
+        F.timestamp_micros(
+            (F.unix_micros(F.col(ts)) - w_min + F.lit(new_start_ms * 1000)).cast("long")
+        ),
+    )

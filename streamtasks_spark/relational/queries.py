@@ -1,0 +1,204 @@
+"""Relational surface: joins / aggregations / windows / set-ops / top-k.
+
+The reference has none of these (SURVEY §2.5, §2.7 — its only joins are
+temporal); Spark provides them natively, and the engine exposes them as the
+table-side vocabulary. Each function takes a dict of table-name →
+DataFrame (as produced by session.load_tables) and returns a DataFrame.
+
+Scale notes: dimension joins (region/nation/supplier/part/customer at 100 TB
+fact scale) are broadcast; aggregations are partial (map-side combine) by
+construction via groupBy().agg(); every filter is expressed on base columns
+so Catalyst pushes it into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q1 flavor: full-scan aggregate with map-side combine; the
+    classic 'does partial aggregation happen' scale probe."""
+    li = t["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q3 flavor: selective dimension filter → broadcast join chain →
+    agg → top-k."""
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(broadcast(orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q5 flavor: star join through nation/region, supplier and
+    customer in the same nation."""
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q6 flavor: pure filter+agg — predicate-pushdown probe."""
+    li = t["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+def top_customers_per_nation(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
+    """Window top-k: rank customers by account balance within nation."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        t["customer"]
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal"), "rank")
+    )
+
+
+def orders_without_lineitems(t: dict[str, DataFrame]) -> DataFrame:
+    """Anti join (absent from the reference; table-side vocabulary)."""
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+    )
+
+
+def customers_with_orders_semi(t: dict[str, DataFrame]) -> DataFrame:
+    """Semi join + distinct count per segment."""
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def events_hourly_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Tumbling event-time window aggregation over the stream table —
+    streaming twin is groupBy(window(ts, '1 hour')) with a watermark."""
+    ev = t["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .drop("approx_users")  # approximate — excluded from exact oracle
+    )
+
+
+def events_session_windows(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
+    """Session windows per user (gap-based) — the detector/sessionization
+    semantic. Streaming twin: F.session_window(ts, gap)."""
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = gap_minutes * 60 * 1000 * 1000
+    sess = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("__prev") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def union_intersect_except(t: dict[str, DataFrame]) -> DataFrame:
+    """Set-op vocabulary probe: users who clicked AND viewed but never had
+    a high-value error event."""
+    ev = t["events"]
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    bad = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 49.5))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.intersect(viewers).exceptAll(bad)

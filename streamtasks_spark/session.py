@@ -1,0 +1,97 @@
+"""SparkSession factory.
+
+Single place where scale-relevant knobs live. Local mode is for tests; the
+same settings (AQE, adaptive skew-join handling, Arrow) are what we'd want
+on a 1000-executor cluster — only memory/parallelism sizing is local-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "streamtasks_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Tuned for correctness-at-scale defaults:
+      - AQE on (runtime coalesce, skew-join splitting, dynamic join strategy)
+      - UTC session timezone (parity with the DuckDB oracle)
+      - Arrow on for every pandas UDF hop
+      - shuffle partitions sized to the local core count; on a real cluster
+        AQE coalesces, so a high initial number is safe.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # timestamps in testdata are timezone-less; read them as-is
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # testdata stores TIMESTAMP(NANOS) parquet, which Spark has no
+        # native type for — read as long and convert (read_parquet below)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_parquet(spark: SparkSession, path: str):
+    """Read parquet, transparently converting TIMESTAMP(NANOS) columns
+    (which Spark lacks a native type for) to TIMESTAMP via micros.
+    The testdata's nanos columns carry only microsecond precision, so the
+    conversion is lossless. Works regardless of who built the session:
+    the legacy conf is runtime-settable."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        nanos_cols = [
+            f.name for f in schema if str(f.type) == "timestamp[ns]"
+        ]
+    except Exception:
+        nanos_cols = []
+    for c in nanos_cols:
+        # integer division: epoch-nanos (~1.7e18) exceeds double precision
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Load every driver table from a scale-factor dir as DataFrames and
+    register temp views with the bare table names."""
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_parquet(spark, path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

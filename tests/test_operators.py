@@ -1,0 +1,267 @@
+"""Temporal/stateful operators vs hand-written Python reference models,
+the reference's Simulator pattern (/root/reference/tests/sim.py:78-137):
+seeded random interleaved event sequences, exact output comparison."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamtasks_spark.operators.joins import asof_join, last_value_join, ordered_merge
+from streamtasks_spark.operators.stateful import (
+    gate,
+    message_detector,
+    sr_latch,
+    string_concatenator,
+    switch,
+)
+from streamtasks_spark.operators.timing import repeater, time_buffer
+
+
+def ms(x: int) -> datetime:
+    return datetime.fromtimestamp(x / 1000.0, tz=timezone.utc).replace(tzinfo=None)
+
+
+def make_streams(seed: int, n: int, n_keys: int = 3):
+    """Interleaved (key, ts, value) events with equal-ts collisions and
+    values straddling the 0.5 threshold (FIXTURES.md §1)."""
+    rng = random.Random(seed)
+    t = 1_000_000
+    rows = []
+    for i in range(n):
+        t += rng.choice([0, 0, 1, 5, 100, 1000, 3000])
+        rows.append(
+            {
+                "key": f"k{rng.randrange(n_keys)}",
+                "ts": t,
+                "value": rng.choice([0.0, 0.49, 0.5, 0.51, 1.0, -1.0, 1337.0]),
+                "seq": i,
+            }
+        )
+    return rows
+
+
+def to_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            {**r, "ts": ms(r["ts"])}
+            for r in rows
+        ]
+    )
+
+
+# ------------------------------------------------------- last_value_join
+
+
+def test_last_value_join_matches_model(spark):
+    data = make_streams(1, 120)
+    ctrl = make_streams(2, 80)
+    out = last_value_join(
+        to_df(spark, data),
+        {"ctl": to_df(spark, ctrl)},
+        keys=["key"],
+        ts="ts",
+        control_first=True,
+        seq_col=None,
+    ).collect()
+
+    def model(row):
+        # latest ctrl value with ts <= row ts (control first at equal ts)
+        cands = [c for c in ctrl if c["key"] == row["key"] and c["ts"] <= row["ts"]]
+        if not cands:
+            return None
+        best = max(cands, key=lambda c: (c["ts"], c["seq"]))
+        return best["value"]
+
+    got = {(r["key"], r["seq"]): r["ctl"] for r in out}
+    assert len(out) == len(data)
+    for d in data:
+        assert got[(d["key"], d["seq"])] == model(d), d
+
+
+def test_gate_matches_model(spark):
+    for fail_open in (False, True):
+        data = make_streams(3, 150)
+        ctrl = make_streams(4, 60)
+        out = gate(
+            to_df(spark, data),
+            to_df(spark, ctrl),
+            keys=["key"],
+            fail_open=fail_open,
+        ).collect()
+        passed = {(r["key"], r["seq"]) for r in out}
+        for d in data:
+            cands = [c for c in ctrl if c["key"] == d["key"] and c["ts"] <= d["ts"]]
+            if cands:
+                best = max(cands, key=lambda c: (c["ts"], c["seq"]))
+                expect = best["value"] > 0.5
+            else:
+                expect = fail_open
+            assert ((d["key"], d["seq"]) in passed) == expect, (d, fail_open)
+
+
+def test_switch_matches_model(spark):
+    d0, d1 = make_streams(5, 80), make_streams(6, 80)
+    for r in d1:
+        r["seq"] += 1000  # unique identity across the two data streams
+    c0, c1 = make_streams(7, 40), make_streams(8, 40)
+    out = switch(
+        [(to_df(spark, d0), to_df(spark, c0)), (to_df(spark, d1), to_df(spark, c1))],
+        keys=["key"],
+    ).collect()
+    passed = {(r["key"], r["seq"]) for r in out}
+
+    def latest(ctrl, key, ts):
+        cands = [c for c in ctrl if c["key"] == key and c["ts"] <= ts]
+        return max(cands, key=lambda c: (c["ts"], c["seq"]))["value"] if cands else None
+
+    for idx, data, in ((0, d0), (1, d1)):
+        for d in data:
+            vals = [latest(c0, d["key"], d["ts"]), latest(c1, d["key"], d["ts"])]
+            present = [v for v in vals if v is not None]
+            if not present:
+                expect = False
+            else:
+                mx = max(present)
+                sel = next(i for i, v in enumerate(vals) if v == mx)
+                expect = sel == idx
+            assert ((d["key"], d["seq"]) in passed) == expect, (idx, d)
+
+
+def test_sr_latch_matches_model(spark):
+    sets = make_streams(9, 70)
+    resets = make_streams(10, 70)
+    out = sr_latch(
+        to_df(spark, sets), to_df(spark, resets), keys=["key"], default=False
+    ).collect()
+
+    # python model per key: replay merged events in (ts, src) order —
+    # reset sorts before set at equal ts (matching the operator's rule)
+    events = [(r["ts"], "reset", r["key"], r["value"]) for r in resets]
+    events += [(s["ts"], "set", s["key"], s["value"]) for s in sets]
+    events.sort(key=lambda e: (e[0], e[1] == "set"))
+    state: dict = {}
+    expected = []
+    for ts, src, key, value in events:
+        st = state.setdefault(key, {"set": False, "reset": False, "value": False})
+        st[src] = value > 0.5
+        if st["set"] != st["reset"]:
+            st["value"] = st["set"]
+        expected.append((key, ts, 1.0 if st["value"] else 0.0))
+    got = sorted((r["key"], r["ts"], r["value"]) for r in out)
+    exp = sorted((k, ms(t), v) for k, t, v in expected)
+    assert got == exp
+
+
+def test_ordered_merge_drops_late(spark):
+    rows = [
+        {"key": "a", "ts": 10, "value": 1.0, "seq": 0},
+        {"key": "a", "ts": 5, "value": 2.0, "seq": 1},   # late -> dropped
+        {"key": "a", "ts": 10, "value": 3.0, "seq": 2},  # equal -> kept
+        {"key": "a", "ts": 20, "value": 4.0, "seq": 3},
+        {"key": "b", "ts": 1, "value": 5.0, "seq": 4},
+    ]
+    out = ordered_merge(
+        [to_df(spark, rows)], keys=["key"], drop_late=True, seq_col="seq"
+    ).collect()
+    kept = sorted(r["seq"] for r in out)
+    assert kept == [0, 2, 3, 4]
+
+
+def test_message_detector(spark):
+    rows = [
+        {"key": "a", "ts": 1000, "value": 0.0, "seq": 0},
+        {"key": "a", "ts": 1400, "value": 0.0, "seq": 1},   # gap 400 < 1000
+        {"key": "a", "ts": 5000, "value": 0.0, "seq": 2},   # gap 3600 -> off+on
+        {"key": "b", "ts": 2000, "value": 0.0, "seq": 3},
+    ]
+    out = message_detector(
+        to_df(spark, rows), keys=["key"], timeout_ms=1000
+    ).collect()
+    got = sorted((r["key"], r["ts"], r["value"]) for r in out)
+    assert got == sorted(
+        [
+            ("a", ms(1000), 1.0),
+            ("a", ms(2400), 0.0),
+            ("a", ms(5000), 1.0),
+            ("a", ms(6000), 0.0),
+            ("b", ms(2000), 1.0),
+            ("b", ms(3000), 0.0),
+        ]
+    )
+
+
+def test_string_concatenator(spark):
+    data = [
+        {"key": "a", "ts": 1, "value": "x", "seq": 0},
+        {"key": "a", "ts": 2, "value": "y", "seq": 1},
+        {"key": "a", "ts": 5, "value": "z", "seq": 2},   # after flush
+        {"key": "a", "ts": 7, "value": "w", "seq": 3},
+    ]
+    ctrl = [
+        {"key": "a", "ts": 3, "value": 1.0, "seq": 10},  # rising edge: flush "xy"
+        {"key": "a", "ts": 4, "value": 1.0, "seq": 11},  # still high: no flush
+        {"key": "a", "ts": 6, "value": 0.0, "seq": 12},  # falling
+        {"key": "a", "ts": 8, "value": 1.0, "seq": 13},  # rising: flush "zw"
+    ]
+    dd = spark.createDataFrame([{**r, "ts": ms(r["ts"])} for r in data])
+    cc = spark.createDataFrame([{**r, "ts": ms(r["ts"])} for r in ctrl])
+    out = string_concatenator(dd, cc, keys=["key"]).collect()
+    got = sorted((r["ts"], r["value"]) for r in out)
+    assert got == [(ms(3), "xy"), (ms(8), "zw")]
+
+
+def test_asof_join_and_tolerance(spark):
+    left = to_df(
+        spark,
+        [
+            {"key": "a", "ts": 10, "value": 0.0, "seq": 0},
+            {"key": "a", "ts": 25, "value": 0.0, "seq": 1},
+            {"key": "b", "ts": 5, "value": 0.0, "seq": 2},
+        ],
+    )
+    right = to_df(
+        spark,
+        [
+            {"key": "a", "ts": 10, "value": 100.0, "seq": 10},
+            {"key": "a", "ts": 20, "value": 200.0, "seq": 11},
+            {"key": "b", "ts": 9, "value": 300.0, "seq": 12},
+        ],
+    )
+    out = asof_join(
+        left, right, keys=["key"], right_cols=["value"], suffix="_r"
+    ).collect()
+    got = {r["seq"]: r["value_r"] for r in out}
+    assert got == {0: 100.0, 1: 200.0, 2: None}
+
+    out2 = asof_join(
+        left, right, keys=["key"], right_cols=["value"], suffix="_r",
+        tolerance_ms=4,
+    ).collect()
+    got2 = {r["seq"]: r["value_r"] for r in out2}
+    assert got2 == {0: 100.0, 1: None, 2: None}
+
+    out3 = asof_join(
+        left, right, keys=["key"], right_cols=["value"], suffix="_r",
+        allow_exact_match=False,
+    ).collect()
+    got3 = {r["seq"]: r["value_r"] for r in out3}
+    assert got3 == {0: None, 1: 200.0, 2: None}
+
+
+def test_time_buffer_and_repeater(spark):
+    rows = [
+        {"key": "a", "ts": 1000, "value": 1.0, "seq": 0},
+        {"key": "a", "ts": 3500, "value": 2.0, "seq": 1},
+        {"key": "a", "ts": 4000, "value": 3.0, "seq": 2},
+    ]
+    df = to_df(spark, rows)
+    shifted = time_buffer(df, delay_ms=500).collect()
+    assert sorted(r["ts"] for r in shifted) == [ms(1500), ms(4000), ms(4500)]
+
+    held = repeater(df, keys=["key"], interval_ms=1000, value_cols=["value"]).collect()
+    got = sorted((r["ts"], r["value"]) for r in held)
+    assert got == [(ms(2000), 1.0), (ms(3000), 1.0), (ms(4000), 3.0)]
