@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamtasks_spark.functions import calculator as calc
-from streamtasks_spark.functions.text import string_matcher, text_format
+from streamtasks_spark.functions.text import (
+    number_to_text,
+    string_matcher,
+    text_format,
+)
 from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
 from streamtasks_spark.operators.joins import asof_join, last_value_join
 from streamtasks_spark.operators.stateful import (
@@ -25,7 +29,7 @@ from streamtasks_spark.operators.stateful import (
     string_concatenator,
     switch,
 )
-from streamtasks_spark.operators.timing import repeater, time_buffer
+from streamtasks_spark.operators.timing import repeater, replay_rebase, time_buffer
 from streamtasks_spark.relational import queries as rq
 from streamtasks_spark.session import load_tables, read_parquet
 
@@ -148,7 +152,8 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("pvalue")
+        "user_id", "ts", F.col("value").alias("pvalue"),
+        F.col("event_id").alias("pseq"),
     )
     out = asof_join(
         clicks,
@@ -156,6 +161,7 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         right_cols=["pvalue"],
         tolerance_ms=7 * 24 * 3600 * 1000,
+        seq_col="pseq",
     )
     return out.select("event_id", "user_id", "ts", "pvalue")
 
@@ -181,6 +187,23 @@ def _q_text_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_number_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", number_to_text(F.col("value")).alias("vtext"))
+
+
+def _q_replay_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplayBuffer re-timestamping (reference replaybuffer.py:21-90): shift
+    each user's recorded 'view' stream so it starts at a fixed replay epoch,
+    preserving inter-row spacing."""
+    ev = _events(spark, sf_dir)
+    rec = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = replay_rebase(rec, keys=["user_id"], new_start_ms=1_700_000_000_000)
+    return out.select("event_id", "user_id", "ts", "value")
+
+
 def _q_time_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.select(
@@ -203,23 +226,32 @@ def _q_time_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_repeater(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", "event_id"
     )
     out = repeater(
-        purchases, keys=["user_id"], interval_ms=86_400_000, value_cols=["value"]
+        purchases, keys=["user_id"], interval_ms=86_400_000, value_cols=["value"],
+        seq_col="event_id",
     )
     return out.select("user_id", "ts", "value")
 
 
 def _q_synchronizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial drop-late check: arrival order is a deterministic
+    PERMUTATION of event_id (Knuth multiplicative hash — a bijection mod
+    2^32 for an odd multiplier), so within each (user, stream) arrival
+    order genuinely disagrees with event-time order and the "drop the
+    past" rule (reference client/topic.py:127) actually drops rows."""
     from streamtasks_spark.operators.timing import synchronizer
 
     ev = _events(spark, sf_dir)
+    arrival = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
     streams = [
-        ev.filter(F.col("event_type") == t).select("user_id", "ts", "value", "event_id")
+        ev.filter(F.col("event_type") == t)
+        .select("user_id", "ts", "value", "event_id")
+        .withColumn("arrival", arrival)
         for t in ("click", "view", "error")
     ]
-    out = synchronizer(streams, keys=["user_id"], drop_late=True, seq_col="event_id")
+    out = synchronizer(streams, keys=["user_id"], drop_late=True, seq_col="arrival")
     return out.select("user_id", "ts", "value", "event_id", "stream_idx")
 
 
@@ -233,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calculator_multivar": _q_calculator_multivar,
         "string_matcher": _q_string_matcher,
         "text_format": _q_text_format,
+        "number_to_text": _q_number_to_text,
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         # filters / routing (SURVEY §2.3)
@@ -247,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time ops (SURVEY §2.6)
         "time_buffer": _q_time_buffer,
         "repeater": _q_repeater,
+        "replay_rebase": _q_replay_rebase,
         "synchronizer": _q_synchronizer,
         # relational surface (SURVEY §2.5/2.7, table side)
         "q1_pricing_summary": rel(rq.q1_pricing_summary),
@@ -381,7 +415,9 @@ _ASOF_SQL = """
 WITH c AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), p AS (
+  -- dedupe equal-ts right rows to the highest seq (= asof_join seq_col rule)
   SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
 )
 SELECT c.event_id, c.user_id, c.ts,
   CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 604800000000 THEN p.value END AS pvalue
@@ -391,6 +427,7 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 _REPEATER_SQL = """
 WITH p AS (
   SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
 ), b AS (
   SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM p GROUP BY user_id
 ), ticks AS (
@@ -403,9 +440,18 @@ FROM ticks t ASOF JOIN p ON t.user_id = p.user_id AND t.ts >= p.ts
 """
 
 _SYNC_SQL = """
-SELECT user_id, ts, value, event_id,
-  CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 ELSE 2 END AS stream_idx
-FROM events WHERE event_type IN ('click', 'view', 'error')
+WITH u AS (
+  SELECT user_id, ts, value, event_id,
+    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 ELSE 2 END AS stream_idx,
+    (event_id * 2654435761) % 4294967296 AS arrival
+  FROM events WHERE event_type IN ('click', 'view', 'error')
+), m AS (
+  SELECT *, max(ts) OVER (PARTITION BY user_id, stream_idx ORDER BY arrival
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM u
+)
+SELECT user_id, ts, value, event_id, stream_idx
+FROM m WHERE prev_max IS NULL OR ts >= prev_max
 """
 
 _SESSION_SQL = """
@@ -462,6 +508,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
               'u' || CAST(user_id AS VARCHAR) || ' did ' || event_type AS msg
             FROM events
+        """,
+        "number_to_text": """
+            SELECT event_id, CAST(value AS VARCHAR) AS vtext FROM events
+        """,
+        "replay_rebase": """
+            WITH r AS (
+              SELECT event_id, user_id, ts, value,
+                min(ts) OVER (PARTITION BY user_id) AS t0
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT event_id, user_id,
+              make_timestamp(1700000000000000 + epoch_us(ts) - epoch_us(t0)) AS ts,
+              value
+            FROM r
         """,
         "time_to_text": """
             SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tstr FROM events

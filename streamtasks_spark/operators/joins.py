@@ -16,10 +16,22 @@ streaming tier).
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _warn_if_unkeyed(keys: Sequence[str], op: str) -> None:
+    """keys=() produces Window.partitionBy() — every row lands on ONE task.
+    Fine for unit tests; a scale-killer on real data, so warn loudly."""
+    if not keys:
+        warnings.warn(
+            f"{op}(keys=()) uses a single-partition global window; "
+            "pass the stream-identity columns as keys for distributed state",
+            stacklevel=3,
+        )
 
 # priority constants: at equal event time, lower sorts first.
 # Reference gate.py:52-54 — control messages processed BEFORE data at the
@@ -51,6 +63,7 @@ def last_value_join(
     before the data row (gate semantics). ``seq_col``: optional
     deterministic final tie-break column present in all inputs.
     """
+    _warn_if_unkeyed(keys, "last_value_join")
     data_cols = [c for c in data.columns]
     ctrl_names = list(controls)
     prio_ctrl = PRIO_CONTROL_FIRST if control_first else PRIO_CONTROL_LAST
@@ -150,19 +163,29 @@ def asof_join(
     tolerance_ms: int | None = None,
     suffix: str = "_right",
     allow_exact_match: bool = True,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the most recent right row
     with ``right_ts <= left_ts`` (or ``<`` if not allow_exact_match) within
     the same ``keys``, optionally within ``tolerance_ms``.
 
+    ``seq_col``: optional column of the RIGHT side used as a deterministic
+    tie-break among right rows sharing (keys, ts) — the highest ``seq_col``
+    wins (last-arrival semantics, matching last_value_join).
+
     Spark has no native as-of join; the scalable pattern (SURVEY §4) is a
     tagged union + one window pass — O(n log n) per partition, one shuffle,
     instead of a range-join explosion.
     """
+    _warn_if_unkeyed(keys, "asof_join")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
     rstruct = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    rseq = (
+        F.col(seq_col) if seq_col is not None and seq_col in right.columns
+        else F.lit(0)
     )
 
     lhs = left.select(
@@ -172,6 +195,7 @@ def asof_join(
             right.select(rstruct.alias("s")).schema["s"].dataType
         ).alias("__rstruct"),
         F.col(left_ts).alias("__ts"),
+        F.lit(None).cast("long").alias("__rseq"),
     )
     rhs = right.select(
         *[
@@ -183,16 +207,20 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         rstruct.alias("__rstruct"),
         F.col(right_ts).alias("__ts"),
+        rseq.cast("long").alias("__rseq"),
     )
     union = lhs.unionByName(rhs)
 
-    # right rows sort before left rows at equal ts iff exact match allowed
+    # right rows sort before left rows at equal ts iff exact match allowed;
+    # among right rows with equal ts, the highest __rseq sorts last so
+    # F.last picks it deterministically (left rows' null seq sorts first).
     right_prio = 0 if allow_exact_match else 2
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(
             F.col("__ts").asc(),
             F.when(F.col("__is_left") == 0, F.lit(right_prio)).otherwise(F.lit(1)).asc(),
+            F.col("__rseq").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -28,14 +28,18 @@ def gate(
     keys: Sequence[str] = (),
     ts: str = "ts",
     control_value: str = "value",
-    fail_open: bool = False,
+    initial_open: bool = False,
     seq_col: str | None = None,
 ) -> DataFrame:
     """Gate (reference system/tasks/gate.py:15-110): pass data rows while
     the latest control value as of the row's event time is > 0.5. Control
-    takes effect BEFORE data at equal timestamps (gate.py:50-54). Rows
-    before any control message follow the fail mode (fail_open/fail_closed,
-    gate.py:77-81 — invalid/absent control ⇒ configured default)."""
+    takes effect BEFORE data at equal timestamps (gate.py:50-54).
+
+    ``initial_open`` governs rows arriving before any control message —
+    the reference's ``initial_control`` (gate.py:32, default False/closed).
+    The reference's separate ``fail_mode`` knob (gate.py:77-81) concerns
+    paused/validation-error control streams, which have no batch
+    equivalent; the streaming tier models pause as control-as-data."""
     ctl_cols = [*keys, ts, F.col(control_value).alias("value")]
     if seq_col is not None and seq_col in control.columns:
         ctl_cols.append(seq_col)
@@ -48,7 +52,7 @@ def gate(
         seq_col=seq_col,
     )
     open_ = F.coalesce(
-        F.col("__gate_ctl") > F.lit(0.5), F.lit(bool(fail_open))
+        F.col("__gate_ctl") > F.lit(0.5), F.lit(bool(initial_open))
     )
     return joined.filter(open_).drop("__gate_ctl")
 

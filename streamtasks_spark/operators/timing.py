@@ -55,6 +55,7 @@ def repeater(
     ts: str = "ts",
     interval_ms: int = 1000,
     value_cols: Sequence[str] | None = None,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Repeater (reference system/tasks/repeater.py:21-69): sample-and-hold
     — re-emit the latest row at a fixed rate with refreshed timestamps.
@@ -69,6 +70,12 @@ def repeater(
         F.min(ts).alias("__t0"), F.max(ts).alias("__t1")
     )
     step_us = interval_ms * 1000
+    # F.sequence(start, stop, step) raises on start > stop; a key whose event
+    # span is shorter than one interval emits zero ticks (matching DuckDB
+    # generate_series semantics) — filter those keys out before exploding.
+    bounds = bounds.filter(
+        F.unix_micros("__t1") >= F.unix_micros("__t0") + F.lit(step_us)
+    )
     ticks = bounds.select(
         *keys,
         F.explode(
@@ -79,14 +86,18 @@ def repeater(
             )
         ).alias("__tick_us"),
     ).select(*keys, F.timestamp_micros(F.col("__tick_us").cast("long")).alias(ts))
+    src_cols = [*keys, ts, *value_cols] + (
+        [seq_col] if seq_col and seq_col not in value_cols else []
+    )
     held = asof_join(
         ticks,
-        data.select(*keys, ts, *value_cols),
+        data.select(*src_cols),
         keys=keys,
         left_ts=ts,
         right_ts=ts,
         right_cols=list(value_cols),
         suffix="_src",
+        seq_col=seq_col,
     )
     return held.select(*keys, ts, *value_cols)
 

@@ -48,13 +48,18 @@ def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
-    """TPC-H Q3 flavor: selective dimension filter → broadcast join chain →
-    agg → top-k."""
+    """TPC-H Q3 flavor: selective dimension filter → join chain → agg →
+    top-k.
+
+    Scale: only the filtered customer dimension is broadcast; orders and
+    lineitem are both fact-scale, so their join must stay a shuffle join
+    (AQE picks the strategy at runtime). Broadcasting the orders⋈customer
+    intermediate would OOM executors at 100 TB."""
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15"))
     li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
-        li.join(broadcast(orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -69,19 +74,30 @@ def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
 
 def q5_local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q5 flavor: star join through nation/region, supplier and
-    customer in the same nation."""
+    customer in the same nation.
+
+    Scale: only nation (25 rows) and region (5 rows) are fixed-size —
+    those get the broadcast hint. customer and supplier grow with scale
+    factor (customer ≈ 150k×SF), so they stay shuffle-joinable and AQE
+    decides at runtime. The region filter is applied BEFORE the join chain
+    so the nation list shrinks regardless of Catalyst's view through the
+    joins."""
+    asian_nations = broadcast(
+        t["nation"].join(
+            broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
+        .join(asian_nations, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.round(

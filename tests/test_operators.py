@@ -83,14 +83,14 @@ def test_last_value_join_matches_model(spark):
 
 
 def test_gate_matches_model(spark):
-    for fail_open in (False, True):
+    for initial_open in (False, True):
         data = make_streams(3, 150)
         ctrl = make_streams(4, 60)
         out = gate(
             to_df(spark, data),
             to_df(spark, ctrl),
             keys=["key"],
-            fail_open=fail_open,
+            initial_open=initial_open,
         ).collect()
         passed = {(r["key"], r["seq"]) for r in out}
         for d in data:
@@ -99,8 +99,8 @@ def test_gate_matches_model(spark):
                 best = max(cands, key=lambda c: (c["ts"], c["seq"]))
                 expect = best["value"] > 0.5
             else:
-                expect = fail_open
-            assert ((d["key"], d["seq"]) in passed) == expect, (d, fail_open)
+                expect = initial_open
+            assert ((d["key"], d["seq"]) in passed) == expect, (d, initial_open)
 
 
 def test_switch_matches_model(spark):
