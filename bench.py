@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY §7.2 step 8, BASELINE.md operative metric).
+
+Times every ``__spark_entry__.queries()`` entry at the benchmark scale
+factor and prints ONE JSON line on stdout:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with the JVM ``noop`` sink — full computation, zero
+serialization to the driver — so timings measure the query plan, not
+``collect()`` transfer. Each query runs ``SPARK_GRAFT_BENCH_ITERS`` times
+(default 2) and reports the best, amortizing first-touch JIT/IO noise.
+
+Usage: python bench.py            # $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1
+       python bench.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if args and os.path.isdir(args[0]):
+        sf_dir = args[0]
+        args = args[1:]
+    only = set(args)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    import __spark_entry__ as entrymod
+    from streamtasks_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footer caches with one trivial action
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    qs = entrymod.queries()
+    results: dict[str, float | None] = {}
+    t_start = time.perf_counter()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        best = None
+        try:
+            for _ in range(max(1, iters)):
+                sec = run_query(fn, spark, sf_dir)
+                best = sec if best is None else min(best, sec)
+        except Exception as e:  # keep benching the rest
+            log(f"bench: {name} FAILED: {type(e).__name__}: {e}")
+            results[name] = None
+            continue
+        results[name] = round(best, 4)
+        log(f"bench: {name} {best:.3f}s")
+
+    ok = {k: v for k, v in results.items() if v is not None}
+    total = round(sum(ok.values()), 4)
+    payload = {
+        "metric": "sum_of_per_query_best_wall_seconds_noop_sink",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "n_queries": len(results),
+        "n_failed": len(results) - len(ok),
+        "wall_total": round(time.perf_counter() - t_start, 2),
+    }
+    print(json.dumps(payload), flush=True)
+    return 0 if ok and len(ok) == len(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
