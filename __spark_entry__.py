@@ -21,6 +21,7 @@ from streamtasks_spark.functions.text import (
     text_format,
 )
 from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
+from streamtasks_spark.llmdata import dedup
 from streamtasks_spark.operators.joins import asof_join, last_value_join
 from streamtasks_spark.operators.stateful import (
     gate,
@@ -166,6 +167,45 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "pvalue")
 
 
+# llmdata: exact dedup is exercised on a dup-injected corpus (every 10th
+# doc re-appended with extra whitespace under a shifted id) so the
+# normalization + grouping mechanism provably collapses something.
+_DUP_INJECT_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, '  ' || text || '   ' AS text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs_with_dups(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup.dedup_minhash(docs, threshold=0.5)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup.dedup_simhash(docs, max_hamming=3)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
+
+
 def _q_string_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -282,6 +322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeater": _q_repeater,
         "replay_rebase": _q_replay_rebase,
         "synchronizer": _q_synchronizer,
+        # llmdata: dedup tier (BASELINE.json north star)
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
         # relational surface (SURVEY §2.5/2.7, table side)
         "q1_pricing_summary": rel(rq.q1_pricing_summary),
         "q3_shipping_priority": rel(rq.q3_shipping_priority),
@@ -529,6 +574,10 @@ def oracle_sql() -> dict[str, str]:
         "timestamp_update": """
             SELECT event_id, ts + INTERVAL '90 seconds' AS ts FROM events
         """,
+        "dedup_exact": dedup.oracle_dedup_exact_sql(_DUP_INJECT_SQL),
+        "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
+        "dedup_simhash": dedup.oracle_dedup_simhash_sql(max_hamming=3),
+        "ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
         "gate": _GATE_SQL,
         "switch": _SWITCH_SQL,
         "sr_latch": _SR_LATCH_SQL,

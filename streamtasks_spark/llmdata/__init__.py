@@ -1,1 +1,12 @@
-"""streamtasks_spark.llmdata"""
+"""LLM training-data pipeline operators (BASELINE.json north star).
+
+- :mod:`.dedup` — exact, MinHash-LSH, SimHash, n-gram Jaccard dedup.
+- :mod:`.similarity` — cosine top-k / ANN over embedding columns.
+- :mod:`.textstats` — token counts, quality scores, language id,
+  winnowing fingerprints.
+- :mod:`.multimodal` — binary-column (image/audio blob) plumbing.
+
+Every operator ships with an ``oracle_*_sql`` builder that reproduces the
+same algorithm in DuckDB, so the driver's hash-match gate covers the full
+pipeline, not just a reference output.
+"""

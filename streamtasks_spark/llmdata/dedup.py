@@ -1,0 +1,469 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers over a ``documents``-style table (id + text):
+
+- :func:`dedup_exact` — hash-groupBy on whitespace-normalized text.
+- :func:`dedup_minhash` — MinHash + banded LSH candidate generation
+  (shingle → minhash signature → band buckets → pairs within buckets
+  only), then exact-Jaccard verification of candidates. Never all-pairs.
+- :func:`dedup_simhash` — 60-bit SimHash with 4×15-bit chunk blocking;
+  by pigeonhole, every pair within Hamming distance ≤ 3 shares at least
+  one chunk, so the blocking has GUARANTEED recall at that radius.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard within a blocking
+  column (e.g. ``lang``). The exact baseline; quadratic within a block,
+  so at 100 TB use :func:`dedup_minhash` instead.
+
+Scale shape: every step is a shuffle on a bucket/band key plus joins on
+document ids — no all-pairs stage. Hot LSH buckets (thousands of mutual
+near-dups) go quadratic within the bucket; cap or salt them upstream if
+the corpus has giant duplicate classes.
+
+Cross-engine determinism: every hash is derived from md5 hex prefixes
+(``conv(substr(md5(x),1,k),16,10)`` in Spark ≡ ``cast('0x'||substr(
+md5(x),1,k) as bigint)`` in DuckDB — verified bit-identical), and the
+minhash permutation constants live in :data:`MINHASH_PERMS`, so the
+``oracle_*_sql`` builders reproduce the EXACT algorithm in DuckDB and the
+driver's hash-match is meaningful end-to-end.
+
+Reference parity note: the reference repo (an A/V dataflow engine) has no
+dedup operators; this tier is the BASELINE.json "LLM-data pipeline"
+requirement, built on the same Spark-first vocabulary.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# modulus for the minhash universal-hash family (a*h + b) % P.
+# P is prime and > every 28-bit shingle hash; a < 2^30 keeps a*h < 2^58,
+# safely inside int64 in BOTH engines (DuckDB errors on overflow).
+P_MOD = 2147483647
+
+
+def _gen_perms(n: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30) | 1, rng.randrange(0, 1 << 30))
+        for _ in range(n)
+    ]
+
+
+# 32 permutations = 8 bands x 4 rows: detection probability at jaccard j
+# is 1-(1-j^4)^8 (≈0.99998 at j=0.9, ≈0.03 at j=0.3) — the classic S-curve
+# for near-dup thresholds around 0.5-0.9.
+N_PERMS = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERMS // N_BANDS
+MINHASH_PERMS = _gen_perms(N_PERMS)
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed int64 in both engines
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+
+
+# --------------------------------------------------------------- helpers
+
+def norm_text(text_col: str, engine: str = "spark") -> str:
+    """Whitespace-collapsing normalization as a SQL fragment: collapse ALL
+    whitespace runs to single spaces, then trim. Collapse-before-trim
+    matters: trim() strips only ASCII spaces in both engines, so tabs and
+    newlines at the edges survive a trim-first formulation.
+
+    The regex literal differs per engine — Spark SQL string literals
+    process backslash escapes (``'\\\\s+'`` in SQL text → regex ``\\s+``),
+    DuckDB's don't."""
+    ws = "\\\\s+" if engine == "spark" else "\\s+"
+    return f"trim(regexp_replace(lower({text_col}), '{ws}', ' '))"
+
+
+def _shingle_hashes(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, hashes): distinct 28-bit hashes of the k-word shingles.
+    Tokenization = whitespace-normalize then split on single spaces, so
+    both engines tokenize identically with no regex-escaping divergence."""
+    toks = f"split({norm_text(text_col, 'spark')}, ' ')"
+    shingles = (
+        f"transform(sequence(0, size(__toks) - {k}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {k})))"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(toks).alias("__toks"))
+        .filter(F.expr(f"size(__toks) >= {k}"))
+        .select(F.col(id_col), F.expr(shingles).alias("__sh"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "array_distinct(transform(__sh, "
+                "s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint)))"
+            ).alias("hashes"),
+        )
+    )
+
+
+def _band_pairs(
+    banded: DataFrame, id_col: str, band_cols: Sequence[str]
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band value.
+    posexplode → self-join on (band_idx, band_key): ONE shuffle keyed by
+    band value, pairs generated only inside buckets."""
+    exploded = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "__band_idx", "__band_key"
+        ),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.__band_idx") == F.col("b.__band_idx"))
+            & (F.col("a.__band_key") == F.col("b.__band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- exact
+
+def dedup_exact(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: group by md5 of normalized text. Output one row per
+    distinct normalized text: (norm_hash, n_docs, keep_id) with keep_id =
+    the smallest document id (deterministic canonical representative).
+    Map-side partial agg + one shuffle on the hash — the 100 TB shape."""
+    return (
+        docs.select(
+            F.expr(f"md5({norm_text(text_col)})").alias("norm_hash"),
+            F.col(id_col),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def oracle_dedup_exact_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    SELECT md5({norm_text(text_col, "duck")}) AS norm_hash,
+           count(*) AS n_docs, min({id_col}) AS keep_id
+    FROM ({source_sql}) GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------- minhash
+
+def dedup_minhash(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dedup. Returns verified candidate pairs
+    (doc_a, doc_b, jaccard) with exact shingle-set Jaccard ≥ threshold,
+    candidates restricted to pairs colliding in ≥1 of the signature's
+    bands. Plan: shingle+sign (narrow), band explode + self-join on band
+    key (one shuffle), two id-joins for verification. No all-pairs stage
+    anywhere."""
+    hs = _shingle_hashes(docs, id_col, text_col, k)
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(hashes, h -> ({a}L * h + {b}L) % {P_MOD}L))"
+        ).alias(f"__s{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = hs.select(F.col(id_col), *sig_cols)
+    band_cols = []
+    for bi in range(N_BANDS):
+        members = ", ".join(
+            f"cast(__s{bi * ROWS_PER_BAND + r} as string)"
+            for r in range(ROWS_PER_BAND)
+        )
+        band_cols.append(f"__b{bi}")
+        sigs = sigs.withColumn(f"__b{bi}", F.expr(f"md5(concat_ws('-', {members}))"))
+    pairs = _band_pairs(sigs.select(id_col, *band_cols), id_col, band_cols)
+    x = hs.select(F.col(id_col).alias("doc_a"), F.col("hashes").alias("__ha"))
+    y = hs.select(F.col(id_col).alias("doc_b"), F.col("hashes").alias("__hb"))
+    jac = F.expr(
+        "cast(size(array_intersect(__ha, __hb)) as double) / "
+        "cast(size(array_union(__ha, __hb)) as double)"
+    )
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("__jac", jac)
+        .filter(F.col("__jac") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))
+    )
+
+
+def oracle_dedup_minhash_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB SQL reproducing dedup_minhash EXACTLY (same shingles, same
+    hash family and constants, same banding) — the oracle validates the
+    full LSH algorithm, not just the verification step."""
+    gram = " || ' ' || ".join(f"__toks[i + {d}]" for d in range(k))
+    sig_exprs = ",\n      ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {P_MOD})) AS __s{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_exprs = ",\n      ".join(
+        "md5(concat_ws('-', "
+        + ", ".join(
+            f"cast(__s{bi * ROWS_PER_BAND + r} as varchar)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + f")) AS __b{bi}"
+        for bi in range(N_BANDS)
+    )
+    band_match = " OR ".join(f"a.__b{bi} = b.__b{bi}" for bi in range(N_BANDS))
+    return f"""
+    WITH src AS ({source_sql}),
+    tok AS (
+      SELECT {id_col},
+             string_split({norm_text(text_col, "duck")}, ' ') AS __toks
+      FROM src
+    ),
+    sh AS (
+      SELECT {id_col},
+             list_transform(range(1, len(__toks) - {k - 1} + 1),
+                            i -> {gram}) AS __sh
+      FROM tok WHERE len(__toks) >= {k}
+    ),
+    hs AS (
+      SELECT {id_col},
+             list_distinct(list_transform(__sh,
+               s -> cast('0x' || substr(md5(s), 1, 7) AS BIGINT))) AS hashes
+      FROM sh
+    ),
+    sig AS (
+      SELECT {id_col}, hashes,
+      {sig_exprs}
+      FROM hs
+    ),
+    bands AS (
+      SELECT {id_col},
+      {band_exprs}
+      FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM bands a JOIN bands b
+        ON a.{id_col} < b.{id_col} AND ({band_match})
+    ),
+    verified AS (
+      SELECT p.doc_a, p.doc_b,
+        CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(x.hashes, y.hashes))) AS DOUBLE)
+          AS __jac
+      FROM pairs p
+      JOIN hs x ON p.doc_a = x.{id_col}
+      JOIN hs y ON p.doc_b = y.{id_col}
+    )
+    SELECT doc_a, doc_b, round(__jac, 6) AS jaccard
+    FROM verified WHERE __jac >= {threshold}
+    """
+
+
+# --------------------------------------------------------------- simhash
+
+def dedup_simhash(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dedup: 60-bit fingerprint from distinct-token hashes,
+    candidate pairs via 4×15-bit chunk blocking (pigeonhole: Hamming ≤ 3
+    flips at most 3 chunks, so every qualifying pair shares ≥1 chunk —
+    exact recall), verified with bit_count(xor) ≤ max_hamming.
+    Output: (doc_a, doc_b, hamming)."""
+    if max_hamming >= SIMHASH_CHUNKS:
+        raise ValueError("chunk blocking guarantees recall only for "
+                         f"max_hamming < {SIMHASH_CHUNKS}")
+    toks = (
+        f"array_distinct(transform(split({norm_text(text_col, 'spark')}, ' '), "
+        "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)))"
+    )
+    base = (
+        docs.filter(F.expr(f"length({norm_text(text_col, 'spark')}) > 0"))
+        .select(F.col(id_col), F.expr(toks).alias("__th"))
+    )
+    chunk_cols = []
+    for m in range(SIMHASH_CHUNKS):
+        bits = " + ".join(
+            f"(case when aggregate(__th, 0L, (acc, h) -> acc + "
+            f"(shiftright(h, {m * CHUNK_BITS + j}) % 2) * 2 - 1) > 0 "
+            f"then {1 << j}L else 0L end)"
+            for j in range(CHUNK_BITS)
+        )
+        chunk_cols.append(f"__c{m}")
+        base = base.withColumn(f"__c{m}", F.expr(bits))
+    sim = " + ".join(
+        f"__c{m} * {1 << (m * CHUNK_BITS)}L" for m in range(SIMHASH_CHUNKS)
+    )
+    base = base.withColumn("__sim", F.expr(sim))
+    pairs = _band_pairs(base.select(id_col, *chunk_cols), id_col, chunk_cols)
+    x = base.select(F.col(id_col).alias("doc_a"), F.col("__sim").alias("__sa"))
+    y = base.select(F.col(id_col).alias("doc_b"), F.col("__sim").alias("__sb"))
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("hamming", F.expr("cast(bit_count(__sa ^ __sb) as int)"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def oracle_dedup_simhash_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    chunk_exprs = []
+    for m in range(SIMHASH_CHUNKS):
+        bits = " + ".join(
+            f"(case when list_sum(list_transform(__th, "
+            f"h -> ((h >> {m * CHUNK_BITS + j}) % 2) * 2 - 1)) > 0 "
+            f"then {1 << j} else 0 end)"
+            for j in range(CHUNK_BITS)
+        )
+        chunk_exprs.append(f"({bits}) AS __c{m}")
+    sim = " + ".join(
+        f"cast(__c{m} as bigint) * {1 << (m * CHUNK_BITS)}"
+        for m in range(SIMHASH_CHUNKS)
+    )
+    chunk_match = " OR ".join(
+        f"a.__c{m} = b.__c{m}" for m in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+    WITH src AS ({source_sql}),
+    tok AS (
+      SELECT {id_col},
+        list_distinct(list_transform(
+          string_split({norm_text(text_col, "duck")}, ' '),
+          t -> cast('0x' || substr(md5(t), 1, 15) AS BIGINT))) AS __th
+      FROM src
+      WHERE length({norm_text(text_col, "duck")}) > 0
+    ),
+    chunks AS (
+      SELECT {id_col}, {", ".join(chunk_exprs)}
+      FROM tok
+    ),
+    sims AS (
+      SELECT *, {sim} AS __sim FROM chunks
+    ),
+    pairs AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM sims a JOIN sims b
+        ON a.{id_col} < b.{id_col} AND ({chunk_match})
+    )
+    SELECT p.doc_a, p.doc_b,
+      cast(bit_count(xor(x.__sim, y.__sim)) AS INT) AS hamming
+    FROM pairs p
+    JOIN sims x ON p.doc_a = x.{id_col}
+    JOIN sims y ON p.doc_b = y.{id_col}
+    WHERE bit_count(xor(x.__sim, y.__sim)) <= {max_hamming}
+    """
+
+
+# --------------------------------------------------------------- jaccard
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard within a blocking column — the exact baseline
+    dedup_minhash approximates. Quadratic within each block: correct at any
+    scale but only AFFORDABLE when blocks are bounded; for open-domain
+    corpora use dedup_minhash."""
+    hs = _shingle_hashes(docs, id_col, text_col, k).join(
+        docs.select(id_col, block_col), id_col
+    )
+    a = hs.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("doc_a"),
+        F.col("hashes").alias("__ha"),
+    )
+    b = hs.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("doc_b"),
+        F.col("hashes").alias("__hb"),
+    )
+    jac = F.expr(
+        "cast(size(array_intersect(__ha, __hb)) as double) / "
+        "cast(size(array_union(__ha, __hb)) as double)"
+    )
+    return (
+        a.join(b, ["__blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("__jac", jac)
+        .filter(F.col("__jac") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))
+    )
+
+
+def oracle_ngram_jaccard_sql(
+    source_sql: str = "SELECT doc_id, text, lang FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    gram = " || ' ' || ".join(f"__toks[i + {d}]" for d in range(k))
+    return f"""
+    WITH src AS ({source_sql}),
+    tok AS (
+      SELECT {id_col}, {block_col},
+             string_split({norm_text(text_col, "duck")}, ' ') AS __toks
+      FROM src
+    ),
+    hs AS (
+      SELECT {id_col}, {block_col},
+        list_distinct(list_transform(
+          list_transform(range(1, len(__toks) - {k - 1} + 1), i -> {gram}),
+          s -> cast('0x' || substr(md5(s), 1, 7) AS BIGINT))) AS hashes
+      FROM tok WHERE len(__toks) >= {k}
+    ),
+    j AS (
+      SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+        CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.hashes, b.hashes))) AS DOUBLE)
+          AS __jac
+      FROM hs a JOIN hs b
+        ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    )
+    SELECT doc_a, doc_b, round(__jac, 6) AS jaccard
+    FROM j WHERE __jac >= {threshold}
+    """

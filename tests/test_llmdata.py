@@ -1,0 +1,121 @@
+"""llmdata tier tests: dedup recall/precision against exact baselines.
+
+Model (SURVEY §5): drive the approximate operators (minhash-LSH, simhash)
+against exact reference computations on the same data and assert the
+structural guarantees — LSH recall at high jaccard, pigeonhole recall for
+chunk-blocked simhash, normalization collapse for exact dedup.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamtasks_spark.llmdata import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from streamtasks_spark.session import read_parquet
+
+    return read_parquet(spark, f"{SF_DIR}/documents.parquet").cache()
+
+
+def python_jaccard_pairs(rows, k=3, threshold=0.5):
+    def shingles(t):
+        toks = re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sh = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        u = sh[a] | sh[b]
+        if not u:
+            continue
+        j = len(sh[a] & sh[b]) / len(u)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+def test_dedup_exact_collapses_whitespace_variants(spark, docs):
+    base = docs.select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit(" \t"), F.col("text"), F.lit("  ")).alias("text"),
+    )
+    n_dups = dups.count()
+    out = dedup.dedup_exact(base.unionByName(dups)).collect()
+    assert sum(1 for r in out if r["n_docs"] == 2) == n_dups
+    # keep_id is always the original (smaller) id
+    for r in out:
+        if r["n_docs"] == 2:
+            assert r["keep_id"] < 10_000
+
+
+def test_minhash_lsh_finds_exact_jaccard_pairs(spark, docs):
+    rows = docs.select("doc_id", "text").collect()
+    expected = python_jaccard_pairs(rows, threshold=0.5)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_minhash(docs, threshold=0.5).collect()
+    }
+    # every found pair is genuinely >= threshold and jaccard is exact
+    for (a, b), j in got.items():
+        assert (a, b) in expected
+        assert abs(expected[(a, b)] - j) < 1e-6
+    # recall at j >= 0.9 must be total (detection prob ~0.99998 per pair,
+    # deterministic for the fixed permutation constants)
+    high = {p for p, j in expected.items() if j >= 0.9}
+    assert high <= set(got)
+
+
+def test_simhash_blocking_has_exact_recall(spark, docs):
+    """Every pair within hamming<=3 must be found (pigeonhole over 4
+    chunks) — compare against all-pairs hamming on the full signatures."""
+    out = dedup.dedup_simhash(docs, max_hamming=3)
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+
+    # recompute full signatures without blocking, brute-force all pairs
+    toks = (
+        "array_distinct(transform(split(lower(trim(text)), '\\\\s+'), "
+        "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)))"
+    )
+    base = docs.select("doc_id", F.expr(toks).alias("th"))
+    bits = " + ".join(
+        f"(case when aggregate(th, 0L, (acc, h) -> acc + "
+        f"(shiftright(h, {j}) % 2) * 2 - 1) > 0 then {1 << j}L else 0L end)"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    sims = {
+        r["doc_id"]: r["sim"]
+        for r in base.withColumn("sim", F.expr(bits)).collect()
+    }
+    for a, b in itertools.combinations(sorted(sims), 2):
+        h = bin(sims[a] ^ sims[b]).count("1")
+        if h <= 3:
+            assert (a, b) in found and found[(a, b)] == h
+        else:
+            assert (a, b) not in found
+
+
+def test_ngram_jaccard_matches_python_model(spark, docs):
+    rows = docs.select("doc_id", "text").collect()
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    expected = {
+        p: j
+        for p, j in python_jaccard_pairs(rows, threshold=0.5).items()
+        if langs[p[0]] == langs[p[1]]
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(got) == set(expected)
+    for p, j in got.items():
+        assert abs(expected[p] - j) < 1e-6
