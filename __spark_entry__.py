@@ -21,7 +21,7 @@ from streamtasks_spark.functions.text import (
     text_format,
 )
 from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
-from streamtasks_spark.llmdata import dedup
+from streamtasks_spark.llmdata import dedup, similarity
 from streamtasks_spark.operators.joins import asof_join, last_value_join
 from streamtasks_spark.operators.stateful import (
     gate,
@@ -206,6 +206,25 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
 
 
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10), n_planes=4, k=5
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup(vecs, n_planes=4, threshold=0.4)
+
+
 def _q_string_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -327,6 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        # llmdata: similarity search tier
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
         # relational surface (SURVEY §2.5/2.7, table side)
         "q1_pricing_summary": rel(rq.q1_pricing_summary),
         "q3_shipping_priority": rel(rq.q3_shipping_priority),
@@ -578,6 +601,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(max_hamming=3),
         "ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
+        "ann_topk": similarity.oracle_cosine_topk_sql(k=5),
+        "ann_lsh_topk": similarity.oracle_lsh_topk_sql(n_planes=4, k=5),
+        "embedding_near_dup": similarity.oracle_embedding_near_dup_sql(
+            n_planes=4, threshold=0.4
+        ),
         "gate": _GATE_SQL,
         "switch": _SWITCH_SQL,
         "sr_latch": _SR_LATCH_SQL,

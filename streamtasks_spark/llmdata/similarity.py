@@ -1,0 +1,313 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force cosine top-k: the correctness
+  baseline. Queries (small) are broadcast against the vector table
+  (huge); top-k is two-phase (per-partition local top-k, then a tiny
+  global re-rank) so no single task ever sorts a whole query's scores.
+- :func:`lsh_topk` — random-hyperplane LSH: vectors bucketed by the sign
+  pattern of ``n_planes`` Rademacher (±1) projections; candidates are
+  bucket-mates only; exact cosine re-rank within the bucket. The 100 TB
+  path — per-bucket work is bounded, one shuffle on the bucket key.
+- :func:`embedding_near_dup` — near-duplicate pairs by cosine ≥
+  threshold, LSH-blocked (pairs generated within buckets only).
+
+Cross-engine determinism: all arithmetic is double-precision with
+left-to-right summation (Spark ``aggregate`` fold ≡ DuckDB ``list_sum``
+— verified bit-identical on this data), and the hyperplane constants are
+±1 integers inlined into both the Spark plan and the oracle SQL, so the
+``oracle_*_sql`` builders reproduce the exact algorithm including the
+bucketing.
+
+The reference repo has no similarity search; this tier is the
+BASELINE.json LLM-data-pipeline requirement.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 0xA11CE) -> list[list[int]]:
+    """Deterministic Rademacher hyperplanes: entries ±1. Exactly
+    representable in double, so both engines compute identical
+    projections."""
+    rng = random.Random(seed * 1_000_003 + dim * 101 + n_planes)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _dot(a: str, b: str) -> str:
+    """Spark SQL double dot product, left-to-right fold."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    v = f"cast({vec_col} as array<double>)"
+    return df.withColumn("__v", F.expr(v)).withColumn(
+        "__nrm", F.expr(f"sqrt({_dot('__v', '__v')})")
+    )
+
+
+def _bucket_expr(planes: list[list[int]]) -> str:
+    """Spark SQL bucket id: bit p = (plane_p · v) > 0."""
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = f"array({', '.join(f'{s}D' for s in plane)})"
+        bits.append(f"(case when {_dot('__v', arr)} > 0 then {1 << p} else 0 end)")
+    return " + ".join(bits)
+
+
+def _duck_dot(a: str, b: str, dim: int) -> str:
+    return f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]))"
+
+
+def _duck_bucket(planes: list[list[int]], v: str, dim: int) -> str:
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = f"([{', '.join(f'{s}.0' for s in plane)}]::DOUBLE[])"
+        bits.append(
+            f"(case when {_duck_dot(v, arr, dim)} > 0 then {1 << p} else 0 end)"
+        )
+    return " + ".join(bits)
+
+
+# ------------------------------------------------------------ brute force
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of ``vectors`` for each row of ``queries``.
+    Output: (query_id, vec_id, cosine, rank), rank 1..k by (cosine desc,
+    vec_id asc); the query vector itself is excluded.
+
+    Scale: broadcast the (small) query side; score distributed over the
+    vector table's partitions; two-phase top-k keeps the global stage at
+    ``n_queries × k × n_partitions`` rows."""
+    q = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
+    ).select("query_id", F.col("__v").alias("__qv"), F.col("__nrm").alias("__qn"))
+    v = _with_norm(vectors.select(id_col, vec_col), vec_col).select(
+        id_col, "__v", "__nrm"
+    )
+    cos = F.expr(f"{_dot('__v', '__qv')}") / (F.col("__nrm") * F.col("__qn"))
+    scored = (
+        v.crossJoin(broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__cos", cos)
+    )
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= k)
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("__cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def oracle_cosine_topk_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_filter: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+) -> str:
+    dot = _duck_dot("a.__v", "q.__v", dim)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base
+    ),
+    q AS (SELECT * FROM n WHERE {query_filter}),
+    scored AS (
+      SELECT q.{id_col} AS query_id, a.{id_col} AS {id_col},
+             {dot} / (a.__nrm * q.__nrm) AS __cos
+      FROM n a, q WHERE a.{id_col} <> q.{id_col}
+    )
+    SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM scored
+    WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
+    """
+
+
+# ------------------------------------------------------------------ LSH
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank restricted to the query's
+    LSH bucket. May return fewer than k rows per query (bucket-bounded) —
+    that is the approximation. One shuffle on the bucket id."""
+    planes = hyperplanes(dim, n_planes)
+    bucket = _bucket_expr(planes)
+    v = (
+        _with_norm(vectors.select(id_col, vec_col), vec_col)
+        .withColumn("__bkt", F.expr(bucket))
+        .select(id_col, "__v", "__nrm", "__bkt")
+    )
+    q = (
+        _with_norm(queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col)
+        .withColumn("__bkt", F.expr(bucket))
+        .select(
+            "query_id",
+            F.col("__v").alias("__qv"),
+            F.col("__nrm").alias("__qn"),
+            "__bkt",
+        )
+    )
+    cos = F.expr(f"{_dot('__v', '__qv')}") / (F.col("__nrm") * F.col("__qn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        v.join(broadcast(q), "__bkt")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("__cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def oracle_lsh_topk_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_filter: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    k: int = 5,
+) -> str:
+    planes = hyperplanes(dim, n_planes)
+    dot = _duck_dot("a.__v", "q.__v", dim)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm,
+             {_duck_bucket(planes, "__v", dim)} AS __bkt
+      FROM base
+    ),
+    q AS (SELECT * FROM n WHERE {query_filter}),
+    scored AS (
+      SELECT q.{id_col} AS query_id, a.{id_col} AS {id_col},
+             {dot} / (a.__nrm * q.__nrm) AS __cos
+      FROM n a JOIN q ON a.__bkt = q.__bkt AND a.{id_col} <> q.{id_col}
+    )
+    SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM scored
+    WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
+    """
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: candidate
+    pairs share a hyperplane bucket; exact cosine verifies ≥ threshold.
+    Output: (vec_a, vec_b, cosine)."""
+    planes = hyperplanes(dim, n_planes)
+    v = (
+        _with_norm(vectors.select(id_col, vec_col), vec_col)
+        .withColumn("__bkt", F.expr(_bucket_expr(planes)))
+        .select(id_col, "__v", "__nrm", "__bkt")
+    )
+    a = v.select(
+        F.col("__bkt"),
+        F.col(id_col).alias("vec_a"),
+        F.col("__v").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = v.select(
+        F.col("__bkt"),
+        F.col(id_col).alias("vec_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    cos = F.expr(f"{_dot('__va', '__vb')}") / (F.col("__na") * F.col("__nb"))
+    return (
+        a.join(b, "__bkt")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b", F.round("__cos", 6).alias("cosine"))
+        .distinct()
+    )
+
+
+def oracle_embedding_near_dup_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    threshold: float = 0.4,
+) -> str:
+    planes = hyperplanes(dim, n_planes)
+    dot = _duck_dot("a.__v", "b.__v", dim)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm,
+             {_duck_bucket(planes, "__v", dim)} AS __bkt
+      FROM base
+    )
+    SELECT DISTINCT a.{id_col} AS vec_a, b.{id_col} AS vec_b,
+           round({dot} / (a.__nrm * b.__nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.__bkt = b.__bkt AND a.{id_col} < b.{id_col}
+    WHERE {dot} / (a.__nrm * b.__nrm) >= {threshold}
+    """

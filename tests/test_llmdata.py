@@ -119,3 +119,55 @@ def test_ngram_jaccard_matches_python_model(spark, docs):
     assert set(got) == set(expected)
     for p, j in got.items():
         assert abs(expected[p] - j) < 1e-6
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """LSH top-k is exact within the bucket; assert exact score agreement
+    on every returned true-match and a loose recall floor. On random
+    UNCLUSTERED vectors single-table sign-LSH recall is inherently low
+    (neighbors at cos≈0.3 flip signs often) — real corpora with genuine
+    near-dup structure (cos>0.9) land in the same bucket w.h.p.; multi-
+    table OR-ing is the production lever, not asserted here."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").cache()
+    qs = vecs.filter(F.col("vec_id") < 20)
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(vecs, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.lsh_topk(vecs, qs, n_planes=4, k=5).collect()
+    }
+    # every approximate hit that IS a true top-5 match carries the exact score
+    for key, cos in approx.items():
+        if key in brute:
+            assert abs(brute[key] - cos) < 1e-9
+    recall = len(set(brute) & set(approx)) / len(brute)
+    assert recall > 0.05, recall
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").cache()
+    rows = vecs.collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    out = similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=3)
+    got = [(r["query_id"], r["vec_id"], r["cosine"], r["rank"]) for r in out.collect()]
+    for qid in range(5):
+        qi = int(np.where(ids == qid)[0][0])
+        sims = m @ m[qi]
+        order = sorted(
+            ((s, i) for s, i in zip(sims, ids) if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        expect = [(qid, i, round(s, 6), r + 1) for r, (s, i) in enumerate(order)]
+        assert [g for g in got if g[0] == qid] == expect
