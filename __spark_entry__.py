@@ -21,7 +21,7 @@ from streamtasks_spark.functions.text import (
     text_format,
 )
 from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
-from streamtasks_spark.llmdata import dedup, similarity
+from streamtasks_spark.llmdata import dedup, similarity, textstats
 from streamtasks_spark.operators.joins import asof_join, last_value_join
 from streamtasks_spark.operators.stateful import (
     gate,
@@ -206,6 +206,21 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
 
 
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.text_stats(docs)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.lang_id(docs)
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.doc_fingerprint(docs)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(
@@ -346,6 +361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        # llmdata: text analysis tier
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
         # llmdata: similarity search tier
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -601,6 +620,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(max_hamming=3),
         "ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
+        "text_stats": textstats.oracle_text_stats_sql(),
+        "lang_id": textstats.oracle_lang_id_sql(),
+        "doc_fingerprint": textstats.oracle_doc_fingerprint_sql(),
         "ann_topk": similarity.oracle_cosine_topk_sql(k=5),
         "ann_lsh_topk": similarity.oracle_lsh_topk_sql(n_planes=4, k=5),
         "embedding_near_dup": similarity.oracle_embedding_near_dup_sql(

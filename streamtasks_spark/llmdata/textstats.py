@@ -1,0 +1,268 @@
+"""Text analysis operators for LLM training-data pipelines.
+
+- :func:`text_stats` — token counts (whitespace + BPE-ish regex),
+  punctuation/stopword ratios, and a composed quality score.
+- :func:`lang_id` — marker-stopword language scoring (n-gram-free
+  heuristic: count hits per language marker set, argmax with a
+  deterministic tie order).
+- :func:`doc_fingerprint` — winnowing fingerprint (char k-gram rolling
+  hashes, min per sliding window, distinct selected hashes) — the
+  standard local fingerprint for plagiarism/near-dup detection
+  (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for
+  Document Fingerprinting", SIGMOD'03).
+
+All pure JVM-side Column expressions (no UDFs): narrow per-row maps, no
+shuffles — the 100 TB shape is a single scan. Each operator has an
+``oracle_*_sql`` twin reproducing it in DuckDB (explicit character
+classes everywhere, since Java regex and RE2 differ at the margins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streamtasks_spark.llmdata.dedup import norm_text
+
+# BPE-ish token regex: word runs OR single non-word-non-space symbols.
+# Explicit classes keep Java regex and RE2 in exact agreement.
+_TOKEN_RE_SPARK = "[A-Za-z0-9_]+|[^A-Za-z0-9_ ]"
+_TOKEN_RE_DUCK = "[A-Za-z0-9_]+|[^A-Za-z0-9_ ]"
+_PUNCT_RE = "[^A-Za-z0-9_ ]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "fr": ("le", "la", "les", "et", "une", "dans"),
+    "es": ("el", "los", "y", "que", "una", "por"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+}
+
+FP_K = 8  # winnowing char-gram size
+FP_W = 4  # winnowing window
+
+
+def text_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document stats + quality score over normalized text."""
+    norm = norm_text(text_col, "spark")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    d = docs.select(
+        F.col(id_col),
+        F.expr(norm).alias("__n"),
+    ).select(
+        F.col(id_col),
+        F.length("__n").alias("n_chars"),
+        F.expr("split(__n, ' ')").alias("__toks"),
+        F.expr(f"regexp_count(__n, '{_TOKEN_RE_SPARK}')").alias("n_bpe_tokens"),
+        F.expr(f"regexp_count(__n, '{_PUNCT_RE}')").alias("n_punct"),
+    )
+    d = d.select(
+        id_col,
+        "n_chars",
+        F.size("__toks").alias("n_tokens"),
+        "n_bpe_tokens",
+        "n_punct",
+        F.expr(
+            "aggregate(__toks, 0L, (acc, t) -> acc + length(t))"
+        ).alias("__tok_chars"),
+        F.expr(
+            f"size(filter(__toks, t -> array_contains(array({stop_arr}), t)))"
+        ).alias("n_stopwords"),
+    )
+    n_tokens_d = F.col("n_tokens").cast("double")
+    return d.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_punct",
+        "n_stopwords",
+        F.round(F.col("__tok_chars") / n_tokens_d, 6).alias("avg_token_len"),
+        F.round(F.col("n_punct") / F.col("n_chars").cast("double"), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(F.col("n_stopwords") / n_tokens_d, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tokens_d / F.lit(50.0))
+            * (F.lit(1.0) - F.least(F.lit(0.5), F.col("n_punct") / F.col("n_chars").cast("double")))
+            * (F.lit(0.5) + F.least(F.lit(0.5), F.col("n_stopwords") / n_tokens_d * F.lit(2.0))),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def oracle_text_stats_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH src AS ({source_sql}),
+    n AS (SELECT {id_col}, {norm_text(text_col, "duck")} AS __n FROM src),
+    d AS (
+      SELECT {id_col},
+        length(__n) AS n_chars,
+        string_split(__n, ' ') AS __toks,
+        len(regexp_extract_all(__n, '{_TOKEN_RE_DUCK}')) AS n_bpe_tokens,
+        len(regexp_extract_all(__n, '{_PUNCT_RE}')) AS n_punct
+      FROM n
+    ),
+    e AS (
+      SELECT {id_col}, n_chars, len(__toks) AS n_tokens, n_bpe_tokens, n_punct,
+        list_sum(list_transform(__toks, t -> length(t))) AS __tok_chars,
+        len(list_filter(__toks, t -> list_contains([{stop_arr}], t)))
+          AS n_stopwords
+      FROM d
+    )
+    SELECT {id_col}, n_chars, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
+      round(__tok_chars / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+      round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+      round(n_stopwords / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+      round(
+        least(1.0, n_tokens / 50.0)
+        * (1.0 - least(0.5, n_punct / CAST(n_chars AS DOUBLE)))
+        * (0.5 + least(0.5, n_stopwords / CAST(n_tokens AS DOUBLE) * 2.0)),
+        6) AS quality_score
+    FROM e
+    """
+
+
+def lang_id(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-stopword language id: hits per language marker set over the
+    token list; argmax with deterministic tie order (dict order);
+    'unknown' when no marker hits at all. Output: (id, pred_lang,
+    lang_score = hits/n_tokens)."""
+    norm = norm_text(text_col, "spark")
+    d = docs.select(F.col(id_col), F.expr(f"split({norm}, ' ')").alias("__toks"))
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        d = d.withColumn(
+            f"__s_{lang}",
+            F.expr(f"size(filter(__toks, t -> array_contains(array({arr}), t)))"),
+        )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # earlier languages win ties
+        pred = F.when(F.col(f"__s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return d.select(
+        id_col,
+        pred.alias("pred_lang"),
+        F.round(
+            best.cast("double") / F.size("__toks").cast("double"), 6
+        ).alias("lang_score"),
+    )
+
+
+def oracle_lang_id_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    score_exprs = ",\n        ".join(
+        f"len(list_filter(__toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], t))) AS __s_{lang}"
+        for lang in LANG_MARKERS
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"__s_{lang}" for lang in langs) + ")"
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN __s_{lang} = __best THEN '{lang}' ELSE {pred} END"
+    return f"""
+    WITH src AS ({source_sql}),
+    d AS (
+      SELECT {id_col},
+             string_split({norm_text(text_col, "duck")}, ' ') AS __toks
+      FROM src
+    ),
+    s AS (
+      SELECT {id_col}, __toks,
+        {score_exprs}
+      FROM d
+    ),
+    b AS (SELECT *, {best} AS __best FROM s)
+    SELECT {id_col},
+      CASE WHEN __best > 0 THEN {pred} ELSE 'unknown' END AS pred_lang,
+      round(CAST(__best AS DOUBLE) / CAST(len(__toks) AS DOUBLE), 6)
+        AS lang_score
+    FROM b
+    """
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = FP_K,
+    w: int = FP_W,
+) -> DataFrame:
+    """Winnowing fingerprint: hash all char k-grams of the normalized
+    text, take the min hash of each w-sized sliding window, keep the
+    distinct selected hashes. Output: (id, n_fingerprints, fingerprint =
+    md5 of the sorted selected hashes) — equal fingerprints ⇒ documents
+    share their winnowed sketch."""
+    norm = norm_text(text_col, "spark")
+    grams = f"transform(sequence(1, length(__n) - {k - 1}), i -> substring(__n, i, {k}))"
+    hashes = (
+        f"transform({grams}, g -> cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint))"
+    )
+    mins = f"transform(sequence(1, size(__h) - {w - 1}), j -> array_min(slice(__h, j, {w})))"
+    return (
+        docs.select(F.col(id_col), F.expr(norm).alias("__n"))
+        .filter(F.length("__n") >= k + w - 1)
+        .select(F.col(id_col), F.expr(hashes).alias("__h"))
+        .select(
+            F.col(id_col),
+            F.expr(f"array_sort(array_distinct({mins}))").alias("__fp"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__fp").alias("n_fingerprints"),
+            F.expr(
+                "md5(array_join(transform(__fp, x -> cast(x as string)), '-'))"
+            ).alias("fingerprint"),
+        )
+    )
+
+
+def oracle_doc_fingerprint_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = FP_K,
+    w: int = FP_W,
+) -> str:
+    return f"""
+    WITH src AS ({source_sql}),
+    n AS (
+      SELECT {id_col}, {norm_text(text_col, "duck")} AS __n FROM src
+    ),
+    h AS (
+      SELECT {id_col},
+        list_transform(
+          list_transform(range(1, length(__n) - {k - 1} + 1),
+                         i -> substr(__n, i, {k})),
+          g -> cast('0x' || substr(md5(g), 1, 7) AS BIGINT)) AS __h
+      FROM n WHERE length(__n) >= {k + w - 1}
+    ),
+    fp AS (
+      SELECT {id_col},
+        list_sort(list_distinct(
+          list_transform(range(1, len(__h) - {w - 1} + 1),
+                         j -> list_min(__h[j:j + {w - 1}])))) AS __fp
+      FROM h
+    )
+    SELECT {id_col}, len(__fp) AS n_fingerprints,
+           md5(array_to_string(__fp, '-')) AS fingerprint
+    FROM fp
+    """
