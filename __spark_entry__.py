@@ -21,7 +21,8 @@ from streamtasks_spark.functions.text import (
     text_format,
 )
 from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
-from streamtasks_spark.llmdata import dedup, similarity, textstats
+from streamtasks_spark.llmdata import dedup, multimodal, similarity, textstats
+from streamtasks_spark.operators import chunks as chunkops
 from streamtasks_spark.operators.joins import asof_join, last_value_join
 from streamtasks_spark.operators.stateful import (
     gate,
@@ -206,6 +207,100 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
 
 
+# synthetic chunk stream: each event becomes a 16-sample array derived
+# from its value by pure double arithmetic (fmod is bit-identical across
+# engines; no transcendentals, so the DuckDB oracle reproduces it exactly)
+_SAMPLES_EXPR = "transform(sequence(1, 16), i -> (value * i) % 7 - 3)"
+_SAMPLES_DUCK = "list_transform(range(1, 17), i -> (value * i) % 7 - 3)"
+
+
+def _chunk_stream(ev: DataFrame, event_type: str) -> DataFrame:
+    return ev.filter(F.col("event_type") == event_type).select(
+        "event_id", "user_id", "ts", F.expr(_SAMPLES_EXPR).alias("samples")
+    )
+
+
+def _q_audio_volume_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = chunkops.audio_volume_meter(
+        _chunk_stream(ev, "click"),
+        keys=["user_id"],
+        sample_period_ms=1000,
+        window_ms=3_600_000,
+    )
+    return out.select("user_id", "ts", "volume", "n_samples")
+
+
+def _q_audio_volume_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    control = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", (F.col("value") / 50).alias("value"), "event_id"
+    )
+    out = chunkops.audio_volume_scaler(
+        _chunk_stream(ev, "click"),
+        control,
+        keys=["user_id"],
+        clip=3.0,
+        seq_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("aggregate(scaled, 0D, (acc, x) -> acc + x)"), 6).alias(
+            "sum_scaled"
+        ),
+        F.round(F.array_min("scaled"), 6).alias("min_scaled"),
+        F.round(F.array_max("scaled"), 6).alias("max_scaled"),
+    )
+
+
+def _q_audio_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = chunkops.audio_mixer(
+        _chunk_stream(ev, "click").drop("event_id"),
+        _chunk_stream(ev, "view").drop("event_id"),
+        keys=["user_id"],
+        chunk_size=16,
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.round(F.expr("aggregate(mixed, 0D, (acc, x) -> acc + x)"), 6).alias(
+            "sum_mixed"
+        ),
+        "n_present",
+    )
+
+
+def _q_media_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "is_keyframe", F.col("event_id") % 5 == 0
+    )
+    d0 = ev.filter(F.col("event_type") == "view")
+    d1 = ev.filter(F.col("event_type") == "error")
+    c0 = ev.filter(F.col("event_type") == "click")
+    c1 = ev.filter(F.col("event_type") == "purchase")
+    out = chunkops.media_switch(
+        [(d0, c0), (d1, c1)], keys=["user_id"], seq_col="event_id"
+    )
+    return out.select("event_id", "user_id", "ts", "event_type", "value")
+
+
+def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    blobs = docs.select("doc_id", F.unhex(F.md5("text")).alias("data"))
+    return multimodal.decode_image_stub(blobs, id_cols=("doc_id",))
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = multimodal.frame_sample(
+        clicks, keys=["user_id"], every=5, seq_col="event_id"
+    )
+    return out.select("event_id", "user_id", "ts")
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.text_stats(docs)
@@ -361,6 +456,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        # chunked-numeric / multimodal tier (SURVEY §2.4, §2.8)
+        "audio_volume_meter": _q_audio_volume_meter,
+        "audio_volume_scaler": _q_audio_volume_scaler,
+        "audio_mixer": _q_audio_mixer,
+        "media_switch": _q_media_switch,
+        "image_decode": _q_image_decode,
+        "frame_sample": _q_frame_sample,
         # llmdata: text analysis tier
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -541,6 +643,125 @@ SELECT user_id, ts, value, event_id, stream_idx
 FROM m WHERE prev_max IS NULL OR ts >= prev_max
 """
 
+_METER_SQL = f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+), s AS (
+  SELECT user_id,
+    (ts_us + (r.range - 1) * 1000000) // 3600000000 AS win,
+    abs((value * r.range) % 7 - 3) AS ax
+  FROM c, range(1, 17) r
+)
+SELECT user_id, make_timestamp(win * 3600000000) AS ts,
+  round(sqrt(avg(ax)), 4) AS volume, count(*) AS n_samples
+FROM s GROUP BY user_id, win
+"""
+
+_SCALER_SQL = f"""
+WITH u AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_data,
+    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS prio,
+    CASE WHEN event_type = 'purchase' THEN value / 50 END AS ctl
+  FROM events WHERE event_type IN ('click', 'purchase')
+), st AS (
+  SELECT *, last_value(ctl IGNORE NULLS) OVER w AS scale
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, prio, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT user_id, event_id,
+    list_transform({_SAMPLES_DUCK},
+      x -> greatest(CAST(-3 AS DOUBLE),
+                    least(CAST(3 AS DOUBLE),
+                          x * coalesce(scale, CAST(1 AS DOUBLE))))) AS scaled
+  FROM st WHERE is_data = 1
+)
+SELECT event_id, user_id,
+  round(list_sum(scaled), 6) AS sum_scaled,
+  round(list_min(scaled), 6) AS min_scaled,
+  round(list_max(scaled), 6) AS max_scaled
+FROM d
+"""
+
+_MIXER_SQL = f"""
+WITH a AS (
+  SELECT user_id, ts, {_SAMPLES_DUCK} AS sa
+  FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT user_id, ts, {_SAMPLES_DUCK} AS sb
+  FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+         coalesce(a.ts, b.ts) AS ts, a.sa, b.sb
+  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.ts = b.ts
+), m AS (
+  SELECT user_id, ts,
+    list_transform(range(1, 17), i ->
+      coalesce(sa[i], CAST(0 AS DOUBLE)) + coalesce(sb[i], CAST(0 AS DOUBLE)))
+      AS mixed,
+    (CASE WHEN sa IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN sb IS NOT NULL THEN 1 ELSE 0 END) AS n_present
+  FROM j
+)
+SELECT user_id, ts, round(list_sum(mixed), 6) AS sum_mixed, n_present FROM m
+"""
+
+_MEDIA_SWITCH_SQL = """
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN event_type = 'view' THEN 0
+         WHEN event_type = 'error' THEN 1 END AS pair,
+    CASE WHEN event_type IN ('click', 'purchase') THEN 0 ELSE 1 END AS prio,
+    CASE WHEN event_type = 'click' THEN value END AS c0,
+    CASE WHEN event_type = 'purchase' THEN value END AS c1,
+    (event_id % 5 = 0) AS kf
+  FROM events
+), st AS (
+  SELECT *,
+    last_value(c0 IGNORE NULLS) OVER w AS s0,
+    last_value(c1 IGNORE NULLS) OVER w AS s1
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, prio, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), des AS (
+  SELECT *,
+    CASE WHEN s0 IS NULL AND s1 IS NULL THEN NULL
+         WHEN s0 IS NOT NULL AND s0 >= coalesce(s1, s0) THEN 0
+         ELSE 1 END AS desired
+  FROM st
+), act AS (
+  SELECT *,
+    last_value(CASE WHEN pair = desired AND kf THEN pair END IGNORE NULLS)
+      OVER w2 AS active
+  FROM des
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, prio, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, event_type, value
+FROM act WHERE pair IS NOT NULL AND pair = desired AND pair = active
+"""
+
+_IMAGE_DECODE_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id,
+  CAST(CAST('0x' || substr(hx, 1, 2) AS INT) + 1 AS INT) AS width,
+  CAST(CAST('0x' || substr(hx, 3, 2) AS INT) + 1 AS INT) AS height,
+  CAST((CAST('0x' || substr(hx, 1, 2) AS INT) + 1)
+       * (CAST('0x' || substr(hx, 3, 2) AS INT) + 1) AS BIGINT) AS n_pixels
+FROM h
+"""
+
+_FRAME_SAMPLE_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id, user_id, ts FROM c WHERE (rn - 1) % 5 = 0
+"""
+
 _SESSION_SQL = """
 WITH g AS (
   SELECT user_id, event_id, ts, value,
@@ -620,6 +841,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(max_hamming=3),
         "ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
+        "audio_volume_meter": _METER_SQL,
+        "audio_volume_scaler": _SCALER_SQL,
+        "audio_mixer": _MIXER_SQL,
+        "media_switch": _MEDIA_SWITCH_SQL,
+        "image_decode": _IMAGE_DECODE_SQL,
+        "frame_sample": _FRAME_SAMPLE_SQL,
         "text_stats": textstats.oracle_text_stats_sql(),
         "lang_id": textstats.oracle_lang_id_sql(),
         "doc_fingerprint": textstats.oracle_doc_fingerprint_sql(),

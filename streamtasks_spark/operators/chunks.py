@@ -1,0 +1,217 @@
+"""Chunked-numeric operators — the batch formulations of the reference's
+audio/video metering and mixing tier (SURVEY §2.4, §2.8), over
+``array<double>`` sample columns. These double as the "multimodal
+columns" requirement: a chunk row is (keys, ts, samples), the array
+standing in for a decoded audio frame.
+
+All operators are pure Column expressions / standard joins — no UDFs:
+
+- :func:`audio_volume_meter` — reference audiovolumemeter.py:61-67:
+  re-chunk the sample stream into tumbling time windows and emit
+  sqrt(mean(abs(x))) per window.
+- :func:`audio_volume_scaler` — audiovolumescaler.py:68-78: scale
+  samples by the latest control value as of the chunk's event time,
+  clipped to the dtype range.
+- :func:`audio_mixer` — audiomixer.py:99-120: element-wise sum of two
+  aligned chunk streams with zero-fill for missing chunks. (The
+  reference's ±drift correction by resampling is real-time-specific:
+  in batch, chunks align exactly by event time.)
+- :func:`media_switch` — media/mediaswitch.py:10-27: a Switch that
+  changes its active input only when the newly-desired input delivers a
+  keyframe.
+
+Scale: meter = explode + one shuffle (window agg with map-side partial);
+scaler = last_value_join (one shuffle) + narrow map; mixer = one
+co-partitioned full-outer join; media_switch = one shuffle + two window
+passes. Sample arrays stay bounded per row (chunk-sized), so row width
+is constant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from streamtasks_spark.operators.joins import last_value_join
+
+
+def audio_volume_meter(
+    chunks: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    sample_period_ms: int = 1000,
+    window_ms: int = 60_000,
+) -> DataFrame:
+    """Tumbling-window RMS-style volume: each sample gets a derived
+    timestamp (chunk ts + i*period), samples regroup into window buckets,
+    volume = sqrt(avg(abs(x))). Output: (keys, window_start ts, volume,
+    n_samples)."""
+    period_us = sample_period_ms * 1000
+    win_us = window_ms * 1000
+    exploded = chunks.select(
+        *keys,
+        F.unix_micros(F.col(ts)).alias("__ts_us"),
+        F.posexplode(samples_col).alias("__i", "__x"),
+    ).select(
+        *keys,
+        F.expr(f"(__ts_us + __i * {period_us}L) div {win_us}L").alias("__win"),
+        F.abs(F.col("__x")).alias("__ax"),
+    )
+    return (
+        exploded.groupBy(*keys, "__win")
+        .agg(
+            F.round(F.sqrt(F.avg("__ax")), 4).alias("volume"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *keys,
+            F.timestamp_micros((F.col("__win") * F.lit(win_us)).cast("long")).alias(ts),
+            "volume",
+            "n_samples",
+        )
+    )
+
+
+def audio_volume_scaler(
+    chunks: DataFrame,
+    control: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    control_value: str = "value",
+    clip: float = 3.0,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Samples × latest control scale as of the chunk's event time,
+    clipped to ±clip (the reference clips to the sample dtype's range,
+    audiovolumescaler.py:74-77). Chunks before any control row pass
+    through unscaled (scale=1). Adds ``scaled`` next to the input
+    columns."""
+    joined = last_value_join(
+        chunks,
+        {"__scale": control.select(*keys, ts, F.col(control_value).alias("value"),
+                                   *([seq_col] if seq_col and seq_col in control.columns else []))},
+        keys=keys,
+        ts=ts,
+        control_first=True,
+        seq_col=seq_col,
+    )
+    scale = F.coalesce(F.col("__scale"), F.lit(1.0))
+    scaled = F.transform(
+        F.col(samples_col),
+        lambda x: F.greatest(F.lit(-clip), F.least(F.lit(clip), x * scale)),
+    )
+    return joined.withColumn("scaled", scaled).drop("__scale")
+
+
+def audio_mixer(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    chunk_size: int = 16,
+) -> DataFrame:
+    """Element-wise sum of two chunk streams aligned on (keys, ts);
+    missing chunks zero-fill (reference gap-fill, audiomixer.py:105-112).
+    Output: (keys, ts, mixed array, n_present)."""
+    zeros = F.array_repeat(F.lit(0.0), chunk_size)
+    an = a.select(*keys, ts, F.col(samples_col).alias("__a"))
+    bn = b.select(*keys, ts, F.col(samples_col).alias("__b"))
+    joined = an.join(bn, [*keys, ts], "full_outer")
+    mixed = F.zip_with(
+        F.coalesce("__a", zeros), F.coalesce("__b", zeros), lambda x, y: x + y
+    )
+    n_present = (
+        F.when(F.col("__a").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("__b").isNotNull(), 1).otherwise(0)
+    )
+    return joined.select(
+        *keys, ts, mixed.alias("mixed"), n_present.alias("n_present")
+    )
+
+
+def media_switch(
+    pairs: Sequence[tuple[DataFrame, DataFrame]],
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    keyframe_col: str = "is_keyframe",
+    control_value: str = "value",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """MediaSwitch (reference media/mediaswitch.py:10-27): like Switch,
+    but the active input changes only when the newly-DESIRED input
+    delivers a keyframe — rows of the desired input are suppressed until
+    its first keyframe, during which the previously-active input's rows
+    also stop (the reference drops non-active packets outright).
+
+    Reference flow (mediaswitch.py:15-27): only the currently-selected
+    input's packets are considered at all; a selected-input packet with
+    is_keyframe promotes that input to active; packets forward only while
+    selected AND active. So on a switch A→B, A stops immediately and B
+    starts at its first keyframe (inclusive); switching back to a
+    still-active A resumes instantly without a new keyframe.
+
+    Formulation: desired = argmax of latest controls (as Switch); active
+    = last pair that was desired while delivering a keyframe; emit rows
+    where pair == desired AND pair == active."""
+    data0, _ = pairs[0]
+
+    def ctl_sel(c: DataFrame) -> DataFrame:
+        cols = [*keys, ts, F.col(control_value).alias("value")]
+        if seq_col is not None and seq_col in c.columns:
+            cols.append(seq_col)
+        return c.select(*cols)
+
+    controls = {f"__ms_ctl_{i}": ctl_sel(c) for i, (_, c) in enumerate(pairs)}
+    tagged = None
+    for i, (d, _) in enumerate(pairs):
+        t = d.select(*data0.columns).withColumn("__pair", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    joined = last_value_join(
+        tagged, controls, keys=keys, ts=ts, control_first=True, seq_col=seq_col
+    )
+    ctl_cols = [F.col(f"__ms_ctl_{i}") for i in range(len(pairs))]
+    max_ctl = F.greatest(*ctl_cols) if len(pairs) > 1 else ctl_cols[0]
+    desired = F.lit(len(pairs) - 1)
+    for i in range(len(pairs) - 2, -1, -1):
+        desired = F.when(ctl_cols[i] == max_ctl, F.lit(i)).otherwise(desired)
+    desired = F.when(max_ctl.isNotNull(), desired)
+
+    order = [F.col(ts).asc()]
+    if seq_col is not None:
+        order.append(F.col(seq_col).asc())
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = joined.withColumn("__desired", desired)
+    latch = F.last(
+        F.when(
+            (F.col("__pair") == F.col("__desired")) & F.col(keyframe_col),
+            F.col("__pair"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        joined.withColumn("__active", latch)
+        .filter(
+            (F.col("__pair") == F.col("__desired"))
+            & (F.col("__pair") == F.col("__active"))
+        )
+        .drop(
+            "__pair",
+            "__desired",
+            "__active",
+            *[f"__ms_ctl_{i}" for i in range(len(pairs))],
+        )
+    )

@@ -265,3 +265,59 @@ def test_time_buffer_and_repeater(spark):
     held = repeater(df, keys=["key"], interval_ms=1000, value_cols=["value"]).collect()
     got = sorted((r["ts"], r["value"]) for r in held)
     assert got == [(ms(2000), 1.0), (ms(3000), 1.0), (ms(4000), 3.0)]
+
+
+def test_media_switch_matches_model(spark):
+    """Reference mediaswitch.py:15-27 semantics: only selected-input rows
+    forward, and only once the selected input has delivered a keyframe
+    while selected; active survives deselection."""
+    from streamtasks_spark.operators.chunks import media_switch
+
+    d0, d1 = make_streams(15, 120), make_streams(16, 120)
+    for r in d1:
+        r["seq"] += 1000
+    for r in d0 + d1:
+        r["is_keyframe"] = r["seq"] % 3 == 0
+    c0, c1 = make_streams(17, 50), make_streams(18, 50)
+    for r in c0 + c1:
+        r["is_keyframe"] = False
+
+    out = media_switch(
+        [(to_df(spark, d0), to_df(spark, c0)), (to_df(spark, d1), to_df(spark, c1))],
+        keys=["key"],
+        seq_col="seq",
+    ).collect()
+    got = {(r["key"], r["seq"]) for r in out}
+
+    # python reference model, replayed in (ts, prio, seq) order per key
+    events = (
+        [(r["ts"], 0, r["seq"], "c0", r) for r in c0]
+        + [(r["ts"], 0, r["seq"], "c1", r) for r in c1]
+        + [(r["ts"], 1, r["seq"], "d0", r) for r in d0]
+        + [(r["ts"], 1, r["seq"], "d1", r) for r in d1]
+    )
+    keys = {r["key"] for r in d0 + d1 + c0 + c1}
+    expect = set()
+    for key in keys:
+        ctl = {0: None, 1: None}
+        active = None
+        for ts, prio, seq, kind, r in sorted(
+            (e for e in events if e[4]["key"] == key), key=lambda e: (e[0], e[1], e[2])
+        ):
+            if kind == "c0":
+                ctl[0] = r["value"]
+            elif kind == "c1":
+                ctl[1] = r["value"]
+            else:
+                pair = 0 if kind == "d0" else 1
+                if ctl[0] is None and ctl[1] is None:
+                    desired = None
+                elif ctl[0] is not None and ctl[0] >= (ctl[1] if ctl[1] is not None else ctl[0]):
+                    desired = 0
+                else:
+                    desired = 1
+                if pair == desired and r["is_keyframe"]:
+                    active = pair
+                if pair == desired and pair == active:
+                    expect.add((key, seq))
+    assert got == expect
