@@ -20,6 +20,7 @@ from streamtasks_spark.functions.text import (
     string_matcher,
     text_format,
 )
+from streamtasks_spark.functions.fntask import fn_task
 from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
 from streamtasks_spark.llmdata import dedup, multimodal, similarity, textstats
 from streamtasks_spark.operators import chunks as chunkops
@@ -103,6 +104,25 @@ def _q_calculator_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
             calc.compile_column(CALC2_EXPR, {"a": F.col("value"), "b": F.col("b")}), 6
         ).alias("calc_value"),
     )
+
+
+@fn_task
+def _fused_score(a: float, b: float) -> float:
+    """User-defined operator via the fn_task surface (reference
+    fntask.py:389-391): vectorized pandas arithmetic, exact in float64."""
+    return a * 2 + b
+
+
+def _q_fn_task(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = _fused_score.as_stream_op(
+        clicks, {"b": views}, keys=["user_id"], seq_col="event_id"
+    )
+    return out.select("event_id", F.round("value", 6).alias("value"))
 
 
 def _q_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_matcher": _q_string_matcher,
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
+        "fn_task": _q_fn_task,
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         # filters / routing (SURVEY §2.3)
@@ -819,6 +840,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "number_to_text": """
             SELECT event_id, CAST(value AS VARCHAR) AS vtext FROM events
+        """,
+        "fn_task": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, value,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_data,
+                CASE WHEN event_type = 'view' THEN value END AS bval
+              FROM events WHERE event_type IN ('click', 'view')
+            ), st AS (
+              SELECT *, last_value(bval IGNORE NULLS) OVER w AS b
+              FROM u
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_data, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, round(value * 2 + b, 6) AS value
+            FROM st WHERE is_data = 1 AND b IS NOT NULL
         """,
         "replay_rebase": """
             WITH r AS (
