@@ -1,0 +1,63 @@
+"""Streaming sources (SURVEY §2.1).
+
+- :func:`pulse_generator` — the reference PulseGenerator
+  (system/tasks/pulsegenerator.py:19-34): emit a timestamp message (or a
+  uuid4 IdMessage) every ``interval_ms``, built on Spark's ``rate``
+  source so generation is distributed and backpressure-aware.
+- :func:`parquet_stream` — file-based streaming ingestion of the
+  engine's canonical parquet tables (the batch/stream duality: same
+  schema, same operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pulse_generator(
+    spark: SparkSession,
+    *,
+    interval_ms: int = 1000,
+    id_mode: bool = False,
+    partitions: int = 1,
+) -> DataFrame:
+    """Rate-source pulse stream. ``id_mode=False`` → (ts TIMESTAMP);
+    ``id_mode=True`` → (ts, id STRING uuid4), matching the reference's
+    two message modes (pulsegenerator.py:24-30)."""
+    raw = spark.readStream.format("rate")
+    if interval_ms <= 1000:
+        # rate source takes an integer rowsPerSecond
+        raw = raw.option("rowsPerSecond", str(max(1, round(1000 / interval_ms))))
+        df = raw.option("numPartitions", str(partitions)).load()
+    else:
+        # sub-1Hz: generate at 1 Hz and keep every Nth tick
+        every = max(1, round(interval_ms / 1000))
+        raw = raw.option("rowsPerSecond", "1")
+        df = (
+            raw.option("numPartitions", str(partitions))
+            .load()
+            .filter(F.col("value") % every == 0)
+        )
+    df = df.select(F.col("timestamp").alias("ts"))
+    if id_mode:
+        df = df.withColumn("id", F.expr("uuid()"))
+    return df
+
+
+def parquet_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming parquet reader. A schema is required by Structured
+    Streaming; pass one or let this helper infer it from the existing
+    files (driver-side one-time read)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

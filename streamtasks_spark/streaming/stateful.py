@@ -1,0 +1,174 @@
+"""Streaming (applyInPandasWithState) variants of the stateful tier.
+
+The batch operators in ``operators/stateful.py`` realize the reference
+semantics as event-time window functions; these are their streaming
+twins, holding per-key state across micro-batches:
+
+- :func:`streaming_last_value_join` — reference param cache
+  (fntask.py:141-150, calculator.py:227-239): latest value of each
+  control stream, latched across batches.
+- :func:`streaming_gate` — reference gate.py:15-110 state machine.
+- :func:`streaming_ordered_merge` — reference synchronizer
+  (client/topic.py:117-141) with the per-stream "drop the past" rule
+  (:127) enforced against arrival order (``seq_col``).
+
+Processing model: within a micro-batch rows are sorted by (event time,
+control-before-data priority, seq); state carries the latch across
+batches. This matches the reference's arrival-order processing under its
+own assumption of per-topic nondecreasing timestamps (SURVEY §1.3) —
+out-of-order arrivals WITHIN a batch are handled exactly; an arrival in
+a LATER batch with an earlier timestamp is late data (the reference
+drops it; so do we).
+
+State is per group key — at 100 TB the state store shards by key across
+executors exactly like the batch shuffles partition by key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+_PRIO_CONTROL, _PRIO_DATA = 0, 1
+
+
+def _schema_of(df: DataFrame, cols: Sequence[str]) -> StructType:
+    return StructType([df.schema[c] for c in cols])
+
+
+def streaming_last_value_join(
+    data: DataFrame,
+    controls: dict[str, DataFrame],
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    value_col: str = "value",
+    seq_col: str | None = None,
+    control_first: bool = True,
+) -> DataFrame:
+    """Streaming last-value join: data rows come out with one extra
+    column per control stream holding its latest value as of the row
+    (latched across micro-batches)."""
+    data_cols = list(data.columns)
+    names = list(controls)
+    tagged = data.select(
+        *data_cols,
+        F.lit(_PRIO_DATA if control_first else _PRIO_CONTROL).alias("__prio"),
+        *[F.lit(None).cast("double").alias(f"__ctl_{n}") for n in names],
+    )
+    for n in names:
+        cdf = controls[n]
+        sel = [
+            (cdf[c] if c in cdf.columns else F.lit(None).cast(data.schema[c].dataType)).alias(c)
+            for c in data_cols
+        ] + [
+            F.lit(_PRIO_CONTROL if control_first else _PRIO_DATA).alias("__prio"),
+            *[
+                (cdf[value_col].cast("double") if m == n else F.lit(None).cast("double")).alias(f"__ctl_{m}")
+                for m in names
+            ],
+        ]
+        tagged = tagged.unionByName(cdf.select(*sel))
+
+    out_schema = StructType(
+        list(_schema_of(data, data_cols))
+        + [StructType.fromDDL(f"`{n}` double")[0] for n in names]
+    )
+    state_schema = StructType.fromDDL(
+        ", ".join(f"`__ctl_{n}` double" for n in names)
+    )
+    sort_cols = [ts, "__prio"] + ([seq_col] if seq_col else [])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        latest = list(state.get) if state.exists else [None] * len(names)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
+        for i, n in enumerate(names):
+            c = pdf[f"__ctl_{n}"]
+            filled = c.ffill()
+            if latest[i] is not None:
+                filled = filled.fillna(latest[i])
+            pdf[n] = filled
+            last_valid = c.dropna()
+            if len(last_valid):
+                latest[i] = float(last_valid.iloc[-1])
+        state.update(tuple(latest))
+        out = pdf[pdf["__prio"] == _PRIO_DATA]
+        yield out[[*data_cols, *names]]
+
+    return tagged.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_gate(
+    data: DataFrame,
+    control: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    control_value: str = "value",
+    initial_open: bool = False,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Streaming Gate: pass data rows while the latched control is open
+    (>0.5); control applies before data at equal timestamps."""
+    ctl_cols = [*keys, ts, F.col(control_value).alias("value")]
+    if seq_col is not None and seq_col in control.columns:
+        ctl_cols.append(F.col(seq_col))
+    joined = streaming_last_value_join(
+        data,
+        {"__gate_ctl": control.select(*ctl_cols)},
+        keys=keys,
+        ts=ts,
+        seq_col=seq_col,
+    )
+    open_ = F.coalesce(F.col("__gate_ctl") > 0.5, F.lit(bool(initial_open)))
+    return joined.filter(open_).drop("__gate_ctl")
+
+
+def streaming_ordered_merge(
+    streams: Sequence[DataFrame],
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    seq_col: str,
+    stream_col: str = "stream_idx",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming synchronizer: union N streams with a stream index, apply
+    an event-time watermark, and enforce the per-(key, stream) "drop the
+    past" rule with latched max-ts state (client/topic.py:127)."""
+    tagged = None
+    for i, s in enumerate(streams):
+        t = s.withColumn(stream_col, F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
+    tagged = tagged.withWatermark(ts, watermark_delay)
+
+    cols = list(tagged.columns)
+    out_schema = _schema_of(tagged, cols)
+    state_schema = StructType.fromDDL("max_ts_us bigint")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        max_us = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([seq_col], kind="stable", ignore_index=True)
+        ts_us = pdf[ts].astype("int64")  # pandas datetime64[ns] -> ns
+        keep = []
+        cur = max_us
+        for v in ts_us:
+            ok = cur is None or v >= cur
+            keep.append(ok)
+            if ok:
+                cur = v if cur is None else max(cur, v)
+        state.update((int(cur) if cur is not None else 0,))
+        yield pdf[pd.Series(keep, index=pdf.index)][cols]
+
+    return tagged.groupBy(*keys, stream_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

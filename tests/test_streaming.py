@@ -1,0 +1,142 @@
+"""Streaming tier smoke tests: each streaming operator must reproduce
+its batch twin's output on the same data (the engine's batch/stream
+duality contract, SURVEY §7.1)."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamtasks_spark.operators.joins import ordered_merge
+from streamtasks_spark.operators.stateful import gate
+from streamtasks_spark.session import read_parquet
+from streamtasks_spark.streaming.sources import parquet_stream, pulse_generator
+from streamtasks_spark.streaming.stateful import (
+    streaming_gate,
+    streaming_ordered_merge,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def run_to_memory(spark, df, tmp_path):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_pulse_generator_emits(spark, tmp_path):
+    df = pulse_generator(spark, interval_ms=100, id_mode=True)
+    assert df.isStreaming
+    assert [f.name for f in df.schema] == ["ts", "id"]
+    name = f"pulse_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    assert all(r["id"] and r["ts"] is not None for r in rows)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """events sf0.001 re-written as two parquet files split by time —
+    the ordered-ingestion shape (reference topics are nondecreasing per
+    stream, SURVEY §1.3); maxFilesPerTrigger=1 then yields two
+    micro-batches with real cross-batch state latching."""
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    d = tmp_path_factory.mktemp("events_stream")
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(str(d / "p1"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(str(d / "p2"))
+    return d
+
+
+def _events_stream(spark, event_dir):
+    schema = read_parquet(spark, f"{SF_DIR}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(event_dir))
+    )
+
+
+def test_streaming_gate_matches_batch(spark, tmp_path, event_dir):
+    """events are split into time-ordered files, so per-batch event-time
+    processing with cross-batch latching must equal the batch gate."""
+    ev_b = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    data_b = ev_b.filter(F.col("event_type").isin("click", "view"))
+    ctl = lambda df: df.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    expect = {
+        r["event_id"]
+        for r in gate(
+            data_b, ctl(ev_b), keys=["user_id"], seq_col="event_id"
+        ).collect()
+    }
+
+    ev_s = _events_stream(spark, event_dir)
+    data_s = ev_s.filter(F.col("event_type").isin("click", "view"))
+    out = streaming_gate(
+        data_s, ctl(ev_s), keys=["user_id"], seq_col="event_id"
+    )
+    got_df = run_to_memory(spark, out, tmp_path)
+    got = {r["event_id"] for r in got_df.collect()}
+    assert got == expect
+
+
+def test_streaming_ordered_merge_drops_late(spark, tmp_path, event_dir):
+    """Same adversarial permuted-arrival check as the batch oracle: the
+    streaming drop-late state must reproduce ordered_merge exactly."""
+    arrival = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+
+    def three(df):
+        return [
+            df.filter(F.col("event_type") == t)
+            .select("user_id", "ts", "value", "event_id")
+            .withColumn("arrival", arrival)
+            for t in ("click", "view", "error")
+        ]
+
+    ev_b = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    expect = {
+        (r["event_id"], r["stream_idx"])
+        for r in ordered_merge(
+            three(ev_b), keys=["user_id"], drop_late=True, seq_col="arrival"
+        ).collect()
+    }
+
+    # single time-split isn't meaningful for per-stream lateness (arrival
+    # is the permuted seq), so feed everything in one batch
+    ev_s = parquet_stream(spark, str(event_dir / "p1")).unionByName(
+        parquet_stream(spark, str(event_dir / "p2"))
+    )
+    out = streaming_ordered_merge(
+        three(ev_s), keys=["user_id"], seq_col="arrival"
+    )
+    got_df = run_to_memory(spark, out, tmp_path)
+    got = {(r["event_id"], r["stream_idx"]) for r in got_df.collect()}
+    assert got == expect
