@@ -46,26 +46,51 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: a composed pipeline — gate the click/view stream by the
-    latest purchase-derived control per user, evaluate a calculator
-    expression on the passed rows, aggregate hourly."""
+    """Flagship: a named Pipeline (deployment analog, plans/pipeline.py)
+    — gate the click/view stream by the latest purchase-derived control
+    per user, evaluate a calculator expression on the passed rows,
+    aggregate hourly."""
+    from streamtasks_spark.plans import Pipeline
+
     sf_dir = "/root/testdata/sf0.001"
-    ev = _events(spark, sf_dir)
-    data = ev.filter(F.col("event_type").isin("click", "view"))
-    control = ev.filter(F.col("event_type") == "purchase").withColumn(
-        "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+    p = Pipeline("flagship")
+    p.source("events", lambda s: _events(s, sf_dir))
+    p.stage(
+        "data",
+        lambda ev: ev.filter(F.col("event_type").isin("click", "view")),
+        "events",
     )
-    gated = gate(data, control, keys=["user_id"], seq_col="event_id")
-    calced = gated.withColumn(
-        "calc", calc.compile_column(CALC_EXPR, {"v": F.col("value")})
+    p.stage(
+        "control",
+        lambda ev: ev.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+        ),
+        "events",
     )
-    return (
-        calced.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(
+    p.stage(
+        "gated",
+        lambda d, c: gate(d, c, keys=["user_id"], seq_col="event_id"),
+        "data",
+        "control",
+    )
+    p.stage(
+        "calced",
+        lambda g: g.withColumn(
+            "calc", calc.compile_column(CALC_EXPR, {"v": F.col("value")})
+        ),
+        "gated",
+    )
+    p.stage(
+        "hourly",
+        lambda c: c.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("calc"), 4).alias("sum_calc"),
-        )
+        ),
+        "calced",
     )
+    return p.materialize(spark, only=["hourly"])["hourly"]
 
 
 # --------------------------------------------------------------- queries

@@ -1,0 +1,79 @@
+"""Pipeline (deployment layer) tests: lifecycle validation + batch and
+streaming materialization."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamtasks_spark.plans import Pipeline, PipelineError
+
+
+def test_validate_rejects_unknown_dep():
+    p = Pipeline("x")
+    p.stage("a", lambda df: df, "nope")
+    with pytest.raises(PipelineError, match="unknown"):
+        p.validate()
+
+
+def test_validate_rejects_cycle():
+    p = Pipeline("x")
+    p.stage("a", lambda df: df, "b")
+    p.stage("b", lambda df: df, "a")
+    with pytest.raises(PipelineError, match="cycle"):
+        p.validate()
+
+
+def test_validate_rejects_duplicate():
+    p = Pipeline("x")
+    p.source("a", lambda s: None)
+    with pytest.raises(PipelineError, match="duplicate"):
+        p.source("a", lambda s: None)
+
+
+def test_batch_materialize_builds_dag(spark):
+    p = Pipeline("t")
+    p.source("nums", lambda s: s.range(100))
+    p.stage("even", lambda df: df.filter(F.col("id") % 2 == 0), "nums")
+    p.stage("sum", lambda df: df.agg(F.sum("id").alias("s")), "even")
+    out = p.materialize(spark)
+    assert set(out) == {"nums", "even", "sum"}
+    assert out["sum"].collect()[0]["s"] == sum(range(0, 100, 2))
+
+
+def test_entry_flagship_runs(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"hour", "event_type", "n", "sum_calc"}
+
+
+def test_streaming_start_stop(spark, tmp_path):
+    from streamtasks_spark.streaming.sources import pulse_generator
+
+    p = Pipeline(f"s_{uuid.uuid4().hex[:6]}")
+    p.source("pulse", lambda s: pulse_generator(s, interval_ms=100))
+    p.stage("flagged", lambda df: df.withColumn("flag", F.lit(1)), "pulse")
+    queries = p.start(
+        spark,
+        sinks={
+            "flagged": {
+                "format": "memory",
+                "checkpointLocation": str(tmp_path / "ckpt"),
+            }
+        },
+    )
+    assert len(queries) == 1 and queries[0].isActive
+    p.stop()
+    assert not queries[0].isActive
+
+
+def test_start_rejects_batch_sink(spark):
+    p = Pipeline("b")
+    p.source("nums", lambda s: s.range(10))
+    with pytest.raises(PipelineError, match="not streaming"):
+        p.start(spark, sinks={"nums": {"format": "memory"}})
