@@ -32,7 +32,13 @@ from streamtasks_spark.operators.stateful import (
     string_concatenator,
     switch,
 )
-from streamtasks_spark.operators.timing import repeater, replay_rebase, time_buffer
+from streamtasks_spark.operators.timing import (
+    interleave_by_duration,
+    repeater,
+    replay,
+    replay_rebase,
+    time_buffer,
+)
 from streamtasks_spark.relational import queries as rq
 from streamtasks_spark.session import load_tables, read_parquet
 
@@ -418,6 +424,43 @@ def _q_replay_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "value")
 
 
+def _q_replay_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplayBuffer with loop: two passes over each user's recorded
+    'view' stream, the second shifted by span + 60 s gap."""
+    ev = _events(spark, sf_dir)
+    rec = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = replay(
+        rec, keys=["user_id"], new_start_ms=1_700_000_000_000, loop=2,
+        gap_ms=60_000,
+    )
+    return out.select("event_id", "user_id", "iteration", "ts", "value")
+
+
+def _q_interleave_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OutputContainer interleave: mux click/view tracks per user in
+    accumulated-duration order (duration := value)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("value").alias("duration")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("value").alias("duration")
+    )
+    out = interleave_by_duration(
+        [clicks, views], keys=["user_id"], duration_col="duration",
+        seq_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "stream_idx",
+        F.round("cum_before", 6).alias("cum_before"),
+        "mux_order",
+    )
+
+
 def _q_time_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.select(
@@ -496,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_buffer": _q_time_buffer,
         "repeater": _q_repeater,
         "replay_rebase": _q_replay_rebase,
+        "replay_loop": _q_replay_loop,
+        "interleave_mux": _q_interleave_mux,
         "synchronizer": _q_synchronizer,
         # llmdata: dedup tier (BASELINE.json north star)
         "dedup_exact": _q_dedup_exact,
@@ -891,6 +936,38 @@ def oracle_sql() -> dict[str, str]:
               make_timestamp(1700000000000000 + epoch_us(ts) - epoch_us(t0)) AS ts,
               value
             FROM r
+        """,
+        "replay_loop": """
+            WITH r AS (
+              SELECT event_id, user_id, ts, value,
+                min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0,
+                max(epoch_us(ts)) OVER (PARTITION BY user_id) AS t1
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT event_id, user_id, i.range AS iteration,
+              make_timestamp(1700000000000000 + epoch_us(ts) - t0
+                             + i.range * (t1 - t0 + 60000000)) AS ts,
+              value
+            FROM r, range(0, 2) i
+        """,
+        "interleave_mux": """
+            WITH u AS (
+              SELECT event_id, user_id, value AS duration,
+                CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS stream_idx
+              FROM events WHERE event_type IN ('click', 'view')
+            ), c AS (
+              SELECT *, coalesce(sum(duration) OVER (
+                  PARTITION BY user_id, stream_idx ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                CAST(0 AS DOUBLE)) AS cum_before
+              FROM u
+            )
+            SELECT event_id, user_id, stream_idx,
+              round(cum_before, 6) AS cum_before,
+              CAST(row_number() OVER (PARTITION BY user_id
+                   ORDER BY cum_before, stream_idx, event_id) AS INT)
+                AS mux_order
+            FROM c
         """,
         "time_to_text": """
             SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tstr FROM events

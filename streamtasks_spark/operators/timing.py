@@ -121,3 +121,83 @@ def replay_rebase(
             (F.unix_micros(F.col(ts)) - w_min + F.lit(new_start_ms * 1000)).cast("long")
         ),
     )
+
+
+def replay(
+    recorded: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    new_start_ms: int = 0,
+    loop: int = 1,
+    gap_ms: int = 0,
+) -> DataFrame:
+    """ReplayBuffer replay with loop (reference replaybuffer.py:21-90:
+    record → on play, re-emit with rebased timestamps; ``loop`` replays
+    the buffer repeatedly). Batch formulation: per key, rebase the
+    earliest event to ``new_start_ms`` and emit ``loop`` copies, each
+    shifted by the key's span + ``gap_ms``. Adds an ``iteration``
+    column. Loop copies come from a per-row ``explode(sequence(...))``
+    — distributed, no driver loop, no self-union chain."""
+    if loop < 1:
+        raise ValueError("loop must be >= 1")
+    kw = Window.partitionBy(*[F.col(k) for k in keys])
+    t0 = F.min(F.unix_micros(F.col(ts))).over(kw)
+    span = F.max(F.unix_micros(F.col(ts))).over(kw) - t0
+    stride = span + F.lit(gap_ms * 1000)
+    out = recorded.withColumn("__t0", t0).withColumn("__stride", stride)
+    out = out.withColumn(
+        "iteration", F.explode(F.sequence(F.lit(0), F.lit(loop - 1)))
+    )
+    return out.withColumn(
+        ts,
+        F.timestamp_micros(
+            (
+                F.unix_micros(F.col(ts))
+                - F.col("__t0")
+                + F.lit(new_start_ms * 1000)
+                + F.col("iteration") * F.col("__stride")
+            ).cast("long")
+        ),
+    ).drop("__t0", "__stride")
+
+
+def interleave_by_duration(
+    streams: Sequence[DataFrame],
+    *,
+    keys: Sequence[str] = (),
+    duration_col: str = "duration",
+    seq_col: str | None = None,
+    stream_col: str = "stream_idx",
+    order_col: str = "mux_order",
+) -> DataFrame:
+    """OutputContainer's cross-track interleave rule (reference
+    media/outputcontainer.py:70-101): the muxer always takes the next
+    packet from the stream with the LOWEST accumulated duration, so
+    tracks advance together. Batch formulation: per (keys, stream),
+    accumulated-duration-before-this-row = running sum of
+    ``duration_col`` (ordered by ``seq_col``); the global mux order
+    within keys sorts by (cum_before, stream_idx, seq). Emits all input
+    rows with ``stream_idx``, ``cum_before`` and ``order_col``.
+
+    (The reference's ``max_desync`` drop needs emission-time state and
+    lives in the streaming tier's ordered sinks; the batch op exposes
+    the deterministic interleaving order itself.)"""
+    tagged = None
+    for i, s in enumerate(streams):
+        t = s.withColumn(stream_col, F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
+    seq_order = [F.col(seq_col).asc()] if seq_col else []
+    w_stream = (
+        Window.partitionBy(*[F.col(k) for k in keys], F.col(stream_col))
+        .orderBy(*(seq_order or [F.col(stream_col)]))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = tagged.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(duration_col).over(w_stream), F.lit(0.0)),
+    )
+    w_mux = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("cum_before").asc(), F.col(stream_col).asc(), *seq_order
+    )
+    return tagged.withColumn(order_col, F.row_number().over(w_mux))

@@ -321,3 +321,39 @@ def test_media_switch_matches_model(spark):
                 if pair == desired and pair == active:
                     expect.add((key, seq))
     assert got == expect
+
+
+def test_replay_buffer_round_trip(spark, tmp_path):
+    """ReplayBuffer lifecycle (reference replaybuffer.py:21-90): record a
+    stream to storage, read it back, replay rebased with loop — spacing
+    within each iteration preserved, iterations tiled by span + gap."""
+    from streamtasks_spark.operators.timing import replay
+
+    data = make_streams(21, 40)
+    df = to_df(spark, data)
+    path = str(tmp_path / "recorded")
+    df.write.parquet(path)  # record
+
+    rec = spark.read.parquet(path)  # replay source
+    out = replay(
+        rec, keys=["key"], new_start_ms=1_000_000, loop=3, gap_ms=500
+    ).collect()
+
+    by_key = {}
+    for r in data:
+        by_key.setdefault(r["key"], []).append(r)
+    for key, rows in by_key.items():
+        t0 = min(r["ts"] for r in rows)
+        span = max(r["ts"] for r in rows) - t0
+        got = {
+            (r["iteration"], r["seq"]): r["ts"]
+            for r in out
+            if r["key"] == key
+        }
+        assert len(got) == 3 * len(rows)
+        for it in range(3):
+            for r in rows:
+                expect_ms = 1_000_000 + (r["ts"] - t0) + it * (span + 500)
+                ts = got[(it, r["seq"])]
+                got_ms = ts.timestamp() * 1000
+                assert abs(got_ms - expect_ms) < 1, (key, it, r["seq"])
