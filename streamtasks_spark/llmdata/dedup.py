@@ -35,7 +35,7 @@ from __future__ import annotations
 import random
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # modulus for the minhash universal-hash family (a*h + b) % P.
@@ -67,6 +67,32 @@ CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
 # --------------------------------------------------------------- helpers
 
+def pin(df: DataFrame) -> DataFrame:
+    """Persist (memory-and-disk) a subplan that feeds MULTIPLE join
+    branches. Spark has no common-subexpression elimination across
+    DataFrame branches — without this, a self-joined shingle table
+    recomputes its whole scan→md5→explode lineage once per branch, which
+    profiling shows dominates the dedup operators' wall time. At 100 TB
+    the persisted table is the (much smaller) derived sketch, not the
+    corpus, and MEMORY_AND_DISK spills safely."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a (possibly single-file, hence single-partition) scan
+    across the cluster before CPU-heavy per-row expressions. A small
+    parquet file arrives as ONE input split regardless of cores — md5/
+    shingle pipelines would then run on one task. One round-robin/hash
+    shuffle of the raw rows buys full parallelism for everything
+    downstream; at real scale (many splits) it's a cheap no-op-sized
+    shuffle that also evens out skewed file sizes."""
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, 8)
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def norm_text(text_col: str, engine: str = "spark") -> str:
     """Whitespace-collapsing normalization as a SQL fragment: collapse ALL
     whitespace runs to single spaces, then trim. Collapse-before-trim
@@ -92,7 +118,7 @@ def _shingle_hashes(
         f"i -> concat_ws(' ', slice(__toks, i + 1, {k})))"
     )
     return (
-        docs.select(F.col(id_col), F.expr(toks).alias("__toks"))
+        spread(docs, id_col).select(F.col(id_col), F.expr(toks).alias("__toks"))
         .filter(F.expr(f"size(__toks) >= {k}"))
         .select(F.col(id_col), F.expr(shingles).alias("__sh"))
         .select(
@@ -143,7 +169,7 @@ def dedup_exact(
     the smallest document id (deterministic canonical representative).
     Map-side partial agg + one shuffle on the hash — the 100 TB shape."""
     return (
-        docs.select(
+        spread(docs, id_col).select(
             F.expr(f"md5({norm_text(text_col)})").alias("norm_hash"),
             F.col(id_col),
         )
@@ -183,7 +209,7 @@ def dedup_minhash(
     bands. Plan: shingle+sign (narrow), band explode + self-join on band
     key (one shuffle), two id-joins for verification. No all-pairs stage
     anywhere."""
-    hs = _shingle_hashes(docs, id_col, text_col, k)
+    hs = pin(_shingle_hashes(docs, id_col, text_col, k))
     sig_cols = [
         F.expr(
             f"array_min(transform(hashes, h -> ({a}L * h + {b}L) % {P_MOD}L))"
@@ -310,7 +336,8 @@ def dedup_simhash(
         "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)))"
     )
     base = (
-        docs.filter(F.expr(f"length({norm_text(text_col, 'spark')}) > 0"))
+        spread(docs, id_col)
+        .filter(F.expr(f"length({norm_text(text_col, 'spark')}) > 0"))
         .select(F.col(id_col), F.expr(toks).alias("__th"))
     )
     chunk_cols = []
@@ -326,7 +353,9 @@ def dedup_simhash(
     sim = " + ".join(
         f"__c{m} * {1 << (m * CHUNK_BITS)}L" for m in range(SIMHASH_CHUNKS)
     )
-    base = base.withColumn("__sim", F.expr(sim))
+    # pin AFTER the 60 bit-count aggregates: three downstream branches
+    # (band pairs, both verify sides) would otherwise recompute them
+    base = pin(base.withColumn("__sim", F.expr(sim)).drop("__th"))
     pairs = _band_pairs(base.select(id_col, *chunk_cols), id_col, chunk_cols)
     x = base.select(F.col(id_col).alias("doc_a"), F.col("__sim").alias("__sa"))
     y = base.select(F.col(id_col).alias("doc_b"), F.col("__sim").alias("__sb"))
@@ -404,29 +433,70 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard within a blocking column — the exact baseline
-    dedup_minhash approximates. Quadratic within each block: correct at any
-    scale but only AFFORDABLE when blocks are bounded; for open-domain
-    corpora use dedup_minhash."""
+    dedup_minhash approximates.
+
+    Candidate generation is PPJoin-style prefix filtering (Xiao, Wang,
+    Lin, Yu: "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW'08): order each doc's shingles by global rarity (document
+    frequency, then hash); any pair with jaccard ≥ t must share a
+    shingle inside BOTH docs' first ``n − ceil(t·n) + 1`` shingles, so
+    only those prefix postings are self-joined — hot shingles outside
+    prefixes never pair up. A size filter (min ≥ t·max) prunes further;
+    survivors are verified with an exact array intersection. The result
+    set is exactly the all-pairs answer; only the candidate count
+    shrinks."""
     hs = _shingle_hashes(docs, id_col, text_col, k).join(
         docs.select(id_col, block_col), id_col
     )
-    a = hs.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("doc_a"),
-        F.col("hashes").alias("__ha"),
+    sizes = pin(
+        hs.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col),
+            F.size("hashes").alias("__n"),
+            F.col("hashes"),
+        )
     )
-    b = hs.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("doc_b"),
-        F.col("hashes").alias("__hb"),
+    ex = sizes.select("__blk", id_col, "__n", F.explode("hashes").alias("__h"))
+    dfreq = ex.groupBy("__blk", "__h").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__blk", id_col).orderBy(
+        F.col("__df").asc(), F.col("__h").asc()
     )
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = pin(
+        ex.join(dfreq, ["__blk", "__h"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("__blk", "__h", id_col, "__n")
+    )
+    a = prefix.select(
+        "__blk", "__h",
+        F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"),
+    )
+    b = prefix.select(
+        "__blk", "__h",
+        F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"),
+    )
+    cand = (
+        a.join(b, ["__blk", "__h"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("__na", "__nb").cast("double")
+                >= F.lit(threshold) * F.greatest("__na", "__nb").cast("double")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sizes.select(F.col(id_col).alias("doc_a"), F.col("hashes").alias("__ha"))
+    y = sizes.select(F.col(id_col).alias("doc_b"), F.col("hashes").alias("__hb"))
     jac = F.expr(
         "cast(size(array_intersect(__ha, __hb)) as double) / "
         "cast(size(array_union(__ha, __hb)) as double)"
     )
     return (
-        a.join(b, ["__blk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
         .withColumn("__jac", jac)
         .filter(F.col("__jac") >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))

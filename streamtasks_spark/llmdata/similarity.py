@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from streamtasks_spark.llmdata.dedup import pin, spread
+
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 0xA11CE) -> list[list[int]]:
     """Deterministic Rademacher hyperplanes: entries ±1. Exactly
@@ -94,7 +96,7 @@ def cosine_topk(
     q = _with_norm(
         queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
     ).select("query_id", F.col("__v").alias("__qv"), F.col("__nrm").alias("__qn"))
-    v = _with_norm(vectors.select(id_col, vec_col), vec_col).select(
+    v = _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col).select(
         id_col, "__v", "__nrm"
     )
     cos = F.expr(f"{_dot('__v', '__qv')}") / (F.col("__nrm") * F.col("__qn"))
@@ -175,7 +177,7 @@ def lsh_topk(
     planes = hyperplanes(dim, n_planes)
     bucket = _bucket_expr(planes)
     v = (
-        _with_norm(vectors.select(id_col, vec_col), vec_col)
+        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col)
         .withColumn("__bkt", F.expr(bucket))
         .select(id_col, "__v", "__nrm", "__bkt")
     )
@@ -257,8 +259,8 @@ def embedding_near_dup(
     pairs share a hyperplane bucket; exact cosine verifies ≥ threshold.
     Output: (vec_a, vec_b, cosine)."""
     planes = hyperplanes(dim, n_planes)
-    v = (
-        _with_norm(vectors.select(id_col, vec_col), vec_col)
+    v = pin(
+        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col)
         .withColumn("__bkt", F.expr(_bucket_expr(planes)))
         .select(id_col, "__v", "__nrm", "__bkt")
     )

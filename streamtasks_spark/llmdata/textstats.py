@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streamtasks_spark.llmdata.dedup import norm_text
+from streamtasks_spark.llmdata.dedup import norm_text, spread
 
 # BPE-ish token regex: word runs OR single non-word-non-space symbols.
 # Explicit classes keep Java regex and RE2 in exact agreement.
@@ -49,7 +49,7 @@ def text_stats(
     """Per-document stats + quality score over normalized text."""
     norm = norm_text(text_col, "spark")
     stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
-    d = docs.select(
+    d = spread(docs, id_col).select(
         F.col(id_col),
         F.expr(norm).alias("__n"),
     ).select(
@@ -139,7 +139,9 @@ def lang_id(
     'unknown' when no marker hits at all. Output: (id, pred_lang,
     lang_score = hits/n_tokens)."""
     norm = norm_text(text_col, "spark")
-    d = docs.select(F.col(id_col), F.expr(f"split({norm}, ' ')").alias("__toks"))
+    d = spread(docs, id_col).select(
+        F.col(id_col), F.expr(f"split({norm}, ' ')").alias("__toks")
+    )
     for lang, markers in LANG_MARKERS.items():
         arr = ", ".join(f"'{m}'" for m in markers)
         d = d.withColumn(
@@ -218,7 +220,8 @@ def doc_fingerprint(
     )
     mins = f"transform(sequence(1, size(__h) - {w - 1}), j -> array_min(slice(__h, j, {w})))"
     return (
-        docs.select(F.col(id_col), F.expr(norm).alias("__n"))
+        spread(docs, id_col)
+        .select(F.col(id_col), F.expr(norm).alias("__n"))
         .filter(F.length("__n") >= k + w - 1)
         .select(F.col(id_col), F.expr(hashes).alias("__h"))
         .select(
