@@ -337,6 +337,54 @@ def _q_media_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "event_type", "value")
 
 
+def _q_audio_resampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = chunkops.audio_resampler(
+        _chunk_stream(ev, "click"), src_rate=32_000, dst_rate=48_000,
+        chunk_size=16,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.size("resampled").alias("n_out"),
+        F.round(F.expr("aggregate(resampled, 0D, (acc, x) -> acc + x)"), 6).alias(
+            "sum_resampled"
+        ),
+        F.round(F.element_at("resampled", 1), 6).alias("first_sample"),
+        F.round(F.element_at("resampled", 24), 6).alias("last_sample"),
+    )
+
+
+def _q_video_activity_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    frames = _chunk_stream(ev, "view")
+    out = chunkops.video_activity_meter(
+        frames, keys=["user_id"], seq_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("activity", 6).alias("activity")
+    )
+
+
+def _q_video_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = chunkops.video_mixer(
+        _chunk_stream(ev, "click"),
+        _chunk_stream(ev, "view"),
+        keys=["user_id"],
+        alpha=0.75,
+        chunk_size=16,
+        seq_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("aggregate(blended, 0D, (acc, x) -> acc + x)"), 6).alias(
+            "sum_blended"
+        ),
+    )
+
+
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     blobs = docs.select("doc_id", F.unhex(F.md5("text")).alias("data"))
@@ -552,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_volume_scaler": _q_audio_volume_scaler,
         "audio_mixer": _q_audio_mixer,
         "media_switch": _q_media_switch,
+        "audio_resampler": _q_audio_resampler,
+        "video_activity_meter": _q_video_activity_meter,
+        "video_mixer": _q_video_mixer,
         "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
         # llmdata: text analysis tier
@@ -799,6 +850,63 @@ WITH a AS (
 SELECT user_id, ts, round(list_sum(mixed), 6) AS sum_mixed, n_present FROM m
 """
 
+# linear-interp resampler positions: pos = j*(n-1)/(m-1); both engines do
+# int*int then float division -> identical doubles
+_POS = "((j * 15) / 23)"
+_RESAMPLE_DUCK = (
+    f"list_transform(range(0, 24), j -> "
+    f"({_POS} - floor({_POS})) * s[cast(least(floor({_POS}) + 2, 16) as int)]"
+    f" + (1.0 - ({_POS} - floor({_POS}))) * s[cast(floor({_POS}) + 1 as int)])"
+)
+
+_RESAMPLER_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, {_SAMPLES_DUCK} AS s
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id, user_id, {_RESAMPLE_DUCK} AS rs FROM c
+)
+SELECT event_id, user_id, len(rs) AS n_out,
+  round(list_sum(rs), 6) AS sum_resampled,
+  round(rs[1], 6) AS first_sample,
+  round(rs[24], 6) AS last_sample
+FROM r
+"""
+
+_ACTIVITY_SQL = f"""
+WITH v AS (
+  SELECT event_id, user_id, ts, {_SAMPLES_DUCK} AS s
+  FROM events WHERE event_type = 'view'
+), l AS (
+  SELECT *, lag(s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM v
+)
+SELECT event_id, user_id,
+  round(list_sum(list_transform(range(1, 17), i -> abs(s[i] - p[i]))) / 16.0, 6)
+    AS activity
+FROM l WHERE p IS NOT NULL
+"""
+
+_VIDEO_MIXER_SQL = f"""
+WITH fg AS (
+  SELECT event_id, user_id, ts, {_SAMPLES_DUCK} AS fs
+  FROM events WHERE event_type = 'click'
+), bg AS (
+  SELECT user_id, ts, {_SAMPLES_DUCK} AS bs
+  FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+), j AS (
+  SELECT fg.event_id, fg.user_id, fg.fs, bg.bs
+  FROM fg ASOF LEFT JOIN bg ON fg.user_id = bg.user_id AND fg.ts >= bg.ts
+)
+SELECT event_id, user_id,
+  round(list_sum(list_transform(range(1, 17), i ->
+    fs[i] * CAST(0.75 AS DOUBLE)
+    + coalesce(bs[i], CAST(0 AS DOUBLE)) * CAST(0.25 AS DOUBLE))), 6)
+    AS sum_blended
+FROM j
+"""
+
 _MEDIA_SWITCH_SQL = """
 WITH u AS (
   SELECT user_id, ts, event_id, event_type, value,
@@ -983,6 +1091,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_volume_scaler": _SCALER_SQL,
         "audio_mixer": _MIXER_SQL,
         "media_switch": _MEDIA_SWITCH_SQL,
+        "audio_resampler": _RESAMPLER_SQL,
+        "video_activity_meter": _ACTIVITY_SQL,
+        "video_mixer": _VIDEO_MIXER_SQL,
         "image_decode": _IMAGE_DECODE_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "text_stats": textstats.oracle_text_stats_sql(),

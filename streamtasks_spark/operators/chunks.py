@@ -137,6 +137,111 @@ def audio_mixer(
     )
 
 
+def audio_resampler(
+    chunks: DataFrame,
+    *,
+    samples_col: str = "samples",
+    out_col: str = "resampled",
+    src_rate: int = 32_000,
+    dst_rate: int = 48_000,
+    chunk_size: int = 16,
+) -> DataFrame:
+    """AudioResampler (reference media/audioresampler.py:26-52 /
+    audio.py:134-157, PyAV-backed): rate conversion, realized here as
+    endpoint-preserving linear interpolation — a real resampler kernel,
+    fully JVM-side (no UDF), one narrow map.
+
+    Output length m = round(n·dst/src); sample j sits at source position
+    j·(n−1)/(m−1) and linearly blends its two neighbors. Format/channel
+    conversion of coded audio needs the codec tier (mapInPandas stubs in
+    media module)."""
+    n = chunk_size
+    m = max(1, round(n * dst_rate / src_rate))
+    if m == 1:
+        expr = f"array(element_at({samples_col}, 1))"
+    else:
+        expr = (
+            f"transform(sequence(0, {m - 1}), j -> "
+            f"((j * {n - 1}) / {m - 1} - floor((j * {n - 1}) / {m - 1})) * "
+            f"element_at({samples_col}, cast(least(floor((j * {n - 1}) / {m - 1}) + 2, {n}) as int)) + "
+            f"(1.0 - ((j * {n - 1}) / {m - 1} - floor((j * {n - 1}) / {m - 1}))) * "
+            f"element_at({samples_col}, cast(floor((j * {n - 1}) / {m - 1}) + 1 as int))"
+            ")"
+        )
+    return chunks.withColumn(out_col, F.expr(expr))
+
+
+def video_activity_meter(
+    frames: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """VideoActivityMeter (reference media/videoactivitymeter.py:55-65):
+    mean absolute difference between consecutive frames per stream.
+    First frame of a stream has no predecessor → no output row
+    (the reference emits nothing until its second frame). One shuffle
+    (window lag), then a narrow map."""
+    order = [F.col(ts).asc()]
+    if seq_col is not None:
+        order.append(F.col(seq_col).asc())
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    diff = (
+        f"aggregate(zip_with({samples_col}, __prev, (a, b) -> abs(a - b)), "
+        f"0D, (acc, x) -> acc + x) / cast(size({samples_col}) as double)"
+    )
+    return (
+        frames.withColumn("__prev", F.lag(samples_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .withColumn("activity", F.expr(diff))
+        .drop("__prev")
+    )
+
+
+def video_mixer(
+    foreground: DataFrame,
+    background: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    alpha: float = 0.5,
+    chunk_size: int = 16,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """VideoMixer (reference media/videomixer.py:72-129 + the C++
+    alpha-blend kernel video_perf_all.cpp:9-64): blend each foreground
+    frame with the LATEST background frame as of its event time
+    (the reference keeps the latest frame per track). Missing background
+    → black (zeros). out = fg·alpha + bg·(1−alpha), element-wise,
+    JVM-side. Adds ``blended``."""
+    from streamtasks_spark.operators.joins import asof_join
+
+    bg_cols = [*keys, ts, F.col(samples_col).alias("__bg")]
+    if seq_col is not None and seq_col in background.columns:
+        bg_cols.append(F.col(seq_col))
+    joined = asof_join(
+        foreground,
+        background.select(*bg_cols),
+        keys=keys,
+        left_ts=ts,
+        right_ts=ts,
+        right_cols=["__bg"],
+        seq_col=seq_col,
+    )
+    zeros = F.array_repeat(F.lit(0.0), chunk_size)
+    blended = F.zip_with(
+        F.col(samples_col),
+        F.coalesce(F.col("__bg"), zeros),
+        lambda a, b: a * F.lit(alpha) + b * F.lit(1.0 - alpha),
+    )
+    return joined.withColumn("blended", blended).drop(
+        "__bg", f"{ts}_right_asof"
+    )
+
+
 def media_switch(
     pairs: Sequence[tuple[DataFrame, DataFrame]],
     *,
