@@ -1,0 +1,117 @@
+"""Encoder/decoder stages (reference media/codec.py:50-136 and the four
+audio/video encoder/decoder tasks, system/tasks/media/*.py).
+
+A codec context is per-stream sequential state, so the Spark shape is:
+repartition by the stream key, sort within partitions by event time,
+then run an Arrow ``mapInPandas`` stage holding one codec instance per
+(partition, stream) — exactly the reference's one-codec-per-topic
+discipline (audiodecoder.py:28-57), distributed.
+
+Kernels are pluggable. The default ``RawPcmCodec`` is a REAL, invertible
+framing codec (float64 samples ↔ length-prefixed little-endian bytes) so
+encode→decode round-trips are byte-exact and testable without media
+libraries; a PyAV-backed kernel drops into the same stage when the
+library exists (import-gated via :func:`pyav_available`).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pyav_available() -> bool:
+    try:  # pragma: no cover - not installed in this environment
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class RawPcmCodec:
+    """Invertible framing codec: array<double> ↔ bytes.
+    Packet layout: u32 sample count, then f64 little-endian samples."""
+
+    @staticmethod
+    def encode(samples: list[float]) -> bytes:
+        return struct.pack("<I", len(samples)) + struct.pack(
+            f"<{len(samples)}d", *samples
+        )
+
+    @staticmethod
+    def decode(data: bytes) -> list[float]:
+        (n,) = struct.unpack_from("<I", data, 0)
+        return list(struct.unpack_from(f"<{n}d", data, 4))
+
+
+def _stream_sorted(
+    df: DataFrame, keys: Sequence[str], ts: str, seq_col: str | None
+) -> DataFrame:
+    """Per-stream codec discipline: co-locate each stream's rows and
+    order them by event time before the stateful kernel sees them."""
+    order = [F.col(ts).asc()] + ([F.col(seq_col).asc()] if seq_col else [])
+    return df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(k) for k in keys], *order
+    )
+
+
+def audio_encoder(
+    chunks: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    samples_col: str = "samples",
+    seq_col: str | None = None,
+    codec=RawPcmCodec,
+) -> DataFrame:
+    """Encode sample chunks into packets (reference audioencoder.py:
+    29-72: frames in, MediaPacket out, timestamps carried through).
+    Output: keys + ts (+ seq) + data BINARY + is_keyframe (raw PCM:
+    every packet is a keyframe)."""
+    id_cols = [*keys, ts] + ([seq_col] if seq_col else [])
+    src = _stream_sorted(chunks, keys, ts, seq_col).select(
+        *id_cols, samples_col
+    )
+    ddl = ", ".join(f"`{c}` {src.schema[c].dataType.simpleString()}" for c in id_cols)
+    out_schema = f"{ddl}, data binary, is_keyframe boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            out["data"] = [
+                codec.encode(list(s)) for s in pdf[samples_col]
+            ]
+            out["is_keyframe"] = True
+            yield out
+
+    return src.mapInPandas(run, out_schema)
+
+
+def audio_decoder(
+    packets: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    data_col: str = "data",
+    seq_col: str | None = None,
+    codec=RawPcmCodec,
+) -> DataFrame:
+    """Decode packets back to sample chunks (reference audiodecoder.py:
+    28-57). Output: keys + ts (+ seq) + samples array<double>."""
+    id_cols = [*keys, ts] + ([seq_col] if seq_col else [])
+    src = _stream_sorted(packets, keys, ts, seq_col).select(*id_cols, data_col)
+    ddl = ", ".join(f"`{c}` {src.schema[c].dataType.simpleString()}" for c in id_cols)
+    out_schema = f"{ddl}, samples array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            out["samples"] = [codec.decode(bytes(b)) for b in pdf[data_col]]
+            yield out
+
+    return src.mapInPandas(run, out_schema)

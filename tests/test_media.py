@@ -1,0 +1,97 @@
+"""Media tier tests — modeled on the reference's round-trip strategy
+(tests/media/test_containers.py, test_audio_codec.py): encode→decode and
+mux→demux must reproduce the input exactly (raw PCM framing is
+lossless, so the threshold is equality, not spectral similarity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamtasks_spark.media.codec import RawPcmCodec, audio_decoder, audio_encoder
+from streamtasks_spark.media.container import input_container, output_container
+
+SAMPLES = "transform(sequence(1, 16), i -> (value * i) % 7 - 3)"
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    from streamtasks_spark.session import read_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", F.expr(SAMPLES).alias("samples"))
+        .cache()
+    )
+
+
+def test_raw_pcm_codec_inverts():
+    samples = [1.5, -2.25, 0.0, 3.125]
+    assert RawPcmCodec.decode(RawPcmCodec.encode(samples)) == samples
+
+
+def test_encode_decode_round_trip(spark, chunks):
+    packets = audio_encoder(
+        chunks, keys=["user_id"], seq_col="event_id"
+    )
+    decoded = audio_decoder(
+        packets, keys=["user_id"], seq_col="event_id"
+    )
+    orig = {r["event_id"]: list(r["samples"]) for r in chunks.collect()}
+    back = {r["event_id"]: list(r["samples"]) for r in decoded.collect()}
+    assert back == orig  # lossless framing → exact equality
+
+
+def test_container_mux_demux_round_trip(spark, chunks, tmp_path):
+    a = chunks.select(
+        "ts", F.col("event_id").alias("seq"),
+        F.lit(0.04).alias("duration"),
+        F.expr("cast(cast(event_id as string) as binary)").alias("data"),
+        (F.col("event_id") % 5 == 0).alias("is_keyframe"),
+    )
+    b = a.withColumn("seq", F.col("seq") + 1_000_000)
+    path = str(tmp_path / "container")
+    output_container({"audio0": a, "video0": b}, path)
+
+    tracks = input_container(spark, path)
+    assert set(tracks) == {"audio0", "video0"}
+    got_a = {r["seq"] for r in tracks["audio0"].collect()}
+    assert got_a == {r["seq"] for r in a.collect()}
+    # mux order is a complete, gap-free global interleave
+    muxed = spark.read.parquet(path)
+    orders = sorted(r["mux_order"] for r in muxed.collect())
+    assert orders == list(range(1, len(orders) + 1))
+
+
+def test_asr_tts_stubs_deterministic(spark, chunks):
+    from streamtasks_spark.media.inference import asr_stub, tts_stub
+
+    out1 = asr_stub(chunks, id_cols=("event_id",)).collect()
+    out2 = asr_stub(chunks, id_cols=("event_id",)).collect()
+    assert {r["event_id"]: r["text"] for r in out1} == {
+        r["event_id"]: r["text"] for r in out2
+    }
+    texts = spark.createDataFrame(
+        [(1, 100, "hello"), (1, 200, "")], ["user_id", "ts", "value"]
+    )
+    waves = tts_stub(texts).collect()
+    by_ts = {r["ts"]: r["samples"] for r in waves}
+    assert len(by_ts[100]) == 16 and by_ts[200] == [0.0] * 16
+
+
+def test_llm_chat_stub_is_stateful_per_conversation(spark):
+    from streamtasks_spark.media.inference import llm_chat_stub
+
+    rows = [
+        (1, 100, 1, "aa"), (1, 200, 2, "bbb"), (1, 300, 3, "c"),
+        (2, 150, 4, "zzzz"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "seq", "value"])
+    out = llm_chat_stub(df, seq_col="seq")
+    got = {r["seq"]: r["reply"] for r in out.collect()}
+    # conversation 1 accumulates history; conversation 2 starts fresh
+    assert got[1] == "reply#1:2"
+    assert got[2] == "reply#2:5"
+    assert got[3] == "reply#3:6"
+    assert got[4] == "reply#1:4"
