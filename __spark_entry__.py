@@ -385,6 +385,26 @@ def _q_video_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamtasks_spark.media.render import video_layout
+
+    ev = _events(spark, sf_dir)
+    out = video_layout(
+        _chunk_stream(ev, "click"),
+        frame_w=4, frame_h=4, canvas_w=8, canvas_h=6, x=2, y=1,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.size("canvas").alias("n_pixels"),
+        F.round(F.expr("aggregate(canvas, 0D, (acc, v) -> acc + v)"), 6).alias(
+            "sum_canvas"
+        ),
+        F.round(F.element_at("canvas", 2 * 8 + 3 + 1), 6).alias("probe_inside"),
+        F.round(F.element_at("canvas", 1), 6).alias("probe_corner"),
+    )
+
+
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     blobs = docs.select("doc_id", F.unhex(F.md5("text")).alias("data"))
@@ -603,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resampler": _q_audio_resampler,
         "video_activity_meter": _q_video_activity_meter,
         "video_mixer": _q_video_mixer,
+        "video_layout": _q_video_layout,
         "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
         # llmdata: text analysis tier
@@ -1094,6 +1115,25 @@ def oracle_sql() -> dict[str, str]:
         "audio_resampler": _RESAMPLER_SQL,
         "video_activity_meter": _ACTIVITY_SQL,
         "video_mixer": _VIDEO_MIXER_SQL,
+        "video_layout": f"""
+            WITH c AS (
+              SELECT event_id, user_id, {_SAMPLES_DUCK} AS s
+              FROM events WHERE event_type = 'click'
+            ), l AS (
+              SELECT event_id, user_id,
+                list_transform(range(0, 48), c ->
+                  CASE WHEN c % 8 >= 2 AND c % 8 < 6
+                        AND c // 8 >= 1 AND c // 8 < 5
+                  THEN s[(c // 8 - 1) * 4 + (c % 8 - 2) + 1]
+                  ELSE CAST(0 AS DOUBLE) END) AS canvas
+              FROM c
+            )
+            SELECT event_id, user_id, len(canvas) AS n_pixels,
+              round(list_sum(canvas), 6) AS sum_canvas,
+              round(canvas[{2 * 8 + 3 + 1}], 6) AS probe_inside,
+              round(canvas[1], 6) AS probe_corner
+            FROM l
+        """,
         "image_decode": _IMAGE_DECODE_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "text_stats": textstats.oracle_text_stats_sql(),

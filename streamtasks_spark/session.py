@@ -80,6 +80,25 @@ def read_parquet(spark: SparkSession, path: str):
     return df
 
 
+def named_output(df, name: str) -> None:
+    """NamedOutput (reference system/tasks/namedoutput.py:20-37 via
+    NamedTopicManager): publish a stream/table under a global name.
+    Global temp views outlive the creating SparkSession within the
+    application — the engine's name registry."""
+    df.createOrReplaceGlobalTempView(name)
+
+
+def named_input(spark: SparkSession, name: str):
+    """NamedInput (reference namedinput.py:19-35): resolve a global name
+    to its stream/table."""
+    return spark.table(f"global_temp.{name}")
+
+
+def list_named_topics(spark: SparkSession) -> list[str]:
+    """Registry listing (reference NamedTopicManager resolve surface)."""
+    return [t.name for t in spark.catalog.listTables("global_temp")]
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load every driver table from a scale-factor dir as DataFrames and
     register temp views with the bare table names."""

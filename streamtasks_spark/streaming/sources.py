@@ -45,6 +45,36 @@ def pulse_generator(
     return df
 
 
+def ui_input_stream(
+    spark: SparkSession,
+    control_dir: str,
+    *,
+    value_type: str = "double",
+) -> DataFrame:
+    """UI input sources (reference ui/controlbase.py:101-119 — Slider /
+    Switch / TextInput publish a NumberMessage/TextMessage whenever the
+    human moves the control). Engine shape: the UI appends one JSON file
+    per change to ``control_dir`` ({"ts": ..., "value": ...}); this is a
+    streaming read of those updates. Compose with ``repeater`` for the
+    reference's ``repeat_interval`` re-emit and with last_value_join to
+    use as an operator control."""
+    schema = f"ts timestamp, value {value_type}"
+    return spark.readStream.schema(schema).json(control_dir)
+
+
+def ui_set_value(control_dir: str, ts: str, value) -> None:
+    """Driver-side helper: record one UI control change (one JSON file
+    per update, append-only — the file-source contract)."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(control_dir, exist_ok=True)
+    path = os.path.join(control_dir, f"{uuid.uuid4().hex}.json")
+    with open(path, "w") as f:
+        json.dump({"ts": ts, "value": value}, f)
+
+
 def parquet_stream(
     spark: SparkSession,
     path: str,

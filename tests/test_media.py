@@ -95,3 +95,59 @@ def test_llm_chat_stub_is_stateful_per_conversation(spark):
     assert got[2] == "reply#2:5"
     assert got[3] == "reply#3:6"
     assert got[4] == "reply#1:4"
+
+
+def test_text_renderer_stub_shapes(spark):
+    from streamtasks_spark.media.render import text_renderer
+
+    df = spark.createDataFrame(
+        [(1, 100, "hi"), (1, 200, "")], ["user_id", "ts", "value"]
+    )
+    out = {r["ts"]: r["frame"] for r in text_renderer(df).collect()}
+    assert len(out[100]) == 16 and len(out[200]) == 16
+    assert out[200] == [0.0] * 16
+    assert out[100][0] == (ord("h") % 255) / 255.0
+
+
+def test_image_renderer_constant_frame(spark):
+    from streamtasks_spark.media.render import image_renderer
+
+    ticks = spark.createDataFrame([(1,), (2,), (3,)], ["tick"])
+    out = image_renderer(ticks, [0.5, 1.0]).collect()
+    assert all(list(r["samples"]) == [0.5, 1.0] for r in out)
+
+
+def test_named_input_output_registry(spark):
+    from streamtasks_spark.session import (
+        list_named_topics,
+        named_input,
+        named_output,
+    )
+
+    named_output(spark.range(5), "topic_numbers")
+    got = named_input(spark, "topic_numbers")
+    assert got.count() == 5
+    assert "topic_numbers" in list_named_topics(spark)
+
+
+def test_ui_input_stream_reads_control_changes(spark, tmp_path):
+    import uuid
+
+    from streamtasks_spark.streaming.sources import ui_input_stream, ui_set_value
+
+    d = str(tmp_path / "ctl")
+    ui_set_value(d, "2024-01-01 00:00:00", 0.25)
+    ui_set_value(d, "2024-01-01 00:01:00", 0.75)
+    name = f"ui_{uuid.uuid4().hex[:8]}"
+    q = (
+        ui_input_stream(spark, d)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    vals = sorted(r["value"] for r in spark.table(name).collect())
+    assert vals == [0.25, 0.75]
