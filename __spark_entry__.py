@@ -385,6 +385,26 @@ def _q_video_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_reformatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = chunkops.video_reformatter(
+        _chunk_stream(ev, "click"),
+        keys=["user_id"],
+        seq_col="event_id",
+        src_w=4, src_h=4, dst_w=2, dst_h=2,
+        src_fps=2, dst_fps=3,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "copy_idx",
+        F.size("resized").alias("n_pixels"),
+        F.round(F.expr("aggregate(resized, 0D, (acc, v) -> acc + v)"), 6).alias(
+            "sum_resized"
+        ),
+    )
+
+
 def _q_video_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamtasks_spark.media.render import video_layout
 
@@ -624,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_activity_meter": _q_video_activity_meter,
         "video_mixer": _q_video_mixer,
         "video_layout": _q_video_layout,
+        "video_reformatter": _q_video_reformatter,
         "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
         # llmdata: text analysis tier
@@ -1115,6 +1136,27 @@ def oracle_sql() -> dict[str, str]:
         "audio_resampler": _RESAMPLER_SQL,
         "video_activity_meter": _ACTIVITY_SQL,
         "video_mixer": _VIDEO_MIXER_SQL,
+        "video_reformatter": f"""
+            WITH c AS (
+              SELECT event_id, user_id, ts, {_SAMPLES_DUCK} AS s
+              FROM events WHERE event_type = 'click'
+            ), fi AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) - 1 AS i
+              FROM c
+            ), cp AS (
+              SELECT *, ((i + 1) * 3) // 2 - (i * 3) // 2 AS copies FROM fi
+            ), e AS (
+              SELECT event_id, user_id,
+                unnest(range(0, copies)) AS copy_idx,
+                list_transform(range(0, 4), c ->
+                  s[((c // 2) * 4 // 2) * 4 + ((c % 2) * 4 // 2) + 1]) AS rs
+              FROM cp
+            )
+            SELECT event_id, user_id, copy_idx,
+              len(rs) AS n_pixels, round(list_sum(rs), 6) AS sum_resized
+            FROM e
+        """,
         "video_layout": f"""
             WITH c AS (
               SELECT event_id, user_id, {_SAMPLES_DUCK} AS s

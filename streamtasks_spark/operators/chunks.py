@@ -242,6 +242,58 @@ def video_mixer(
     )
 
 
+def video_reformatter(
+    frames: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    seq_col: str | None = None,
+    src_w: int = 4,
+    src_h: int = 4,
+    dst_w: int = 4,
+    dst_h: int = 4,
+    src_fps: int = 1,
+    dst_fps: int = 1,
+) -> DataFrame:
+    """VideoReformatter (reference media/videoreformatter.py:28-55 /
+    video.py:130-164): size conversion + frame-rate conversion by
+    rational duplication/drop. Both are real, JVM-side:
+
+    - resize: nearest-neighbor index map — out pixel (r,c) reads in
+      pixel (r·src_h div dst_h, c·src_w div dst_w). (The reference's
+      pixel-format conversion is a codec-tier kernel.)
+    - frame-rate: frame i of a stream emits ``floor((i+1)·dst/src) −
+      floor(i·dst/src)`` copies (``copy_idx`` column), the exact
+      rational cadence video.py derives — drop when dst<src, duplicate
+      when dst>src. One window for the frame index, then a narrow
+      explode."""
+    resize = (
+        f"transform(sequence(0, {dst_w * dst_h - 1}), c -> "
+        f"element_at({samples_col}, cast("
+        f"((c div {dst_w}) * {src_h} div {dst_h}) * {src_w} "
+        f"+ ((c % {dst_w}) * {src_w} div {dst_w}) + 1 as int)))"
+    )
+    order = [F.col(ts).asc()] + ([F.col(seq_col).asc()] if seq_col else [])
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    out = (
+        frames.withColumn("__i", F.row_number().over(w) - 1)
+        .withColumn(
+            "__copies",
+            F.expr(
+                f"(__i + 1) * {dst_fps} div {src_fps} - __i * {dst_fps} div {src_fps}"
+            ),
+        )
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.expr("sequence(0, cast(__copies - 1 as int))"))
+        )
+        .withColumn("resized", F.expr(resize))
+        .drop("__i", "__copies")
+    )
+    return out
+
+
 def media_switch(
     pairs: Sequence[tuple[DataFrame, DataFrame]],
     *,

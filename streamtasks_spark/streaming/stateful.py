@@ -132,6 +132,67 @@ def streaming_gate(
     return joined.filter(open_).drop("__gate_ctl")
 
 
+def streaming_message_detector(
+    data: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    timeout_ms: int = 1000,
+) -> DataFrame:
+    """Streaming MessageDetector (reference messagedetector.py:50-88):
+    per key emit (ts, 1.0) when messages resume after silence and
+    (last_ts + timeout, 0.0) when ``timeout_ms`` of PROCESSING time
+    passes without input — the wall-clock half of the semantic that the
+    batch formulation (event-time gaps) cannot express. Uses
+    ``GroupStateTimeout.ProcessingTimeTimeout``: every batch with rows
+    re-arms the timer; the timer firing emits the down edge."""
+    out_schema = StructType(
+        list(_schema_of(data, [*keys]))
+        + list(StructType.fromDDL(f"`{ts}` timestamp, `value` double"))
+    )
+    state_schema = StructType.fromDDL("active boolean, last_ts_us bigint")
+    src = data.select(*keys, ts)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        active, last_us = state.get if state.exists else (False, None)
+        if state.hasTimedOut:
+            state.remove()
+            if active and last_us is not None:
+                yield pd.DataFrame(
+                    {
+                        **{k: [key[i]] for i, k in enumerate(keys)},
+                        ts: [pd.Timestamp(last_us + timeout_ms * 1000, unit="us")],
+                        "value": [0.0],
+                    }
+                )
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        rows_ts = pdf[ts].astype("int64") // 1000  # ns -> us
+        first_us, max_us = int(rows_ts.min()), int(rows_ts.max())
+        out = []
+        if not active:
+            out.append(
+                {
+                    **{k: key[i] for i, k in enumerate(keys)},
+                    ts: pd.Timestamp(first_us, unit="us"),
+                    "value": 1.0,
+                }
+            )
+        last_us = max_us if last_us is None else max(last_us, max_us)
+        state.update((True, last_us))
+        state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def streaming_ordered_merge(
     streams: Sequence[DataFrame],
     *,

@@ -140,3 +140,52 @@ def test_streaming_ordered_merge_drops_late(spark, tmp_path, event_dir):
     got_df = run_to_memory(spark, out, tmp_path)
     got = {(r["event_id"], r["stream_idx"]) for r in got_df.collect()}
     assert got == expect
+
+
+def test_streaming_message_detector_up_and_down_edges(spark, tmp_path):
+    """Feed one batch of clicks, keep the query running with nothing new:
+    the up edge appears immediately, the down edge after the
+    processing-time timeout fires."""
+    import uuid
+
+    from streamtasks_spark.streaming.stateful import streaming_message_detector
+
+    src_dir = tmp_path / "det_src"
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    one_user = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") == 1)
+    ).select("user_id", "ts")
+    one_user.coalesce(1).write.parquet(str(src_dir / "p1"))
+
+    stream = spark.readStream.schema(one_user.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src_dir))
+    out = streaming_message_detector(
+        stream, keys=["user_id"], timeout_ms=2000
+    )
+    name = f"det_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "det_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    vals = sorted((r["value"], r["ts"]) for r in rows)
+    assert [v for v, _ in vals] == [0.0, 1.0]
+    up_ts = max(t for v, t in vals if v == 1.0)
+    down_ts = max(t for v, t in vals if v == 0.0)
+    expect_max = one_user.agg(F.max("ts")).collect()[0][0]
+    assert up_ts == one_user.agg(F.min("ts")).collect()[0][0]
+    assert (down_ts - expect_max).total_seconds() == 2.0
