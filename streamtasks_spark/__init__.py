@@ -11,15 +11,19 @@ checkable against a SQL oracle in batch mode and runs under Structured
 Streaming unchanged where Spark's streaming rules allow.
 
 Layout:
-  core/        Stream wrapper + column conventions (ts, value, stream id)
+  core/        Stream wrapper: DataFrame + (ts, keys, seq) metadata with
+               the operator vocabulary as fluent methods
   functions/   scalar surfaces: calculator expression compiler, strftime
-               translation, string matching (reference: system/tasks/*.py)
-  operators/   temporal operators: last-value join, ordered merge, gate,
-               switch, latch, detector, buffers (reference: system/tasks/)
+               translation, string matching, fn_task UDF decorator
+  operators/   temporal + chunked operators: last-value join, ordered
+               merge, as-of join, gate/switch/latch/detector, buffers,
+               repeater, replay, interleave mux, meters/mixers/resampler
   relational/  joins/aggregates/windows/set-ops surface + TPC-H-ish queries
-  llmdata/     large-scale training-data ops: dedup (exact/minhash/simhash/
-               jaccard), ANN similarity, text analysis, multimodal plumbing
-  streaming/   Structured Streaming sources/sinks/stateful variants
+  llmdata/     training-data ops: dedup (exact/minhash-LSH/simhash/
+               jaccard), ANN similarity, text analysis, multimodal decode
+  media/       codec/container/inference/render plumbing (pluggable
+               kernels; PyAV import-gated, stubs deterministic)
+  streaming/   Structured Streaming sources/sinks/stateful twins
   plans/       Pipeline (deployment equivalent): named DAG of stages
 """
 
