@@ -1,0 +1,111 @@
+"""Physical-plan regression tests (VERDICT round 1, items 2/3/7): the
+scale contracts — which side broadcasts, what pushes into the scan —
+asserted against the optimizer's actual output so a regression fails CI,
+not a 100 TB run.
+
+Auto-broadcast is disabled in this module's session: at sf0.001 Catalyst
+would (correctly) broadcast everything on size, which says nothing about
+100 TB behavior. With size-based broadcast off, the only broadcasts left
+are the ones WE hint — which is exactly the contract under test (at fact
+scale the size-based path is unavailable, so the hints are the plan)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamtasks_spark.relational import queries as rq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def psession(spark):
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    # AQE would also re-plan broadcasts from runtime stats; keep the
+    # static plan so the assertion reflects the hint contract
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    return s
+
+
+@pytest.fixture(scope="module")
+def tables(psession):
+    from streamtasks_spark.session import load_tables
+
+    return load_tables(psession, SF_DIR)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_only_customer(psession, tables):
+    """q3: only the filtered customer dim is hinted; the fact-fact join
+    (lineitem⋈orders on l_orderkey) must be a shuffle join."""
+    plan = plan_of(rq.q3_shipping_priority(tables))
+    assert re.search(r"BroadcastHashJoin \[o_custkey", plan), plan[:900]
+    ljoin = re.search(r"(\w+Join) \[l_orderkey", plan)
+    assert ljoin and "Broadcast" not in ljoin.group(1), plan[:900]
+
+
+def test_q5_broadcasts_only_nation_region(psession, tables):
+    """q5: the only broadcast join is the (nation⋈region) dim; orders,
+    customer, supplier joins all shuffle."""
+    plan = plan_of(rq.q5_local_supplier_volume(tables))
+    broadcast_joins = re.findall(r"BroadcastHashJoin \[(\w+)", plan)
+    assert set(broadcast_joins) <= {"n_regionkey", "s_nationkey"}, broadcast_joins
+    for key in ("l_orderkey", "o_custkey"):
+        j = re.search(rf"(\w+Join) \[{key}", plan)
+        assert j and "Broadcast" not in j.group(1), (key, plan[:900])
+
+
+def test_q6_filters_push_into_scan(psession, tables):
+    """q6 is the pushdown probe: shipdate/discount/quantity predicates
+    must reach the parquet source as PushedFilters."""
+    plan = plan_of(rq.q6_forecast_revenue(tables))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan[:900]
+    text = pushed.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in text, f"{col} not pushed: {text}"
+
+
+def test_q1_uses_partial_aggregation(psession, tables):
+    """q1: map-side combine (partial_ functions) before the shuffle."""
+    plan = plan_of(rq.q1_pricing_summary(tables))
+    assert "partial_sum" in plan or "partial_avg" in plan, plan[:900]
+
+
+def test_temporal_ops_are_single_shuffle(psession):
+    """last_value_join (gate's core) must plan exactly one exchange: the
+    window partitioning. A second exchange would mean an accidental
+    repartition at 100 TB."""
+    from streamtasks_spark.operators.joins import last_value_join
+    from streamtasks_spark.session import read_parquet
+
+    ev = read_parquet(psession, f"{SF_DIR}/events.parquet")
+    data = ev.filter(F.col("event_type") == "click")
+    ctl = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = last_value_join(
+        data, {"c": ctl}, keys=["user_id"], seq_col="event_id"
+    )
+    plan = plan_of(out)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan[:1200]}"
+
+
+def test_document_scan_prunes_columns(psession):
+    """Column pruning probe: a doc_id-only projection over documents
+    must not read the text column."""
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(docs.select("doc_id").filter(F.col("doc_id") > 10))
+    scan = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert scan and "text" not in scan.group(1), plan[:600]
