@@ -151,3 +151,23 @@ def test_ui_input_stream_reads_control_changes(spark, tmp_path):
     q.awaitTermination(60)
     vals = sorted(r["value"] for r in spark.table(name).collect())
     assert vals == [0.25, 0.75]
+
+
+def test_capture_adapters_produce_chunk_tables(spark):
+    from streamtasks_spark.media.capture import (
+        audio_input,
+        audio_output,
+        video_input,
+    )
+
+    a = audio_input(spark, n_chunks=3, chunk_size=8)
+    rows = a.collect()
+    assert len(rows) == 3 and all(len(r["samples"]) == 8 for r in rows)
+    # deterministic fake: same call, same signal
+    assert [r["samples"] for r in audio_input(spark, n_chunks=3, chunk_size=8).collect()] == [
+        r["samples"] for r in rows
+    ]
+    v = video_input(spark, n_frames=2, width=3, height=2).collect()
+    assert len(v) == 2 and all(len(r["samples"]) == 6 for r in v)
+    assert v[0]["width"] == 3 and v[0]["height"] == 2
+    assert audio_output(a) == 24
