@@ -24,6 +24,10 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def psession(spark):
     s = spark.newSession()
+    # cache substitution is application-wide: a table cached by another
+    # test module would replace FileScans with InMemoryTableScans and
+    # hide the pushdown/pruning behavior under test
+    s.catalog.clearCache()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.maxMetadataStringLength", "10000")
     # AQE would also re-plan broadcasts from runtime stats; keep the
