@@ -440,6 +440,118 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts")
 
 
+def _q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoder→decoder round trip (reference audioencoder.py:29-72 /
+    audiodecoder.py:28-57 with the invertible RawPcmCodec kernel): the
+    oracle checks the decoded samples equal the source chunk and the
+    packet byte length matches the framing layout."""
+    from streamtasks_spark.media.codec import audio_decoder, audio_encoder
+
+    ev = _events(spark, sf_dir)
+    packets = audio_encoder(
+        _chunk_stream(ev, "click"), keys=["user_id"], seq_col="event_id"
+    ).withColumn("n_bytes", F.length("data"))
+    decoded = audio_decoder(
+        packets,
+        keys=["user_id"],
+        seq_col="event_id",
+        keep_cols=("n_bytes",),
+    )
+    return decoded.select(
+        "event_id",
+        "user_id",
+        "n_bytes",
+        F.size("samples").alias("n_samples"),
+        F.round(F.expr("aggregate(samples, 0D, (acc, x) -> acc + x)"), 6).alias(
+            "sum_samples"
+        ),
+        F.round(F.element_at("samples", 1), 6).alias("first_sample"),
+        F.round(F.element_at("samples", 16), 6).alias("last_sample"),
+    )
+
+
+def _q_text_renderer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamtasks_spark.media.render import text_renderer
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = text_renderer(
+        docs, id_cols=("doc_id",), text_col="text", width=8, height=2
+    )
+    return out.select(
+        "doc_id",
+        F.size("frame").alias("n_pixels"),
+        F.round(F.expr("aggregate(frame, 0D, (acc, v) -> acc + v)"), 6).alias(
+            "sum_frame"
+        ),
+        F.round(F.element_at("frame", 1), 6).alias("p_first"),
+        F.round(F.element_at("frame", 16), 6).alias("p_last"),
+    )
+
+
+_IMG_FRAME = [i / 7 for i in range(12)]
+
+
+def _q_image_renderer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamtasks_spark.media.render import image_renderer
+
+    ev = _events(spark, sf_dir)
+    ticks = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = image_renderer(ticks, _IMG_FRAME)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size("samples").alias("n_pixels"),
+        F.round(F.expr("aggregate(samples, 0D, (acc, v) -> acc + v)"), 6).alias(
+            "sum_frame"
+        ),
+        F.round(F.element_at("samples", 5), 6).alias("probe"),
+    )
+
+
+def _q_asr_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamtasks_spark.media.inference import asr_stub
+
+    ev = _events(spark, sf_dir)
+    out = asr_stub(
+        _chunk_stream(ev, "view"), id_cols=("event_id", "user_id")
+    )
+    return out.select("event_id", "user_id", "text")
+
+
+def _q_tts_synthesize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamtasks_spark.media.inference import tts_stub
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = tts_stub(docs, id_cols=("doc_id",), text_col="text", n_samples=16)
+    return out.select(
+        "doc_id",
+        F.round(F.expr("aggregate(samples, 0D, (acc, v) -> acc + v)"), 6).alias(
+            "sum_samples"
+        ),
+        F.round(F.element_at("samples", 1), 6).alias("s_first"),
+        F.round(F.element_at("samples", 16), 6).alias("s_last"),
+    )
+
+
+def _q_llm_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamtasks_spark.media.inference import llm_chat_stub
+
+    ev = _events(spark, sf_dir)
+    msgs = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("value"),
+    )
+    out = llm_chat_stub(
+        msgs, conversation_col="user_id", seq_col="event_id", history_limit=8
+    )
+    return out.select("user_id", "event_id", "reply")
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.text_stats(docs)
@@ -647,6 +759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_reformatter": _q_video_reformatter,
         "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
+        # media codec / render / inference tier (SURVEY §2.1, §2.8)
+        "codec_roundtrip": _q_codec_roundtrip,
+        "text_renderer": _q_text_renderer,
+        "image_renderer": _q_image_renderer,
+        "asr_transcribe": _q_asr_transcribe,
+        "tts_synthesize": _q_tts_synthesize,
+        "llm_chat": _q_llm_chat,
         # llmdata: text analysis tier
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -1003,6 +1122,93 @@ WITH c AS (
 SELECT event_id, user_id, ts FROM c WHERE (rn - 1) % 5 = 0
 """
 
+_CODEC_ROUNDTRIP_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, {_SAMPLES_DUCK} AS s
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id, user_id,
+  CAST(4 + 8 * len(s) AS INTEGER) AS n_bytes,
+  len(s) AS n_samples,
+  round(list_sum(s), 6) AS sum_samples,
+  round(s[1], 6) AS first_sample,
+  round(s[16], 6) AS last_sample
+FROM c
+"""
+
+# stub rasterizer: pixel i = ord(text[i mod len]) % 255 / 255 (render.py)
+_TEXT_RENDERER_SQL = """
+WITH f AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), i ->
+      CASE WHEN text IS NULL OR length(text) = 0 THEN CAST(0 AS DOUBLE)
+           ELSE CAST(unicode(substr(text, (i % length(text)) + 1, 1)) % 255
+                     AS DOUBLE) / 255.0 END) AS frame
+  FROM documents
+)
+SELECT doc_id, len(frame) AS n_pixels,
+  round(list_sum(frame), 6) AS sum_frame,
+  round(frame[1], 6) AS p_first,
+  round(frame[16], 6) AS p_last
+FROM f
+"""
+
+_IMAGE_RENDERER_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, ts,
+    list_transform(range(0, 12), i -> CAST(i AS DOUBLE) / 7) AS samples
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, ts, len(samples) AS n_pixels,
+  round(list_sum(samples), 6) AS sum_frame,
+  round(samples[5], 6) AS probe
+FROM f
+"""
+
+# stub kernel: text = 'tok' || trunc(abs(sum(samples)) * 10) % 97
+_ASR_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, {_SAMPLES_DUCK} AS s
+  FROM events WHERE event_type = 'view'
+)
+SELECT event_id, user_id,
+  'tok' || CAST(CAST(trunc(abs(list_sum(s)) * 10) AS BIGINT) % 97 AS VARCHAR)
+    AS text
+FROM c
+"""
+
+# stub kernel: sample i = ord(text[i mod len]) % 16 - 8
+_TTS_SQL = """
+WITH f AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), i ->
+      CASE WHEN text IS NULL OR length(text) = 0 THEN CAST(0 AS DOUBLE)
+           ELSE CAST(unicode(substr(text, (i % length(text)) + 1, 1)) % 16 - 8
+                     AS DOUBLE) END) AS samples
+  FROM documents
+)
+SELECT doc_id,
+  round(list_sum(samples), 6) AS sum_samples,
+  round(samples[1], 6) AS s_first,
+  round(samples[16], 6) AS s_last
+FROM f
+"""
+
+# stub reply = 'reply#' || len(history) || ':' || total chars of the last
+# history_limit(=8) messages including the current one
+_LLM_CHAT_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id, 'm' || CAST(event_id AS VARCHAR) AS value
+  FROM events WHERE event_type = 'click'
+)
+SELECT user_id, event_id,
+  'reply#' || CAST(least(row_number() OVER w, 8) AS VARCHAR) || ':' ||
+  CAST(sum(length(value)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS VARCHAR) AS reply
+FROM m
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
 _SESSION_SQL = """
 WITH g AS (
   SELECT user_id, event_id, ts, value,
@@ -1178,6 +1384,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_decode": _IMAGE_DECODE_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
+        "codec_roundtrip": _CODEC_ROUNDTRIP_SQL,
+        "text_renderer": _TEXT_RENDERER_SQL,
+        "image_renderer": _IMAGE_RENDERER_SQL,
+        "asr_transcribe": _ASR_SQL,
+        "tts_synthesize": _TTS_SQL,
+        "llm_chat": _LLM_CHAT_SQL,
         "text_stats": textstats.oracle_text_stats_sql(),
         "lang_id": textstats.oracle_lang_id_sql(),
         "doc_fingerprint": textstats.oracle_doc_fingerprint_sql(),

@@ -9,8 +9,12 @@ factor and prints ONE JSON line on stdout:
 
 Execution is forced with the JVM ``noop`` sink — full computation, zero
 serialization to the driver — so timings measure the query plan, not
-``collect()`` transfer. Each query runs ``SPARK_GRAFT_BENCH_ITERS`` times
-(default 2) and reports the best, amortizing first-touch JIT/IO noise.
+``collect()`` transfer. Each query gets ONE untimed warm-up execution
+(whole-stage-codegen Janino compilation of a large generated class costs
+seconds and is a per-class one-time cost, not a per-run cost — on a real
+cluster it is amortized over the job's lifetime), then runs
+``SPARK_GRAFT_BENCH_ITERS`` timed iterations (default 2), reporting the
+best.
 
 Usage: python bench.py            # $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1
        python bench.py [sf_dir] [query ...]
@@ -65,6 +69,7 @@ def main() -> int:
             continue
         best = None
         try:
+            run_query(fn, spark, sf_dir)  # untimed codegen/JIT warm-up
             for _ in range(max(1, iters)):
                 sec = run_query(fn, spark, sf_dir)
                 best = sec if best is None else min(best, sec)

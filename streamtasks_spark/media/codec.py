@@ -100,10 +100,12 @@ def audio_decoder(
     data_col: str = "data",
     seq_col: str | None = None,
     codec=RawPcmCodec,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Decode packets back to sample chunks (reference audiodecoder.py:
-    28-57). Output: keys + ts (+ seq) + samples array<double>."""
-    id_cols = [*keys, ts] + ([seq_col] if seq_col else [])
+    28-57). Output: keys + ts (+ seq) + keep_cols + samples
+    array<double>."""
+    id_cols = [*keys, ts] + ([seq_col] if seq_col else []) + list(keep_cols)
     src = _stream_sorted(packets, keys, ts, seq_col).select(*id_cols, data_col)
     ddl = ", ".join(f"`{c}` {src.schema[c].dataType.simpleString()}" for c in id_cols)
     out_schema = f"{ddl}, samples array<double>"

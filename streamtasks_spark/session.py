@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # many distinct queries per session (bench/oracle runs): keep their
+        # compiled whole-stage-codegen classes cached instead of re-Janino-ing
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # timestamps in testdata are timezone-less; read them as-is
