@@ -409,8 +409,11 @@ def _q_video_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamtasks_spark.media.render import video_layout
 
     ev = _events(spark, sf_dir)
+    # single-row-group testdata file = one scan split; rebalance before the
+    # per-pixel transform so the CPU-heavy narrow map parallelizes (same
+    # rationale as llmdata's spread())
     out = video_layout(
-        _chunk_stream(ev, "click"),
+        dedup.spread(_chunk_stream(ev, "click")),
         frame_w=4, frame_h=4, canvas_w=8, canvas_h=6, x=2, y=1,
     )
     return out.select(
