@@ -121,11 +121,14 @@ def sr_latch(
     message emits the latched value, which flips only when exactly one of
     (set, reset) is currently true (srlatch.py:51-54). Output: one row per
     input event with columns keys + ts + value (1.0/0.0)."""
+    seq_cols = [seq_col] if seq_col is not None else []
     s = set_stream.select(
-        *keys, ts, F.col(value_col).alias("__v"), F.lit("set").alias("__src")
+        *keys, ts, *seq_cols,
+        F.col(value_col).alias("__v"), F.lit("set").alias("__src"),
     )
     r = reset_stream.select(
-        *keys, ts, F.col(value_col).alias("__v"), F.lit("reset").alias("__src")
+        *keys, ts, *seq_cols,
+        F.col(value_col).alias("__v"), F.lit("reset").alias("__src"),
     )
     u = s.unionByName(r)
     order = [F.col(ts).asc()]
