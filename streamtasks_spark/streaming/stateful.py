@@ -132,6 +132,109 @@ def streaming_gate(
     return joined.filter(open_).drop("__gate_ctl")
 
 
+def streaming_switch(
+    pairs: Sequence[tuple[DataFrame, DataFrame]],
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    control_value: str = "value",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Streaming Switch / mux (reference switch.py:21-81): same argmax
+    routing as the batch twin (operators/stateful.py), built on the
+    streaming last-value join so control latches carry across
+    micro-batches. Ties break to the lowest pair index; rows before any
+    control are dropped."""
+    data0, _ = pairs[0]
+
+    def ctl_sel(c: DataFrame) -> DataFrame:
+        cols = [*keys, ts, F.col(control_value).alias("value")]
+        if seq_col is not None and seq_col in c.columns:
+            cols.append(F.col(seq_col))
+        return c.select(*cols)
+
+    controls = {f"__sw_ctl_{i}": ctl_sel(c) for i, (_, c) in enumerate(pairs)}
+    tagged = None
+    for i, (d, _) in enumerate(pairs):
+        t = d.select(*data0.columns).withColumn("__pair", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    joined = streaming_last_value_join(
+        tagged, controls, keys=keys, ts=ts, seq_col=seq_col
+    )
+    ctl_cols = [F.col(f"__sw_ctl_{i}") for i in range(len(pairs))]
+    max_ctl = F.greatest(*ctl_cols) if len(pairs) > 1 else ctl_cols[0]
+    selected = F.lit(len(pairs) - 1)
+    for i in range(len(pairs) - 2, -1, -1):
+        selected = F.when(ctl_cols[i] == max_ctl, F.lit(i)).otherwise(selected)
+    sel = F.when(max_ctl.isNotNull(), selected)
+    return joined.filter(sel == F.col("__pair")).drop(
+        "__pair", *[f"__sw_ctl_{i}" for i in range(len(pairs))]
+    )
+
+
+def streaming_sr_latch(
+    set_stream: DataFrame,
+    reset_stream: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    value_col: str = "value",
+    default: bool = False,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Streaming SR latch (reference srlatch.py:20-55): per-key state
+    holds (latest set bool, latest reset bool, latched value); every
+    event emits the latched value, which flips only when exactly one of
+    set/reset is true. Cross-batch latching via applyInPandasWithState."""
+    seq_cols = [seq_col] if seq_col is not None else []
+    # tags sort reset(0) before set(1) at equal ts without a seq column,
+    # matching the batch operator's 'reset' < 'set' string ordering
+    s = set_stream.select(
+        *keys, ts, *seq_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(1).alias("__src"),
+    )
+    r = reset_stream.select(
+        *keys, ts, *seq_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(0).alias("__src"),
+    )
+    u = s.unionByName(r)
+    out_schema = StructType(
+        list(_schema_of(u, [*keys, ts]))
+        + [StructType.fromDDL("`value` double")[0]]
+    )
+    state_schema = StructType.fromDDL(
+        "set_b boolean, reset_b boolean, latched double"
+    )
+    sort_cols = [ts] + (seq_cols if seq_col else ["__src"])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        set_b, reset_b, latched = (
+            state.get if state.exists else (False, False, 1.0 if default else 0.0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
+        vals = []
+        for src, v in zip(pdf["__src"], pdf["__v"]):
+            if src == 1:
+                set_b = bool(v > 0.5)
+            else:
+                reset_b = bool(v > 0.5)
+            if set_b != reset_b:
+                latched = 1.0 if set_b else 0.0
+            vals.append(latched)
+        state.update((set_b, reset_b, latched))
+        out = pdf[[*keys, ts]].copy()
+        out["value"] = vals
+        yield out
+
+    return u.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_message_detector(
     data: DataFrame,
     *,

@@ -142,6 +142,56 @@ def test_streaming_ordered_merge_drops_late(spark, tmp_path, event_dir):
     assert got == expect
 
 
+def test_streaming_switch_matches_batch(spark, tmp_path, event_dir):
+    from streamtasks_spark.operators.stateful import switch
+    from streamtasks_spark.streaming.stateful import streaming_switch
+
+    def parts(df):
+        p = lambda t: df.filter(F.col("event_type") == t)
+        return [(p("view"), p("click")), (p("error"), p("purchase"))]
+
+    ev_b = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    expect = {
+        r["event_id"]
+        for r in switch(parts(ev_b), keys=["user_id"], seq_col="event_id").collect()
+    }
+
+    ev_s = _events_stream(spark, event_dir)
+    out = streaming_switch(parts(ev_s), keys=["user_id"], seq_col="event_id")
+    got_df = run_to_memory(spark, out, tmp_path)
+    got = {r["event_id"] for r in got_df.collect()}
+    assert got == expect
+    assert expect
+
+
+def test_streaming_sr_latch_matches_batch(spark, tmp_path, event_dir):
+    from streamtasks_spark.operators.stateful import sr_latch
+    from streamtasks_spark.streaming.stateful import streaming_sr_latch
+
+    def sr(df):
+        ctl = F.when(F.col("value") > 25, 1.0).otherwise(0.0)
+        s = df.filter(F.col("event_type") == "purchase").withColumn("value", ctl)
+        r = df.filter(F.col("event_type") == "error").withColumn("value", ctl)
+        return s, r
+
+    ev_b = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    s_b, r_b = sr(ev_b)
+    expect = sorted(
+        (r["user_id"], r["ts"], r["value"])
+        for r in sr_latch(s_b, r_b, keys=["user_id"], seq_col="event_id").collect()
+    )
+
+    ev_s = _events_stream(spark, event_dir)
+    s_s, r_s = sr(ev_s)
+    out = streaming_sr_latch(s_s, r_s, keys=["user_id"], seq_col="event_id")
+    got_df = run_to_memory(spark, out, tmp_path)
+    got = sorted(
+        (r["user_id"], r["ts"], r["value"]) for r in got_df.collect()
+    )
+    assert got == expect
+    assert expect
+
+
 def test_streaming_message_detector_up_and_down_edges(spark, tmp_path):
     """Feed one batch of clicks, keep the query running with nothing new:
     the up edge appears immediately, the down edge after the
