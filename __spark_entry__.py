@@ -664,6 +664,42 @@ def _q_interleave_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InputContainer/OutputContainer round trip (reference
+    inputcontainer.py:56-110, outputcontainer.py:116-161): mux click/view
+    tracks into one packet table (accumulated-duration interleave, global
+    mux window = one container), write it partitioned by track, demux one
+    track back via the pushdown-friendly track filter."""
+    import os
+
+    from streamtasks_spark.media.container import (
+        input_container,
+        output_container,
+    )
+
+    ev = _events(spark, sf_dir)
+
+    def track(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            "event_id", "user_id", F.col("value").alias("duration")
+        )
+
+    path = f"/tmp/stsp_container_rt_{os.getpid()}"
+    output_container(
+        {"click": track("click"), "view": track("view")},
+        path,
+        seq_col="event_id",
+        duration_col="duration",
+    )
+    clicks = input_container(spark, path, tracks=["click"])["click"]
+    return clicks.select(
+        "event_id",
+        "user_id",
+        F.round("duration", 6).alias("duration"),
+        "mux_order",
+    )
+
+
 def _q_time_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.select(
@@ -744,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replay_rebase": _q_replay_rebase,
         "replay_loop": _q_replay_loop,
         "interleave_mux": _q_interleave_mux,
+        "container_roundtrip": _q_container_roundtrip,
         "synchronizer": _q_synchronizer,
         # llmdata: dedup tier (BASELINE.json north star)
         "dedup_exact": _q_dedup_exact,
@@ -1327,6 +1364,25 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY cum_before, stream_idx, event_id) AS INT)
                 AS mux_order
             FROM c
+        """,
+        "container_roundtrip": """
+            WITH u AS (
+              SELECT event_id, user_id, value AS duration,
+                CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS trk
+              FROM events WHERE event_type IN ('click', 'view')
+            ), c AS (
+              SELECT *, coalesce(sum(duration) OVER (
+                  PARTITION BY trk ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                CAST(0 AS DOUBLE)) AS cum_before
+              FROM u
+            ), m AS (
+              SELECT *, CAST(row_number() OVER (
+                   ORDER BY cum_before, trk, event_id) AS INT) AS mux_order
+              FROM c
+            )
+            SELECT event_id, user_id, round(duration, 6) AS duration, mux_order
+            FROM m WHERE trk = 0
         """,
         "time_to_text": """
             SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS tstr FROM events

@@ -89,7 +89,9 @@ def streaming_last_value_join(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
         for i, n in enumerate(names):
-            c = pdf[f"__ctl_{n}"]
+            # explicit dtype: concat of chunks with all-NA columns is
+            # dtype-unstable across pandas versions
+            c = pdf[f"__ctl_{n}"].astype("float64")
             filled = c.ffill()
             if latest[i] is not None:
                 filled = filled.fillna(latest[i])
@@ -217,7 +219,9 @@ def streaming_sr_latch(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
         vals = []
-        for src, v in zip(pdf["__src"], pdf["__v"]):
+        for src, v in zip(
+            pdf["__src"].astype("int64"), pdf["__v"].astype("float64")
+        ):
             if src == 1:
                 set_b = bool(v > 0.5)
             else:
@@ -292,6 +296,68 @@ def streaming_message_detector(
         out_schema,
         state_schema,
         "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def streaming_time_buffer(
+    data: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    size_ms: int = 1000,
+) -> DataFrame:
+    """Streaming TimeBuffer in CLOCK mode (reference timebuffer.py:20-77
+    with ``reference="clock"``): every row is held for ``size_ms`` of
+    PROCESSING time after arrival, then released with its original event
+    timestamp — the wall-clock half of the semantic the batch operator
+    (pure event-time shift) cannot express.
+
+    Per-key state buffers one JSON blob per arrived micro-batch with its
+    arrival clock; a processing-time timer drains blobs whose hold has
+    elapsed. At scale the buffer is bounded by (arrival rate × size_ms)
+    per key — the same bound as the reference's dbm spill buffer."""
+    import json
+
+    cols = list(data.columns)
+    out_schema = _schema_of(data, cols)
+    state_schema = StructType.fromDDL("bufs array<string>, arrivals array<bigint>")
+    ts_cols = [c for c, f in zip(cols, out_schema.fields)
+               if f.dataType.typeName().startswith("timestamp")]
+
+    def decode(blobs: list[str]) -> pd.DataFrame:
+        recs = [r for b in blobs for r in json.loads(b)]
+        out = pd.DataFrame(recs, columns=cols)
+        for c in ts_cols:
+            out[c] = pd.to_datetime(out[c], unit="us")
+        return out
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        bufs, arrivals = state.get if state.exists else ([], [])
+        bufs, arrivals = list(bufs), list(arrivals)
+        now = state.getCurrentProcessingTimeMs()
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            enc = pdf.copy()
+            for c in ts_cols:
+                enc[c] = enc[c].astype("int64") // 1000  # ns -> us
+            bufs.append(enc[cols].to_json(orient="records"))
+            arrivals.append(now)
+        due = [i for i, a in enumerate(arrivals) if a + size_ms <= now]
+        if due:
+            yield decode([bufs[i] for i in due])
+        keep = [i for i in range(len(bufs)) if i not in set(due)]
+        if keep:
+            state.update(([bufs[i] for i in keep], [arrivals[i] for i in keep]))
+            # fire when the oldest remaining blob's hold elapses
+            state.setTimeoutDuration(
+                max(1, min(arrivals[i] for i in keep) + size_ms - now)
+            )
+        else:
+            state.remove()
+
+    return data.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
 

@@ -192,6 +192,54 @@ def test_streaming_sr_latch_matches_batch(spark, tmp_path, event_dir):
     assert expect
 
 
+def test_streaming_time_buffer_holds_then_releases(spark, tmp_path):
+    """Clock-mode TimeBuffer: rows must not appear before their
+    processing-time hold elapses, and must come out with the ORIGINAL
+    event timestamps (only delivery is delayed, reference
+    timebuffer.py:20-77)."""
+    from datetime import datetime
+
+    from streamtasks_spark.streaming.stateful import streaming_time_buffer
+
+    size_ms = 3000
+    src = tmp_path / "tb_src"
+    rows = [("k", datetime(2024, 1, 1, 0, 0, s), float(s)) for s in (1, 2, 3)]
+    sdf = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    sdf.coalesce(1).write.parquet(str(src / "p1"))
+
+    stream = spark.readStream.schema(sdf.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    out = streaming_time_buffer(stream, keys=["key"], size_ms=size_ms)
+    name = f"tb_{uuid.uuid4().hex[:8]}"
+    t0 = time.time()
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tb_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        first_seen = None
+        while time.time() - t0 < 60:
+            if spark.table(name).count() == len(rows):
+                first_seen = time.time() - t0
+                break
+            time.sleep(0.25)
+        got = spark.table(name).collect()
+    finally:
+        q.stop()
+    assert first_seen is not None, "buffered rows never released"
+    # hold starts at batch processing (>= query start), so release can't
+    # happen before t0 + size
+    assert first_seen >= size_ms / 1000 * 0.9
+    assert sorted((r["ts"].second, r["value"]) for r in got) == [
+        (1, 1.0), (2, 2.0), (3, 3.0),
+    ]
+
+
 def test_streaming_message_detector_up_and_down_edges(spark, tmp_path):
     """Feed one batch of clicks, keep the query running with nothing new:
     the up edge appears immediately, the down edge after the
