@@ -192,6 +192,42 @@ def test_streaming_sr_latch_matches_batch(spark, tmp_path, event_dir):
     assert expect
 
 
+def test_viewer_sinks_deliver_rows(spark, tmp_path, event_dir):
+    """memory_viewer exposes the stream as a queryable table;
+    foreach_batch_viewer delivers every micro-batch to a driver callback
+    (the WebViewer transport point)."""
+    from streamtasks_spark.streaming.sinks import (
+        foreach_batch_viewer,
+        memory_viewer,
+    )
+
+    src = parquet_stream(spark, str(event_dir / "p1"))
+    name = f"viewer_{uuid.uuid4().hex[:8]}"
+    q = memory_viewer(src, name, checkpoint=str(tmp_path / "v_ckpt"))
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        n_mem = spark.table(name).count()
+    finally:
+        q.stop()
+    assert n_mem > 0
+
+    seen: list[tuple[int, int]] = []
+    q2 = foreach_batch_viewer(
+        src,
+        lambda bdf, bid: seen.append((bid, bdf.count())),
+        checkpoint=str(tmp_path / "fb_ckpt"),
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not seen:
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+    assert seen and seen[0][1] == n_mem
+
+
 def test_streaming_time_buffer_holds_then_releases(spark, tmp_path):
     """Clock-mode TimeBuffer: rows must not appear before their
     processing-time hold elapses, and must come out with the ORIGINAL
