@@ -824,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
         "events_hourly_stats": rel(rq.events_hourly_stats),
         "events_session_windows": rel(rq.events_session_windows),
+        "events_rollup": rel(rq.events_rollup),
         "set_ops": rel(rq.union_intersect_except),
     }
 
@@ -1537,6 +1538,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_session_windows": _SESSION_SQL,
+        "events_rollup": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+              count(*) AS n,
+              round(sum(value), 4) AS sum_value,
+              count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
         "set_ops": """
             SELECT user_id FROM events WHERE event_type = 'click'
             INTERSECT

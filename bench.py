@@ -34,6 +34,9 @@ def log(msg: str) -> None:
 
 
 def run_query(fn, spark, sf_dir: str) -> float:
+    # drop persisted subplans from prior runs: cache-manager reuse makes
+    # timings depend on run order and eviction state, not the query
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()

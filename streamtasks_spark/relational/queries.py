@@ -206,6 +206,23 @@ def events_session_windows(t: dict[str, DataFrame], gap_minutes: int = 30) -> Da
     )
 
 
+def events_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Grouping-set aggregation (SURVEY §2.4: grouping sets are absent in
+    the reference and come free in Spark): per (event_type, day) counts,
+    sums, and exact distinct users, with ROLLUP subtotals and grand
+    total. 100 TB shape: map-side partial aggregation, one shuffle on
+    the expanded grouping keys; distinct-user counts add one extra
+    de-dup exchange that AQE sizes."""
+    ev = t["events"]
+    return ev.rollup(
+        F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def union_intersect_except(t: dict[str, DataFrame]) -> DataFrame:
     """Set-op vocabulary probe: users who clicked AND viewed but never had
     a high-value error event."""
