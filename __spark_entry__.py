@@ -176,6 +176,22 @@ def _q_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "event_type", "value")
 
 
+def _q_pause_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pause propagation as control-as-data (reference
+    net/__init__.py:317-321 latch-and-replay): click rows annotated with
+    the latched paused state from the error stream; unlike gate, rows
+    are NOT filtered — the pause column rides along downstream."""
+    from streamtasks_spark.operators.stateful import pause_state
+
+    ev = _events(spark, sf_dir)
+    data = ev.filter(F.col("event_type") == "click")
+    ctl = ev.filter(F.col("event_type") == "error").withColumn(
+        "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    out = pause_state(data, ctl, keys=["user_id"], seq_col="event_id")
+    return out.select("event_id", "user_id", "ts", "value", "paused")
+
+
 def _q_sr_latch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     thr = F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
@@ -768,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filters / routing (SURVEY §2.3)
         "gate": _q_gate,
         "switch": _q_switch,
+        "pause_state": _q_pause_state,
         "sr_latch": _q_sr_latch,
         "message_detector": _q_message_detector,
         # aggregation-ish stateful (SURVEY §2.4)
@@ -869,6 +886,23 @@ SELECT event_id, user_id, ts, event_type, value
 FROM st
 WHERE pair IS NOT NULL AND (s0 IS NOT NULL OR s1 IS NOT NULL)
   AND pair = (CASE WHEN s0 IS NOT NULL AND s0 >= coalesce(s1, s0) THEN 0 ELSE 1 END)
+"""
+
+_PAUSE_SQL = f"""
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS prio,
+    CASE WHEN event_type = 'error' THEN {_CTL} END AS ctl
+  FROM events WHERE event_type IN ('click', 'error')
+), st AS (
+  SELECT *, last_value(ctl IGNORE NULLS) OVER w AS pause_ctl
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, prio, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, value,
+  coalesce(pause_ctl > 0.5, false) AS paused
+FROM st WHERE prio = 1
 """
 
 _SR_LATCH_SQL = f"""
@@ -1459,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
             n_planes=4, threshold=0.4
         ),
         "gate": _GATE_SQL,
+        "pause_state": _PAUSE_SQL,
         "switch": _SWITCH_SQL,
         "sr_latch": _SR_LATCH_SQL,
         "message_detector": _DETECTOR_SQL,

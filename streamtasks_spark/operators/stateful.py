@@ -39,7 +39,8 @@ def gate(
     the reference's ``initial_control`` (gate.py:32, default False/closed).
     The reference's separate ``fail_mode`` knob (gate.py:77-81) concerns
     paused/validation-error control streams, which have no batch
-    equivalent; the streaming tier models pause as control-as-data."""
+    equivalent; pause itself is modeled as control-as-data by
+    :func:`pause_state` (and its streaming twin)."""
     ctl_cols = [*keys, ts, F.col(control_value).alias("value")]
     if seq_col is not None and seq_col in control.columns:
         ctl_cols.append(seq_col)
@@ -55,6 +56,47 @@ def gate(
         F.col("__gate_ctl") > F.lit(0.5), F.lit(bool(initial_open))
     )
     return joined.filter(open_).drop("__gate_ctl")
+
+
+def pause_state(
+    data: DataFrame,
+    control: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    control_value: str = "value",
+    initial_paused: bool = False,
+    seq_col: str | None = None,
+    out_col: str = "paused",
+) -> DataFrame:
+    """Pause/control propagation as data (reference TopicControlMessage:
+    net/messages.py:35-40; the switch latches the last pause state per
+    topic and replays it to late subscribers, net/__init__.py:285-287,
+    317-321; operators forward it downstream, timestampupdater.py:31-32).
+
+    Control-as-data convention (SURVEY §7.3): a pause stream is a
+    boolean-as-float stream; each data row is annotated with the latched
+    paused state as of its event time (control before data at equal
+    timestamps — same rule as gate). The "replay to late joiners" is
+    exactly the latch: a subscriber reading from any point sees
+    ``last(paused)``. Downstream pause forwarding = carrying this column
+    through; gate's close-by-pausing (gate.py:82-85) =
+    ``pause_state(...)`` with the gate's inverted control."""
+    ctl_cols = [*keys, ts, F.col(control_value).alias("value")]
+    if seq_col is not None and seq_col in control.columns:
+        ctl_cols.append(seq_col)
+    joined = last_value_join(
+        data,
+        {"__pause_ctl": control.select(*ctl_cols)},
+        keys=keys,
+        ts=ts,
+        control_first=True,
+        seq_col=seq_col,
+    )
+    return joined.withColumn(
+        out_col,
+        F.coalesce(F.col("__pause_ctl") > F.lit(0.5), F.lit(bool(initial_paused))),
+    ).drop("__pause_ctl")
 
 
 def switch(

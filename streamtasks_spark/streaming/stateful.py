@@ -134,6 +134,37 @@ def streaming_gate(
     return joined.filter(open_).drop("__gate_ctl")
 
 
+def streaming_pause_state(
+    data: DataFrame,
+    control: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    control_value: str = "value",
+    initial_paused: bool = False,
+    seq_col: str | None = None,
+    out_col: str = "paused",
+) -> DataFrame:
+    """Streaming pause propagation (reference net/__init__.py:317-321):
+    the latched pause state carries across micro-batches, so a
+    subscriber joining late still sees the replayed last state — the
+    switch's latch-and-replay, per key."""
+    ctl_cols = [*keys, ts, F.col(control_value).alias("value")]
+    if seq_col is not None and seq_col in control.columns:
+        ctl_cols.append(F.col(seq_col))
+    joined = streaming_last_value_join(
+        data,
+        {"__pause_ctl": control.select(*ctl_cols)},
+        keys=keys,
+        ts=ts,
+        seq_col=seq_col,
+    )
+    return joined.withColumn(
+        out_col,
+        F.coalesce(F.col("__pause_ctl") > F.lit(0.5), F.lit(bool(initial_paused))),
+    ).drop("__pause_ctl")
+
+
 def streaming_switch(
     pairs: Sequence[tuple[DataFrame, DataFrame]],
     *,

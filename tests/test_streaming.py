@@ -192,6 +192,68 @@ def test_streaming_sr_latch_matches_batch(spark, tmp_path, event_dir):
     assert expect
 
 
+def test_streaming_pause_state_matches_batch(spark, tmp_path, event_dir):
+    """Pause latch-and-replay across micro-batches: the annotated paused
+    column must equal the batch operator's on the same data."""
+    from streamtasks_spark.operators.stateful import pause_state
+    from streamtasks_spark.streaming.stateful import streaming_pause_state
+
+    def split(df):
+        data = df.filter(F.col("event_type") == "click")
+        ctl = df.filter(F.col("event_type") == "error").withColumn(
+            "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+        return data, ctl
+
+    ev_b = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    d_b, c_b = split(ev_b)
+    expect = {
+        (r["event_id"], r["paused"])
+        for r in pause_state(d_b, c_b, keys=["user_id"], seq_col="event_id").collect()
+    }
+
+    ev_s = _events_stream(spark, event_dir)
+    d_s, c_s = split(ev_s)
+    out = streaming_pause_state(d_s, c_s, keys=["user_id"], seq_col="event_id")
+    got_df = run_to_memory(spark, out, tmp_path)
+    got = {(r["event_id"], r["paused"]) for r in got_df.collect()}
+    assert got == expect
+    assert any(p for _, p in expect) and any(not p for _, p in expect)
+
+
+def test_pulse_calculator_slice(spark, tmp_path):
+    """SURVEY §7.2 step 1's streaming minimum slice: pulse →
+    calculator expression → sink, end-to-end on the rate source."""
+    from streamtasks_spark.functions import calculator as calc
+
+    pulse = pulse_generator(spark, interval_ms=50)
+    stream = pulse.withColumn("v", F.unix_micros("ts").cast("double") % 100)
+    out = stream.withColumn(
+        "calc", calc.compile_column("sin(v) * 2 + max(v, 10)", {"v": F.col("v")})
+    )
+    name = f"slice_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    import math
+
+    assert rows
+    for r in rows:
+        assert r["calc"] == pytest.approx(
+            math.sin(r["v"]) * 2 + max(r["v"], 10.0)
+        )
+
+
 def test_viewer_sinks_deliver_rows(spark, tmp_path, event_dir):
     """memory_viewer exposes the stream as a queryable table;
     foreach_batch_viewer delivers every micro-batch to a driver callback
