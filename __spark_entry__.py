@@ -287,6 +287,75 @@ def _chunk_stream(ev: DataFrame, event_type: str) -> DataFrame:
     )
 
 
+def _q_audio_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-chunk 16-sample rows into 24-sample chunks: exercises the
+    cross-row remainder carry (24 ∤ 16) and the drop-incomplete-tail
+    rule (reference media/util.py:131-148)."""
+    ev = _events(spark, sf_dir)
+    out = chunkops.audio_chunker(
+        _chunk_stream(ev, "click"),
+        keys=["user_id"],
+        seq_col="event_id",
+        chunk_size=24,
+    )
+    return out.select(
+        "user_id",
+        "chunk_id",
+        "ts",
+        F.size("samples").alias("n"),
+        F.round(F.expr("aggregate(samples, 0D, (acc, x) -> acc + x)"), 6).alias(
+            "sum_samples"
+        ),
+        F.round(F.element_at("samples", 1), 6).alias("first_sample"),
+        F.round(F.element_at("samples", 24), 6).alias("last_sample"),
+    )
+
+
+def _q_padded_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping ASR-style windows: 24-sample step, 4-sample padding
+    both sides (width 32), complete windows only (media/util.py:150-171)."""
+    ev = _events(spark, sf_dir)
+    out = chunkops.padded_audio_chunker(
+        _chunk_stream(ev, "click"),
+        keys=["user_id"],
+        seq_col="event_id",
+        chunk_size=24,
+        padding=4,
+    )
+    return out.select(
+        "user_id",
+        "chunk_id",
+        "ts",
+        F.size("samples").alias("n"),
+        F.round(F.expr("aggregate(samples, 0D, (acc, x) -> acc + x)"), 6).alias(
+            "sum_samples"
+        ),
+        F.round(F.element_at("samples", 1), 6).alias("first_sample"),
+        F.round(F.element_at("samples", 32), 6).alias("last_sample"),
+    )
+
+
+def _q_audio_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossfade joins between consecutive chunks, 4-sample overlap
+    (media/util.py:173-186)."""
+    ev = _events(spark, sf_dir)
+    out = chunkops.audio_smoother(
+        _chunk_stream(ev, "click"),
+        keys=["user_id"],
+        seq_col="event_id",
+        overlap=4,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("aggregate(smoothed, 0D, (acc, x) -> acc + x)"), 6).alias(
+            "sum_smoothed"
+        ),
+        F.round(F.element_at("smoothed", 1), 6).alias("s_head"),
+        F.round(F.element_at("smoothed", 16), 6).alias("s_tail"),
+    )
+
+
 def _q_audio_volume_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     out = chunkops.audio_volume_meter(
@@ -805,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         # chunked-numeric / multimodal tier (SURVEY §2.4, §2.8)
+        "audio_chunker": _q_audio_chunker,
+        "padded_chunker": _q_padded_chunker,
+        "audio_smoother": _q_audio_smoother,
         "audio_volume_meter": _q_audio_volume_meter,
         "audio_volume_scaler": _q_audio_volume_scaler,
         "audio_mixer": _q_audio_mixer,
@@ -1019,6 +1091,76 @@ WITH u AS (
 )
 SELECT user_id, ts, value, event_id, stream_idx
 FROM m WHERE prev_max IS NULL OR ts >= prev_max
+"""
+
+_CHUNKER_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, {_SAMPLES_DUCK} AS s,
+    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 16
+      AS off
+  FROM events WHERE event_type = 'click'
+), x AS (
+  SELECT user_id, ts, off + r.range - 1 AS idx, s[r.range] AS v
+  FROM c, range(1, 17) r
+), g AS (
+  SELECT user_id, idx // 24 AS chunk_id, min(ts) AS ts, count(*) AS n,
+    list_sum(list(v ORDER BY idx)) AS sum_raw,
+    arg_min(v, idx) AS first_raw, arg_max(v, idx) AS last_raw
+  FROM x GROUP BY user_id, idx // 24
+)
+SELECT user_id, chunk_id, ts, CAST(n AS INT) AS n,
+  round(sum_raw, 6) AS sum_samples,
+  round(first_raw, 6) AS first_sample, round(last_raw, 6) AS last_sample
+FROM g WHERE n = 24
+"""
+
+_PADDED_CHUNKER_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, {_SAMPLES_DUCK} AS s,
+    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 16
+      AS off
+  FROM events WHERE event_type = 'click'
+), x AS (
+  SELECT user_id, ts, off + r.range - 1 AS idx, s[r.range] AS v
+  FROM c, range(1, 17) r
+), m AS (
+  SELECT user_id, ts, idx, v,
+    unnest(range(greatest(0, (idx - 31) // 24), idx // 24 + 1)) AS chunk_id
+  FROM x
+), f AS (
+  SELECT * FROM m WHERE idx >= chunk_id * 24 AND idx < chunk_id * 24 + 32
+), g AS (
+  SELECT user_id, chunk_id, min(ts) AS ts, count(*) AS n,
+    list_sum(list(v ORDER BY idx)) AS sum_raw,
+    arg_min(v, idx) AS first_raw, arg_max(v, idx) AS last_raw
+  FROM f GROUP BY user_id, chunk_id
+)
+SELECT user_id, chunk_id, ts, CAST(n AS INT) AS n,
+  round(sum_raw, 6) AS sum_samples,
+  round(first_raw, 6) AS first_sample, round(last_raw, 6) AS last_sample
+FROM g WHERE n = 32
+"""
+
+_SMOOTHER_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, {_SAMPLES_DUCK} AS s
+  FROM events WHERE event_type = 'click'
+), l AS (
+  SELECT *, lag(s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM c
+), sm AS (
+  SELECT event_id, user_id,
+    list_transform(range(1, 17), i ->
+      CASE WHEN p IS NOT NULL AND i <= 4
+        THEN p[len(p) - 4 + i] * (1.0 - CAST(i AS DOUBLE) / 5.0)
+             + s[i] * (CAST(i AS DOUBLE) / 5.0)
+        ELSE s[i] END) AS sm
+  FROM l
+)
+SELECT event_id, user_id,
+  round(list_sum(sm), 6) AS sum_smoothed,
+  round(sm[1], 6) AS s_head, round(sm[16], 6) AS s_tail
+FROM sm
 """
 
 _METER_SQL = f"""
@@ -1429,6 +1571,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(max_hamming=3),
         "ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
+        "audio_chunker": _CHUNKER_SQL,
+        "padded_chunker": _PADDED_CHUNKER_SQL,
+        "audio_smoother": _SMOOTHER_SQL,
         "audio_volume_meter": _METER_SQL,
         "audio_volume_scaler": _SCALER_SQL,
         "audio_mixer": _MIXER_SQL,

@@ -37,6 +37,150 @@ from pyspark.sql import functions as F
 from streamtasks_spark.operators.joins import last_value_join
 
 
+def _sample_index(
+    chunks: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    samples_col: str,
+    seq_col: str | None,
+) -> DataFrame:
+    """Explode a chunk stream into (keys, ts, __idx, __v): the per-key
+    GLOBAL sample index (running offset over rows in event order + the
+    position inside the row's array). One window pass + one explode; the
+    downstream chunk regrouping shuffles on (keys, chunk_id)."""
+    order = [F.col(ts).asc()] + ([F.col(seq_col).asc()] if seq_col else [])
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        chunks.withColumn(
+            "__off", F.coalesce(F.sum(F.size(samples_col)).over(w), F.lit(0))
+        )
+        .select(
+            *keys,
+            ts,
+            F.col("__off"),
+            F.posexplode(samples_col).alias("__pos", "__v"),
+        )
+        .withColumn("__idx", (F.col("__off") + F.col("__pos")).cast("long"))
+    )
+
+
+def audio_chunker(
+    chunks: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    seq_col: str | None = None,
+    chunk_size: int,
+) -> DataFrame:
+    """AudioChunker (reference media/util.py:131-148): re-chunk a sample
+    stream into exactly ``chunk_size``-sample chunks; trailing samples
+    that never fill a chunk stay buffered (the reference keeps its
+    remainder for the next input — in batch they are simply not
+    emitted). Output: keys + chunk_id + ts (earliest source ts in the
+    chunk) + samples (in stream order)."""
+    ex = _sample_index(chunks, keys, ts, samples_col, seq_col)
+    return (
+        ex.withColumn("__chunk", F.expr(f"__idx div {chunk_size}"))
+        .groupBy(*keys, "__chunk")
+        .agg(
+            F.min(ts).alias(ts),
+            F.count(F.lit(1)).alias("__n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__v"))),
+                lambda s: s["__v"],
+            ).alias(samples_col),
+        )
+        .filter(F.col("__n") == chunk_size)
+        .select(*keys, F.col("__chunk").alias("chunk_id"), ts, samples_col)
+    )
+
+
+def padded_audio_chunker(
+    chunks: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    seq_col: str | None = None,
+    chunk_size: int,
+    padding: int,
+) -> DataFrame:
+    """PaddedAudioChunker (reference media/util.py:150-171, the ASR
+    window): overlapping windows of ``chunk_size + 2*padding`` samples
+    stepping by ``chunk_size`` — chunk c covers sample indices
+    [c*chunk_size, c*chunk_size + chunk_size + 2*padding). Only complete
+    windows are emitted. Each sample lands in ≤ ceil(width/step) chunks
+    via a bounded explode — no self-join."""
+    width = chunk_size + 2 * padding
+    ex = _sample_index(chunks, keys, ts, samples_col, seq_col)
+    # candidate chunk ids for sample __idx: (idx - width) div step < c <= idx div step
+    member = ex.select(
+        *keys,
+        ts,
+        "__idx",
+        "__v",
+        F.explode(
+            F.expr(
+                f"filter(sequence(greatest(0L, (__idx - {width - 1}L) div {chunk_size}), "
+                f"__idx div {chunk_size}), "
+                f"c -> __idx >= c * {chunk_size} AND __idx < c * {chunk_size} + {width})"
+            )
+        ).alias("__chunk"),
+    )
+    return (
+        member.groupBy(*keys, "__chunk")
+        .agg(
+            F.min(ts).alias(ts),
+            F.count(F.lit(1)).alias("__n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__v"))),
+                lambda s: s["__v"],
+            ).alias(samples_col),
+        )
+        .filter(F.col("__n") == width)
+        .select(*keys, F.col("__chunk").alias("chunk_id"), ts, samples_col)
+    )
+
+
+def audio_smoother(
+    chunks: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    seq_col: str | None = None,
+    overlap: int,
+    out_col: str = "smoothed",
+) -> DataFrame:
+    """AudioSmoother (reference media/util.py:173-186): crossfade each
+    chunk's first ``overlap`` samples with the previous chunk's last
+    ``overlap`` — weight ramps linearly w_i = (i+1)/(overlap+1), so
+    neither endpoint is a hard cut. First chunk per key passes through.
+    Narrow: one lag window + a zip map, no extra shuffle beyond the
+    per-key sort."""
+    order = [F.col(ts).asc()] + ([F.col(seq_col).asc()] if seq_col else [])
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    prev = F.lag(samples_col).over(w)
+    expr = (
+        f"transform(sequence(1, size({samples_col})), i -> "
+        f"if(__prev IS NOT NULL AND i <= {overlap}, "
+        f"element_at(__prev, size(__prev) - {overlap} + i) "
+        f"* (1.0d - cast(i as double) / {overlap + 1}.0d) "
+        f"+ element_at({samples_col}, i) * (cast(i as double) / {overlap + 1}.0d), "
+        f"element_at({samples_col}, i)))"
+    )
+    return (
+        chunks.withColumn("__prev", prev)
+        .withColumn(out_col, F.expr(expr))
+        .drop("__prev")
+    )
+
+
 def audio_volume_meter(
     chunks: DataFrame,
     *,
