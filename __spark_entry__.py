@@ -907,7 +907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": rel(rq.q1_pricing_summary),
         "q3_shipping_priority": rel(rq.q3_shipping_priority),
         "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
+        "q4_order_priority": rel(rq.q4_order_priority),
         "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
+        "q10_returned_items": rel(rq.q10_returned_items),
+        "q14_promo_effect": rel(rq.q14_promo_effect),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
         "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
@@ -1688,6 +1691,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1994-01-01'
               AND l_shipdate < TIMESTAMP '1995-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_effect": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+              / sum(l_extendedprice * (1 - l_discount)), 4)
+              AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
         """,
         "top_customers_per_nation": """
             WITH ranked AS (

@@ -107,6 +107,82 @@ def q5_local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q4_order_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q4 flavor (late-shipment EXISTS on available columns):
+    orders from one quarter having at least one lineitem shipped after
+    the order date, counted per priority.
+
+    Scale: fact⋈fact LEFT SEMI join on the order key with the extra
+    date predicate in the join condition — one shuffle per side, no
+    broadcast; the quarter filter reaches the orders scan."""
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_items(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q10 flavor: revenue lost to returned items per customer for
+    one quarter, top 20.
+
+    Scale: nation (fixed 25 rows) is the only broadcast; customer,
+    orders, and lineitem are all SF-scaled shuffle joins left to AQE.
+    Deterministic top-k: ordered by (rounded revenue desc, custkey)."""
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_effect(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q14 flavor: promo revenue share for one ship month.
+
+    Scale: part is SF-scaled (200k×SF rows) — deliberately NO broadcast
+    hint; the l_partkey⋈p_partkey join stays a shuffle join that AQE may
+    downgrade to broadcast when the filtered month is small enough."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q6 flavor: pure filter+agg — predicate-pushdown probe."""
     li = t["lineitem"]
