@@ -67,6 +67,30 @@ def test_q5_broadcasts_only_nation_region(psession, tables):
         assert j and "Broadcast" not in j.group(1), (key, plan[:900])
 
 
+def test_q4_semi_join_stays_shuffle(psession, tables):
+    """q4: the orders⋈lineitem EXISTS is fact-to-fact — no broadcast may
+    appear anywhere in the plan."""
+    plan = plan_of(rq.q4_order_priority(tables))
+    assert "BroadcastHashJoin" not in plan, plan[:900]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin).*LeftSemi", plan), plan[:900]
+
+
+def test_q10_broadcasts_only_nation(psession, tables):
+    """q10: exactly one broadcast join (the 25-row nation dim); customer,
+    orders, lineitem all stay shuffle joins."""
+    plan = plan_of(rq.q10_returned_items(tables))
+    assert plan.count("BroadcastHashJoin") == 1, plan[:900]
+    assert re.search(r"BroadcastHashJoin \[c_nationkey", plan), plan[:900]
+
+
+def test_q14_part_join_not_broadcast(psession, tables):
+    """q14: part is SF-scaled — the l_partkey join must not be hinted to
+    broadcast (AQE may still convert it at runtime from stats; the
+    static contract is no hint)."""
+    plan = plan_of(rq.q14_promo_effect(tables))
+    assert "BroadcastHashJoin" not in plan, plan[:900]
+
+
 def test_q6_filters_push_into_scan(psession, tables):
     """q6 is the pushdown probe: shipdate/discount/quantity predicates
     must reach the parquet source as PushedFilters."""
