@@ -669,6 +669,13 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10), n_cells=8, n_probe=2, k=5
+    )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_near_dup(vecs, n_planes=4, threshold=0.4)
@@ -902,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # llmdata: similarity search tier
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # relational surface (SURVEY §2.5/2.7, table side)
         "q1_pricing_summary": rel(rq.q1_pricing_summary),
@@ -1637,6 +1645,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.oracle_doc_fingerprint_sql(),
         "ann_topk": similarity.oracle_cosine_topk_sql(k=5),
         "ann_lsh_topk": similarity.oracle_lsh_topk_sql(n_planes=4, k=5),
+        "ann_ivf_topk": similarity.oracle_ivf_topk_sql(
+            n_cells=8, n_probe=2, k=5
+        ),
         "embedding_near_dup": similarity.oracle_embedding_near_dup_sql(
             n_planes=4, threshold=0.4
         ),

@@ -246,6 +246,142 @@ def oracle_lsh_topk_sql(
     """
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    beside :func:`lsh_topk`.
+
+    Coarse quantizer: the ``n_cells`` lowest-id vectors serve as cell
+    centroids — a deterministic, reproducible seeding; a trained k-means
+    centroid table drops into the same plan without changing its shape.
+    Every vector is assigned to its nearest centroid by cosine (ties to
+    the lowest cell id); each query probes its ``n_probe`` nearest cells
+    and exact-reranks ONLY those cells' vectors.
+
+    Scale: centroids are broadcast (bounded by n_cells, like any trained
+    codebook); assignment is a broadcast join + per-vector argmax; the
+    rerank shuffles once on the cell id, and per-cell work is bounded by
+    cell size × queries probing the cell. No all-pairs stage."""
+    cents = broadcast(
+        _with_norm(
+            vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
+            vec_col,
+        ).select(
+            F.col(id_col).alias("__cell"),
+            F.col("__v").alias("__cv"),
+            F.col("__nrm").alias("__cn"),
+        )
+    )
+    score = F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
+
+    def assign(df: DataFrame, id_out: str, rank_limit: int) -> DataFrame:
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("__score").desc(), F.col("__cell").asc()
+        )
+        return (
+            df.crossJoin(cents)
+            .withColumn("__score", score)
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= rank_limit)
+            .drop("__cv", "__cn", "__score", "__cr")
+        )
+
+    v = assign(
+        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+        id_col,
+        1,
+    ).select(id_col, "__v", "__nrm", "__cell")
+    q = assign(
+        _with_norm(
+            queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
+        ).select("query_id", F.col("__v"), F.col("__nrm")),
+        "query_id",
+        n_probe,
+    ).select(
+        "query_id",
+        F.col("__v").alias("__qv"),
+        F.col("__nrm").alias("__qn"),
+        "__cell",
+    )
+    cos = F.expr(f"{_dot('__v', '__qv')}") / (F.col("__nrm") * F.col("__qn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        v.join(q, "__cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("__cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def oracle_ivf_topk_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_filter: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+) -> str:
+    cdot = _duck_dot("x.__v", "c.__v", dim)
+    dot = _duck_dot("a.__v", "q.__v", dim)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base
+    ),
+    cents AS (SELECT * FROM n WHERE {id_col} < {n_cells}),
+    assigned AS (
+      SELECT x.{id_col}, x.__v, x.__nrm, c.{id_col} AS __cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__nrm) DESC, c.{id_col} ASC) AS cr
+      FROM n x, cents c
+      QUALIFY cr = 1
+    ),
+    probes AS (
+      SELECT x.{id_col} AS query_id, x.__v, x.__nrm, c.{id_col} AS __cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__nrm) DESC, c.{id_col} ASC) AS cr
+      FROM n x, cents c
+      WHERE {query_filter.replace(id_col, 'x.' + id_col)}
+      QUALIFY cr <= {n_probe}
+    ),
+    scored AS (
+      SELECT q.query_id, a.{id_col},
+             {dot} / (a.__nrm * q.__nrm) AS __cos
+      FROM assigned a JOIN probes q ON a.__cell = q.__cell
+      WHERE a.{id_col} <> q.query_id
+    )
+    SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM scored
+    WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
+    """
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     *,
