@@ -624,6 +624,25 @@ def _q_tts_synthesize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_speech_enhance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamtasks_spark.media.inference import speech_enhance_stub
+
+    ev = _events(spark, sf_dir)
+    out = speech_enhance_stub(
+        _chunk_stream(ev, "view"), id_cols=("event_id", "user_id")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("aggregate(enhanced, 0D, (acc, v) -> acc + v)"), 6).alias(
+            "sum_enhanced"
+        ),
+        F.round(F.element_at("enhanced", 1), 6).alias("e_head"),
+        F.round(F.element_at("enhanced", 8), 6).alias("e_mid"),
+        F.round(F.element_at("enhanced", 16), 6).alias("e_tail"),
+    )
+
+
 def _q_llm_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamtasks_spark.media.inference import llm_chat_stub
 
@@ -901,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_renderer": _q_image_renderer,
         "asr_transcribe": _q_asr_transcribe,
         "tts_synthesize": _q_tts_synthesize,
+        "speech_enhance": _q_speech_enhance,
         "llm_chat": _q_llm_chat,
         # llmdata: text analysis tier
         "text_stats": _q_text_stats,
@@ -1422,6 +1442,26 @@ SELECT doc_id,
 FROM f
 """
 
+# stub kernel: 3-tap moving average, edges average available neighbors
+_ENHANCE_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, {_SAMPLES_DUCK} AS s
+  FROM events WHERE event_type = 'view'
+), e AS (
+  SELECT event_id, user_id,
+    list_transform(range(1, 17), i ->
+      CASE WHEN i = 1 THEN (s[1] + s[2]) / 2.0
+           WHEN i = 16 THEN (s[15] + s[16]) / 2.0
+           ELSE (s[i - 1] + s[i] + s[i + 1]) / 3.0 END) AS en
+  FROM c
+)
+SELECT event_id, user_id,
+  round(list_sum(en), 6) AS sum_enhanced,
+  round(en[1], 6) AS e_head, round(en[8], 6) AS e_mid,
+  round(en[16], 6) AS e_tail
+FROM e
+"""
+
 # stub reply = 'reply#' || len(history) || ':' || total chars of the last
 # history_limit(=8) messages including the current one
 _LLM_CHAT_SQL = """
@@ -1639,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "image_renderer": _IMAGE_RENDERER_SQL,
         "asr_transcribe": _ASR_SQL,
         "tts_synthesize": _TTS_SQL,
+        "speech_enhance": _ENHANCE_SQL,
         "llm_chat": _LLM_CHAT_SQL,
         "text_stats": textstats.oracle_text_stats_sql(),
         "lang_id": textstats.oracle_lang_id_sql(),

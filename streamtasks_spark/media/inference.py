@@ -90,6 +90,48 @@ def tts_stub(
     return src.mapInPandas(synth, f"{ddl}, samples array<double>")
 
 
+def speech_enhance_stub(
+    chunks: DataFrame,
+    *,
+    id_cols: Sequence[str] = ("user_id", "ts"),
+    samples_col: str = "samples",
+) -> DataFrame:
+    """Speech-enhancement stage (reference inference/
+    smespeechenhancement.py, waveformspeechenhancement.py: audio chunk in,
+    enhanced chunk out). Stub kernel: 3-tap moving average (edge samples
+    average their available neighbors) — a real, deterministic DSP
+    smoother so the Arrow plumbing is verifiable end-to-end; the
+    speechbrain enhancer drops into ``enhance`` unchanged."""
+    ids = list(id_cols)
+    src = chunks.select(*ids, samples_col)
+    ddl = ", ".join(f"`{c}` {src.schema[c].dataType.simpleString()}" for c in ids)
+
+    def enhance(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _get_model("enhance")
+        for pdf in batches:
+            out = pdf[ids].copy()
+            enhanced = []
+            for s in pdf[samples_col]:
+                s = list(s)
+                n = len(s)
+                enhanced.append(
+                    [
+                        (s[max(0, i - 1)] + s[i] + s[min(n - 1, i + 1)]) / 3.0
+                        if 0 < i < n - 1
+                        else (s[i] + s[i + 1]) / 2.0
+                        if i == 0 and n > 1
+                        else (s[i - 1] + s[i]) / 2.0
+                        if i == n - 1 and n > 1
+                        else s[i]
+                        for i in range(n)
+                    ]
+                )
+            out["enhanced"] = enhanced
+            yield out
+
+    return src.mapInPandas(enhance, f"{ddl}, enhanced array<double>")
+
+
 def llm_chat_stub(
     messages: DataFrame,
     *,

@@ -1,4 +1,7 @@
-"""Structured Streaming tier: sources (pulse generator, parquet
-streams), stateful operator twins (gate / last-value join / ordered
-merge with drop-late), matching the batch formulations in
-``operators/`` on the same data. See sources.py and stateful.py."""
+"""Structured Streaming tier: sources (pulse generator, parquet/UI-input
+streams), viewer sinks, and stateful operator twins (gate, switch, SR
+latch, pause propagation, last-value join, ordered merge with
+drop-late, message detector with processing-time timers, clock-mode
+time buffer) — each test-verified equal to its batch formulation in
+``operators/`` on the same data. See sources.py, sinks.py,
+stateful.py."""
