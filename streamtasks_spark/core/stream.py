@@ -37,8 +37,13 @@ class Stream:
         self.keys = list(keys)
         self.seq_col = seq_col
 
-    def _wrap(self, df: DataFrame) -> "Stream":
-        return Stream(df, ts=self.ts, keys=self.keys, seq_col=self.seq_col)
+    def _wrap(self, df: DataFrame, seq_col: str | None = None) -> "Stream":
+        # operators may not carry the sequence column through (e.g. the
+        # chunkers regroup rows); keep only metadata that still resolves
+        seq = seq_col if seq_col is not None else self.seq_col
+        if seq is not None and seq not in df.columns:
+            seq = None
+        return Stream(df, ts=self.ts, keys=self.keys, seq_col=seq)
 
     def _kw(self) -> dict:
         return {"keys": self.keys, "ts": self.ts, "seq_col": self.seq_col}
@@ -89,6 +94,52 @@ class Stream:
             )
         )
 
+    def with_pause(self, control: "Stream", **kw) -> "Stream":
+        """Annotate rows with the latched paused state from a control
+        stream (control-as-data pause propagation)."""
+        from streamtasks_spark.operators.stateful import pause_state
+
+        return self._wrap(
+            pause_state(self.df, control.df, **{**self._kw(), **kw})
+        )
+
+    def latch(self, reset: "Stream", **kw) -> "Stream":
+        """SR latch: self is the set stream, ``reset`` the reset stream."""
+        from streamtasks_spark.operators.stateful import sr_latch
+
+        return self._wrap(sr_latch(self.df, reset.df, **{**self._kw(), **kw}))
+
+    def detect(self, timeout_ms: int = 1000) -> "Stream":
+        """MessageDetector: presence signal with up/down transitions."""
+        from streamtasks_spark.operators.stateful import message_detector
+
+        return self._wrap(
+            message_detector(
+                self.df, keys=self.keys, ts=self.ts, timeout_ms=timeout_ms
+            )
+        )
+
+    def concat_on(self, control: "Stream", separator: str = "", **kw) -> "Stream":
+        """StringConcatenator: accumulate text, flush on the control's
+        rising edge."""
+        from streamtasks_spark.operators.stateful import string_concatenator
+
+        return self._wrap(
+            string_concatenator(
+                self.df, control.df, separator=separator, **{**self._kw(), **kw}
+            )
+        )
+
+    @staticmethod
+    def switch(pairs: Sequence[tuple["Stream", "Stream"]], **kw) -> "Stream":
+        """Switch / mux over (data, control) Stream pairs; routing
+        metadata comes from the first data stream."""
+        from streamtasks_spark.operators.stateful import switch
+
+        first = pairs[0][0]
+        params = {**first._kw(), **kw}
+        return first._wrap(switch([(d.df, c.df) for d, c in pairs], **params))
+
     def asof_join(self, right: "Stream", **kw) -> "Stream":
         from streamtasks_spark.operators.joins import asof_join
 
@@ -127,6 +178,37 @@ class Stream:
                 value_cols=value_cols,
                 seq_col=self.seq_col,
             )
+        )
+
+    # ------------------------------------------------- chunk windows
+
+    def chunk(self, chunk_size: int, **kw) -> "Stream":
+        """Re-chunk a samples stream into fixed-size chunks."""
+        from streamtasks_spark.operators.chunks import audio_chunker
+
+        return self._wrap(
+            audio_chunker(self.df, chunk_size=chunk_size, **{**self._kw(), **kw}),
+            seq_col="chunk_id",  # the chunk stream's new sequence
+        )
+
+    def chunk_padded(self, chunk_size: int, padding: int, **kw) -> "Stream":
+        """Overlapping ASR-style windows (step chunk_size, pad both sides)."""
+        from streamtasks_spark.operators.chunks import padded_audio_chunker
+
+        return self._wrap(
+            padded_audio_chunker(
+                self.df, chunk_size=chunk_size, padding=padding,
+                **{**self._kw(), **kw},
+            ),
+            seq_col="chunk_id",
+        )
+
+    def smooth(self, overlap: int, **kw) -> "Stream":
+        """Crossfade consecutive chunks over ``overlap`` samples."""
+        from streamtasks_spark.operators.chunks import audio_smoother
+
+        return self._wrap(
+            audio_smoother(self.df, overlap=overlap, **{**self._kw(), **kw})
         )
 
     # ------------------------------------------------- egress

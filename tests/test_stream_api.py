@@ -43,6 +43,78 @@ def test_stream_chain_calculate_and_buffer(spark):
     assert (row["ts"] - src["ts"]).total_seconds() == 1.0
 
 
+def test_stream_new_fluent_ops_equal_functional(spark):
+    from streamtasks_spark.operators.chunks import audio_chunker
+    from streamtasks_spark.operators.stateful import pause_state, sr_latch, switch
+
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    s = Stream(ev, keys=["user_id"], seq_col="event_id")
+    clicks = s.filter("event_type = 'click'")
+    errors = s.filter("event_type = 'error'").threshold(25)
+    purchases = s.filter("event_type = 'purchase'").threshold(25)
+
+    # with_pause
+    fluent = {
+        (r["event_id"], r["paused"])
+        for r in clicks.with_pause(errors).to_df().collect()
+    }
+    direct = {
+        (r["event_id"], r["paused"])
+        for r in pause_state(
+            clicks.df, errors.df, keys=["user_id"], seq_col="event_id"
+        ).collect()
+    }
+    assert fluent == direct and fluent
+
+    # latch
+    fl = sorted(
+        (r["user_id"], r["ts"], r["value"])
+        for r in purchases.latch(errors).to_df().collect()
+    )
+    dl = sorted(
+        (r["user_id"], r["ts"], r["value"])
+        for r in sr_latch(
+            purchases.df, errors.df, keys=["user_id"], seq_col="event_id"
+        ).collect()
+    )
+    assert fl == dl and fl
+
+    # switch (static)
+    views = s.filter("event_type = 'view'")
+    errs_data = s.filter("event_type = 'error'")
+    fs = {
+        r["event_id"]
+        for r in Stream.switch(
+            [(views, clicks), (errs_data, purchases)]
+        ).to_df().collect()
+    }
+    ds = {
+        r["event_id"]
+        for r in switch(
+            [(views.df, clicks.df), (errs_data.df, purchases.df)],
+            keys=["user_id"],
+            seq_col="event_id",
+        ).collect()
+    }
+    assert fs == ds and fs
+
+    # chunk
+    chunked = clicks.select_value(
+        "transform(sequence(1, 16), i -> cast(value * i as double))", "samples"
+    )
+    fc = {
+        (r["user_id"], r["chunk_id"])
+        for r in chunked.chunk(24).to_df().collect()
+    }
+    dc = {
+        (r["user_id"], r["chunk_id"])
+        for r in audio_chunker(
+            chunked.df, keys=["user_id"], seq_col="event_id", chunk_size=24
+        ).collect()
+    }
+    assert fc == dc and fc
+
+
 def test_stream_publish_registers_named_topic(spark):
     from streamtasks_spark.session import named_input
 
