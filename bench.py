@@ -72,9 +72,6 @@ def main() -> int:
             continue
         best = None
         try:
-            # collect garbage from the previous query so its GC debt
-            # doesn't land in this query's timed runs
-            spark.sparkContext._jvm.System.gc()
             run_query(fn, spark, sf_dir)  # untimed codegen/JIT warm-up
             for _ in range(max(1, iters)):
                 sec = run_query(fn, spark, sf_dir)
