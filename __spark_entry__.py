@@ -189,7 +189,15 @@ def _q_pause_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
     )
     out = pause_state(data, ctl, keys=["user_id"], seq_col="event_id")
-    return out.select("event_id", "user_id", "ts", "value", "paused")
+    # boolean-as-float on the wire (the engine's control convention;
+    # also keeps the driver's value-hash comparator on proven ground)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("paused"), 1.0).otherwise(0.0).alias("paused"),
+    )
 
 
 def _q_sr_latch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1004,7 +1012,7 @@ WITH u AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, ts, value,
-  coalesce(pause_ctl > 0.5, false) AS paused
+  CASE WHEN coalesce(pause_ctl > 0.5, false) THEN 1.0 ELSE 0.0 END AS paused
 FROM st WHERE prio = 1
 """
 
