@@ -135,6 +135,57 @@ def test_switch_all_permutations(spark):
     assert expected
 
 
+# ------------------------------------------------------ message_detector
+
+
+def test_message_detector_all_gap_permutations(spark):
+    """Every permutation of a gap alphabet (within/at/over the timeout)
+    becomes one key; the batch detector's up/down transitions must match
+    the model: up at the first event or after a gap > timeout, down at
+    prev_ts + timeout when a gap exceeds the timeout (and after the last
+    event)."""
+    from streamtasks_spark.operators.stateful import message_detector
+
+    timeout = 1000
+    gaps = (1, 500, 1000, 1001, 3000)  # deltas between consecutive events
+    rows = []
+    expected = {}
+    for pi, perm in enumerate(permutations(gaps)):
+        key = f"g{pi}"
+        ts = 1_000_000
+        times = [ts]
+        for g in perm:
+            ts += g
+            times.append(ts)
+        for t in times:
+            rows.append({"key": key, "ts_ms": t})
+        # model
+        trans = []
+        prev = None
+        for t in times:
+            if prev is None or t - prev > timeout:
+                if prev is not None:
+                    trans.append((prev + timeout, 0.0))
+                trans.append((t, 1.0))
+            prev = t
+        trans.append((prev + timeout, 0.0))
+        expected[key] = sorted(trans)
+
+    df = spark.createDataFrame(
+        [{"key": r["key"], "ts": ms(r["ts_ms"])} for r in rows]
+    )
+    out = message_detector(df, keys=["key"], timeout_ms=timeout)
+    got: dict[str, list] = {}
+    for r in out.collect():
+        t = int(r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1000)
+        got.setdefault(r["key"], []).append((t, r["value"]))
+    for key in got:
+        got[key].sort()
+    assert got == expected
+    # the alphabet must produce both merged runs and split runs
+    assert {len(v) for v in expected.values()} != {2}
+
+
 # -------------------------------------------------------------- sr_latch
 
 
