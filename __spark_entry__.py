@@ -156,6 +156,25 @@ def _q_fn_task(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("value", 6).alias("value"))
 
 
+@fn_task
+def _running_total(x: float, state) -> float:
+    """Stateful typed fn (reference fntask.py `state` injection): the
+    dict persists across calls within a key's event-ordered stream."""
+    state["acc"] = state.get("acc", 0.0) + x
+    return state["acc"]
+
+
+def _q_fn_task_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = _running_total.as_stateful_stream_op(
+        clicks, keys=["user_id"], seq_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value", 6).alias("running_total")
+    )
+
+
 def _q_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     data = ev.filter(F.col("event_type").isin("click", "view"))
@@ -882,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
         "fn_task": _q_fn_task,
+        "fn_task_stateful": _q_fn_task_stateful,
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         # filters / routing (SURVEY §2.3)
@@ -1542,6 +1562,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "number_to_text": """
             SELECT event_id, CAST(value AS VARCHAR) AS vtext FROM events
+        """,
+        "fn_task_stateful": """
+            SELECT event_id, user_id,
+              round(sum(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                AS running_total
+            FROM events WHERE event_type = 'click'
         """,
         "fn_task": """
             WITH u AS (

@@ -94,6 +94,10 @@ class FnTask:
         ]
         self.wants_timestamp = "timestamp" in sig.parameters
         self.wants_config = "config" in sig.parameters
+        self.wants_state = "state" in sig.parameters
+        if self.wants_state and vectorized:
+            # a per-call mutable state is inherently sequential
+            vectorized = False
         if "return" not in hints:
             raise TypeError("fn_task requires a return annotation")
         ret = hints["return"]
@@ -152,12 +156,76 @@ class FnTask:
         """Apply as a column expression; args in declared parameter order
         (plus the event-time column last if the fn asks for
         ``timestamp``)."""
+        if self.wants_state:
+            raise TypeError(
+                f"{self.name} declares `state`: use as_stateful_stream_op"
+                " (state is per-key sequential, not a column expression)"
+            )
         expected = len(self.params) + (1 if self.wants_timestamp else 0)
         if len(cols) != expected:
             raise ValueError(
                 f"{self.name} expects {expected} columns, got {len(cols)}"
             )
         return self.udf(*cols)
+
+    def as_stateful_stream_op(
+        self,
+        primary: DataFrame,
+        *,
+        keys: Sequence[str],
+        ts: str = "ts",
+        value_col: str = "value",
+        seq_col: str | None = None,
+    ) -> DataFrame:
+        """Stateful fn execution (reference fntask.py: a ``state`` object
+        persists across calls within a task instance — per stream key
+        here). Rows are processed in event order per key; ``state`` is a
+        dict the fn reads and mutates. Spark shape: one shuffle on keys,
+        per-group sequential apply (applyInPandas), state local to the
+        group — exactly how per-key state shards at scale."""
+        if not self.wants_state:
+            raise TypeError(f"{self.name} has no `state` parameter")
+        id_cols = [*keys, ts] + ([seq_col] if seq_col else [])
+        src = primary.select(*id_cols, value_col)
+        ddl = ", ".join(
+            f"`{c}` {src.schema[c].dataType.simpleString()}" for c in id_cols
+        )
+        out_fields = (
+            "`value` " + self.out_types[0].simpleString()
+            if self.n_outputs == 1
+            else ", ".join(
+                f"`value_{i}` {t.simpleString()}"
+                for i, t in enumerate(self.out_types)
+            )
+        )
+        fn_ref, cfg = self.fn, self.config
+        wants_cfg, wants_ts = self.wants_config, self.wants_timestamp
+        n_out = self.n_outputs
+        sort_cols = [ts] + ([seq_col] if seq_col else [])
+        in_type = self.in_types[0]
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
+            state: dict = {}
+            outs = []
+            for _, row in pdf.iterrows():
+                kw = {"state": state}
+                if wants_cfg:
+                    kw["config"] = cfg
+                args = [row[value_col]]
+                if wants_ts:
+                    kw["timestamp"] = row[ts]
+                outs.append(fn_ref(*args, **kw))
+            out = pdf[id_cols].copy()
+            if n_out == 1:
+                out["value"] = outs
+            else:
+                for i in range(n_out):
+                    out[f"value_{i}"] = [o[i] for o in outs]
+            return out
+
+        _ = in_type  # declared input type documents the contract
+        return src.groupBy(*keys).applyInPandas(run, f"{ddl}, {out_fields}")
 
     def as_stream_op(
         self,
