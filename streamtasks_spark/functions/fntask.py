@@ -180,13 +180,24 @@ class FnTask:
         """Stateful fn execution (reference fntask.py: a ``state`` object
         persists across calls within a task instance — per stream key
         here). Rows are processed in event order per key; ``state`` is a
-        dict the fn reads and mutates. Spark shape: one shuffle on keys,
-        per-group sequential apply (applyInPandas), state local to the
-        group — exactly how per-key state shards at scale."""
+        dict the fn reads and mutates.
+
+        Spark shape: the per-stream codec discipline — repartition by
+        key, sort within partitions by (key, ts, seq), then ONE Arrow
+        ``mapInPandas`` stage holding a state dict per key. One shuffle;
+        per-partition (not per-group) Arrow overhead, which matters when
+        keys are many and small."""
         if not self.wants_state:
             raise TypeError(f"{self.name} has no `state` parameter")
         id_cols = [*keys, ts] + ([seq_col] if seq_col else [])
-        src = primary.select(*id_cols, value_col)
+        key_cols = list(keys)
+        src = (
+            primary.select(*id_cols, value_col)
+            .repartition(*[F.col(k) for k in keys])
+            .sortWithinPartitions(
+                *key_cols, ts, *([seq_col] if seq_col else [])
+            )
+        )
         ddl = ", ".join(
             f"`{c}` {src.schema[c].dataType.simpleString()}" for c in id_cols
         )
@@ -201,31 +212,30 @@ class FnTask:
         fn_ref, cfg = self.fn, self.config
         wants_cfg, wants_ts = self.wants_config, self.wants_timestamp
         n_out = self.n_outputs
-        sort_cols = [ts] + ([seq_col] if seq_col else [])
-        in_type = self.in_types[0]
 
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
-            state: dict = {}
-            outs = []
-            for _, row in pdf.iterrows():
-                kw = {"state": state}
-                if wants_cfg:
-                    kw["config"] = cfg
-                args = [row[value_col]]
-                if wants_ts:
-                    kw["timestamp"] = row[ts]
-                outs.append(fn_ref(*args, **kw))
-            out = pdf[id_cols].copy()
-            if n_out == 1:
-                out["value"] = outs
-            else:
-                for i in range(n_out):
-                    out[f"value_{i}"] = [o[i] for o in outs]
-            return out
+        def run(batches):
+            states: dict[tuple, dict] = {}  # per key, across Arrow batches
+            for pdf in batches:
+                vals = pdf[value_col].to_list()
+                tss = pdf[ts].to_list() if wants_ts else [None] * len(vals)
+                key_iter = zip(*[pdf[k].to_list() for k in key_cols])
+                outs = []
+                for kt, v, t in zip(key_iter, vals, tss):
+                    kw = {"state": states.setdefault(kt, {})}
+                    if wants_cfg:
+                        kw["config"] = cfg
+                    if wants_ts:
+                        kw["timestamp"] = t
+                    outs.append(fn_ref(v, **kw))
+                out = pdf[id_cols].copy()
+                if n_out == 1:
+                    out["value"] = outs
+                else:
+                    for i in range(n_out):
+                        out[f"value_{i}"] = [o[i] for o in outs]
+                yield out
 
-        _ = in_type  # declared input type documents the contract
-        return src.groupBy(*keys).applyInPandas(run, f"{ddl}, {out_fields}")
+        return src.mapInPandas(run, f"{ddl}, {out_fields}")
 
     def as_stream_op(
         self,
