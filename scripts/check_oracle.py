@@ -58,11 +58,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 a = sv.astype("float64").to_numpy()
                 b = ov.astype("float64").to_numpy()
                 both_nan = np.isnan(a) & np.isnan(b)
-                eq = (a == b) | both_nan
+                # bit-level compare: the driver hashes bytes, so -0.0 != +0.0
+                eq = (a.view(np.uint64) == b.view(np.uint64)) | both_nan
                 if not eq.all():
                     bad = int((~eq).sum())
+                    num_eq = ((a == b) | both_nan).all()
                     mx = np.nanmax(np.abs(np.where(eq, 0, a - b)))
-                    problems.append(f"col {c}: {bad} value mismatches (max abs diff {mx:.3e})")
+                    kind = "BIT-ONLY (e.g. -0.0)" if num_eq else "value"
+                    problems.append(f"col {c}: {bad} {kind} mismatches (max abs diff {mx:.3e})")
             else:
                 eq = (sv.astype(str) == ov.astype(str))
                 if not eq.all():

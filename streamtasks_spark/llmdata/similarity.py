@@ -382,6 +382,93 @@ def oracle_ivf_topk_sql(
     """
 
 
+def recall_probe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Measured recall@k of the approximate tiers against the exact
+    baseline, as a query: for each approximate method, the fraction of
+    exact top-k (query, neighbor) pairs it also returns. Output one row
+    per method: (method, hits, possible, recall).
+
+    All three inputs are deterministic (fixed hyperplanes / centroid
+    seeding / tie-breaks), so recall itself is deterministic and
+    DuckDB-reproducible — the quality of the approximate tier becomes a
+    driver-verified number instead of an asserted one."""
+    exact = pin(
+        cosine_topk(vectors, queries, id_col=id_col, vec_col=vec_col, k=k)
+    ).select("query_id", id_col)
+
+    def one(approx: DataFrame, name: str) -> DataFrame:
+        a = approx.select("query_id", id_col, F.lit(1).alias("__hit"))
+        return (
+            exact.join(a, ["query_id", id_col], "left")
+            .agg(
+                F.count(F.lit(1)).alias("possible"),
+                F.count("__hit").alias("hits"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                "hits",
+                "possible",
+                F.round(F.col("hits") / F.col("possible"), 6).alias("recall"),
+            )
+        )
+
+    lsh = lsh_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, k=k,
+    )
+    ivf = ivf_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        n_probe=n_probe, k=k,
+    )
+    return one(lsh, "lsh").unionByName(one(ivf, "ivf"))
+
+
+def oracle_recall_probe_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_filter: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+) -> str:
+    common = dict(
+        source_sql=source_sql, query_filter=query_filter, id_col=id_col,
+        vec_col=vec_col, dim=dim, k=k,
+    )
+    exact = oracle_cosine_topk_sql(**common)
+    lsh = oracle_lsh_topk_sql(**common, n_planes=n_planes)
+    ivf = oracle_ivf_topk_sql(**common, n_cells=n_cells, n_probe=n_probe)
+    recall = (
+        f"SELECT count(a.query_id) AS hits, count(*) AS possible,\n"
+        f"  round(count(a.query_id)::DOUBLE / count(*), 6) AS recall\n"
+        f"FROM exact e LEFT JOIN {{m}} a\n"
+        f"  ON e.query_id = a.query_id AND e.{id_col} = a.{id_col}"
+    )
+    return f"""
+    WITH exact AS ({exact}),
+    lsh AS ({lsh}),
+    ivf AS ({ivf})
+    SELECT 'lsh' AS method, * FROM ({recall.format(m='lsh')})
+    UNION ALL
+    SELECT 'ivf' AS method, * FROM ({recall.format(m='ivf')})
+    """
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     *,

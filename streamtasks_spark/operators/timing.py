@@ -170,6 +170,9 @@ def interleave_by_duration(
     seq_col: str | None = None,
     stream_col: str = "stream_idx",
     order_col: str = "mux_order",
+    max_desync_ms: float | None = None,
+    ts_col: str = "ts",
+    drop_col: str = "dropped",
 ) -> DataFrame:
     """OutputContainer's cross-track interleave rule (reference
     media/outputcontainer.py:70-101): the muxer always takes the next
@@ -180,17 +183,36 @@ def interleave_by_duration(
     within keys sorts by (cum_before, stream_idx, seq). Emits all input
     rows with ``stream_idx``, ``cum_before`` and ``order_col``.
 
-    (The reference's ``max_desync`` drop needs emission-time state and
-    lives in the streaming tier's ordered sinks; the batch op exposes
-    the deterministic interleaving order itself.)"""
+    ``max_desync_ms`` (reference outputcontainer.py:49,70-101): the muxer
+    refuses to wait for a track that has fallen too far behind — the
+    reference drops a packet when its timestamp is more than
+    ``max_desync`` ms older than the track currently leading the mux.
+    Batch formulation: the mux head position is the running max of
+    ``ts_col`` over packets already muxed (strictly before this row in
+    the mux order); a packet whose own timestamp lags that head by more
+    than ``max_desync_ms`` is flagged in ``drop_col``. Desync is only
+    possible when duration accumulation and timestamps disagree (track
+    gaps) — exactly the reference's stall case. The drop window shares
+    the mux window's partitioning and sort, so it costs no extra
+    shuffle."""
+    if seq_col is None:
+        # a constant tiebreaker would make cum_before/mux_order
+        # nondeterministic across runs for multi-row streams
+        if all("ts" in s.columns for s in streams):
+            seq_col = "ts"
+        else:
+            raise ValueError(
+                "interleave_by_duration needs seq_col (or a 'ts' column) "
+                "for a deterministic per-stream order"
+            )
     tagged = None
     for i, s in enumerate(streams):
         t = s.withColumn(stream_col, F.lit(i))
         tagged = t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
-    seq_order = [F.col(seq_col).asc()] if seq_col else []
+    seq_order = [F.col(seq_col).asc()]
     w_stream = (
         Window.partitionBy(*[F.col(k) for k in keys], F.col(stream_col))
-        .orderBy(*(seq_order or [F.col(stream_col)]))
+        .orderBy(*seq_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     tagged = tagged.withColumn(
@@ -200,4 +222,20 @@ def interleave_by_duration(
     w_mux = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col("cum_before").asc(), F.col(stream_col).asc(), *seq_order
     )
-    return tagged.withColumn(order_col, F.row_number().over(w_mux))
+    out = tagged.withColumn(order_col, F.row_number().over(w_mux))
+    if max_desync_ms is not None:
+        w_run = (
+            Window.partitionBy(*[F.col(k) for k in keys])
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        head = F.max(F.unix_micros(F.col(ts_col))).over(w_run)
+        out = out.withColumn(
+            drop_col,
+            F.coalesce(
+                (head - F.unix_micros(F.col(ts_col)))
+                > F.lit(int(max_desync_ms * 1000)),
+                F.lit(False),  # the first muxed packet has no head to lag
+            ),
+        )
+    return out

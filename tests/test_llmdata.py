@@ -171,3 +171,39 @@ def test_cosine_topk_matches_numpy(spark):
         )[:3]
         expect = [(qid, i, round(s, 6), r + 1) for r, (s, i) in enumerate(order)]
         assert [g for g in got if g[0] == qid] == expect
+
+
+def test_recall_probe_matches_manual_recall(spark):
+    """recall_probe's numbers must equal recall computed by hand from the
+    exact and approximate top-k outputs on the same data."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").cache()
+    qs = vecs.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(vecs, qs, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.lsh_topk(vecs, qs, n_planes=4, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(
+            vecs, qs, n_cells=8, n_probe=2, k=5
+        ).collect()
+    }
+    got = {
+        r["method"]: r
+        for r in similarity.recall_probe(
+            vecs, qs, n_planes=4, n_cells=8, n_probe=2, k=5
+        ).collect()
+    }
+    assert set(got) == {"lsh", "ivf"}
+    for name, approx in [("lsh", lsh), ("ivf", ivf)]:
+        r = got[name]
+        assert r["possible"] == len(exact)
+        assert r["hits"] == len(exact & approx)
+        assert abs(r["recall"] - round(len(exact & approx) / len(exact), 6)) < 1e-9

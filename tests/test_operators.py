@@ -357,3 +357,55 @@ def test_replay_buffer_round_trip(spark, tmp_path):
                 ts = got[(it, r["seq"])]
                 got_ms = ts.timestamp() * 1000
                 assert abs(got_ms - expect_ms) < 1, (key, it, r["seq"])
+
+
+def test_interleave_max_desync_flags_lagging_stream(spark):
+    """OutputContainer's max_desync rule (reference outputcontainer.py:
+    49,70-101): a packet timestamped more than max_desync ms behind the
+    mux head (the newest timestamp already muxed) is flagged for drop.
+    Desync needs duration/timestamp disagreement: stream 0 accumulates
+    duration fast (muxed late) while its timestamps crawl; stream 1 races
+    ahead in timestamps on tiny durations."""
+    from streamtasks_spark.operators.timing import interleave_by_duration
+
+    a = spark.createDataFrame(
+        [
+            {"key": "k", "seq": i, "duration": 100.0, "ts": ms(1_000_000 + 10 * i)}
+            for i in range(5)
+        ]
+    )
+    b = spark.createDataFrame(
+        [
+            {"key": "k", "seq": i, "duration": 10.0, "ts": ms(1_000_000 + 1000 * i)}
+            for i in range(5)
+        ]
+    )
+    out = interleave_by_duration(
+        [a, b], keys=["key"], seq_col="seq", max_desync_ms=1000.0
+    ).collect()
+
+    # python model: replay in mux order tracking the head timestamp
+    rows = sorted(out, key=lambda r: r["mux_order"])
+    head = None
+    for r in rows:
+        t = r["ts"].timestamp() * 1000
+        expect = head is not None and head - t > 1000.0
+        assert r["dropped"] == expect, r
+        head = t if head is None else max(head, t)
+    dropped = [r for r in rows if r["dropped"]]
+    assert dropped  # the rule actually fires on this data
+    assert all(r["stream_idx"] == 0 for r in dropped)  # only the stale track
+
+
+def test_interleave_seq_col_fallback_and_raise(spark):
+    from streamtasks_spark.operators.timing import interleave_by_duration
+
+    no_order = spark.createDataFrame([{"key": "k", "duration": 1.0}])
+    with pytest.raises(ValueError, match="seq_col"):
+        interleave_by_duration([no_order, no_order], keys=["key"])
+
+    with_ts = spark.createDataFrame(
+        [{"key": "k", "ts": ms(1_000_000 + i), "duration": 1.0} for i in range(3)]
+    )
+    out = interleave_by_duration([with_ts, with_ts], keys=["key"]).collect()
+    assert len(out) == 6  # falls back to ts ordering, deterministic
