@@ -210,17 +210,25 @@ def dedup_minhash(
     key (one shuffle), two id-joins for verification. No all-pairs stage
     anywhere."""
     hs = pin(_shingle_hashes(docs, id_col, text_col, k))
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(hashes, h -> ({a}L * h + {b}L) % {P_MOD}L))"
-        ).alias(f"__s{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    sigs = hs.select(F.col(id_col), *sig_cols)
+    # ONE traversal of each doc's hash array maintaining all 32 minima in
+    # a fold accumulator (vs 32 separate array_min(transform(...)) passes
+    # re-scanning the array per permutation). least(m, (a*h+b)%P) with
+    # init P ≡ array_min of the transformed array, since every hash value
+    # is < P; the permutation constants are identical, so the DuckDB
+    # oracle is unchanged.
+    consts = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in MINHASH_PERMS
+    )
+    sig_expr = (
+        f"aggregate(hashes, array_repeat({P_MOD}L, {N_PERMS}), "
+        f"(acc, h) -> zip_with(acc, array({consts}), "
+        f"(m, c) -> least(m, (c.a * h + c.b) % {P_MOD}L)))"
+    )
+    sigs = hs.select(F.col(id_col), F.expr(sig_expr).alias("__sig"))
     band_cols = []
     for bi in range(N_BANDS):
         members = ", ".join(
-            f"cast(__s{bi * ROWS_PER_BAND + r} as string)"
+            f"cast(__sig[{bi * ROWS_PER_BAND + r}] as string)"
             for r in range(ROWS_PER_BAND)
         )
         band_cols.append(f"__b{bi}")

@@ -37,34 +37,97 @@ from pyspark.sql import functions as F
 from streamtasks_spark.operators.joins import last_value_join
 
 
-def _sample_index(
+def _row_offsets(
     chunks: DataFrame,
     keys: Sequence[str],
     ts: str,
     samples_col: str,
     seq_col: str | None,
 ) -> DataFrame:
-    """Explode a chunk stream into (keys, ts, __idx, __v): the per-key
-    GLOBAL sample index (running offset over rows in event order + the
-    position inside the row's array). One window pass + one explode; the
-    downstream chunk regrouping shuffles on (keys, chunk_id)."""
+    """Annotate each chunk row with ``__off`` (the per-key GLOBAL sample
+    index of its first sample: running sum of array sizes in event order)
+    and ``__n`` (its array size). One window pass, no explode — rows stay
+    rows; chunk membership is then computed per ROW (each row overlaps at
+    most ceil(width/step)+1 output chunks), not per sample."""
     order = [F.col(ts).asc()] + ([F.col(seq_col).asc()] if seq_col else [])
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    return chunks.filter(F.size(samples_col) > 0).withColumn(
+        "__off",
+        F.coalesce(F.sum(F.size(samples_col)).over(w), F.lit(0)).cast("long"),
+    ).withColumn("__n", F.size(samples_col).cast("long"))
+
+
+def _slice_chunker(
+    chunks: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    samples_col: str,
+    seq_col: str | None,
+    step: int,
+    width: int,
+) -> DataFrame:
+    """Shared slice-based re-chunker: output chunk c covers global sample
+    indices [c*step, c*step + width). Each input row emits one SLICE of
+    its array per overlapped chunk (≤ ceil(width/step)+1 rows, vs one row
+    per SAMPLE in an explode formulation); chunks reassemble with
+    flatten(sorted slices). Only complete windows are emitted.
+
+    Plan shape: ONE exchange total — the groupBy(keys, chunk) reuses the
+    offset window's hash partitioning on ``keys`` (verified in the
+    physical plan), so explode output never crosses the wire in either
+    formulation; the slice win is Generate→Aggregate row count, which
+    grows with array width. Measured at sf0.1 with 16-wide toy arrays:
+    padded (32× sample blowup, per-sample membership filter) 1.45 s →
+    1.11 s with slices; tumbling (16×, div-only membership) is ~0.15 s
+    faster exploded — kept on slices anyway, since real audio frames are
+    256-4096 samples wide and the per-sample formulation's blowup scales
+    with width while the slice count stays ≤ ceil(width/step)+1."""
+    ex = _row_offsets(chunks, keys, ts, samples_col, seq_col)
+    # candidate chunks: c*step < __off+__n AND c*step + width > __off,
+    # i.e. (__off - width) div step (rounded up) <= c <= (__off+__n-1) div step.
+    # For tumbling chunks (width == step) every candidate in
+    # [__off div step, (__off+__n-1) div step] qualifies — no filter.
+    if width == step:
+        candidates = f"sequence(__off div {step}L, (__off + __n - 1) div {step}L)"
+    else:
+        candidates = (
+            f"filter(sequence(greatest(0L, (__off - {width - 1}L) div {step}L), "
+            f"(__off + __n - 1) div {step}L), "
+            f"c -> c * {step}L < __off + __n AND c * {step}L + {width} > __off)"
+        )
+    member = ex.select(
+        *keys,
+        ts,
+        F.explode(
+            F.expr(
+                f"transform({candidates}, "
+                f"c -> struct("
+                f"c AS __chunk, "
+                f"greatest(c * {step}L, __off) AS __start, "
+                f"slice({samples_col}, "
+                f"cast(greatest(c * {step}L - __off, 0L) + 1 AS int), "
+                f"cast(least(c * {step}L + {width}, __off + __n) "
+                f"- greatest(c * {step}L, __off) AS int)) AS __slice))"
+            )
+        ).alias("__m"),
+    ).select(*keys, ts, F.col("__m.*"))
     return (
-        chunks.withColumn(
-            "__off", F.coalesce(F.sum(F.size(samples_col)).over(w), F.lit(0))
+        member.groupBy(*keys, "__chunk")
+        .agg(
+            F.min(ts).alias(ts),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__start", "__slice"))),
+                    lambda s: s["__slice"],
+                )
+            ).alias(samples_col),
         )
-        .select(
-            *keys,
-            ts,
-            F.col("__off"),
-            F.posexplode(samples_col).alias("__pos", "__v"),
-        )
-        .withColumn("__idx", (F.col("__off") + F.col("__pos")).cast("long"))
+        .filter(F.size(samples_col) == width)
+        .select(*keys, F.col("__chunk").alias("chunk_id"), ts, samples_col)
     )
 
 
@@ -83,20 +146,8 @@ def audio_chunker(
     remainder for the next input — in batch they are simply not
     emitted). Output: keys + chunk_id + ts (earliest source ts in the
     chunk) + samples (in stream order)."""
-    ex = _sample_index(chunks, keys, ts, samples_col, seq_col)
-    return (
-        ex.withColumn("__chunk", F.expr(f"__idx div {chunk_size}"))
-        .groupBy(*keys, "__chunk")
-        .agg(
-            F.min(ts).alias(ts),
-            F.count(F.lit(1)).alias("__n"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__idx", "__v"))),
-                lambda s: s["__v"],
-            ).alias(samples_col),
-        )
-        .filter(F.col("__n") == chunk_size)
-        .select(*keys, F.col("__chunk").alias("chunk_id"), ts, samples_col)
+    return _slice_chunker(
+        chunks, keys, ts, samples_col, seq_col, chunk_size, chunk_size
     )
 
 
@@ -114,36 +165,10 @@ def padded_audio_chunker(
     window): overlapping windows of ``chunk_size + 2*padding`` samples
     stepping by ``chunk_size`` — chunk c covers sample indices
     [c*chunk_size, c*chunk_size + chunk_size + 2*padding). Only complete
-    windows are emitted. Each sample lands in ≤ ceil(width/step) chunks
-    via a bounded explode — no self-join."""
-    width = chunk_size + 2 * padding
-    ex = _sample_index(chunks, keys, ts, samples_col, seq_col)
-    # candidate chunk ids for sample __idx: (idx - width) div step < c <= idx div step
-    member = ex.select(
-        *keys,
-        ts,
-        "__idx",
-        "__v",
-        F.explode(
-            F.expr(
-                f"filter(sequence(greatest(0L, (__idx - {width - 1}L) div {chunk_size}), "
-                f"__idx div {chunk_size}), "
-                f"c -> __idx >= c * {chunk_size} AND __idx < c * {chunk_size} + {width})"
-            )
-        ).alias("__chunk"),
-    )
-    return (
-        member.groupBy(*keys, "__chunk")
-        .agg(
-            F.min(ts).alias(ts),
-            F.count(F.lit(1)).alias("__n"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__idx", "__v"))),
-                lambda s: s["__v"],
-            ).alias(samples_col),
-        )
-        .filter(F.col("__n") == width)
-        .select(*keys, F.col("__chunk").alias("chunk_id"), ts, samples_col)
+    windows are emitted."""
+    return _slice_chunker(
+        chunks, keys, ts, samples_col, seq_col, chunk_size,
+        chunk_size + 2 * padding,
     )
 
 
