@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,13 +79,21 @@ def tts_stub(
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _get_model("tts")
+        idx = np.arange(n_samples)
         for pdf in batches:
             out = pdf[ids].copy()
-            out["samples"] = [
-                [float((ord(t[i % len(t)]) % 16) - 8) if t else 0.0
-                 for i in range(n_samples)]
-                for t in pdf[text_col].astype(str)
-            ]
+            samples = []
+            for t in pdf[text_col].astype(str):
+                if not t:
+                    samples.append([0.0] * n_samples)
+                    continue
+                # code points as a vector (utf-32-le units == ord()),
+                # waveform = (cp % 16) - 8 cycled to n_samples
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                samples.append(
+                    ((codes[idx % codes.size] % 16).astype(np.float64) - 8.0).tolist()
+                )
+            out["samples"] = samples
             yield out
 
     return src.mapInPandas(synth, f"{ddl}, samples array<double>")
@@ -112,20 +121,20 @@ def speech_enhance_stub(
             out = pdf[ids].copy()
             enhanced = []
             for s in pdf[samples_col]:
-                s = list(s)
-                n = len(s)
-                enhanced.append(
-                    [
-                        (s[max(0, i - 1)] + s[i] + s[min(n - 1, i + 1)]) / 3.0
-                        if 0 < i < n - 1
-                        else (s[i] + s[i + 1]) / 2.0
-                        if i == 0 and n > 1
-                        else (s[i - 1] + s[i]) / 2.0
-                        if i == n - 1 and n > 1
-                        else s[i]
-                        for i in range(n)
-                    ]
-                )
+                # vectorized 3-tap smoother; (a+b)+c grouping matches the
+                # scalar formulation bit-for-bit (numpy elementwise + is
+                # IEEE add in the same order)
+                a = np.asarray(s, dtype=np.float64)
+                n = a.size
+                if n <= 1:
+                    enhanced.append(a.tolist())
+                    continue
+                e = np.empty(n, dtype=np.float64)
+                e[0] = (a[0] + a[1]) / 2.0
+                e[-1] = (a[-2] + a[-1]) / 2.0
+                if n > 2:
+                    e[1:-1] = ((a[:-2] + a[1:-1]) + a[2:]) / 3.0
+                enhanced.append(e.tolist())
             out["enhanced"] = enhanced
             yield out
 
