@@ -252,6 +252,13 @@ class FnTask:
         remaining params ← latest value of the same-named stream in
         ``others`` as of each primary row (fntask.py:141-150). Output:
         keys + ts (+ seq_col) + value [or value_0..n-1]."""
+        if self.wants_state:
+            # fail on the driver with direction, not in the executor with
+            # an opaque Arrow TypeError from the missing state kwarg
+            raise TypeError(
+                f"{self.name} declares `state`: use as_stateful_stream_op"
+                " (state is per-key sequential, not a vectorized op)"
+            )
         others = others or {}
         rest = self.params[1:]
         missing = [p for p in rest if p not in others]

@@ -73,6 +73,52 @@ class RawPcmCodec:
         return out
 
 
+class PyAvAudioCodec:
+    """Real audio transcode kernel via PyAV, drop-in for the stages below
+    (reference media/codec.py:50-136 transcode path). Import-gated: only
+    constructible when ``av`` is present (:func:`pyav_available`).
+
+    Bytes are self-framing (ADTS mux for AAC) so a packet column is a
+    plain binary column, same as RawPcmCodec. Lossy codecs do not
+    round-trip byte-exactly — the quality gate is spectral similarity,
+    mirroring the reference's test_audio_codec.py:10-48."""
+
+    def __init__(self, codec: str = "aac", rate: int = 32000, fmt: str = "adts"):
+        self.codec_name = codec
+        self.rate = rate
+        self.fmt = fmt
+
+    def encode(self, samples: list[float]) -> bytes:
+        import io
+
+        import av
+
+        buf = io.BytesIO()
+        with av.open(buf, "w", format=self.fmt) as out:
+            stream = out.add_stream(self.codec_name, rate=self.rate, layout="mono")
+            arr = np.asarray([samples], dtype=np.float32)
+            frame = av.AudioFrame.from_ndarray(arr, format="fltp", layout="mono")
+            frame.sample_rate = self.rate
+            for packet in stream.encode(frame):
+                out.mux(packet)
+            for packet in stream.encode(None):  # flush
+                out.mux(packet)
+        return buf.getvalue()
+
+    def decode(self, data: bytes) -> list[float]:
+        import io
+
+        import av
+
+        frames = []
+        with av.open(io.BytesIO(bytes(data)), "r", format=self.fmt) as inp:
+            for frame in inp.decode(audio=0):
+                frames.append(frame.to_ndarray())
+        if not frames:
+            return []
+        return np.concatenate(frames, axis=-1).ravel().astype(np.float64).tolist()
+
+
 def _stream_sorted(
     df: DataFrame, keys: Sequence[str], ts: str, seq_col: str | None
 ) -> DataFrame:

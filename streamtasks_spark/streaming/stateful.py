@@ -393,6 +393,52 @@ def streaming_time_buffer(
     )
 
 
+def streaming_llm_chat(
+    messages: DataFrame,
+    *,
+    conversation_col: str = "user_id",
+    ts: str = "ts",
+    text_col: str = "value",
+    seq_col: str | None = None,
+    history_limit: int = 8,
+) -> DataFrame:
+    """Streaming chat stage (reference inference/llamacppchat.py:51-57:
+    the model holds per-conversation history). The rolling history (last
+    ``history_limit`` messages) is per-key state carried across
+    micro-batches — a conversation resumed in a later batch continues
+    where it left off. Stub reply = f(history length, history chars),
+    identical to the batch twin ``media.inference.llm_chat_stub``; a real
+    llama.cpp call drops into the same loop. At scale the state store
+    shards conversations by key, the same ownership discipline as the
+    batch twin's repartition(conversation)."""
+    seq_cols = [seq_col] if seq_col else []
+    src = messages.select(conversation_col, ts, *seq_cols, text_col)
+    out_schema = StructType(
+        list(_schema_of(src, [conversation_col, ts, *seq_cols]))
+        + [StructType.fromDDL("`reply` string")[0]]
+    )
+    state_schema = StructType.fromDDL("history array<string>")
+    sort_cols = [ts] + seq_cols
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        hist = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="stable", ignore_index=True)
+        replies = []
+        for t in pdf[text_col].astype(str):
+            hist.append(t)
+            del hist[:-history_limit]
+            replies.append(f"reply#{len(hist)}:{sum(len(h) for h in hist)}")
+        state.update((hist,))
+        out = pdf[[conversation_col, ts, *seq_cols]].copy()
+        out["reply"] = replies
+        yield out
+
+    return src.groupBy(conversation_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_ordered_merge(
     streams: Sequence[DataFrame],
     *,

@@ -84,3 +84,23 @@ def test_as_stream_op_drops_rows_before_all_params_present(spark):
     out = _vec.as_stream_op(prim, {"b": other}, keys=["key"]).collect()
     # the ts=100 row precedes any 'b' value -> dropped (fntask.py:126-139)
     assert [(r["ts"], r["value"]) for r in out] == [(300, 21.0)]
+
+
+def test_stateful_fn_rejected_by_stream_op(spark):
+    """as_stream_op must fail on the driver for state-declaring fns (the
+    vectorized path cannot inject state) — not with an executor-side
+    Arrow TypeError."""
+    from streamtasks_spark.functions.fntask import fn_task
+
+    @fn_task
+    def counter(x: float, state) -> float:
+        state["n"] = state.get("n", 0) + 1
+        return x + state["n"]
+
+    df = spark.range(3).select(
+        F.lit("k").alias("user_id"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    with pytest.raises(TypeError, match="as_stateful_stream_op"):
+        counter.as_stream_op(df, keys=["user_id"])

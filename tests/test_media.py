@@ -171,3 +171,29 @@ def test_capture_adapters_produce_chunk_tables(spark):
     assert len(v) == 2 and all(len(r["samples"]) == 6 for r in v)
     assert v[0]["width"] == 3 and v[0]["height"] == 2
     assert audio_output(a) == 24
+
+
+@pytest.mark.skipif(
+    not __import__("streamtasks_spark.media.codec", fromlist=["pyav_available"]).pyav_available(),
+    reason="PyAV not installed in this environment",
+)
+def test_pyav_aac_round_trip_spectral():
+    """Reference quality gate (tests/media/test_audio_codec.py:10-48):
+    a lossy encode->decode round trip must preserve the signal's dominant
+    frequency (byte equality is impossible for AAC)."""
+    import numpy as np
+
+    from streamtasks_spark.media.codec import PyAvAudioCodec
+
+    rate = 32000
+    codec = PyAvAudioCodec("aac", rate=rate)
+    t = np.arange(8192) / rate
+    sig = np.sin(2 * np.pi * 1000.0 * t)
+    back = np.asarray(codec.decode(codec.encode(sig.tolist())))
+    assert back.size >= 4096  # decoder produced real audio
+
+    def dominant_hz(x):
+        spectrum = np.abs(np.fft.rfft(x * np.hanning(x.size)))
+        return np.argmax(spectrum) * rate / x.size
+
+    assert abs(dominant_hz(back) - 1000.0) < 50.0

@@ -385,3 +385,30 @@ def test_streaming_message_detector_up_and_down_edges(spark, tmp_path):
     expect_max = one_user.agg(F.max("ts")).collect()[0][0]
     assert up_ts == one_user.agg(F.min("ts")).collect()[0][0]
     assert (down_ts - expect_max).total_seconds() == 2.0
+
+
+def test_streaming_llm_chat_matches_batch(spark, tmp_path, event_dir):
+    """Conversation history latches across micro-batches: the streaming
+    chat twin must produce the identical replies to the batch stub."""
+    from streamtasks_spark.media.inference import llm_chat_stub
+    from streamtasks_spark.streaming.stateful import streaming_llm_chat
+
+    mk = lambda df: df.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("value"),
+    )
+    ev_b = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    expect = {
+        (r["user_id"], r["event_id"]): r["reply"]
+        for r in llm_chat_stub(
+            mk(ev_b), conversation_col="user_id", seq_col="event_id"
+        ).collect()
+    }
+
+    ev_s = _events_stream(spark, event_dir)
+    out = streaming_llm_chat(
+        mk(ev_s), conversation_col="user_id", seq_col="event_id"
+    )
+    got_df = run_to_memory(spark, out, tmp_path)
+    got = {(r["user_id"], r["event_id"]): r["reply"] for r in got_df.collect()}
+    assert got == expect
