@@ -22,7 +22,13 @@ from streamtasks_spark.functions.text import (
 )
 from streamtasks_spark.functions.fntask import fn_task
 from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
-from streamtasks_spark.llmdata import dedup, multimodal, similarity, textstats
+from streamtasks_spark.llmdata import (
+    dedup,
+    multimodal,
+    quality,
+    similarity,
+    textstats,
+)
 from streamtasks_spark.operators import chunks as chunkops
 from streamtasks_spark.operators.joins import asof_join, last_value_join
 from streamtasks_spark.operators.stateful import (
@@ -698,6 +704,21 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(docs)
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return quality.doc_repetition(docs)
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return quality.quality_filter(docs)
+
+
+def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return quality.source_stats(docs)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(
@@ -957,6 +978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "doc_fingerprint": _q_doc_fingerprint,
+        # llmdata: corpus-quality tier — new this round, never driver-checked
+        "doc_repetition": _q_doc_repetition,
+        "quality_filter": _q_quality_filter,
+        "source_stats": _q_source_stats,
         # red in r02 (-0.0 hash artifact, normalized this round)
         "audio_chunker": _q_audio_chunker,
         "padded_chunker": _q_padded_chunker,
@@ -1794,6 +1819,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": textstats.oracle_text_stats_sql(),
         "lang_id": textstats.oracle_lang_id_sql(),
         "doc_fingerprint": textstats.oracle_doc_fingerprint_sql(),
+        "doc_repetition": quality.oracle_doc_repetition_sql(),
+        "quality_filter": quality.oracle_quality_filter_sql(),
+        "source_stats": quality.oracle_source_stats_sql(),
         "ann_topk": similarity.oracle_cosine_topk_sql(k=5),
         "ann_recall": similarity.oracle_recall_probe_sql(
             n_planes=4, n_cells=8, n_probe=2, k=5
