@@ -107,22 +107,26 @@ def norm_text(text_col: str, engine: str = "spark") -> str:
 
 
 def _shingle_hashes(
-    docs: DataFrame, id_col: str, text_col: str, k: int
+    docs: DataFrame, id_col: str, text_col: str, k: int, *carry: str
 ) -> DataFrame:
-    """(id, hashes): distinct 28-bit hashes of the k-word shingles.
-    Tokenization = whitespace-normalize then split on single spaces, so
-    both engines tokenize identically with no regex-escaping divergence."""
+    """(id, *carry, hashes): distinct 28-bit hashes of the k-word
+    shingles. Tokenization = whitespace-normalize then split on single
+    spaces, so both engines tokenize identically with no regex-escaping
+    divergence. ``carry`` columns (e.g. a blocking key) ride along in
+    the same scan so callers never re-join the source table."""
     toks = f"split({norm_text(text_col, 'spark')}, ' ')"
     shingles = (
         f"transform(sequence(0, size(__toks) - {k}), "
         f"i -> concat_ws(' ', slice(__toks, i + 1, {k})))"
     )
     return (
-        spread(docs, id_col).select(F.col(id_col), F.expr(toks).alias("__toks"))
+        spread(docs, id_col)
+        .select(F.col(id_col), *carry, F.expr(toks).alias("__toks"))
         .filter(F.expr(f"size(__toks) >= {k}"))
-        .select(F.col(id_col), F.expr(shingles).alias("__sh"))
+        .select(F.col(id_col), *carry, F.expr(shingles).alias("__sh"))
         .select(
             F.col(id_col),
+            *carry,
             F.expr(
                 "array_distinct(transform(__sh, "
                 "s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint)))"
@@ -453,9 +457,7 @@ def ngram_jaccard_pairs(
     survivors are verified with an exact array intersection. The result
     set is exactly the all-pairs answer; only the candidate count
     shrinks."""
-    hs = _shingle_hashes(docs, id_col, text_col, k).join(
-        docs.select(id_col, block_col), id_col
-    )
+    hs = _shingle_hashes(docs, id_col, text_col, k, block_col)
     sizes = pin(
         hs.select(
             F.col(block_col).alias("__blk"),
@@ -465,13 +467,15 @@ def ngram_jaccard_pairs(
         )
     )
     ex = sizes.select("__blk", id_col, "__n", F.explode("hashes").alias("__h"))
-    dfreq = ex.groupBy("__blk", "__h").agg(F.count(F.lit(1)).alias("__df"))
+    # Document frequency as a count-over-window on the posting key: one
+    # shuffle of the exploded shingles instead of groupBy + re-join (two).
+    w_df = Window.partitionBy("__blk", "__h")
     w = Window.partitionBy("__blk", id_col).orderBy(
         F.col("__df").asc(), F.col("__h").asc()
     )
     prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     prefix = pin(
-        ex.join(dfreq, ["__blk", "__h"])
+        ex.withColumn("__df", F.count(F.lit(1)).over(w_df))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
         .select("__blk", "__h", id_col, "__n")
