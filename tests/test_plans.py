@@ -128,6 +128,63 @@ def test_temporal_ops_are_single_shuffle(psession):
     assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan[:1200]}"
 
 
+def test_ann_tier_broadcasts_query_side(psession):
+    """The ANN operators must broadcast the (small) query side even with
+    size-based auto-broadcast off — at fleet scale the vector table is
+    the 100 TB side and must never be the build side."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    emb = read_parquet(psession, f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = plan_of(similarity.cosine_topk(emb, q, k=5))
+    assert "BroadcastExchange" in plan, plan[:900]
+    plan = plan_of(similarity.lsh_topk(emb, q, k=5))
+    assert re.search(r"BroadcastHashJoin \[__bkt", plan), plan[:900]
+
+
+def test_dedup_tier_never_plans_all_pairs(psession):
+    """The blocked dedup operators' scale guarantee: pairs form only
+    inside buckets (equi-join on a band/chunk/prefix key), so the plan
+    may not contain a cartesian product or nested-loop join anywhere."""
+    from streamtasks_spark.llmdata import dedup
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    for op in (
+        dedup.dedup_minhash,
+        dedup.dedup_simhash,
+        dedup.ngram_jaccard_pairs,
+    ):
+        plan = plan_of(op(docs))
+        assert "CartesianProduct" not in plan, (op.__name__, plan[:900])
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            op.__name__,
+            plan[:900],
+        )
+
+
+def test_llmdata_text_tier_is_jvm_side(psession):
+    """No Python evaluation anywhere in the text/dedup/quality plans —
+    the whole tier must stay inside JVM expression evaluation (the
+    multimodal tier is deliberately Arrow-batched and excluded here)."""
+    from streamtasks_spark.llmdata import dedup, quality, textstats
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    for op in (
+        textstats.text_stats,
+        textstats.lang_id,
+        textstats.doc_fingerprint,
+        quality.doc_repetition,
+        quality.quality_filter,
+        dedup.dedup_exact,
+        dedup.dedup_minhash,
+    ):
+        plan = plan_of(op(docs))
+        assert "EvalPython" not in plan, (op.__name__, plan[:600])
+
+
 def test_document_scan_prunes_columns(psession):
     """Column pruning probe: a doc_id-only projection over documents
     must not read the text column."""
