@@ -15,8 +15,10 @@ Four tiers over a ``documents``-style table (id + text):
 
 Scale shape: every step is a shuffle on a bucket/band key plus joins on
 document ids — no all-pairs stage. Hot LSH buckets (thousands of mutual
-near-dups) go quadratic within the bucket; cap or salt them upstream if
-the corpus has giant duplicate classes.
+near-dups) go quadratic within the bucket; ``dedup_minhash(...,
+max_bucket=N)`` drops oversized buckets before pairing (each doc still
+has N_BANDS−1 other chances to pair), and AQE skew-join splitting
+(enabled in session.py) handles residual partition-level skew.
 
 Cross-engine determinism: every hash is derived from md5 hex prefixes
 (``conv(substr(md5(x),1,k),16,10)`` in Spark ≡ ``cast('0x'||substr(
@@ -136,17 +138,39 @@ def _shingle_hashes(
 
 
 def _band_pairs(
-    banded: DataFrame, id_col: str, band_cols: Sequence[str]
+    banded: DataFrame,
+    id_col: str,
+    band_cols: Sequence[str],
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band value.
     posexplode → self-join on (band_idx, band_key): ONE shuffle keyed by
-    band value, pairs generated only inside buckets."""
+    band value, pairs generated only inside buckets.
+
+    ``max_bucket`` is the hot-bucket guard for skewed corpora: a bucket
+    holding m documents emits m·(m−1)/2 pairs, so one giant duplicate
+    class (boilerplate pages, empty docs) turns the band join quadratic
+    on a single key no matter how many executors exist. With the cap,
+    postings in buckets larger than ``max_bucket`` are dropped BEFORE
+    the self-join (a count-over-window on the bucket key — same shuffle
+    partitioning the join needs anyway). Documents in a dropped bucket
+    usually still pair via their other N_BANDS−1 bands; a class hot in
+    EVERY band is precisely the degenerate near-equal cluster exact
+    dedup already collapses. Default None keeps the exact LSH semantics
+    (and the DuckDB oracle) unchanged."""
     exploded = banded.select(
         F.col(id_col),
         F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
             "__band_idx", "__band_key"
         ),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("__band_idx", "__band_key")
+        exploded = (
+            exploded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -206,13 +230,16 @@ def dedup_minhash(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dedup. Returns verified candidate pairs
     (doc_a, doc_b, jaccard) with exact shingle-set Jaccard ≥ threshold,
     candidates restricted to pairs colliding in ≥1 of the signature's
     bands. Plan: shingle+sign (narrow), band explode + self-join on band
     key (one shuffle), two id-joins for verification. No all-pairs stage
-    anywhere."""
+    anywhere. ``max_bucket`` (optional) drops postings in band buckets
+    larger than the cap before pairing — the skew guard for corpora with
+    giant duplicate classes; see :func:`_band_pairs`."""
     hs = pin(_shingle_hashes(docs, id_col, text_col, k))
     # ONE traversal of each doc's hash array maintaining all 32 minima in
     # a fold accumulator (vs 32 separate array_min(transform(...)) passes
@@ -237,7 +264,9 @@ def dedup_minhash(
         )
         band_cols.append(f"__b{bi}")
         sigs = sigs.withColumn(f"__b{bi}", F.expr(f"md5(concat_ws('-', {members}))"))
-    pairs = _band_pairs(sigs.select(id_col, *band_cols), id_col, band_cols)
+    pairs = _band_pairs(
+        sigs.select(id_col, *band_cols), id_col, band_cols, max_bucket
+    )
     x = hs.select(F.col(id_col).alias("doc_a"), F.col("hashes").alias("__ha"))
     y = hs.select(F.col(id_col).alias("doc_b"), F.col("hashes").alias("__hb"))
     jac = F.expr(

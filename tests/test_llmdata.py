@@ -75,6 +75,26 @@ def test_minhash_lsh_finds_exact_jaccard_pairs(spark, docs):
     assert high <= set(got)
 
 
+def test_minhash_hot_bucket_cap_bounds_pairs(spark):
+    """The skew guard: a giant class of identical docs lands every copy
+    in the same bucket of EVERY band; with max_bucket set below the
+    class size, those postings are dropped before pairing, so the hot
+    class emits no pairs while unrelated near-dup pairs still emerge."""
+    hot = [(i, "spark shuffles the big table by key every single time") for i in range(40)]
+    # one genuine near-dup pair, distinct from the hot class
+    pair = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(hot + pair, "doc_id long, text string")
+    uncapped = dedup.dedup_minhash(df, threshold=0.5).collect()
+    assert sum(1 for r in uncapped if r["doc_a"] < 100) == 40 * 39 // 2
+    capped = dedup.dedup_minhash(df, threshold=0.5, max_bucket=10).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert all(a >= 100 for a, _ in got), got
+    assert (100, 101) in got
+
+
 def test_simhash_blocking_has_exact_recall(spark, docs):
     """Every pair within hamming<=3 must be found (pigeonhole over 4
     chunks) — compare against all-pairs hamming on the full signatures."""
