@@ -2,6 +2,7 @@
 streams), viewer sinks, and stateful operator twins (gate, switch, SR
 latch, pause propagation, last-value join, ordered merge with
 drop-late, message detector with processing-time timers, clock-mode
-time buffer) — each test-verified equal to its batch formulation in
+time buffer, exact dedup via dropDuplicatesWithinWatermark) — each
+test-verified equal to its batch formulation in
 ``operators/`` on the same data. See sources.py, sinks.py,
 stateful.py."""

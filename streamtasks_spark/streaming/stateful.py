@@ -439,6 +439,39 @@ def streaming_llm_chat(
     )
 
 
+def streaming_dedup_exact(
+    docs: DataFrame,
+    *,
+    ts: str = "ts",
+    text_col: str = "text",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of ``llmdata.dedup.dedup_exact``: emit only the
+    first arrival of each distinct normalized text.
+
+    Built entirely from Spark's native streaming dedup —
+    ``dropDuplicatesWithinWatermark`` keyed on the md5 of the normalized
+    text — so the state store holds ONE compact row per distinct hash
+    (not per document) and expires it once the watermark passes. No
+    Python state loop: hashing is a JVM expression, dedup is the
+    built-in operator, and state shards by hash across executors exactly
+    like the batch groupBy(norm_hash) shuffle.
+
+    Semantics vs batch: ``dedup_exact`` keeps ``min(doc_id)`` per hash;
+    under the reference's ordered-ingestion assumption (SURVEY §1.3,
+    per-topic nondecreasing timestamps) "first arrival" selects the same
+    canonical representative. Duplicates arriving later than
+    ``watermark_delay`` after their original are late data and may be
+    re-emitted — the documented horizon of any watermarked stream dedup.
+    """
+    from streamtasks_spark.llmdata.dedup import norm_text
+
+    hashed = docs.withColumn("norm_hash", F.expr(f"md5({norm_text(text_col)})"))
+    return hashed.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(
+        ["norm_hash"]
+    )
+
+
 def streaming_ordered_merge(
     streams: Sequence[DataFrame],
     *,

@@ -387,6 +387,51 @@ def test_streaming_message_detector_up_and_down_edges(spark, tmp_path):
     assert (down_ts - expect_max).total_seconds() == 2.0
 
 
+def test_streaming_dedup_exact_matches_batch(spark, tmp_path):
+    """Streaming exact dedup must keep exactly the batch dedup_exact
+    representatives. Duplicates are whitespace-perturbed copies arriving
+    in a LATER micro-batch, so the test exercises both the text
+    normalization and the cross-batch hash state."""
+    from streamtasks_spark.llmdata.dedup import dedup_exact
+    from streamtasks_spark.streaming.stateful import streaming_dedup_exact
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") <= 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit("\t\n")).alias("text"),
+    )
+    # +1000 keeps every ts above the initial watermark (epoch 0) — a row
+    # AT the watermark is late data and would be dropped, not deduped
+    full = docs.unionByName(dups).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") + 1000)
+    )
+
+    expect = {
+        (r["norm_hash"], r["keep_id"])
+        for r in dedup_exact(full).collect()
+    }
+    n_dup = full.count() - len(expect)
+    assert n_dup == dups.count()  # the synthesized copies collapse, nothing else
+
+    src = tmp_path / "dedup_src"
+    full.filter(F.col("doc_id") <= 250).coalesce(1).write.parquet(str(src / "p1"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    full.filter(F.col("doc_id") > 250).coalesce(1).write.parquet(str(src / "p2"))
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    # watermark wider than the full ts span so no hash state expires
+    out = streaming_dedup_exact(stream, watermark_delay="6 hours")
+    got_df = run_to_memory(spark, out, tmp_path)
+    got = {(r["norm_hash"], r["doc_id"]) for r in got_df.collect()}
+    assert got == expect
+
+
 def test_streaming_llm_chat_matches_batch(spark, tmp_path, event_dir):
     """Conversation history latches across micro-batches: the streaming
     chat twin must produce the identical replies to the batch stub."""
