@@ -1013,17 +1013,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         # time ops (SURVEY §2.6)
         "time_buffer": _q_time_buffer,
-        "repeater": _q_repeater,
-        "replay_rebase": _q_replay_rebase,
-        "replay_loop": _q_replay_loop,
+        # queries CHANGED this round, pulled inside the driver's 50-entry
+        # correctness window (minhash signature fold + hot-bucket cap,
+        # ngram shuffle cuts, vectorized codec kernels); the three
+        # replay/repeater queries they displace are byte-identical to
+        # their green r01+r02 rows
+        "dedup_minhash": _q_dedup_minhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "codec_roundtrip": _q_codec_roundtrip,
         "interleave_mux": _q_interleave_mux,
         "container_roundtrip": _q_container_roundtrip,
         "synchronizer": _q_synchronizer,
         # llmdata: dedup tier (BASELINE.json north star)
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
-        "ngram_jaccard": _q_ngram_jaccard,
+        "repeater": _q_repeater,
+        "replay_rebase": _q_replay_rebase,
+        "replay_loop": _q_replay_loop,
         # chunked-numeric / multimodal tier (SURVEY §2.4, §2.8)
         "audio_smoother": _q_audio_smoother,
         "audio_volume_meter": _q_audio_volume_meter,
@@ -1036,7 +1042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
         # media codec / render / inference tier (SURVEY §2.1, §2.8)
-        "codec_roundtrip": _q_codec_roundtrip,
         "text_renderer": _q_text_renderer,
         "image_renderer": _q_image_renderer,
         "asr_transcribe": _q_asr_transcribe,
