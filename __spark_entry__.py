@@ -25,6 +25,7 @@ from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
 from streamtasks_spark.llmdata import (
     dedup,
     multimodal,
+    pipeline,
     quality,
     similarity,
     textstats,
@@ -719,6 +720,22 @@ def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.source_stats(docs)
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 25 == 7)
+    return pipeline.decontaminate(docs, ev)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return pipeline.stratified_sample(docs, strata=("source",), k=5)
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return pipeline.split_assign(docs, carry=("source",))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(
@@ -982,6 +999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "quality_filter": _q_quality_filter,
         "source_stats": _q_source_stats,
+        # llmdata: corpus-assembly tier — new this round, never driver-checked
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
         # red in r02 (-0.0 hash artifact, normalized this round)
         "audio_chunker": _q_audio_chunker,
         "padded_chunker": _q_padded_chunker,
@@ -994,9 +1015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # functions / scalar transforms (SURVEY §2.2)
         "calculator": _q_calculator,
         "calculator_multivar": _q_calculator_multivar,
-        "string_matcher": _q_string_matcher,
-        "text_format": _q_text_format,
-        "number_to_text": _q_number_to_text,
         "fn_task": _q_fn_task,
         "fn_task_stateful": _q_fn_task_stateful,
         "time_to_text": _q_time_to_text,
@@ -1050,6 +1068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # llmdata: text analysis tier
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
+        # scalar transforms displaced from the window by the new
+        # corpus-assembly tier (green r01+r02, unchanged since)
+        "string_matcher": _q_string_matcher,
+        "text_format": _q_text_format,
+        "number_to_text": _q_number_to_text,
     }
 
 
@@ -1827,6 +1850,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": quality.oracle_doc_repetition_sql(),
         "quality_filter": quality.oracle_quality_filter_sql(),
         "source_stats": quality.oracle_source_stats_sql(),
+        "decontaminate": pipeline.oracle_decontaminate_sql(),
+        "stratified_sample": pipeline.oracle_stratified_sample_sql(),
+        "split_assign": pipeline.oracle_split_assign_sql(),
         "ann_topk": similarity.oracle_cosine_topk_sql(k=5),
         "ann_recall": similarity.oracle_recall_probe_sql(
             n_planes=4, n_cells=8, n_probe=2, k=5

@@ -4,6 +4,10 @@
 - :mod:`.similarity` — cosine top-k / ANN over embedding columns.
 - :mod:`.textstats` — token counts, quality scores, language id,
   winnowing fingerprints.
+- :mod:`.quality` — Gopher repetition signals, C4-style rule filter,
+  per-source corpus audit.
+- :mod:`.pipeline` — corpus assembly: benchmark decontamination,
+  deterministic stratified sampling, hash-bucketed split assignment.
 - :mod:`.multimodal` — binary-column (image/audio blob) plumbing.
 
 Every operator ships with an ``oracle_*_sql`` builder that reproduces the

@@ -1,0 +1,239 @@
+"""Corpus-assembly operators for LLM training-data pipelines.
+
+Three operators a 100 TB pretraining pipeline runs after dedup/quality
+filtering, over a ``documents``-style table (id + text + strata cols):
+
+- :func:`decontaminate` — benchmark decontamination: flag corpus
+  documents sharing word n-grams with an evaluation set (the GPT-3 /
+  PaLM contamination rule; 8-grams by default). The eval side of the
+  join is tiny (benchmarks are ~10^4-10^6 n-grams) and is broadcast,
+  so the corpus side streams through a map-side hash join with no
+  shuffle of the exploded n-grams; the only shuffle is the per-doc
+  count aggregation (map-side partial agg on doc id).
+- :func:`stratified_sample` — deterministic k-per-stratum sample:
+  rank documents inside each stratum by a salted md5 hash and keep the
+  first k. One shuffle on the strata columns; rank is a window, not a
+  global sort. Deterministic = reproducible across runs/engines —
+  sampling for eval or annotation must not drift between pipeline runs.
+- :func:`split_assign` — hash-bucketed train/valid/test assignment:
+  bucket = salted md5 of the id mod 1000, split boundaries from the
+  requested weights. Pure narrow projection — no shuffle at all, and a
+  document keeps its split forever regardless of corpus growth (the
+  property random sampling lacks).
+
+Cross-engine determinism follows dedup.py: every hash derives from md5
+hex prefixes (``conv(substr(md5(x),1,7),16,10)`` in Spark ≡
+``cast('0x'||substr(md5(x),1,7) as bigint)`` in DuckDB), so the
+``oracle_*_sql`` builders reproduce the EXACT algorithms.
+
+Reference parity note: the reference repo (an A/V dataflow engine) has
+no corpus-assembly tier; like dedup.py this is the BASELINE.json
+"LLM-data pipeline" requirement, built on the same Spark-first
+vocabulary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _shingle_hashes, norm_text, spread
+
+# default split weights: the conventional 90/5/5 pretraining split
+DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
+    ("train", 0.90),
+    ("valid", 0.05),
+    ("test", 0.05),
+)
+SPLIT_BUCKETS = 1000
+
+
+# -------------------------------------------------------- decontaminate
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Flag corpus documents overlapping the evaluation set: returns
+    (id, n_shared) for every document sharing ≥ ``min_overlap`` distinct
+    word ``n``-grams with ANY eval document.
+
+    N-grams are compared via their 28-bit md5-prefix hashes (identical
+    to the dedup tier's shingle hashes), so the eval-side set stays
+    compact for the broadcast; a false flag needs a 28-bit collision
+    AND a failed manual review — acceptable for a removal list.
+    """
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    doc_ng = _shingle_hashes(docs, id_col, text_col, n).select(
+        F.col(id_col), F.explode("hashes").alias("__ng")
+    )
+    ev_ng = (
+        _shingle_hashes(eval_docs, eval_id_col, eval_text_col, n)
+        .select(F.explode("hashes").alias("__ng"))
+        .distinct()
+    )
+    return (
+        doc_ng.join(F.broadcast(ev_ng), "__ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_overlap))
+    )
+
+
+def oracle_decontaminate_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    eval_sql: str = "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 7",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> str:
+    gram = " || ' ' || ".join(f"__toks[i + {d}]" for d in range(n))
+    ngrams = f"""
+      SELECT {id_col},
+             list_distinct(list_transform(
+               list_transform(range(1, len(__toks) - {n - 1} + 1), i -> {gram}),
+               s -> cast('0x' || substr(md5(s), 1, 7) AS BIGINT))) AS hashes
+      FROM (SELECT {id_col},
+                   string_split({norm_text(text_col, "duck")}, ' ') AS __toks
+            FROM __SRC__)
+      WHERE len(__toks) >= {n}
+    """
+    return f"""
+    WITH corpus AS ({source_sql}),
+    evalset AS ({eval_sql}),
+    doc_ng AS (
+      SELECT {id_col}, unnest(hashes) AS __ng
+      FROM ({ngrams.replace("__SRC__", "corpus")})
+    ),
+    ev_ng AS (
+      SELECT DISTINCT unnest(hashes) AS __ng
+      FROM ({ngrams.replace("__SRC__", "evalset")})
+    )
+    SELECT d.{id_col}, count(*) AS n_shared
+    FROM doc_ng d JOIN ev_ng e ON d.__ng = e.__ng
+    GROUP BY d.{id_col}
+    HAVING count(*) >= {min_overlap}
+    """
+
+
+# ---------------------------------------------------- stratified_sample
+
+def stratified_sample(
+    docs: DataFrame,
+    *,
+    strata: Sequence[str] = ("source",),
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: (id, *strata, sample_rank)
+    for the ``k`` documents ranking first in each stratum under a
+    salted md5 hash of the id. The hash makes the choice uniform but
+    reproducible; the id tie-break makes it total."""
+    h = (
+        f"conv(substring(md5(concat('smp-', cast({id_col} as string))), 1, 7), "
+        "16, 10)"
+    )
+    w = Window.partitionBy(*strata).orderBy(
+        F.expr(f"cast({h} as bigint)"), F.col(id_col)
+    )
+    return (
+        spread(docs, *strata)
+        .select(F.col(id_col), *[F.col(c) for c in strata])
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.lit(k))
+    )
+
+
+def oracle_stratified_sample_sql(
+    source_sql: str = "SELECT doc_id, source FROM documents",
+    strata: Sequence[str] = ("source",),
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> str:
+    cols = ", ".join(strata)
+    h = f"cast('0x' || substr(md5('smp-' || cast({id_col} AS varchar)), 1, 7) AS BIGINT)"
+    return f"""
+    WITH src AS ({source_sql}),
+    ranked AS (
+      SELECT {id_col}, {cols},
+             row_number() OVER (PARTITION BY {cols}
+                                ORDER BY {h}, {id_col}) AS sample_rank
+      FROM src
+    )
+    SELECT {id_col}, {cols}, sample_rank FROM ranked WHERE sample_rank <= {k}
+    """
+
+
+# -------------------------------------------------------- split_assign
+
+def split_assign(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """Assign every document to a named split by hash bucket:
+    (id, *carry, bucket, split). Pure projection — the assignment is a
+    function of the id alone, so it never shuffles, never drifts as the
+    corpus grows, and any engine recomputes it identically."""
+    total = sum(w for _, w in splits)
+    bounds, acc = [], 0.0
+    for name, w in splits:
+        acc += w / total
+        bounds.append((name, int(round(acc * SPLIT_BUCKETS))))
+    h = (
+        f"cast(conv(substring(md5(concat('split-', cast({id_col} as string))), "
+        f"1, 7), 16, 10) as bigint) % {SPLIT_BUCKETS}"
+    )
+    expr = None
+    for name, ub in bounds[:-1]:
+        cond = F.col("bucket") < F.lit(ub)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(bounds[0][0]) if expr is None else expr.otherwise(bounds[-1][0])
+    )
+    return (
+        docs.select(F.col(id_col), *[F.col(c) for c in carry])
+        .withColumn("bucket", F.expr(h))
+        .withColumn("split", expr)
+    )
+
+
+def oracle_split_assign_sql(
+    source_sql: str = "SELECT doc_id, source FROM documents",
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+    carry: Sequence[str] = ("source",),
+) -> str:
+    total = sum(w for _, w in splits)
+    bounds, acc = [], 0.0
+    for name, w in splits:
+        acc += w / total
+        bounds.append((name, int(round(acc * SPLIT_BUCKETS))))
+    h = (
+        f"cast('0x' || substr(md5('split-' || cast({id_col} AS varchar)), 1, 7) "
+        f"AS BIGINT) % {SPLIT_BUCKETS}"
+    )
+    cases = " ".join(
+        f"WHEN bucket < {ub} THEN '{name}'" for name, ub in bounds[:-1]
+    )
+    cols = "".join(f", {c}" for c in carry)
+    return f"""
+    WITH src AS ({source_sql}),
+    b AS (SELECT {id_col}{cols}, {h} AS bucket FROM src)
+    SELECT {id_col}{cols}, bucket,
+           CASE {cases} ELSE '{bounds[-1][0]}' END AS split
+    FROM b
+    """

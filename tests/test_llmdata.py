@@ -227,3 +227,58 @@ def test_recall_probe_matches_manual_recall(spark):
         assert r["possible"] == len(exact)
         assert r["hits"] == len(exact & approx)
         assert abs(r["recall"] - round(len(exact & approx) / len(exact), 6)) < 1e-9
+
+
+# ------------------------------------------------- corpus assembly tier
+
+def test_decontaminate_flags_exact_and_embedded_overlap(spark):
+    """An eval doc present in the corpus flags itself; a corpus doc
+    embedding an eval 8-gram is flagged; disjoint text is not."""
+    from streamtasks_spark.llmdata.pipeline import decontaminate
+
+    w = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    corpus = spark.createDataFrame(
+        [
+            (1, w(12, "a")),                      # eval doc itself
+            (2, w(8, "a") + " " + w(6, "x")),     # contains an eval 8-gram
+            (3, w(12, "z")),                      # clean
+            (4, w(7, "a") + " " + w(7, "y")),     # only a 7-gram prefix: clean
+        ],
+        "doc_id long, text string",
+    )
+    ev = corpus.filter(F.col("doc_id") == 1)
+    got = {r["doc_id"]: r["n_shared"] for r in decontaminate(corpus, ev).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == 5  # 12 words -> 5 distinct 8-grams, all shared
+    assert got[2] == 1
+
+
+def test_stratified_sample_is_deterministic_k_per_stratum(spark, docs):
+    from streamtasks_spark.llmdata.pipeline import stratified_sample
+
+    a = stratified_sample(docs, strata=("source",), k=5).collect()
+    b = stratified_sample(docs, strata=("source",), k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per = {}
+    for r in a:
+        per.setdefault(r["source"], []).append(r["sample_rank"])
+    n_sources = docs.select("source").distinct().count()
+    assert len(per) == n_sources
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert all(len(v) <= 5 for v in per.values())
+
+
+def test_split_assign_is_stable_and_total(spark, docs):
+    """Every doc gets exactly one split; an id's split does not depend
+    on what else is in the corpus (the anti-drift property)."""
+    from streamtasks_spark.llmdata.pipeline import split_assign
+
+    full = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    assert len(full) == docs.count()
+    frac = sum(1 for s in full.values() if s == "train") / len(full)
+    assert 0.8 < frac < 0.97  # 90% nominal, 500-doc sample noise
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs.filter(F.col("doc_id") % 3 == 0)).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())

@@ -194,3 +194,24 @@ def test_document_scan_prunes_columns(psession):
     plan = plan_of(docs.select("doc_id").filter(F.col("doc_id") > 10))
     scan = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert scan and "text" not in scan.group(1), plan[:600]
+
+
+def test_corpus_assembly_tier_plan_shapes(psession):
+    """Scale contracts for the corpus-assembly tier: decontaminate
+    broadcasts only the (small) eval n-gram set; split_assign is a pure
+    narrow projection (zero exchanges); stratified_sample's explicit
+    repartition and its ranking window share ONE exchange."""
+    from streamtasks_spark.llmdata import pipeline
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+
+    plan = plan_of(pipeline.decontaminate(docs, docs.filter(F.col("doc_id") % 25 == 7)))
+    assert "BroadcastHashJoin" in plan, plan[:900]
+    assert "SortMergeJoin" not in plan, plan[:900]
+
+    plan = plan_of(pipeline.split_assign(docs, carry=("source",)))
+    assert "Exchange" not in plan, plan[:900]
+
+    plan = plan_of(pipeline.stratified_sample(docs, strata=("source",), k=5))
+    assert plan.count("Exchange") == 1, plan[:900]
