@@ -736,6 +736,21 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.split_assign(docs, carry=("source",))
 
 
+# mixture spec shared by the Spark query and its oracle
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 40
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return pipeline.pack_sequences(docs, seq_len=256)
+
+
+def _q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return pipeline.mix_sample(docs, _MIX_WEIGHTS, budget=_MIX_BUDGET)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(
@@ -1003,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
+        "pack_sequences": _q_pack_sequences,
+        "mix_sample": _q_mix_sample,
         # red in r02 (-0.0 hash artifact, normalized this round)
         "audio_chunker": _q_audio_chunker,
         "padded_chunker": _q_padded_chunker,
@@ -1017,8 +1034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calculator_multivar": _q_calculator_multivar,
         "fn_task": _q_fn_task,
         "fn_task_stateful": _q_fn_task_stateful,
-        "time_to_text": _q_time_to_text,
-        "timestamp_update": _q_timestamp_update,
         # filters / routing (SURVEY §2.3)
         "gate": _q_gate,
         "switch": _q_switch,
@@ -1073,6 +1088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_matcher": _q_string_matcher,
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
+        "time_to_text": _q_time_to_text,
+        "timestamp_update": _q_timestamp_update,
     }
 
 
@@ -1853,6 +1870,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": pipeline.oracle_decontaminate_sql(),
         "stratified_sample": pipeline.oracle_stratified_sample_sql(),
         "split_assign": pipeline.oracle_split_assign_sql(),
+        "pack_sequences": pipeline.oracle_pack_sequences_sql(seq_len=256),
+        "mix_sample": pipeline.oracle_mix_sample_sql(
+            _MIX_WEIGHTS, budget=_MIX_BUDGET
+        ),
         "ann_topk": similarity.oracle_cosine_topk_sql(k=5),
         "ann_recall": similarity.oracle_recall_probe_sql(
             n_planes=4, n_cells=8, n_probe=2, k=5

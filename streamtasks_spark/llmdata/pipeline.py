@@ -175,6 +175,146 @@ def oracle_stratified_sample_sql(
     """
 
 
+# ------------------------------------------------------ pack_sequences
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    seq_len: int = 2048,
+    shard_cols: Sequence[str] = ("source",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents are laid end-to-end in deterministic id order and
+    cut into fixed ``seq_len``-token training sequences; a document may
+    span a sequence boundary. Returns per document
+    (id, *shard, n_tokens, start_seq, end_seq, offset) where ``offset``
+    is the document's first-token position inside ``start_seq``.
+
+    Packing is PER SHARD (default: per source): a global layout would
+    be one unpartitioned window — a single-task sort at 100 TB — while
+    real pipelines pack per output shard anyway. One shuffle on the
+    shard key; the running total is a window cumsum, no self-join."""
+    toks = f"size(split({norm_text(text_col)}, ' '))"
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in shard_cols],
+            F.expr(toks).alias("n_tokens"),
+        )
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            *shard_cols,
+            "n_tokens",
+            ((F.col("__cum") - F.col("n_tokens")) / seq_len)
+            .cast("bigint")
+            .alias("start_seq"),
+            ((F.col("__cum") - 1) / seq_len).cast("bigint").alias("end_seq"),
+            ((F.col("__cum") - F.col("n_tokens")) % seq_len).alias("offset"),
+        )
+    )
+
+
+def oracle_pack_sequences_sql(
+    source_sql: str = "SELECT doc_id, source, text FROM documents",
+    seq_len: int = 2048,
+    shard_cols: Sequence[str] = ("source",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    shards = ", ".join(shard_cols)
+    return f"""
+    WITH src AS ({source_sql}),
+    t AS (
+      SELECT {id_col}, {shards},
+             len(string_split({norm_text(text_col, "duck")}, ' ')) AS n_tokens
+      FROM src
+    ),
+    c AS (
+      SELECT {id_col}, {shards}, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY {shards} ORDER BY {id_col}
+                                 ROWS UNBOUNDED PRECEDING) AS __cum
+      FROM t
+    )
+    SELECT {id_col}, {shards}, n_tokens,
+           CAST(floor((__cum - n_tokens) / {seq_len}) AS BIGINT) AS start_seq,
+           CAST(floor((__cum - 1) / {seq_len}) AS BIGINT) AS end_seq,
+           (__cum - n_tokens) % {seq_len} AS offset
+    FROM c
+    """
+
+
+# ---------------------------------------------------------- mix_sample
+
+def mix_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture sampling: draw a deterministic sample hitting the
+    target per-source composition. Each source contributes
+    ``min(count_s, round(weight_s / Σweights * budget))`` documents,
+    chosen as that source's first ranks under the same salted-hash
+    order as :func:`stratified_sample`.
+
+    The quotas compile to a literal CASE expression on the source
+    column (mixture specs are a handful of entries), so the whole plan
+    is the stratified-sample shuffle plus a narrow filter — no second
+    aggregation, no join. Sources absent from ``weights`` get quota 0
+    (dropped)."""
+    total_w = sum(weights.values())
+    quota = None
+    for name, wt in weights.items():
+        q = int(round(wt / total_w * budget))
+        cond = F.col(source_col) == F.lit(name)
+        quota = F.when(cond, F.lit(q)) if quota is None else quota.when(cond, F.lit(q))
+    quota = quota.otherwise(F.lit(0))
+    ranked = stratified_sample(
+        docs, strata=(source_col,), k=budget, id_col=id_col
+    )
+    return ranked.filter(F.col("sample_rank") <= quota).select(
+        id_col, source_col, "sample_rank"
+    )
+
+
+def oracle_mix_sample_sql(
+    weights: dict[str, float],
+    *,
+    budget: int,
+    source_sql: str = "SELECT doc_id, source FROM documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    total_w = sum(weights.values())
+    cases = " ".join(
+        f"WHEN {source_col} = '{n}' THEN {int(round(w / total_w * budget))}"
+        for n, w in weights.items()
+    )
+    h = f"cast('0x' || substr(md5('smp-' || cast({id_col} AS varchar)), 1, 7) AS BIGINT)"
+    return f"""
+    WITH src AS ({source_sql}),
+    ranked AS (
+      SELECT {id_col}, {source_col},
+             row_number() OVER (PARTITION BY {source_col}
+                                ORDER BY {h}, {id_col}) AS sample_rank
+      FROM src
+    )
+    SELECT {id_col}, {source_col}, sample_rank
+    FROM ranked
+    WHERE sample_rank <= CASE {cases} ELSE 0 END
+    """
+
+
 # -------------------------------------------------------- split_assign
 
 def split_assign(

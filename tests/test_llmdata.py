@@ -282,3 +282,43 @@ def test_split_assign_is_stable_and_total(spark, docs):
         for r in split_assign(docs.filter(F.col("doc_id") % 3 == 0)).collect()
     }
     assert all(full[k] == v for k, v in sub.items())
+
+
+def test_pack_sequences_conserves_tokens_and_bounds(spark, docs):
+    """Packing invariants per shard: documents tile the token stream
+    exactly (each doc starts where the previous ended), offsets stay
+    inside a sequence, and boundary-spanning docs report the right
+    sequence range."""
+    from streamtasks_spark.llmdata.pipeline import pack_sequences
+
+    L = 256
+    rows = pack_sequences(docs, seq_len=L).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["source"], []).append(r)
+    assert len(by_shard) > 1
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            assert r["start_seq"] == cum // L
+            assert r["offset"] == cum % L
+            cum += r["n_tokens"]
+            assert r["end_seq"] == (cum - 1) // L
+            assert r["start_seq"] <= r["end_seq"]
+
+
+def test_mix_sample_hits_target_composition(spark, docs):
+    from streamtasks_spark.llmdata.pipeline import mix_sample
+
+    got = mix_sample(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}, budget=20
+    ).collect()
+    per = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per == {"src0": 10, "src1": 5, "src2": 5}
+    again = mix_sample(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}, budget=20
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -215,3 +215,13 @@ def test_corpus_assembly_tier_plan_shapes(psession):
 
     plan = plan_of(pipeline.stratified_sample(docs, strata=("source",), k=5))
     assert plan.count("Exchange") == 1, plan[:900]
+
+    # packing: one shuffle on the shard key feeds the cumsum window
+    plan = plan_of(pipeline.pack_sequences(docs, seq_len=256))
+    assert plan.count("Exchange") == 1, plan[:900]
+
+    # mixture: quota is a literal CASE, so no join and no second agg
+    plan = plan_of(
+        pipeline.mix_sample(docs, {"src0": 0.5, "src1": 0.5}, budget=10)
+    )
+    assert "Join" not in plan, plan[:900]
