@@ -862,6 +862,26 @@ def _q_interleave_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join result-equivalence probe: the salted plan must
+    return exactly the plain join's rows, so its oracle IS the plain
+    join. The key collapses 90% of users onto one hot key to make the
+    salting non-trivial."""
+    from streamtasks_spark.relational.scale import salted_join
+
+    ev = _events(spark, sf_dir)
+    big = ev.withColumn(
+        "k",
+        F.when(F.col("user_id") % 10 != 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    ).select("k", "event_id", "value")
+    small = big.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    return salted_join(
+        big, small, "k", salt_src="event_id", n_salt=4
+    ).select("event_id", "k", "n_k")
+
+
 def _q_interleave_desync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OutputContainer interleave with the max_desync drop rule
     (reference outputcontainer.py:49,70-101): packets timestamped more
@@ -1028,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_enhance": _q_speech_enhance,
         # new this round
         "interleave_desync": _q_interleave_desync,
+        "salted_join": _q_salted_join,
         # ------- long-green tail (r02 hash-green) -------
         # functions / scalar transforms (SURVEY §2.2)
         "calculator": _q_calculator,
@@ -1044,8 +1065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_concatenator": _q_string_concatenator,
         # temporal joins (SURVEY §2.5)
         "asof_join": _q_asof_join,
-        # time ops (SURVEY §2.6)
-        "time_buffer": _q_time_buffer,
         # queries CHANGED this round, pulled inside the driver's 50-entry
         # correctness window (minhash signature fold + hot-bucket cap,
         # ngram shuffle cuts, vectorized codec kernels); the three
@@ -1090,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "number_to_text": _q_number_to_text,
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
+        "time_buffer": _q_time_buffer,
     }
 
 
@@ -1772,6 +1792,20 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  - epoch_us(ts)) > 60000000, false) AS dropped
             FROM m
+        """,
+        # oracle for the salted join is the PLAIN join — salting must be
+        # invisible in the result
+        "salted_join": """
+            WITH big AS (
+              SELECT CASE WHEN user_id % 10 <> 0 THEN 1
+                          ELSE user_id END AS k,
+                     event_id, value
+              FROM events
+            ), small AS (
+              SELECT k, count(*) AS n_k FROM big GROUP BY k
+            )
+            SELECT b.event_id, b.k, s.n_k
+            FROM big b JOIN small s ON b.k = s.k
         """,
         "container_roundtrip": """
             WITH u AS (

@@ -225,3 +225,60 @@ def test_corpus_assembly_tier_plan_shapes(psession):
         pipeline.mix_sample(docs, {"src0": 0.5, "src1": 0.5}, budget=10)
     )
     assert "Join" not in plan, plan[:900]
+
+
+def test_bucketed_join_needs_no_exchange(psession, tmp_path_factory):
+    """Co-bucketed orders ⋈ lineitem on the order key: bucketing carries
+    the hash-partitioning into the plan, so the sort-merge join runs
+    with ZERO Exchange on either side — the once-at-ingest layout that
+    replaces the per-query fact⋈fact shuffle at 100 TB."""
+    from streamtasks_spark.relational.scale import bucketed, write_bucketed
+    from streamtasks_spark.session import read_parquet
+
+    d = tmp_path_factory.mktemp("bkt")
+    orders = read_parquet(psession, f"{SF_DIR}/orders.parquet")
+    li = read_parquet(psession, f"{SF_DIR}/lineitem.parquet")
+    write_bucketed(
+        orders, "t_orders_b", buckets=8, key="o_orderkey", path=str(d / "o")
+    )
+    write_bucketed(
+        li, "t_lineitem_b", buckets=8, key="l_orderkey", path=str(d / "l")
+    )
+    try:
+        j = bucketed(psession, "t_orders_b").join(
+            bucketed(psession, "t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan[:900]
+        assert "Exchange" not in plan, plan[:900]
+        assert j.count() == li.count()
+    finally:
+        psession.sql("DROP TABLE IF EXISTS t_orders_b")
+        psession.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_matches_plain_and_spreads_key(psession):
+    """salted_join must return exactly the plain join's rows while the
+    physical join key includes the salt (the hot key now hashes to
+    n_salt partitions instead of one)."""
+    from streamtasks_spark.relational.scale import salted_join
+    from streamtasks_spark.session import read_parquet
+
+    ev = read_parquet(psession, f"{SF_DIR}/events.parquet")
+    # skew: collapse most traffic onto one key
+    big = ev.withColumn(
+        "k", F.when(F.col("user_id") % 10 != 0, F.lit(1)).otherwise(F.col("user_id"))
+    ).select("k", "event_id", "value")
+    small = (
+        big.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    plain = {
+        (r["event_id"], r["n_k"])
+        for r in big.join(small, "k").collect()
+    }
+    salted = salted_join(big, small, "k", salt_src="event_id", n_salt=4)
+    got = {(r["event_id"], r["n_k"]) for r in salted.collect()}
+    assert got == plain and len(got) == ev.count()
+    plan = plan_of(salted)
+    assert "__salt" in plan, plan[:900]
