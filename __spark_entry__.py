@@ -1016,6 +1016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
         "q10_returned_items": rel(rq.q10_returned_items),
         "q14_promo_effect": rel(rq.q14_promo_effect),
+        "q12_priority_shipping": rel(rq.q12_priority_shipping),
+        "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
+        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
         "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
@@ -1059,10 +1062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate": _q_gate,
         "switch": _q_switch,
         "pause_state": _q_pause_state,
-        "sr_latch": _q_sr_latch,
-        "message_detector": _q_message_detector,
-        # aggregation-ish stateful (SURVEY §2.4)
-        "string_concatenator": _q_string_concatenator,
         # temporal joins (SURVEY §2.5)
         "asof_join": _q_asof_join,
         # queries CHANGED this round, pulled inside the driver's 50-entry
@@ -1110,6 +1109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         "time_buffer": _q_time_buffer,
+        "sr_latch": _q_sr_latch,
+        "message_detector": _q_message_detector,
+        "string_concatenator": _q_string_concatenator,
     }
 
 
@@ -2003,6 +2005,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01'
               AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "q12_priority_shipping": """
+            SELECT l_returnflag,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS high_line_count,
+              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 300.0
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+              round(o_totalprice, 4) AS o_totalprice,
+              round(total_qty, 4) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_disjunctive_predicates": """
+            SELECT
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "top_customers_per_nation": """
             WITH ranked AS (

@@ -199,6 +199,95 @@ def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q12_priority_shipping(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q12 flavor (adapted: testdata has no l_shipmode, so the
+    grouping column is l_returnflag): per return flag, how many 1996
+    shipments belong to critical- vs normal-priority orders.
+
+    Scale: lineitem⋈orders is fact⋈fact — no broadcast hint anywhere;
+    the CASE aggregation is a map-side partial count after the one
+    join shuffle."""
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q18_large_volume_customers(t: dict[str, DataFrame], min_qty: float = 300.0) -> DataFrame:
+    """TPC-H Q18 flavor: customers whose single orders exceed a total
+    quantity threshold.
+
+    Scale: the HAVING subquery aggregates lineitem FIRST (one shuffle on
+    l_orderkey, map-side combine), and only the tiny surviving key set
+    joins back — a semi-join of orders against an aggregate, never a
+    three-way fact join. customer attaches last, to already-thresholded
+    rows."""
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+def q19_disjunctive_predicates(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q19 flavor (adapted: p_container absent — bands use
+    p_brand/p_size/l_quantity): revenue from three OR'd brand/size/
+    quantity bands.
+
+    Scale: the brand∈{...} ∧ size-range part of the disjunction refers
+    only to part columns, so Catalyst extracts it as a pre-join filter
+    on part (visible as PushedFilters on p_brand/p_size) — the join
+    input shrinks before the shuffle; the mixed part⋈lineitem terms
+    evaluate post-join. part is SF-scaled: no broadcast hint."""
+    bands = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def top_customers_per_nation(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
     """Window top-k: rank customers by account balance within nation."""
     w = Window.partitionBy("c_nationkey").orderBy(

@@ -282,3 +282,25 @@ def test_salted_join_matches_plain_and_spreads_key(psession):
     assert got == plain and len(got) == ev.count()
     plan = plan_of(salted)
     assert "__salt" in plan, plan[:900]
+
+
+def test_q12_q18_q19_join_disciplines(psession, tables):
+    """q12: fact⋈fact stays shuffle (no broadcast anywhere). q18: the
+    quantity threshold aggregates lineitem BEFORE any join (partial_sum
+    below the first join) and nothing broadcasts. q19: the part-only
+    side of the OR'd bands reaches the part scan as PushedFilters."""
+    plan = plan_of(rq.q12_priority_shipping(tables))
+    assert "BroadcastHashJoin" not in plan, plan[:900]
+
+    plan = plan_of(rq.q18_large_volume_customers(tables))
+    assert "BroadcastHashJoin" not in plan, plan[:900]
+    agg_pos = plan.find("partial_sum")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1, plan[:900]
+
+    plan = plan_of(rq.q19_disjunctive_predicates(tables))
+    part_scan = re.search(
+        r"FileScan parquet \[[^\]]*p_brand[^\]]*\][^\n]*", plan
+    )
+    assert part_scan and "PushedFilters" in part_scan.group(0), plan[:1200]
+    assert "p_brand" in part_scan.group(0).split("PushedFilters")[1], part_scan.group(0)
