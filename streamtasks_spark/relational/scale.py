@@ -77,6 +77,13 @@ def salted_join(
     not the cluster size. Output columns = the plain join's (salt
     dropped)."""
     keys = [on] if isinstance(on, str) else list(on)
+    if how.replace("_", "").lower() in {"right", "rightouter", "full", "fullouter", "outer"}:
+        # an unmatched small-side row would surface once PER REPLICA
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side is "
+            f"replicated {n_salt}x, so outer-preserving it duplicates "
+            "unmatched rows. Salt the other side instead."
+        )
     b = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salt))
     )

@@ -304,3 +304,15 @@ def test_q12_q18_q19_join_disciplines(psession, tables):
     )
     assert part_scan and "PushedFilters" in part_scan.group(0), plan[:1200]
     assert "p_brand" in part_scan.group(0).split("PushedFilters")[1], part_scan.group(0)
+
+
+def test_salted_join_rejects_small_side_preserving_joins(psession):
+    from streamtasks_spark.relational.scale import salted_join
+    from streamtasks_spark.session import read_parquet
+
+    ev = read_parquet(psession, f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    small = ev.groupBy("user_id").count()
+    with pytest.raises(ValueError, match="replicated"):
+        salted_join(ev, small, "user_id", salt_src="event_id", how="right")
