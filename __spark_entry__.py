@@ -1025,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stats": rel(rq.events_hourly_stats),
         "events_session_windows": rel(rq.events_session_windows),
         "events_rollup": rel(rq.events_rollup),
+        "events_quantiles": rel(rq.events_quantiles),
         "set_ops": rel(rq.union_intersect_except),
         # llmdata: similarity search tier — never driver-checked
         "ann_topk": _q_ann_topk,
@@ -1061,7 +1062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filters / routing (SURVEY §2.3)
         "gate": _q_gate,
         "switch": _q_switch,
-        "pause_state": _q_pause_state,
         # temporal joins (SURVEY §2.5)
         "asof_join": _q_asof_join,
         # queries CHANGED this round, pulled inside the driver's 50-entry
@@ -1112,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr_latch": _q_sr_latch,
         "message_detector": _q_message_detector,
         "string_concatenator": _q_string_concatenator,
+        "pause_state": _q_pause_state,
     }
 
 
@@ -2078,6 +2079,16 @@ def oracle_sql() -> dict[str, str]:
               count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+              round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+                + 0.0 AS p50,
+              round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6)
+                + 0.0 AS p90,
+              round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6)
+                + 0.0 AS p99
+            FROM events GROUP BY event_type
         """,
         "set_ops": """
             SELECT user_id FROM events WHERE event_type = 'click'

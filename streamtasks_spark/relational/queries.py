@@ -388,6 +388,29 @@ def events_rollup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def events_quantiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact p50/p90/p99 of event value per type (linear interpolation,
+    byte-identical to DuckDB's percentile_cont — verified empirically).
+
+    Scale note: EXACT percentiles inherently gather each group's values
+    into one aggregation buffer — fine while groups are bounded (event
+    types here), wrong for 100 TB groups. The scale path is
+    ``approx_percentile`` (GK sketch, mergeable map-side); a unit test
+    pins the approximation against this exact query so both formulations
+    stay honest."""
+    ev = t["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("__p"))
+        .select(
+            "event_type",
+            (F.round(F.element_at("__p", 1), 6) + F.lit(0.0)).alias("p50"),
+            (F.round(F.element_at("__p", 2), 6) + F.lit(0.0)).alias("p90"),
+            (F.round(F.element_at("__p", 3), 6) + F.lit(0.0)).alias("p99"),
+        )
+    )
+
+
 def union_intersect_except(t: dict[str, DataFrame]) -> DataFrame:
     """Set-op vocabulary probe: users who clicked AND viewed but never had
     a high-value error event."""

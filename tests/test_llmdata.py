@@ -322,3 +322,37 @@ def test_mix_sample_hits_target_composition(spark, docs):
         docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}, budget=20
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_approx_percentile_tracks_exact_quantiles(spark):
+    """The 100 TB quantile path (approx_percentile, mergeable sketch)
+    must return a value within a small RANK window of the true
+    quantile. Value-distance is the wrong yardstick on sparse heavy
+    tails (the exact path interpolates across gaps; the sketch returns
+    a real data point), so the assertion is positional."""
+    from streamtasks_spark.session import read_parquet
+
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    approx = {
+        r["event_type"]: (r["a50"], r["a90"], r["a99"])
+        for r in ev.groupBy("event_type").agg(
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("a")
+        ).select(
+            "event_type",
+            F.element_at("a", 1).alias("a50"),
+            F.element_at("a", 2).alias("a90"),
+            F.element_at("a", 3).alias("a99"),
+        ).collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(vals) == set(approx)
+    for k, sorted_vals in ((k, sorted(v)) for k, v in vals.items()):
+        n = len(sorted_vals)
+        for p, a in zip((0.5, 0.9, 0.99), approx[k]):
+            t = p * (n - 1)
+            window = sorted_vals[max(0, int(t) - 2): min(n, int(t) + 4)]
+            assert window[0] <= a <= window[-1], (k, p, a, window)
