@@ -1,0 +1,72 @@
+"""Native watermarked window aggregations — the streaming twins of the
+relational tier's event-time aggregates (relational/queries.py
+events_hourly_stats / events_session_windows).
+
+Unlike the stateful.py twins (custom per-key state machines needing
+applyInPandasWithState), these are pure built-in Structured Streaming:
+``withWatermark`` bounds state, ``F.window``/``F.session_window`` do the
+grouping, and append mode emits each window exactly once when the
+watermark passes its end. State shards by (window, key) across the
+cluster; the watermark delay is the only memory knob — at 100 TB the
+state store holds (active windows × keys) rows regardless of input
+volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_hourly_stats(
+    events: DataFrame,
+    *,
+    ts: str = "ts",
+    key: str = "event_type",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``events_hourly_stats``: tumbling 1-hour
+    event-time windows, emitted once closed. Output columns match the
+    batch query (window start renamed ``hour``)."""
+    return (
+        events.withWatermark(ts, watermark_delay)
+        .groupBy(F.window(F.col(ts), "1 hour"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("window.start").alias("hour"), key, "n_events", "sum_value", "avg_value")
+    )
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    *,
+    ts: str = "ts",
+    key: str = "user_id",
+    gap_minutes: int = 30,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``events_session_windows``: gap-based session
+    windows per key via the native ``session_window`` — sessions merge
+    across micro-batches while open and emit once the watermark passes
+    the gap."""
+    return (
+        events.withWatermark(ts, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts), f"{gap_minutes} minutes"),
+            F.col(key),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )

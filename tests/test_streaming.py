@@ -457,3 +457,69 @@ def test_streaming_llm_chat_matches_batch(spark, tmp_path, event_dir):
     got_df = run_to_memory(spark, out, tmp_path)
     got = {(r["user_id"], r["event_id"]): r["reply"] for r in got_df.collect()}
     assert got == expect
+
+
+def test_streaming_hourly_stats_emits_closed_windows(spark, tmp_path, event_dir):
+    """Watermarked tumbling-window twin: append mode must emit exactly
+    the batch windows whose end the final watermark passed, with
+    identical aggregates."""
+    import datetime
+
+    from streamtasks_spark.relational.queries import events_hourly_stats
+    from streamtasks_spark.streaming.windows import streaming_hourly_stats
+
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    out = streaming_hourly_stats(
+        _events_stream(spark, event_dir), watermark_delay="2 hours"
+    )
+    got = run_to_memory(spark, out, tmp_path).collect()
+
+    full = events_hourly_stats({"events": ev}).collect()
+    wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=2)
+    closed = [
+        r for r in full if (r["hour"] + datetime.timedelta(hours=1)) <= wm
+    ]
+    key = lambda r: (
+        r["hour"], r["event_type"], r["n_events"], r["sum_value"],
+        r["avg_value"],
+    )
+    assert set(map(key, got)) == set(map(key, closed))
+    assert 0 < len(closed) < len(full)  # some windows closed, some open
+
+
+def test_streaming_session_stats_matches_batch_sessions(spark, tmp_path, event_dir):
+    """Native session_window twin: every emitted session must equal a
+    batch sessionization row (start, count, sum), with the streaming
+    window end = last event + gap; and every batch session the final
+    watermark closed must be emitted."""
+    import datetime
+
+    from streamtasks_spark.relational.queries import events_session_windows
+    from streamtasks_spark.streaming.windows import streaming_session_stats
+
+    gap_min = 30
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    out = streaming_session_stats(
+        _events_stream(spark, event_dir),
+        gap_minutes=gap_min,
+        watermark_delay="2 hours",
+    )
+    got = run_to_memory(spark, out, tmp_path).collect()
+
+    batch = events_session_windows({"events": ev}, gap_minutes=gap_min).collect()
+    gap = datetime.timedelta(minutes=gap_min)
+    wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=2)
+    key = lambda start, end, uid, n, s: (start, end, uid, n, s)
+    gset = {
+        key(r["session_start"], r["session_end"] - gap, r["user_id"],
+            r["n_events"], r["sum_value"])
+        for r in got
+    }
+    closed = {
+        key(r["session_start"], r["session_end"], r["user_id"],
+            r["n_events"], r["sum_value"])
+        for r in batch
+        if r["session_end"] + gap <= wm
+    }
+    assert gset == closed
+    assert 0 < len(closed) < len(batch)
