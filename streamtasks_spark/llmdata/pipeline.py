@@ -253,6 +253,23 @@ def oracle_pack_sequences_sql(
 
 # ---------------------------------------------------------- mix_sample
 
+def _mix_quotas(
+    weights: dict[str, float], budget: int
+) -> list[tuple[str, int]]:
+    """Largest-remainder apportionment of ``budget`` across weights:
+    quotas always sum to the budget exactly (independent rounding can
+    drop or add documents — round(0.5) is 0 under banker's rounding).
+    Shared by the Spark operator and the oracle builder so both sides
+    compute identical quotas."""
+    total_w = sum(weights.values())
+    raw = [(n, w / total_w * budget) for n, w in weights.items()]
+    quotas = {n: int(r) for n, r in raw}
+    short = budget - sum(quotas.values())
+    by_remainder = sorted(raw, key=lambda nr: (-(nr[1] - int(nr[1])), nr[0]))
+    for n, _ in by_remainder[:short]:
+        quotas[n] += 1
+    return [(n, quotas[n]) for n in weights]
+
 def mix_sample(
     docs: DataFrame,
     weights: dict[str, float],
@@ -272,10 +289,8 @@ def mix_sample(
     is the stratified-sample shuffle plus a narrow filter — no second
     aggregation, no join. Sources absent from ``weights`` get quota 0
     (dropped)."""
-    total_w = sum(weights.values())
     quota = None
-    for name, wt in weights.items():
-        q = int(round(wt / total_w * budget))
+    for name, q in _mix_quotas(weights, budget):
         cond = F.col(source_col) == F.lit(name)
         quota = F.when(cond, F.lit(q)) if quota is None else quota.when(cond, F.lit(q))
     quota = quota.otherwise(F.lit(0))
@@ -295,10 +310,9 @@ def oracle_mix_sample_sql(
     source_col: str = "source",
     id_col: str = "doc_id",
 ) -> str:
-    total_w = sum(weights.values())
     cases = " ".join(
-        f"WHEN {source_col} = '{n}' THEN {int(round(w / total_w * budget))}"
-        for n, w in weights.items()
+        f"WHEN {source_col} = '{n}' THEN {q}"
+        for n, q in _mix_quotas(weights, budget)
     )
     h = f"cast('0x' || substr(md5('smp-' || cast({id_col} AS varchar)), 1, 7) AS BIGINT)"
     return f"""

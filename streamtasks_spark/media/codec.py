@@ -59,6 +59,11 @@ class RawPcmCodec:
     def encode_batch(arrays) -> list[bytes]:
         out = []
         for s in arrays:
+            if s is None:
+                # np.asarray(None) would yield a 0-d NaN "array" and
+                # silently encode a bogus 1-sample packet; fail loudly
+                # like the per-row path does
+                raise TypeError("encode_batch: samples array is null")
             a = np.asarray(s, dtype="<f8")
             out.append(struct.pack("<I", a.size) + a.tobytes())
         return out

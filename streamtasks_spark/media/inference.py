@@ -172,7 +172,8 @@ def llm_chat_stub(
             for conv, text in zip(pdf[conversation_col], pdf[text_col].astype(str)):
                 hist = histories.setdefault(conv, [])
                 hist.append(text)
-                del hist[:-history_limit]
+                # not hist[:-limit]: a -0 slice would delete nothing at limit=0
+                del hist[: max(0, len(hist) - history_limit)]
                 replies.append(f"reply#{len(hist)}:{sum(len(h) for h in hist)}")
             out = pdf[ids].copy()
             out["reply"] = replies

@@ -198,12 +198,12 @@ def interleave_by_duration(
     if seq_col is None:
         # a constant tiebreaker would make cum_before/mux_order
         # nondeterministic across runs for multi-row streams
-        if all("ts" in s.columns for s in streams):
-            seq_col = "ts"
+        if all(ts_col in s.columns for s in streams):
+            seq_col = ts_col
         else:
             raise ValueError(
-                "interleave_by_duration needs seq_col (or a 'ts' column) "
-                "for a deterministic per-stream order"
+                "interleave_by_duration needs seq_col (or a "
+                f"{ts_col!r} column) for a deterministic per-stream order"
             )
     tagged = None
     for i, s in enumerate(streams):

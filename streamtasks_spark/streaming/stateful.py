@@ -427,7 +427,8 @@ def streaming_llm_chat(
         replies = []
         for t in pdf[text_col].astype(str):
             hist.append(t)
-            del hist[:-history_limit]
+            # not hist[:-limit]: a -0 slice would delete nothing at limit=0
+            del hist[: max(0, len(hist) - history_limit)]
             replies.append(f"reply#{len(hist)}:{sum(len(h) for h in hist)}")
         state.update((hist,))
         out = pdf[[conversation_col, ts, *seq_cols]].copy()

@@ -296,7 +296,10 @@ def test_q12_q18_q19_join_disciplines(psession, tables):
     assert "BroadcastHashJoin" not in plan, plan[:900]
     agg_pos = plan.find("partial_sum")
     join_pos = plan.find("Join")
-    assert agg_pos != -1 and join_pos != -1, plan[:900]
+    # top-down print: the partial aggregate must sit BELOW (after) the
+    # joins — an agg above the first join would mean lineitem joins
+    # un-thresholded
+    assert -1 < join_pos < agg_pos, (join_pos, agg_pos, plan[:900])
 
     plan = plan_of(rq.q19_disjunctive_predicates(tables))
     part_scan = re.search(
