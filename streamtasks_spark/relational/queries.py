@@ -288,6 +288,421 @@ def q19_disjunctive_predicates(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q2 flavor (adapted: no partsupp table — the part⋈supplier
+    relation is derived from lineitem, unit cost = avg sell price per
+    unit): for each size-15 part available from EUROPE suppliers, the
+    supplier(s) offering the minimum unit cost.
+
+    Scale: the correlated-min subquery becomes agg → min-per-part →
+    join-back-on-min. Both aggregations partial (map-side combine); the
+    join back is agg⋈agg on (partkey, cost) — part-count-scaled, stays
+    a shuffle join. nation/region are fixed-size broadcasts; supplier is
+    SF-scaled (10k×SF in TPC-H) so NO broadcast hint — AQE may downgrade
+    the filtered region subset at runtime. The min is taken on the
+    ROUNDED cost so the equality join-back is byte-stable."""
+    eur_supp = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        t["lineitem"]
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+                "unit_cost"
+            )
+        )
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("__min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("unit_cost") == F.col("__min_cost")),
+        )
+        .join(
+            t["part"].filter(F.col("p_size") == 15),
+            cost.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "unit_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q7_volume_shipping(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q7 flavor: shipping volume between two nations (either
+    direction) by year.
+
+    Scale: nation (fixed 25 rows) broadcast twice under distinct aliases
+    — one per side of the trade; lineitem⋈orders⋈customer and the
+    supplier attach are SF-scaled shuffle joins. The two-nation
+    disjunction evaluates after both broadcasts, on already-joined rows."""
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q8 flavor: NATION_3's share of ECONOMY-part revenue sold to
+    ASIA customers, by order year.
+
+    Scale: the share is a conditional-sum / sum on ONE aggregation pass
+    (no self-join of the revenue relation); nation×2 and region are
+    broadcast, part carries the selective p_type filter into its scan,
+    all fact joins stay shuffles."""
+    asia_cust = (
+        t["customer"]
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_type") == "ECONOMY"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q9 flavor (adapted: no partsupp — supply cost is modeled as
+    60% of p_retailprice per unit): profit on 'red' parts by supplier
+    nation and order year.
+
+    Scale: part's name filter prunes its scan before the fact join;
+    nation broadcast; profit can legitimately round to ±0 per group so
+    the rounded sum is zero-normalized (+0.0) on both engines."""
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].filter(F.col("p_name").contains("red")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg((F.round(F.sum(profit), 4) + F.lit(0.0)).alias("sum_profit"))
+    )
+
+
+def q11_important_stock(t: dict[str, DataFrame], fraction: float = 0.001) -> DataFrame:
+    """TPC-H Q11 flavor (adapted: no partsupp — per-part 'inventory
+    value' is the discounted revenue shipped by EUROPE suppliers): parts
+    whose value exceeds ``fraction`` of the total such value.
+
+    Scale: the scalar HAVING subquery is a second aggregation OVER THE
+    ALREADY-AGGREGATED per-part relation (never a second fact scan),
+    broadcast back as a one-row cross join."""
+    eur_supp = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__v"))
+    )
+    total = per_part.agg(F.sum("__v").alias("__total"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .filter(F.col("__v") > F.col("__total") * F.lit(fraction))
+        .select("l_partkey", F.round("__v", 4).alias("part_value"))
+    )
+
+
+def q13_customer_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q13 flavor (adapted: the order-exclusion predicate is a
+    priority class instead of the comment LIKE): distribution of
+    customers by order count, including zero-order customers.
+
+    Scale: customer LEFT OUTER orders must stay a shuffle join at
+    SF-scale (both sides grow); the double aggregation (per-customer
+    count, then count-of-counts) is two cheap shuffles on shrinking
+    data. Counting o_orderkey (not *) makes NULL-extended rows count 0."""
+    orders = t["orders"].filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q15_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q15 flavor: supplier(s) with the maximum revenue in one
+    quarter.
+
+    Scale: per-supplier revenue is one partial agg; the scalar max is an
+    agg over that (supplier-count-sized) relation broadcast back as a
+    one-row cross join — the classic view + scalar-subquery plan without
+    rescanning lineitem. Supplier attaches after thresholding, to ≥1
+    surviving rows."""
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("__max"))
+    return (
+        rev.crossJoin(broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_parts_supplier_relationship(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q16 flavor (adapted: the part⋈supplier relation comes from
+    lineitem; 'complaint' suppliers are those with negative balance):
+    distinct supplier counts per (brand, type, size) for selected sizes,
+    excluding one brand, one type, and complaint suppliers.
+
+    Scale: the exclusion is an ANTI join against the (tiny, filtered)
+    complaint-supplier side — broadcastable; the distinct-count shuffles
+    once on the grouping keys after a dedup of (part, supplier) pairs."""
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q17 flavor: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) for one brand were
+    not taken.
+
+    Scale: the correlated AVG subquery becomes a per-part aggregate of
+    lineitem joined back on l_partkey — agg⋈fact on the part key stays a
+    shuffle join (the agg side is part-count-scaled, too big to
+    broadcast at 100 TB); the brand filter prunes part's scan and
+    semi-shrinks both sides."""
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = t["lineitem"].join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__qty_limit")
+    )
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_limit"))
+        .agg(
+            (F.round(F.sum("l_extendedprice") / F.lit(7.0), 4) + F.lit(0.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q20_potential_promotion(t: dict[str, DataFrame], min_qty: float = 100.0) -> DataFrame:
+    """TPC-H Q20 flavor (adapted: no partsupp availqty — the threshold
+    is an absolute shipped-quantity floor): ASIA suppliers who shipped
+    more than ``min_qty`` units of 'blue' parts during 1996.
+
+    Scale: nested subqueries become a semi-join chain — lineitem is
+    semi-filtered by the part subquery BEFORE its aggregation shuffle,
+    the qualifying supplier keys are an agg output joined semi against
+    supplier, and nation/region broadcast. No fact table is scanned
+    twice."""
+    blue_parts = t["part"].filter(F.col("p_name").contains("blue")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(blue_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > min_qty)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+    )
+
+
+def q21_waiting_supplier(t: dict[str, DataFrame], late_days: int = 60) -> DataFrame:
+    """TPC-H Q21 flavor (adapted: no commit/receipt dates — 'late' means
+    shipped more than ``late_days`` after the order date): suppliers who
+    were the ONLY late supplier on a finished multi-supplier order.
+
+    Scale: the EXISTS/NOT-EXISTS pair is a LEFT SEMI then LEFT ANTI
+    self-join of lineitem on l_orderkey with a supplier-inequality
+    residual — two shuffles on the same key (co-partitioned after the
+    first exchange); supplier and nation broadcast onto the surviving
+    (small) row set. The orders status filter rides into the fact join."""
+    li = t["lineitem"].join(
+        t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = li.filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+    ).select("l_orderkey", "l_suppkey")
+    others = t["lineitem"].select(
+        F.col("l_orderkey").alias("o2_okey"), F.col("l_suppkey").alias("o2_skey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("l3_okey"), F.col("l_suppkey").alias("l3_skey")
+    )
+    blamed = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_okey"))
+            & (F.col("l_suppkey") != F.col("o2_skey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("l3_okey"))
+            & (F.col("l_suppkey") != F.col("l3_skey")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+def q22_global_sales_opportunity(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q22 flavor (adapted: nation-key grouping instead of phone
+    prefixes): well-funded customers in four nations with no orders in
+    the last two data years (the reference workload's 'lapsed customer'
+    semantics — every customer has SOME order at this scale).
+
+    Scale: the scalar AVG subquery aggregates the filtered customer
+    relation and broadcasts one row back; the NOT EXISTS is a LEFT ANTI
+    against date-filtered orders — at SF-scale a shuffle anti-join on
+    c_custkey, left to AQE, with the date filter pushed to the orders
+    scan. No per-row subquery execution anywhere."""
+    nations = [1, 3, 5, 7]
+    cust = t["customer"].filter(F.col("c_nationkey").isin(nations))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
 def top_customers_per_nation(t: dict[str, DataFrame], k: int = 3) -> DataFrame:
     """Window top-k: rank customers by account balance within nation."""
     w = Window.partitionBy("c_nationkey").orderBy(

@@ -108,6 +108,99 @@ def test_q1_uses_partial_aggregation(psession, tables):
     assert "partial_sum" in plan or "partial_avg" in plan, plan[:900]
 
 
+def test_q2_q7_q8_q9_broadcast_only_fixed_dims(psession, tables):
+    """TPC-H completions, star-join group: the ONLY broadcasts are the
+    fixed-size nation/region dims; every SF-scaled join (lineitem,
+    orders, customer, supplier, part, and q2's agg⋈agg min join-back)
+    stays a shuffle join."""
+    plan = plan_of(rq.q2_min_cost_supplier(tables))
+    bkeys = set(re.findall(r"BroadcastHashJoin \[(\w+)", plan))
+    assert bkeys <= {"s_nationkey", "n_regionkey"}, bkeys
+    for key in ("l_suppkey", "l_partkey"):
+        j = re.search(rf"(\w+Join) \[{key}", plan)
+        assert j and "Broadcast" not in j.group(1), (key, plan[:900])
+
+    plan = plan_of(rq.q7_volume_shipping(tables))
+    bkeys = set(re.findall(r"BroadcastHashJoin \[(\w+)", plan))
+    assert bkeys <= {"s_nationkey", "c_nationkey"}, bkeys
+    for key in ("l_orderkey", "o_custkey", "l_suppkey"):
+        j = re.search(rf"(\w+Join) \[{key}", plan)
+        assert j and "Broadcast" not in j.group(1), (key, plan[:900])
+
+    plan = plan_of(rq.q8_market_share(tables))
+    bkeys = set(re.findall(r"BroadcastHashJoin \[(\w+)", plan))
+    assert bkeys <= {"c_nationkey", "n_regionkey", "s_nationkey"}, bkeys
+    for key in ("l_partkey", "l_orderkey", "o_custkey", "l_suppkey"):
+        j = re.search(rf"(\w+Join) \[{key}", plan)
+        assert j and "Broadcast" not in j.group(1), (key, plan[:900])
+
+    plan = plan_of(rq.q9_product_profit(tables))
+    assert plan.count("BroadcastHashJoin") == 1, plan[:900]
+    assert re.search(r"BroadcastHashJoin \[s_nationkey", plan), plan[:900]
+    # the name filter must prune part's scan before the fact join
+    pushed = re.search(r"PushedFilters: \[[^\]]*p_name[^\]]*\]", plan)
+    assert pushed, plan[:1500]
+
+
+def test_q11_q15_q22_scalar_subquery_broadcasts_back(psession, tables):
+    """Scalar-subquery group: the one-row aggregate (total / max / avg)
+    must come back as a broadcast nested-loop cross join — never a
+    shuffle — while the fact-side joins stay shuffles."""
+    for fn in (rq.q11_important_stock, rq.q22_global_sales_opportunity):
+        plan = plan_of(fn(tables))
+        assert "BroadcastNestedLoopJoin" in plan, (fn.__name__, plan[:900])
+    # q15 compares on EQUALITY, so Catalyst upgrades the scalar cross
+    # join to a broadcast hash join on the normalized float — accept
+    # that strictly-better shape
+    plan = plan_of(rq.q15_top_supplier(tables))
+    assert re.search(r"BroadcastHashJoin \[knownfloatingpointnormalized", plan), plan[:900]
+    # q22's NOT EXISTS: shuffle anti join on the customer key
+    plan = plan_of(rq.q22_global_sales_opportunity(tables))
+    j = re.search(r"(\w+Join) \[c_custkey[^\n]*LeftAnti", plan)
+    assert j and "Broadcast" not in j.group(1), plan[:900]
+
+
+def test_q13_q17_q21_fact_joins_stay_shuffle(psession, tables):
+    """Fact⋈fact group: q13's customer LEFT OUTER orders, q17's
+    agg-join-back on the part key, and q21's lineitem self semi/anti
+    pair must all stay shuffle joins (both sides SF-scaled)."""
+    plan = plan_of(rq.q13_customer_distribution(tables))
+    assert "BroadcastHashJoin" not in plan, plan[:900]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin).*LeftOuter", plan), plan[:900]
+
+    plan = plan_of(rq.q17_small_quantity_revenue(tables))
+    assert "BroadcastHashJoin" not in plan, plan[:900]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin).*LeftSemi", plan), plan[:900]
+    assert "partial_avg" in plan, plan[:900]
+
+    plan = plan_of(rq.q21_waiting_supplier(tables))
+    assert "BroadcastHashJoin" not in plan, plan[:900]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin).*LeftSemi", plan), plan[:900]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin).*LeftAnti", plan), plan[:900]
+
+
+def test_q16_complaint_exclusion_broadcasts(psession, tables):
+    """q16: the complaint-supplier exclusion is a tiny filtered dim —
+    the LEFT ANTI against it must be the hinted broadcast; the part
+    attach stays a shuffle join."""
+    plan = plan_of(rq.q16_parts_supplier_relationship(tables))
+    assert re.search(r"BroadcastHashJoin \[l_suppkey[^\n]*LeftAnti", plan), plan[:900]
+    j = re.search(r"(\w+Join) \[l_partkey", plan)
+    assert j and "Broadcast" not in j.group(1), plan[:900]
+
+
+def test_q20_semi_chain_no_fact_broadcast(psession, tables):
+    """q20: the nested-subquery semi chain — only nation/region
+    broadcast; the part semi-filter and the qualifying-supplier semi
+    both stay shuffles."""
+    plan = plan_of(rq.q20_potential_promotion(tables))
+    bkeys = set(re.findall(r"BroadcastHashJoin \[(\w+)", plan))
+    assert bkeys <= {"s_nationkey", "n_regionkey"}, bkeys
+    for key in ("l_partkey", "s_suppkey"):
+        j = re.search(rf"(\w+Join) \[{key}", plan)
+        assert j and "Broadcast" not in j.group(1), (key, plan[:900])
+
+
 def test_temporal_ops_are_single_shuffle(psession):
     """last_value_join (gate's core) must plan exactly one exchange: the
     window partitioning. A second exchange would mean an accidental
