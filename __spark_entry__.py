@@ -882,6 +882,37 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k", "n_k")
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window range join: every click inside the 6-hour
+    window opened by a purchase of the same user, aggregated per window.
+    The operator buckets time so the band join runs as an EQUI-join on
+    (user, bucket) + residual filter — no nested-loop (the plan contract
+    in tests/test_plans.py pins this)."""
+    from streamtasks_spark.operators.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("window_id"),
+    )
+    return (
+        range_join(
+            clicks, windows, keys=["user_id"],
+            start_col="start_ts", end_col="end_ts", bucket_minutes=120,
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            _r6z(F.sum("value"), "sum_value"),
+        )
+    )
+
+
 def _q_interleave_desync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OutputContainer interleave with the max_desync drop rule
     (reference outputcontainer.py:49,70-101): packets timestamped more
@@ -1038,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r03
         "interleave_desync": _q_interleave_desync,
         "salted_join": _q_salted_join,
+        "range_join": _q_range_join,
         # llmdata: corpus-quality + corpus-assembly tiers — new in r03
         "doc_repetition": _q_doc_repetition,
         "quality_filter": _q_quality_filter,
@@ -2227,6 +2259,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 10
+        """,
+        "range_join": """
+            SELECT p.event_id AS window_id, count(*) AS n_clicks,
+              round(sum(c.value), 6) + 0.0 AS sum_value
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 6 HOUR
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+            GROUP BY p.event_id
         """,
         "q22_global_sales_opportunity": """
             WITH cust AS (

@@ -241,3 +241,69 @@ def asof_join(
         result_cols.append(F.col(f"__m.{c}").alias(name))
     result_cols.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}_asof"))
     return out.select(*result_cols)
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    left_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_minutes: int = 10,
+    max_span_buckets: int = 1000,
+) -> DataFrame:
+    """Inner range join: each ``left`` row pairs with every ``intervals``
+    row sharing ``keys`` whose ``[start_col, end_col)`` contains the left
+    row's ``left_ts``.
+
+    OSS Spark plans a timestamp-band join condition as a nested-loop /
+    cartesian per key — a scan-crushing failure mode at 100 TB. The
+    scalable formulation buckets time: each interval is exploded to the
+    bucket ids it covers (``F.sequence``), each left row gets its single
+    bucket id, and the join becomes an EQUI-join on (keys, bucket) with
+    the band predicate left as a residual filter. One shuffle per side,
+    sort-merge joinable, AQE-skew-splittable. A matched pair meets in
+    exactly one bucket (the left row's), so no post-join dedup is needed.
+
+    ``bucket_minutes`` tunes the explosion factor: an interval spanning
+    S minutes becomes ``ceil(S/bucket) + 1`` rows. Pick it near the
+    median interval length (explosion ≈ 2×). ``max_span_buckets`` guards
+    a degenerate interval (e.g. an open-ended end timestamp) from
+    exploding to millions of rows — the job fails with a clear message
+    instead of silently producing a runaway stage.
+
+    The streaming twin needs no custom code: Structured Streaming's
+    native stream-stream interval join expresses the same semantics with
+    watermarks bounding the state (tests/test_streaming.py pins the
+    equivalence).
+    """
+    _warn_if_unkeyed(keys, "range_join")
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(bucket_us))
+    sb = F.floor(F.unix_micros(F.col(start_col)) / F.lit(bucket_us))
+    eb = F.floor(F.unix_micros(F.col(end_col)) / F.lit(bucket_us))
+    # the guard lives INSIDE the exploded expression — a standalone
+    # assert_true column would be pruned away by Catalyst
+    guarded_seq = F.when(eb - sb < F.lit(max_span_buckets), F.sequence(sb, eb)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join: interval spans >= {max_span_buckets} "
+                    f"buckets of {bucket_minutes} min at "
+                ),
+                F.col(start_col).cast("string"),
+            )
+        )
+    )
+    iv = intervals.withColumn("__bucket", F.explode(guarded_seq))
+    lhs = left.withColumn("__bucket", lb)
+    return (
+        lhs.join(iv, [*keys, "__bucket"])
+        .filter(
+            (F.col(left_ts) >= F.col(start_col))
+            & (F.col(left_ts) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )

@@ -409,3 +409,49 @@ def test_interleave_seq_col_fallback_and_raise(spark):
     )
     out = interleave_by_duration([with_ts, with_ts], keys=["key"]).collect()
     assert len(out) == 6  # falls back to ts ordering, deterministic
+
+
+def test_range_join_semantics(spark):
+    from streamtasks_spark.operators.joins import range_join
+
+    # buckets are 1 minute; interval A spans 3 buckets, B is sub-bucket
+    left = spark.createDataFrame(
+        [("a", 0, 1), ("a", 150, 2), ("a", 180, 3), ("b", 150, 4), ("a", 70, 5)],
+        "key string, sec long, v long",
+    ).select("key", F.timestamp_seconds("sec").alias("ts"), "v")
+    iv = spark.createDataFrame(
+        [("a", 0, 180, "A"), ("a", 65, 80, "B")],
+        "key string, s long, e long, iv string",
+    ).select(
+        "key",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+        "iv",
+    )
+    out = range_join(
+        left, iv, keys=["key"], bucket_minutes=1
+    ).select("iv", "v").collect()
+    got = sorted((r["iv"], r["v"]) for r in out)
+    # ts==start included, ts==end excluded, keys respected, a row inside
+    # two intervals matches both exactly once each
+    assert got == [("A", 1), ("A", 2), ("A", 5), ("B", 5)]
+
+
+def test_range_join_span_guard(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from streamtasks_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [("a", 0, 1)], "key string, sec long, v long"
+    ).select("key", F.timestamp_seconds("sec").alias("ts"), "v")
+    iv = spark.createDataFrame(
+        [("a", 0, 10_000_000)], "key string, s long, e long"
+    ).select(
+        "key",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+    )
+    with pytest.raises(SparkRuntimeException, match="range_join"):
+        range_join(
+            left, iv, keys=["key"], bucket_minutes=1, max_span_buckets=100
+        ).collect()

@@ -201,6 +201,32 @@ def test_q20_semi_chain_no_fact_broadcast(psession, tables):
         assert j and "Broadcast" not in j.group(1), (key, plan[:900])
 
 
+def test_range_join_is_equi_join_not_nested_loop(psession):
+    """range_join: the band predicate must ride on a bucketed EQUI-join
+    (sort-merge on keys + bucket) — Spark's native plan for a raw
+    timestamp-band condition is a per-key nested loop, the scan-crushing
+    failure mode at 100 TB."""
+    from streamtasks_spark.operators.joins import range_join
+    from streamtasks_spark.session import read_parquet
+
+    ev = read_parquet(psession, f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("window_id"),
+    )
+    plan = plan_of(
+        range_join(clicks, wins, keys=["user_id"], bucket_minutes=120)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:900]
+    assert "CartesianProduct" not in plan, plan[:900]
+    j = re.search(r"(SortMergeJoin|ShuffledHashJoin) \[user_id#\d+L?, __bucket", plan)
+    assert j, plan[:1200]
+    assert "Generate explode" in plan, plan[:1200]
+
+
 def test_temporal_ops_are_single_shuffle(psession):
     """last_value_join (gate's core) must plan exactly one exchange: the
     window partitioning. A second exchange would mean an accidental

@@ -523,3 +523,58 @@ def test_streaming_session_stats_matches_batch_sessions(spark, tmp_path, event_d
     }
     assert gset == closed
     assert 0 < len(closed) < len(batch)
+
+
+def test_streaming_range_join_twin(spark, tmp_path, event_dir):
+    """The batch range_join (bucketed equi-join) and Structured
+    Streaming's NATIVE stream-stream interval join must produce the same
+    pairs — the streaming side needs no custom operator, just watermarks
+    bounding the join state."""
+    from streamtasks_spark.operators.joins import range_join
+
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    wins_b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("window_id"),
+    )
+    expected = sorted(
+        (r["window_id"], r["ts"], r["value"])
+        for r in range_join(
+            clicks_b, wins_b, keys=["user_id"], bucket_minutes=120
+        ).select("window_id", "ts", "value").collect()
+    )
+
+    evs = _events_stream(spark, event_dir)
+    c = (
+        evs.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), "ts", "value")
+        .withWatermark("ts", "1 hour")
+    )
+    evs2 = _events_stream(spark, event_dir)
+    p = (
+        evs2.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+            F.col("event_id").alias("window_id"),
+        )
+        .withWatermark("start_ts", "7 hours")
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("start_ts"))
+        & (F.col("ts") < F.col("end_ts")),
+    ).select("window_id", "ts", "value")
+    got = sorted(
+        (r["window_id"], r["ts"], r["value"])
+        for r in run_to_memory(spark, joined, tmp_path).collect()
+    )
+    assert len(got) > 0
+    assert got == expected
