@@ -381,16 +381,28 @@ def dedup_simhash(
         .filter(F.expr(f"length({norm_text(text_col, 'spark')}) > 0"))
         .select(F.col(id_col), F.expr(toks).alias("__th"))
     )
+    # ONE traversal of the token-hash array maintaining all 60 signed
+    # bit-counts in an array accumulator (indexed transform), instead of
+    # 60 separate aggregate() passes per row — identical integer result
+    # (±1 sums are order-independent), ~CHUNK_BITS×SIMHASH_CHUNKS less
+    # array traffic; same fold the minhash signature computation uses
+    n_bits = SIMHASH_CHUNKS * CHUNK_BITS
+    bitsum = (
+        f"aggregate(__th, array_repeat(0L, {n_bits}), "
+        "(acc, h) -> transform(acc, (a, i) -> "
+        "a + (shiftright(h, i) % 2) * 2 - 1))"
+    )
+    base = base.withColumn("__bs", F.expr(bitsum))
     chunk_cols = []
     for m in range(SIMHASH_CHUNKS):
         bits = " + ".join(
-            f"(case when aggregate(__th, 0L, (acc, h) -> acc + "
-            f"(shiftright(h, {m * CHUNK_BITS + j}) % 2) * 2 - 1) > 0 "
+            f"(case when element_at(__bs, {m * CHUNK_BITS + j + 1}) > 0 "
             f"then {1 << j}L else 0L end)"
             for j in range(CHUNK_BITS)
         )
         chunk_cols.append(f"__c{m}")
         base = base.withColumn(f"__c{m}", F.expr(bits))
+    base = base.drop("__bs")
     sim = " + ".join(
         f"__c{m} * {1 << (m * CHUNK_BITS)}L" for m in range(SIMHASH_CHUNKS)
     )
