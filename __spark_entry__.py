@@ -1096,11 +1096,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hot-bucket cap, ngram shuffle cuts, vectorized codec kernels,
         # llm-chat history-trim clamp)
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "codec_roundtrip": _q_codec_roundtrip,
         "llm_chat": _q_llm_chat,
         # r01-green relational, long unchecked — fill the window tail
-        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         # ------- long-green tail (r01/r02 hash-green, unchanged) -------
@@ -1124,7 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synchronizer": _q_synchronizer,
         # llmdata: dedup tier (BASELINE.json north star)
         "dedup_exact": _q_dedup_exact,
-        "dedup_simhash": _q_dedup_simhash,
+        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
         "repeater": _q_repeater,
         "replay_rebase": _q_replay_rebase,
         "replay_loop": _q_replay_loop,
