@@ -552,6 +552,18 @@ def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_stub(blobs, id_cols=("doc_id",))
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    blobs = docs.select("doc_id", F.unhex(F.md5("text")).alias("data"))
+    return multimodal.resize_image_stub(blobs, id_cols=("doc_id",))
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    blobs = docs.select("doc_id", F.unhex(F.md5("text")).alias("data"))
+    return multimodal.extract_features_stub(blobs, id_cols=("doc_id",))
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click")
@@ -1086,6 +1098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "doc_fingerprint": _q_doc_fingerprint,
+        # multimodal resize / feature-extract — NEW this round
+        "image_resize": _q_image_resize,
+        "image_features": _q_image_features,
         # red in r02 (-0.0 hash artifact, normalized this round)
         "audio_chunker": _q_audio_chunker,
         "padded_chunker": _q_padded_chunker,
@@ -1576,6 +1591,34 @@ SELECT doc_id,
 FROM h
 """
 
+_IMAGE_RESIZE_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id,
+  CAST((CAST('0x' || substr(hx, 1, 2) AS INT) + 2) // 2 AS INT) AS width,
+  CAST((CAST('0x' || substr(hx, 3, 2) AS INT) + 2) // 2 AS INT) AS height,
+  substr(hx, 5, 2) || substr(hx, 9, 2) || substr(hx, 13, 2)
+    || substr(hx, 17, 2) || substr(hx, 21, 2) || substr(hx, 25, 2)
+    || substr(hx, 29, 2) AS data_hex
+FROM h
+"""
+
+_IMAGE_FEATURES_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15),
+      k -> CAST('0x' || substr(hx, 2 * k + 1, 2) AS INT)) AS bs
+  FROM h
+)
+SELECT doc_id,
+  CAST(16 AS INT) AS n_bytes,
+  CAST(list_sum(bs) AS BIGINT) AS sum_bytes,
+  CAST(list_min(bs) AS INT) AS min_byte,
+  CAST(list_max(bs) AS INT) AS max_byte,
+  CAST(len(list_distinct(bs)) AS INT) AS n_distinct
+FROM b
+"""
+
 _FRAME_SAMPLE_SQL = """
 WITH c AS (
   SELECT event_id, user_id, ts,
@@ -1936,6 +1979,8 @@ def oracle_sql() -> dict[str, str]:
             FROM l
         """,
         "image_decode": _IMAGE_DECODE_SQL,
+        "image_resize": _IMAGE_RESIZE_SQL,
+        "image_features": _IMAGE_FEATURES_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "codec_roundtrip": _CODEC_ROUNDTRIP_SQL,
         "text_renderer": _TEXT_RENDERER_SQL,

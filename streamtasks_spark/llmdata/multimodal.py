@@ -106,3 +106,82 @@ def frame_sample(
         .filter((F.col("__rn") - 1) % every == 0)
         .drop("__rn")
     )
+
+
+RESIZE_SCHEMA = "width INT, height INT, data_hex STRING"
+FEATURES_SCHEMA = (
+    "n_bytes INT, sum_bytes BIGINT, min_byte INT, max_byte INT, n_distinct INT"
+)
+
+
+def resize_image_stub(
+    df: DataFrame,
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    bin_col: str = "data",
+    stride: int = 2,
+) -> DataFrame:
+    """Arrow-batched resize stage: (ids..., data BINARY) → (ids...,
+    width, height, data_hex) — the decode→resize preprocessing step of
+    an image pipeline. STUB kernel (no imaging libs in this container):
+    nearest-neighbor ≈ byte subsampling — output dims are the header
+    dims divided by ``stride`` (ceil), the payload keeps every
+    ``stride``-th body byte, hex-encoded so the DuckDB oracle can
+    reproduce it from substrings. Swapping in a real kernel
+    (``PIL.Image.resize``) changes only the inner loop; the Spark-side
+    shape — narrow mapInPandas, no shuffle, Arrow batch boundary — is
+    production-real."""
+    ids = list(id_cols)
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in ids
+    ) + ", " + RESIZE_SCHEMA
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, hexes = [], [], []
+            for b in pdf[bin_col]:
+                b = bytes(b)
+                w, h = _decode_one(b)
+                ws.append(-(-w // stride))
+                hs.append(-(-h // stride))
+                hexes.append(b[2::stride].hex())
+            out = pdf[ids].copy()
+            out["width"] = ws
+            out["height"] = hs
+            out["data_hex"] = hexes
+            yield out
+
+    return df.select(*ids, bin_col).mapInPandas(resize_batches, out_schema)
+
+
+def extract_features_stub(
+    df: DataFrame,
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    bin_col: str = "data",
+) -> DataFrame:
+    """Arrow-batched feature-extraction stage: (ids..., data BINARY) →
+    (ids..., integer feature columns) — the embed/featurize step of a
+    multimodal pipeline. STUB kernel: exact integer byte statistics
+    (sum, min, max, distinct count), so the oracle is bit-exact with no
+    float formatting traps; a real model (CLIP image encoder etc.) drops
+    into the same mapInPandas slot returning a float vector instead."""
+    ids = list(id_cols)
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in ids
+    ) + ", " + FEATURES_SCHEMA
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf[bin_col]]
+            out = pdf[ids].copy()
+            out["n_bytes"] = [a.size for a in rows]
+            out["sum_bytes"] = [int(a.sum()) for a in rows]
+            out["min_byte"] = [int(a.min()) if a.size else None for a in rows]
+            out["max_byte"] = [int(a.max()) if a.size else None for a in rows]
+            out["n_distinct"] = [int(np.unique(a).size) for a in rows]
+            yield out
+
+    return df.select(*ids, bin_col).mapInPandas(feature_batches, out_schema)

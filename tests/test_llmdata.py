@@ -356,3 +356,31 @@ def test_approx_percentile_tracks_exact_quantiles(spark):
             t = p * (n - 1)
             window = sorted_vals[max(0, int(t) - 2): min(n, int(t) + 4)]
             assert window[0] <= a <= window[-1], (k, p, a, window)
+
+
+def test_multimodal_stub_stages(spark):
+    """Resize halves header dims (ceil) and strides the body bytes;
+    feature extraction reports exact byte statistics; both ride the same
+    Arrow mapInPandas path as a real kernel would."""
+    from streamtasks_spark.llmdata.multimodal import (
+        extract_features_stub,
+        resize_image_stub,
+    )
+
+    rows = [
+        (1, bytes([4, 3, 10, 20, 30, 40, 50])),   # 5x4 header, 5-byte body
+        (2, bytes([0, 0, 7, 7])),                 # 1x1, duplicate bytes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+
+    rz = {r["doc_id"]: r for r in resize_image_stub(df).collect()}
+    assert (rz[1]["width"], rz[1]["height"]) == (3, 2)  # ceil(5/2), ceil(4/2)
+    assert rz[1]["data_hex"] == bytes([10, 30, 50]).hex()
+    assert (rz[2]["width"], rz[2]["height"]) == (1, 1)
+    assert rz[2]["data_hex"] == bytes([7]).hex()  # body [7, 7] strided
+
+    ft = {r["doc_id"]: r for r in extract_features_stub(df).collect()}
+    assert ft[1]["n_bytes"] == 7 and ft[1]["sum_bytes"] == sum(rows[0][1])
+    assert (ft[1]["min_byte"], ft[1]["max_byte"]) == (3, 50)
+    assert ft[1]["n_distinct"] == 7
+    assert ft[2]["n_distinct"] == 2  # bytes 0,0,7,7 -> {0, 7}
