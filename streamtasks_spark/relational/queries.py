@@ -294,13 +294,18 @@ def q2_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
     unit): for each size-15 part available from EUROPE suppliers, the
     supplier(s) offering the minimum unit cost.
 
-    Scale: the correlated-min subquery becomes agg → min-per-part →
-    join-back-on-min. Both aggregations partial (map-side combine); the
-    join back is agg⋈agg on (partkey, cost) — part-count-scaled, stays
-    a shuffle join. nation/region are fixed-size broadcasts; supplier is
-    SF-scaled (10k×SF in TPC-H) so NO broadcast hint — AQE may downgrade
-    the filtered region subset at runtime. The min is taken on the
-    ROUNDED cost so the equality join-back is byte-stable."""
+    Scale: the selective part filter (p_size = 15, ~1/50) semi-prunes
+    lineitem BEFORE the per-(part, supplier) aggregation — per-part min
+    commutes with a filter on the part key, so the result is identical
+    while the aggregation input shrinks ~50×. The correlated-min
+    subquery then becomes agg → min-per-part → join-back-on-min, both
+    aggregations partial (map-side combine); the join back is agg⋈agg
+    on (partkey, cost) — part-count-scaled, stays a shuffle join.
+    nation/region are fixed-size broadcasts; supplier and part are
+    SF-scaled (10k×SF / 200k×SF in TPC-H) so NO broadcast hint — AQE
+    may downgrade the filtered subsets at runtime. The min is taken on
+    the ROUNDED cost so the equality join-back is byte-stable."""
+    sized_parts = t["part"].filter(F.col("p_size") == 15)
     eur_supp = (
         t["supplier"]
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -312,6 +317,11 @@ def q2_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
     )
     cost = (
         t["lineitem"]
+        .join(
+            sized_parts.select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
         .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(
@@ -329,10 +339,7 @@ def q2_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
             (F.col("l_partkey") == F.col("__pk"))
             & (F.col("unit_cost") == F.col("__min_cost")),
         )
-        .join(
-            t["part"].filter(F.col("p_size") == 15),
-            cost.l_partkey == F.col("p_partkey"),
-        )
+        .join(sized_parts, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.round("s_acctbal", 4).alias("s_acctbal"),
             "s_name",
