@@ -1117,6 +1117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_chat": _q_llm_chat,
         # r01-green relational, long unchecked — fill the window tail
         "set_ops": rel(rq.union_intersect_except),
+        # new in r03 but past the window (every slot above is a
+        # changed-this-round query); bit-checked locally, rotate in next
+        # round
+        "events_sliding_stats": rel(rq.events_sliding_stats),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         # ------- long-green tail (r01/r02 hash-green, unchanged) -------
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
@@ -2304,6 +2308,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 10
+        """,
+        "events_sliding_stats": """
+            SELECT date_trunc('hour', ts) - o.h * (INTERVAL 1 HOUR)
+                AS window_start,
+              event_type, count(*) AS n_events,
+              round(sum(value), 4) AS sum_value
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS h) o
+            GROUP BY 1, 2
         """,
         "range_join": """
             SELECT p.event_id AS window_id, count(*) AS n_clicks,

@@ -793,6 +793,30 @@ def events_session_windows(t: dict[str, DataFrame], gap_minutes: int = 30) -> Da
     )
 
 
+def events_sliding_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding event-time windows (2-hour width, 1-hour slide) per event
+    type — the third canonical window shape beside tumbling and session.
+    Each event lands in exactly width/slide = 2 windows; Spark expands
+    that assignment JVM-side inside the grouping (no explicit explode).
+    Streaming twin: streaming/windows.py streaming_sliding_stats."""
+    ev = t["events"]
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def events_rollup(t: dict[str, DataFrame]) -> DataFrame:
     """Grouping-set aggregation (SURVEY §2.4: grouping sets are absent in
     the reference and come free in Spark): per (event_type, day) counts,

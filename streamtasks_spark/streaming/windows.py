@@ -40,6 +40,33 @@ def streaming_hourly_stats(
     )
 
 
+def streaming_sliding_stats(
+    events: DataFrame,
+    *,
+    ts: str = "ts",
+    key: str = "event_type",
+    watermark_delay: str = "3 hours",
+) -> DataFrame:
+    """Streaming twin of ``events_sliding_stats``: 2-hour windows
+    sliding by 1 hour. Each event updates width/slide = 2 window states;
+    append mode emits each window once its END passes the watermark, so
+    the delay must cover the window width plus allowed lateness."""
+    return (
+        events.withWatermark(ts, watermark_delay)
+        .groupBy(F.window(F.col(ts), "2 hours", "1 hour"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_session_stats(
     events: DataFrame,
     *,

@@ -578,3 +578,31 @@ def test_streaming_range_join_twin(spark, tmp_path, event_dir):
     )
     assert len(got) > 0
     assert got == expected
+
+
+def test_streaming_sliding_stats_matches_batch(spark, tmp_path, event_dir):
+    """Sliding-window twin: append mode must emit exactly the batch
+    sliding windows whose END the final watermark passed, with identical
+    aggregates (each event feeds width/slide = 2 windows)."""
+    import datetime
+
+    from streamtasks_spark.relational.queries import events_sliding_stats
+    from streamtasks_spark.streaming.windows import streaming_sliding_stats
+
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    out = streaming_sliding_stats(
+        _events_stream(spark, event_dir), watermark_delay="3 hours"
+    )
+    got = run_to_memory(spark, out, tmp_path).collect()
+
+    full = events_sliding_stats({"events": ev}).collect()
+    wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=3)
+    closed = [
+        r for r in full
+        if (r["window_start"] + datetime.timedelta(hours=2)) <= wm
+    ]
+    key = lambda r: (
+        r["window_start"], r["event_type"], r["n_events"], r["sum_value"]
+    )
+    assert set(map(key, got)) == set(map(key, closed))
+    assert 0 < len(closed) < len(full)  # some windows closed, some open
