@@ -606,3 +606,68 @@ def test_streaming_sliding_stats_matches_batch(spark, tmp_path, event_dir):
     )
     assert set(map(key, got)) == set(map(key, closed))
     assert 0 < len(closed) < len(full)  # some windows closed, some open
+
+
+def test_stateful_twin_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: run the gate twin over the first half of the
+    data, STOP the query, add the second half, restart from the SAME
+    checkpoint into a durable parquet sink. The per-user latched gate
+    state must be recovered (not recomputed from scratch), and the
+    combined output must equal the batch gate with no duplicate and no
+    lost rows — the reference's restart semantics (deployments resume)
+    expressed as Structured Streaming exactly-once recovery."""
+    ev = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src_dir, out_dir, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        str(src_dir / "p1")
+    )
+
+    schema = ev.schema
+    ctl = lambda df: df.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+
+    def run_once():
+        s = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        out = streaming_gate(
+            s.filter(F.col("event_type").isin("click", "view")),
+            ctl(s),
+            keys=["user_id"],
+            seq_col="event_id",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(str(out_dir)).count()
+    time.sleep(1.1)  # file-source ordering is by modification time
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        str(src_dir / "p2")
+    )
+    run_once()
+
+    expect = {
+        r["event_id"]
+        for r in gate(
+            ev.filter(F.col("event_type").isin("click", "view")),
+            ctl(ev),
+            keys=["user_id"],
+            seq_col="event_id",
+        ).collect()
+    }
+    got = [r["event_id"] for r in spark.read.parquet(str(out_dir)).collect()]
+    assert len(got) == len(set(got)), "duplicate rows after restart"
+    assert set(got) == expect, "state not recovered across restart"
+    assert 0 < n_first < len(expect)  # the restart actually split the work
