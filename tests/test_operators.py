@@ -455,3 +455,34 @@ def test_range_join_span_guard(spark):
         range_join(
             left, iv, keys=["key"], bucket_minutes=1, max_span_buckets=100
         ).collect()
+
+
+def test_range_join_reversed_and_null_bounds(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from streamtasks_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [("a", 100, 1)], "key string, sec long, v long"
+    ).select("key", F.timestamp_seconds("sec").alias("ts"), "v")
+
+    # reversed interval: fail fast, not a descending runaway sequence
+    rev = spark.createDataFrame(
+        [("a", 500_000, 0)], "key string, s long, e long"
+    ).select(
+        "key",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+    )
+    with pytest.raises(SparkRuntimeException, match="reversed"):
+        range_join(left, rev, keys=["key"], bucket_minutes=1).collect()
+
+    # NULL bound: the row can never match the band — dropped, no error
+    nulls = spark.createDataFrame(
+        [("a", 0, None), ("a", 0, 200)], "key string, s long, e long"
+    ).select(
+        "key",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+    )
+    out = range_join(left, nulls, keys=["key"], bucket_minutes=1).collect()
+    assert len(out) == 1 and out[0]["v"] == 1
