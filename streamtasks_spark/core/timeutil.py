@@ -1,0 +1,25 @@
+"""Event-time column helpers shared by every operator.
+
+The engine's time model (SURVEY §1.3): event time is a per-row
+timestamp; operators do microsecond arithmetic on it. Spark has TWO
+timestamp types — TIMESTAMP (with local-tz semantics) and
+TIMESTAMP_NTZ — and ``F.unix_micros`` accepts only the former, so any
+operator calling it directly breaks on NTZ inputs (parquet written with
+isAdjustedToUTC=false reads back as NTZ by default). Normalizing
+through ``cast("timestamp")`` accepts both: for LTZ it is a no-op; for
+NTZ it applies the session timezone, which is pinned to UTC in
+``get_spark`` — and even off-UTC the mapping is the SAME uniform offset
+wherever an operator compares or subtracts two event times, so gap,
+tolerance, and bucket arithmetic are unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds from a TIMESTAMP or TIMESTAMP_NTZ column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

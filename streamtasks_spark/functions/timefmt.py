@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from streamtasks_spark.core.timeutil import epoch_us
+
 _STRFTIME_TO_JAVA = {
     "%Y": "yyyy",
     "%y": "yy",
@@ -76,5 +78,5 @@ def timestamp_update(
     base = F.current_timestamp() if use_wall_clock else ts
     # micros arithmetic: preserves sub-millisecond event-time precision
     return F.timestamp_micros(
-        (F.unix_micros(base) + F.lit(offset_ms * 1000)).cast("long")
+        (epoch_us(base) + F.lit(offset_ms * 1000)).cast("long")
     )

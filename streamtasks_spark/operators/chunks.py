@@ -34,6 +34,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from streamtasks_spark.core.timeutil import epoch_us
+
 from streamtasks_spark.operators.joins import last_value_join
 
 
@@ -223,7 +225,7 @@ def audio_volume_meter(
     win_us = window_ms * 1000
     exploded = chunks.select(
         *keys,
-        F.unix_micros(F.col(ts)).alias("__ts_us"),
+        epoch_us(F.col(ts)).alias("__ts_us"),
         F.posexplode(samples_col).alias("__i", "__x"),
     ).select(
         *keys,

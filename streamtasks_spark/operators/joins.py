@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from streamtasks_spark.core.timeutil import epoch_us
+
 
 def _warn_if_unkeyed(keys: Sequence[str], op: str) -> None:
     """keys=() produces Window.partitionBy() — every row lands on ONE task.
@@ -230,7 +232,7 @@ def asof_join(
         out = out.withColumn(
             "__m",
             F.when(
-                F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__m.__rts"))
+                epoch_us(F.col(left_ts)) - epoch_us(F.col("__m.__rts"))
                 <= F.lit(tolerance_ms * 1000),
                 F.col("__m"),
             ),
@@ -284,9 +286,9 @@ def range_join(
     """
     _warn_if_unkeyed(keys, "range_join")
     bucket_us = bucket_minutes * 60 * 1_000_000
-    lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(bucket_us))
-    sb = F.floor(F.unix_micros(F.col(start_col)) / F.lit(bucket_us))
-    eb = F.floor(F.unix_micros(F.col(end_col)) / F.lit(bucket_us))
+    lb = F.floor(epoch_us(F.col(left_ts)) / F.lit(bucket_us))
+    sb = F.floor(epoch_us(F.col(start_col)) / F.lit(bucket_us))
+    eb = F.floor(epoch_us(F.col(end_col)) / F.lit(bucket_us))
     # the guard lives INSIDE the exploded expression — a standalone
     # assert_true column would be pruned away by Catalyst. The span must
     # be checked as 0 <= span < max: a reversed interval gives a

@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from streamtasks_spark.core.timeutil import epoch_us
+
 from streamtasks_spark.operators.joins import last_value_join
 
 
@@ -216,8 +218,8 @@ def message_detector(
         "__prev", F.lag(ts).over(w)
     ).withColumn("__next", F.lead(ts).over(w))
     timeout_us = timeout_ms * 1000
-    gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__prev"))
-    next_gap_us = F.unix_micros(F.col("__next")) - F.unix_micros(F.col(ts))
+    gap_us = epoch_us(F.col(ts)) - epoch_us(F.col("__prev"))
+    next_gap_us = epoch_us(F.col("__next")) - epoch_us(F.col(ts))
 
     ups = gaps.filter(
         F.col("__prev").isNull() | (gap_us > F.lit(timeout_us))
@@ -227,7 +229,7 @@ def message_detector(
     ).select(
         *keys,
         F.timestamp_micros(
-            (F.unix_micros(F.col(ts)) + F.lit(timeout_us)).cast("long")
+            (epoch_us(F.col(ts)) + F.lit(timeout_us)).cast("long")
         ).alias(ts),
         F.lit(0.0).alias("value"),
     )

@@ -13,6 +13,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from streamtasks_spark.core.timeutil import epoch_us
+
 from streamtasks_spark.operators.joins import asof_join, ordered_merge
 
 
@@ -26,7 +28,7 @@ def time_buffer(
     return data.withColumn(
         ts,
         F.timestamp_micros(
-            (F.unix_micros(F.col(ts)) + F.lit(delay_ms * 1000)).cast("long")
+            (epoch_us(F.col(ts)) + F.lit(delay_ms * 1000)).cast("long")
         ),
     )
 
@@ -74,14 +76,14 @@ def repeater(
     # span is shorter than one interval emits zero ticks (matching DuckDB
     # generate_series semantics) — filter those keys out before exploding.
     bounds = bounds.filter(
-        F.unix_micros("__t1") >= F.unix_micros("__t0") + F.lit(step_us)
+        epoch_us("__t1") >= epoch_us("__t0") + F.lit(step_us)
     )
     ticks = bounds.select(
         *keys,
         F.explode(
             F.sequence(
-                F.unix_micros("__t0") + F.lit(step_us),
-                F.unix_micros("__t1"),
+                epoch_us("__t0") + F.lit(step_us),
+                epoch_us("__t1"),
                 F.lit(step_us),
             )
         ).alias("__tick_us"),
@@ -112,13 +114,13 @@ def replay_rebase(
     """ReplayBuffer's re-timestamping step (reference system/tasks/
     replaybuffer.py:21-90): shift a recorded stream so its earliest event
     lands on ``new_start_ms`` (per key), preserving inter-row spacing."""
-    w_min = F.min(F.unix_micros(F.col(ts))).over(
+    w_min = F.min(epoch_us(F.col(ts))).over(
         Window.partitionBy(*[F.col(k) for k in keys])
     )
     return recorded.withColumn(
         ts,
         F.timestamp_micros(
-            (F.unix_micros(F.col(ts)) - w_min + F.lit(new_start_ms * 1000)).cast("long")
+            (epoch_us(F.col(ts)) - w_min + F.lit(new_start_ms * 1000)).cast("long")
         ),
     )
 
@@ -142,8 +144,8 @@ def replay(
     if loop < 1:
         raise ValueError("loop must be >= 1")
     kw = Window.partitionBy(*[F.col(k) for k in keys])
-    t0 = F.min(F.unix_micros(F.col(ts))).over(kw)
-    span = F.max(F.unix_micros(F.col(ts))).over(kw) - t0
+    t0 = F.min(epoch_us(F.col(ts))).over(kw)
+    span = F.max(epoch_us(F.col(ts))).over(kw) - t0
     stride = span + F.lit(gap_ms * 1000)
     out = recorded.withColumn("__t0", t0).withColumn("__stride", stride)
     out = out.withColumn(
@@ -153,7 +155,7 @@ def replay(
         ts,
         F.timestamp_micros(
             (
-                F.unix_micros(F.col(ts))
+                epoch_us(F.col(ts))
                 - F.col("__t0")
                 + F.lit(new_start_ms * 1000)
                 + F.col("iteration") * F.col("__stride")
@@ -229,11 +231,11 @@ def interleave_by_duration(
             .orderBy(F.col(order_col).asc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        head = F.max(F.unix_micros(F.col(ts_col))).over(w_run)
+        head = F.max(epoch_us(F.col(ts_col))).over(w_run)
         out = out.withColumn(
             drop_col,
             F.coalesce(
-                (head - F.unix_micros(F.col(ts_col)))
+                (head - epoch_us(F.col(ts_col)))
                 > F.lit(int(max_desync_ms * 1000)),
                 F.lit(False),  # the first muxed packet has no head to lag
             ),

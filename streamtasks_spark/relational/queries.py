@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from streamtasks_spark.core.timeutil import epoch_us
 from pyspark.sql.functions import broadcast
 
 
@@ -774,7 +776,7 @@ def events_session_windows(t: dict[str, DataFrame], gap_minutes: int = 30) -> Da
             "__new",
             F.when(
                 F.col("__prev").isNull()
-                | (F.unix_micros("ts") - F.unix_micros("__prev") > gap_us),
+                | (epoch_us("ts") - epoch_us("__prev") > gap_us),
                 1,
             ).otherwise(0),
         )
