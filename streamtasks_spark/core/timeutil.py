@@ -23,3 +23,18 @@ def epoch_us(col: Column | str) -> Column:
     """Epoch microseconds from a TIMESTAMP or TIMESTAMP_NTZ column."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def ensure_event_time(df, ts: str = "ts"):
+    """Cast an NTZ event-time column to TIMESTAMP so Structured
+    Streaming accepts it: ``withWatermark`` (and therefore every
+    watermarked window/dedup/state operator) hard-rejects
+    TIMESTAMP_NTZ. Batch operators take either type via
+    :func:`epoch_us`; call this only at the streaming edge. No-op when
+    the column is already TIMESTAMP, so it is safe to apply
+    unconditionally."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts].dataType, TimestampNTZType):
+        return df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamtasks_spark.core.timeutil import ensure_event_time
+
 
 def pulse_generator(
     spark: SparkSession,
@@ -90,4 +92,9 @@ def parquet_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    df = reader.parquet(path)
+    # parquet written with isAdjustedToUTC=false reads back TIMESTAMP_NTZ,
+    # which watermarked operators downstream reject — normalize on ingest
+    if "ts" in df.columns:
+        df = ensure_event_time(df, "ts")
+    return df

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
+from streamtasks_spark.core.timeutil import ensure_event_time
+
 _PRIO_CONTROL, _PRIO_DATA = 0, 1
 
 
@@ -467,7 +469,9 @@ def streaming_dedup_exact(
     """
     from streamtasks_spark.llmdata.dedup import norm_text
 
-    hashed = docs.withColumn("norm_hash", F.expr(f"md5({norm_text(text_col)})"))
+    hashed = ensure_event_time(
+        docs.withColumn("norm_hash", F.expr(f"md5({norm_text(text_col)})")), ts
+    )
     return hashed.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(
         ["norm_hash"]
     )
@@ -489,7 +493,7 @@ def streaming_ordered_merge(
     for i, s in enumerate(streams):
         t = s.withColumn(stream_col, F.lit(i))
         tagged = t if tagged is None else tagged.unionByName(t, allowMissingColumns=True)
-    tagged = tagged.withWatermark(ts, watermark_delay)
+    tagged = ensure_event_time(tagged, ts).withWatermark(ts, watermark_delay)
 
     cols = list(tagged.columns)
     out_schema = _schema_of(tagged, cols)

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamtasks_spark.core.timeutil import ensure_event_time
+
 
 def streaming_hourly_stats(
     events: DataFrame,
@@ -28,6 +30,7 @@ def streaming_hourly_stats(
     """Streaming twin of ``events_hourly_stats``: tumbling 1-hour
     event-time windows, emitted once closed. Output columns match the
     batch query (window start renamed ``hour``)."""
+    events = ensure_event_time(events, ts)
     return (
         events.withWatermark(ts, watermark_delay)
         .groupBy(F.window(F.col(ts), "1 hour"), F.col(key))
@@ -51,6 +54,7 @@ def streaming_sliding_stats(
     sliding by 1 hour. Each event updates width/slide = 2 window states;
     append mode emits each window once its END passes the watermark, so
     the delay must cover the window width plus allowed lateness."""
+    events = ensure_event_time(events, ts)
     return (
         events.withWatermark(ts, watermark_delay)
         .groupBy(F.window(F.col(ts), "2 hours", "1 hour"), F.col(key))
@@ -79,6 +83,7 @@ def streaming_session_stats(
     windows per key via the native ``session_window`` — sessions merge
     across micro-batches while open and emit once the watermark passes
     the gap."""
+    events = ensure_event_time(events, ts)
     return (
         events.withWatermark(ts, watermark_delay)
         .groupBy(

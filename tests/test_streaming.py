@@ -10,6 +10,7 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
+from streamtasks_spark.core.timeutil import ensure_event_time
 from streamtasks_spark.operators.joins import ordered_merge
 from streamtasks_spark.operators.stateful import gate
 from streamtasks_spark.session import read_parquet
@@ -75,7 +76,7 @@ def event_dir(spark, tmp_path_factory):
 
 def _events_stream(spark, event_dir):
     schema = read_parquet(spark, f"{SF_DIR}/events.parquet").schema
-    return (
+    return ensure_event_time(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
