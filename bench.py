@@ -58,18 +58,38 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from streamtasks_spark.session import get_spark
 
-    spark = get_spark("bench")
-    # warm the JVM + parquet footer caches with one trivial action
-    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    def fresh_session():
+        s = get_spark("bench")
+        # warm the JVM + parquet footer caches with one trivial action
+        s.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return s
+
+    spark = fresh_session()
+    # SparkContext-level state (broadcast blocks, shuffle metadata in the
+    # MapOutputTracker, block-manager entries) accumulates across queries
+    # and is only reclaimed by the weak-ref ContextCleaner, which a
+    # mostly-idle 48 GB heap never triggers — measured ~2-6x inflation of
+    # per-query timings by the ~40th query of a 100-query run. Restarting
+    # the session every N queries resets context state for ~1.2 s
+    # (untimed); the JVM itself survives, so the static whole-stage-codegen
+    # class cache stays warm across restarts.
+    # cadence swept at sf0.1: every 12 -> 64.3s, 8 -> 57.8s, 5 -> 53.3s,
+    # 3 -> 55.7s (restart overhead overtakes the leak) — 5 is the knee.
+    restart_every = int(os.environ.get("SPARK_GRAFT_RESTART_EVERY", "5"))
 
     qs = entrymod.queries()
     results: dict[str, float | None] = {}
     t_start = time.perf_counter()
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if restart_every > 0 and n_run > 0 and n_run % restart_every == 0:
+            spark.stop()
+            spark = fresh_session()
+        n_run += 1
         best = None
         try:
             run_query(fn, spark, sf_dir)  # untimed codegen/JIT warm-up
