@@ -702,6 +702,37 @@ def _q_llm_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "reply")
 
 
+# deterministic PII seeding so the scrub genuinely fires on synthetic
+# text: one email/IPv4/phone derived from doc_id, byte-identical in both
+# engines (CAST of a bigint to STRING/VARCHAR prints the same digits)
+_PII_SEED = (
+    "concat(text, ' contact user', CAST(doc_id AS {s}), "
+    "'@example.com via 10.0.', CAST(doc_id % 256 AS {s}), "
+    "'.7 call +15550', CAST(1000 + doc_id % 9000 AS {s}))"
+)
+
+
+def _oracle_pii_scrub() -> str:
+    from streamtasks_spark.llmdata.redact import oracle_pii_scrub_sql
+
+    seeded = _PII_SEED.format(s="VARCHAR")
+    return oracle_pii_scrub_sql(
+        source_sql=f"SELECT doc_id, {seeded} AS text FROM documents"
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (llmdata/redact.py): seed each doc with a
+    deterministic email + IPv4 + phone, scrub, report match counts."""
+    from streamtasks_spark.llmdata.redact import pii_scrub
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id", F.expr(_PII_SEED.format(s="STRING")).alias("text")
+    )
+    return pii_scrub(seeded)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.text_stats(docs)
@@ -1082,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_desync": _q_interleave_desync,
         "salted_join": _q_salted_join,
         "range_join": _q_range_join,
+        "pii_scrub": _q_pii_scrub,
         # llmdata: corpus-quality + corpus-assembly tiers — new in r03
         "doc_repetition": _q_doc_repetition,
         "quality_filter": _q_quality_filter,
@@ -1996,6 +2028,7 @@ def oracle_sql() -> dict[str, str]:
         "tts_synthesize": _TTS_SQL,
         "speech_enhance": _ENHANCE_SQL,
         "llm_chat": _LLM_CHAT_SQL,
+        "pii_scrub": _oracle_pii_scrub(),
         "text_stats": textstats.oracle_text_stats_sql(),
         "lang_id": textstats.oracle_lang_id_sql(),
         "doc_fingerprint": textstats.oracle_doc_fingerprint_sql(),

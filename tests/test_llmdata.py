@@ -384,3 +384,32 @@ def test_multimodal_stub_stages(spark):
     assert (ft[1]["min_byte"], ft[1]["max_byte"]) == (3, 50)
     assert ft[1]["n_distinct"] == 7
     assert ft[2]["n_distinct"] == 2  # bytes 0,0,7,7 -> {0, 7}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from streamtasks_spark.llmdata.redact import pii_scrub
+
+    rows = [
+        (1, "mail a.b-c%d@sub.example.org and x@y.io now"),
+        (2, "server 192.168.0.1 peer 10.20.30.40 port 8080"),
+        (3, "call +4915512345678 or +1555000"),
+        (4, "clean text, no pii at all"),
+        # email host contains digits-with-dots: email rule wins (runs first)
+        (5, "root@10.0.0.1 stays an email-shaped match"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+
+    assert got[1]["scrubbed"] == "mail <EMAIL> and <EMAIL> now"
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (2, 0, 0)
+    assert got[2]["scrubbed"] == "server <IP> peer <IP> port 8080"
+    assert got[2]["n_ip"] == 2
+    assert got[3]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert got[3]["n_phone"] == 2
+    assert got[4]["scrubbed"] == "clean text, no pii at all"
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
+    # "root@10.0.0.1" is NOT email-shaped (no alphabetic TLD), so the
+    # email pass leaves it for the ip pass
+    assert got[5]["n_email"] == 0
+    assert got[5]["n_ip"] == 1
+    assert got[5]["scrubbed"] == "root@<IP> stays an email-shaped match"
