@@ -1103,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
         "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
         "events_quantiles": rel(rq.events_quantiles),
+        "events_json_extract": rel(rq.events_json_extract),
         "q4_order_priority": rel(rq.q4_order_priority),
         "q10_returned_items": rel(rq.q10_returned_items),
         "q14_promo_effect": rel(rq.q14_promo_effect),
@@ -2422,6 +2423,16 @@ def oracle_sql() -> dict[str, str]:
               round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6)
                 + 0.0 AS p99
             FROM events GROUP BY event_type
+        """,
+        "events_json_extract": """
+            WITH x AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type, k % 10 AS k_mod, count(*) AS n,
+                   sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+            FROM x WHERE k IS NOT NULL GROUP BY event_type, k_mod
         """,
         "set_ops": """
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -859,6 +859,29 @@ def events_quantiles(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def events_json_extract(t: dict[str, DataFrame]) -> DataFrame:
+    """Semi-structured column handling: extract a JSON path from the
+    events ``props`` payload (``{"k": <int>}``) and aggregate on it.
+
+    Scale shape: ``get_json_object`` is a JVM-side codegen'd expression —
+    the extraction is a narrow map over the scan (no UDF), and the
+    aggregate is one map-side-combined shuffle on low-cardinality keys.
+    ReadSchema prunes to (event_type, props)."""
+    ev = t["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def union_intersect_except(t: dict[str, DataFrame]) -> DataFrame:
     """Set-op vocabulary probe: users who clicked AND viewed but never had
     a high-value error event."""

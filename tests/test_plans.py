@@ -438,3 +438,26 @@ def test_salted_join_rejects_small_side_preserving_joins(psession):
     small = ev.groupBy("user_id").count()
     with pytest.raises(ValueError, match="replicated"):
         salted_join(ev, small, "user_id", salt_src="event_id", how="right")
+
+
+def test_json_extract_prunes_and_stays_jvm_side(psession, tables):
+    """events_json_extract: the JSON path extraction must be a codegen'd
+    JVM expression (no Python eval), the scan must prune to
+    (event_type, props), and the aggregate must combine map-side."""
+    plan = plan_of(rq.events_json_extract(tables))
+    assert "EvalPython" not in plan, plan[:600]
+    scan = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert scan, plan[:600]
+    assert "value" not in scan.group(1) and "user_id" not in scan.group(1)
+    assert "partial_" in plan, plan[:900]
+
+
+def test_pii_scrub_is_narrow_single_stage(psession):
+    """pii_scrub: pure narrow map — no Exchange, no Python eval."""
+    from streamtasks_spark.llmdata.redact import pii_scrub
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(pii_scrub(docs))
+    assert "Exchange" not in plan, plan[:600]
+    assert "EvalPython" not in plan, plan[:600]
