@@ -672,3 +672,43 @@ def test_stateful_twin_survives_restart(spark, tmp_path):
     assert len(got) == len(set(got)), "duplicate rows after restart"
     assert set(got) == expect, "state not recovered across restart"
     assert 0 < n_first < len(expect)  # the restart actually split the work
+
+
+def test_streaming_stateless_text_tier(spark, tmp_path):
+    """The stateless corpus ops (pii_scrub / text_stats) are narrow
+    column maps, so they must run unchanged on a streaming DataFrame
+    and emit exactly the batch result — the batch/stream duality the
+    engine promises for every non-stateful operator."""
+    from streamtasks_spark.llmdata.redact import pii_scrub
+    from streamtasks_spark.llmdata.textstats import text_stats
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" ping admin"),
+            F.col("doc_id").cast("string"),
+            F.lit("@corp.net from 172.16.0."),
+            (F.col("doc_id") % 200).cast("string"),
+        ).alias("text"),
+    )
+    src = tmp_path / "docs_src"
+    docs.coalesce(1).write.parquet(str(src / "p1"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+
+    for op, key_cols in ((pii_scrub, ["scrubbed", "n_email", "n_ip"]),
+                         (text_stats, ["n_tokens", "quality_score"])):
+        expect = {
+            r["doc_id"]: tuple(r[c] for c in key_cols)
+            for r in op(docs).collect()
+        }
+        got_df = run_to_memory(spark, op(stream), tmp_path)
+        got = {
+            r["doc_id"]: tuple(r[c] for c in key_cols)
+            for r in got_df.collect()
+        }
+        assert got == expect, op.__name__
