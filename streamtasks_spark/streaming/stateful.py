@@ -517,3 +517,44 @@ def streaming_ordered_merge(
     return tagged.groupBy(*keys, stream_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    *,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    left_delay: str = "1 hour",
+    interval_delay: str = "7 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.joins.range_join``: each left row
+    pairs with every interval of the same ``keys`` whose
+    ``[start_col, end_col)`` contains ``left_ts``.
+
+    No custom state: this IS Structured Streaming's native stream-stream
+    interval join — the band predicate on two watermarked event-time
+    columns lets Spark bound both join buffers (state is evicted once
+    the watermark passes an interval's end). ``interval_delay`` must
+    cover the maximum interval span plus allowed lateness, exactly like
+    the batch operator's ``max_span_buckets`` guard bounds the bucket
+    explosion. The batch/stream pair is equivalence-tested in
+    tests/test_streaming.py.
+    """
+    lhs = ensure_event_time(left, left_ts).withWatermark(left_ts, left_delay)
+    ivs = ensure_event_time(
+        ensure_event_time(intervals, start_col), end_col
+    ).withWatermark(start_col, interval_delay)
+    cond = (F.col(left_ts) >= F.col(start_col)) & (
+        F.col(left_ts) < F.col(end_col)
+    )
+    for k in keys:
+        lk = f"__l_{k}"
+        lhs = lhs.withColumnRenamed(k, lk)
+        cond = cond & (F.col(lk) == F.col(k))
+    out = lhs.join(ivs, cond)
+    for k in keys:
+        out = out.drop(f"__l_{k}")
+    return out

@@ -550,28 +550,21 @@ def test_streaming_range_join_twin(spark, tmp_path, event_dir):
         ).select("window_id", "ts", "value").collect()
     )
 
+    from streamtasks_spark.streaming.stateful import streaming_interval_join
+
     evs = _events_stream(spark, event_dir)
-    c = (
-        evs.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), "ts", "value")
-        .withWatermark("ts", "1 hour")
+    c = evs.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
     )
     evs2 = _events_stream(spark, event_dir)
-    p = (
-        evs2.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.col("ts").alias("start_ts"),
-            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
-            F.col("event_id").alias("window_id"),
-        )
-        .withWatermark("start_ts", "7 hours")
+    p = evs2.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("window_id"),
     )
-    joined = c.join(
-        p,
-        (F.col("c_user") == F.col("user_id"))
-        & (F.col("ts") >= F.col("start_ts"))
-        & (F.col("ts") < F.col("end_ts")),
+    joined = streaming_interval_join(
+        c, p, keys=["user_id"], left_delay="1 hour", interval_delay="7 hours"
     ).select("window_id", "ts", "value")
     got = sorted(
         (r["window_id"], r["ts"], r["value"])
