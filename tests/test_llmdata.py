@@ -413,3 +413,25 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[5]["n_email"] == 0
     assert got[5]["n_ip"] == 1
     assert got[5]["scrubbed"] == "root@<IP> stays an email-shaped match"
+
+
+def test_approx_count_distinct_tracks_exact(spark):
+    """The 100 TB distinct-count path (approx_count_distinct, mergeable
+    HLL++ sketch — used by events_hourly_stats' user counter) must land
+    within its configured relative standard deviation of the exact
+    count, per group and in total."""
+    from streamtasks_spark.session import read_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.01/events.parquet")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+        )
+        .collect()
+    )
+    assert merged
+    for r in merged:
+        rel = abs(r["approx"] - r["exact"]) / max(1, r["exact"])
+        assert rel < 0.15, (r["event_type"], r["exact"], r["approx"])
