@@ -706,7 +706,9 @@ def _q_llm_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text: one email/IPv4/phone derived from doc_id, byte-identical in both
 # engines (CAST of a bigint to STRING/VARCHAR prints the same digits)
 _PII_SEED = (
-    "concat(text, ' contact user', CAST(doc_id AS {s}), "
+    # coalesce: Spark's concat propagates NULL, DuckDB's skips it — a
+    # NULL text would otherwise produce divergent rows
+    "concat(coalesce(text, ''), ' contact user', CAST(doc_id AS {s}), "
     "'@example.com via 10.0.', CAST(doc_id % 256 AS {s}), "
     "'.7 call +15550', CAST(1000 + doc_id % 9000 AS {s}))"
 )

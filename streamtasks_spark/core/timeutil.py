@@ -8,9 +8,12 @@ operator calling it directly breaks on NTZ inputs (parquet written with
 isAdjustedToUTC=false reads back as NTZ by default). Normalizing
 through ``cast("timestamp")`` accepts both: for LTZ it is a no-op; for
 NTZ it applies the session timezone, which is pinned to UTC in
-``get_spark`` — and even off-UTC the mapping is the SAME uniform offset
-wherever an operator compares or subtracts two event times, so gap,
-tolerance, and bucket arithmetic are unaffected.
+``get_spark``. Gap/tolerance/bucket arithmetic on NTZ inputs is exact
+for any FIXED-OFFSET session timezone (the offset cancels in
+differences); a DST-observing session zone would map wall times
+straddling a transition with different offsets, so sessions handling
+NTZ event time should stay on UTC (or another fixed offset) — which
+``get_spark`` guarantees.
 """
 
 from __future__ import annotations

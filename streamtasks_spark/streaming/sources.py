@@ -83,18 +83,23 @@ def parquet_stream(
     *,
     schema=None,
     max_files_per_trigger: int | None = None,
+    ts_col: str | None = "ts",
 ) -> DataFrame:
     """Streaming parquet reader. A schema is required by Structured
     Streaming; pass one or let this helper infer it from the existing
-    files (driver-side one-time read)."""
+    files (driver-side one-time read).
+
+    ``ts_col`` names the event-time column to normalize on ingest:
+    parquet written with isAdjustedToUTC=false reads back TIMESTAMP_NTZ,
+    which watermarked operators downstream reject (the streaming
+    operators also normalize at their own edge; this catches user-level
+    ``withWatermark`` on the raw stream). Pass None to skip."""
     if schema is None:
         schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
-    # parquet written with isAdjustedToUTC=false reads back TIMESTAMP_NTZ,
-    # which watermarked operators downstream reject — normalize on ingest
-    if "ts" in df.columns:
-        df = ensure_event_time(df, "ts")
+    if ts_col is not None and ts_col in df.columns:
+        df = ensure_event_time(df, ts_col)
     return df

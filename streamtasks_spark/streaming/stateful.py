@@ -529,26 +529,66 @@ def streaming_interval_join(
     end_col: str = "end_ts",
     left_delay: str = "1 hour",
     interval_delay: str = "7 hours",
+    max_span: str = "24 hours",
 ) -> DataFrame:
     """Streaming twin of ``operators.joins.range_join``: each left row
     pairs with every interval of the same ``keys`` whose
     ``[start_col, end_col)`` contains ``left_ts``.
 
     No custom state: this IS Structured Streaming's native stream-stream
-    interval join — the band predicate on two watermarked event-time
-    columns lets Spark bound both join buffers (state is evicted once
-    the watermark passes an interval's end). ``interval_delay`` must
-    cover the maximum interval span plus allowed lateness, exactly like
-    the batch operator's ``max_span_buckets`` guard bounds the bucket
-    explosion. The batch/stream pair is equivalence-tested in
-    tests/test_streaming.py.
+    interval join. State eviction needs range conditions between the two
+    WATERMARKED event-time columns (``left_ts``, ``start_col``) — a
+    bound against the un-watermarked ``end_col`` alone would buffer
+    every interval forever. So the join carries BOTH
+    ``left_ts < start_col + max_span`` (evicts interval state once the
+    left watermark passes ``start + max_span``) and the exact
+    ``left_ts < end_col`` band. ``max_span`` must cover the longest
+    interval; longer intervals fail loudly via an in-plan guard (the
+    same contract as the batch operator's ``max_span_buckets``), never
+    silently truncate. ``interval_delay`` additionally allows interval
+    rows themselves to arrive late.
+
+    The two inputs' non-key columns must be disjoint (rename upstream);
+    the helper renames its join-side working columns internally. The
+    batch/stream pair is equivalence-tested in tests/test_streaming.py.
     """
-    lhs = ensure_event_time(left, left_ts).withWatermark(left_ts, left_delay)
+    overlap = (
+        (set(left.columns) - set(keys))
+        & (set(intervals.columns) - set(keys))
+    )
+    if overlap:
+        raise ValueError(
+            "streaming_interval_join: non-key columns appear on both "
+            f"sides (ambiguous): {sorted(overlap)} — rename them upstream"
+        )
     ivs = ensure_event_time(
         ensure_event_time(intervals, start_col), end_col
+    )
+    # loud guard, inside an expression Catalyst must keep: an interval
+    # longer than max_span would lose its tail matches to the state
+    # bound below, so fail the query instead
+    ok = F.col(end_col) <= F.col(start_col) + F.expr(f"INTERVAL {max_span}")
+    ivs = ivs.filter(
+        F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat_ws(
+                    "",
+                    F.lit(
+                        f"streaming_interval_join: interval exceeds "
+                        f"max_span ({max_span}) at "
+                    ),
+                    F.col(start_col).cast("string"),
+                    F.lit(".."),
+                    F.col(end_col).cast("string"),
+                )
+            )
+        )
     ).withWatermark(start_col, interval_delay)
-    cond = (F.col(left_ts) >= F.col(start_col)) & (
-        F.col(left_ts) < F.col(end_col)
+    lhs = ensure_event_time(left, left_ts).withWatermark(left_ts, left_delay)
+    cond = (
+        (F.col(left_ts) >= F.col(start_col))
+        & (F.col(left_ts) < F.col(start_col) + F.expr(f"INTERVAL {max_span}"))
+        & (F.col(left_ts) < F.col(end_col))
     )
     for k in keys:
         lk = f"__l_{k}"

@@ -564,7 +564,8 @@ def test_streaming_range_join_twin(spark, tmp_path, event_dir):
         F.col("event_id").alias("window_id"),
     )
     joined = streaming_interval_join(
-        c, p, keys=["user_id"], left_delay="1 hour", interval_delay="7 hours"
+        c, p, keys=["user_id"], left_delay="1 hour",
+        interval_delay="7 hours", max_span="6 hours",
     ).select("window_id", "ts", "value")
     got = sorted(
         (r["window_id"], r["ts"], r["value"])
