@@ -1072,122 +1072,89 @@ def _q_synchronizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts", "value", "event_id", "stream_idx")
 
 
+# Every query whose implementation OR oracle SQL changed this round —
+# these MUST sit inside the driver's 50-entry verification window (the
+# driver hash-checks only the first 50 queries() entries; a changed
+# query outside it ships uncertified). queries() asserts this
+# programmatically — r03 shipped two stale rows because the positions
+# were counted by hand.
+_MUST_VERIFY_R04 = [
+    # oracle SQL changed r04: CAST(sum() AS BIGINT) kills the DuckDB
+    # HUGEINT→float64 byte-hash mismatch (all 4 were hash-red in r03)
+    "q12_priority_shipping", "events_json_extract",
+    "source_stats", "pack_sequences",
+    # implementation changed r03, rotated out of the r03 window before
+    # getting a row (stale since)
+    "ngram_jaccard", "codec_roundtrip", "llm_chat",
+    # never driver-checked in any round
+    "events_rollup", "events_sliding_stats",
+    # implementation changed r04: rebuild_ts preserves TIMESTAMP_NTZ
+    # through event-time arithmetic; pii_scrub bounds IP octets to 0-255
+    "pii_scrub", "time_buffer", "repeater", "replay_rebase",
+    "replay_loop", "message_detector", "audio_volume_meter",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rel(fn):
         return lambda spark, sf_dir: fn(load_tables(spark, sf_dir))
 
     # NOTE on ordering: the driver's correctness check covers only the
-    # FIRST 50 entries (verified empirically, CORRECTNESS_r02). Entries
-    # with the least driver history go first: queries NEW this round
-    # (the 12 TPC-H completions), then never-driver-verified queries
-    # (remaining relational + corpus + ANN tiers), then queries whose
-    # last driver row was red (the -0.0 hash group, fixed this round) or
-    # whose implementation changed this round, then the long-green tail
-    # (every entry below the window was hash-green in r01/r02, is
-    # unchanged since, and stays covered by the bit-level compare in
-    # scripts/check_oracle.py locally).
-    return {
-        # TPC-H completions — NEW this round, never driver-checked
-        "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
-        "q7_volume_shipping": rel(rq.q7_volume_shipping),
-        "q8_market_share": rel(rq.q8_market_share),
-        "q9_product_profit": rel(rq.q9_product_profit),
-        "q11_important_stock": rel(rq.q11_important_stock),
-        "q13_customer_distribution": rel(rq.q13_customer_distribution),
-        "q15_top_supplier": rel(rq.q15_top_supplier),
-        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
-        "q17_small_quantity_revenue": rel(rq.q17_small_quantity_revenue),
-        "q20_potential_promotion": rel(rq.q20_potential_promotion),
-        "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
-        "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
-        # relational queries new in r03 / changed-in-r02-never-rechecked
+    # FIRST 50 entries (verified empirically, CORRECTNESS_r02/r03).
+    # Priority for the window: (1) queries whose oracle or
+    # implementation changed this round (_MUST_VERIFY_R04), (2) queries
+    # never driver-checked, (3) oldest-green entries (r01/r02 rows
+    # predate the r03 testdata regeneration to TIMESTAMP_NTZ parquet —
+    # re-certifying them under current data retires drift risk). The
+    # tail below the window is r03-green and unchanged since; all 102
+    # stay covered by the bit-level compare in scripts/check_oracle.py
+    # locally.
+    q = {
+        # --- changed this round (oracle CAST fixes, r03-stale, r04 code)
         "q12_priority_shipping": rel(rq.q12_priority_shipping),
-        "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
-        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
-        "events_quantiles": rel(rq.events_quantiles),
         "events_json_extract": rel(rq.events_json_extract),
-        "q4_order_priority": rel(rq.q4_order_priority),
-        "q10_returned_items": rel(rq.q10_returned_items),
-        "q14_promo_effect": rel(rq.q14_promo_effect),
-        "q3_shipping_priority": rel(rq.q3_shipping_priority),
-        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
-        "q1_pricing_summary": rel(rq.q1_pricing_summary),
-        # new in r03
-        "interleave_desync": _q_interleave_desync,
-        "salted_join": _q_salted_join,
-        "range_join": _q_range_join,
-        "pii_scrub": _q_pii_scrub,
-        # llmdata: corpus-quality + corpus-assembly tiers — new in r03
-        "doc_repetition": _q_doc_repetition,
-        "quality_filter": _q_quality_filter,
         "source_stats": _q_source_stats,
-        "decontaminate": _q_decontaminate,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
         "pack_sequences": _q_pack_sequences,
-        "mix_sample": _q_mix_sample,
-        # llmdata: similarity search tier — never driver-checked
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_recall": _q_ann_recall,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "doc_fingerprint": _q_doc_fingerprint,
-        # multimodal resize / feature-extract — NEW this round
-        "image_resize": _q_image_resize,
-        "image_features": _q_image_features,
-        # red in r02 (-0.0 hash artifact, normalized this round)
-        "audio_chunker": _q_audio_chunker,
-        "padded_chunker": _q_padded_chunker,
-        "audio_resampler": _q_audio_resampler,
-        "video_mixer": _q_video_mixer,
-        "speech_enhance": _q_speech_enhance,
-        # implementation changed in r03 (minhash signature fold +
-        # hot-bucket cap, ngram shuffle cuts, vectorized codec kernels)
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "codec_roundtrip": _q_codec_roundtrip,
-        # ------- first entry PAST the driver's 50-query window -------
-        # llm_chat's r03 change (history-trim clamp) is behavior-
-        # identical at the default limit and bit-checked locally; of the
-        # changed/new queries it carries the least divergence risk, so
-        # it takes the 51st slot. rotate in next round.
         "llm_chat": _q_llm_chat,
-        "set_ops": rel(rq.union_intersect_except),
-        # new in r03 but past the window (every slot above 51 is a
-        # changed-this-round or never-checked query); bit-checked
-        # locally, rotate in next round
+        # --- never driver-checked in any round
+        "events_rollup": rel(rq.events_rollup),
         "events_sliding_stats": rel(rq.events_sliding_stats),
+        # --- implementation changed r04 (rebuild_ts NTZ preservation,
+        # --- bounded IP octets)
+        "pii_scrub": _q_pii_scrub,
+        "time_buffer": _q_time_buffer,
+        "repeater": _q_repeater,
+        "replay_rebase": _q_replay_rebase,
+        "replay_loop": _q_replay_loop,
+        "message_detector": _q_message_detector,
+        "audio_volume_meter": _q_audio_volume_meter,
+        # --- last green row is r01 (oldest certification, pre-NTZ data)
+        "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
-        # ------- long-green tail (r01/r02 hash-green, unchanged) -------
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
         "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
         "events_hourly_stats": rel(rq.events_hourly_stats),
         "events_session_windows": rel(rq.events_session_windows),
-        "events_rollup": rel(rq.events_rollup),
-        # functions / scalar transforms (SURVEY §2.2)
-        "calculator": _q_calculator,
-        "calculator_multivar": _q_calculator_multivar,
-        "fn_task": _q_fn_task,
-        "fn_task_stateful": _q_fn_task_stateful,
-        # filters / routing (SURVEY §2.3)
+        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
+        # --- last green row is r02 (pre-NTZ data) — event-time-centric
+        # --- operators first, they carry the most drift risk
         "gate": _q_gate,
         "switch": _q_switch,
-        # temporal joins (SURVEY §2.5)
         "asof_join": _q_asof_join,
         "interleave_mux": _q_interleave_mux,
         "container_roundtrip": _q_container_roundtrip,
         "synchronizer": _q_synchronizer,
-        # llmdata: dedup tier (BASELINE.json north star)
+        "sr_latch": _q_sr_latch,
+        "string_concatenator": _q_string_concatenator,
+        "pause_state": _q_pause_state,
+        "calculator": _q_calculator,
+        "calculator_multivar": _q_calculator_multivar,
+        "fn_task": _q_fn_task,
+        "fn_task_stateful": _q_fn_task_stateful,
         "dedup_exact": _q_dedup_exact,
-        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
-        "repeater": _q_repeater,
-        "replay_rebase": _q_replay_rebase,
-        "replay_loop": _q_replay_loop,
-        # chunked-numeric / multimodal tier (SURVEY §2.4, §2.8)
         "audio_smoother": _q_audio_smoother,
-        "audio_volume_meter": _q_audio_volume_meter,
         "audio_volume_scaler": _q_audio_volume_scaler,
         "audio_mixer": _q_audio_mixer,
         "media_switch": _q_media_switch,
@@ -1196,27 +1163,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_reformatter": _q_video_reformatter,
         "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
-        # media codec / render / inference tier (SURVEY §2.1, §2.8)
         "text_renderer": _q_text_renderer,
         "image_renderer": _q_image_renderer,
         "asr_transcribe": _q_asr_transcribe,
         "tts_synthesize": _q_tts_synthesize,
-        # llmdata: text analysis tier
+        # ------- first entry PAST the driver's 50-query window -------
+        # r02-green, unchanged; lowest drift risk of the remainder
+        # (pure text expressions, no event-time arithmetic)
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
-        # scalar transforms displaced from the window by the new
-        # corpus-assembly tier (green r01+r02, unchanged since)
         "string_matcher": _q_string_matcher,
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
-        "time_buffer": _q_time_buffer,
-        "sr_latch": _q_sr_latch,
-        "message_detector": _q_message_detector,
-        "string_concatenator": _q_string_concatenator,
-        "pause_state": _q_pause_state,
+        # ------- r03-green tail, unchanged since r03 -------
+        "q1_pricing_summary": rel(rq.q1_pricing_summary),
+        "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
+        "q3_shipping_priority": rel(rq.q3_shipping_priority),
+        "q4_order_priority": rel(rq.q4_order_priority),
+        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
+        "q7_volume_shipping": rel(rq.q7_volume_shipping),
+        "q8_market_share": rel(rq.q8_market_share),
+        "q9_product_profit": rel(rq.q9_product_profit),
+        "q10_returned_items": rel(rq.q10_returned_items),
+        "q11_important_stock": rel(rq.q11_important_stock),
+        "q13_customer_distribution": rel(rq.q13_customer_distribution),
+        "q14_promo_effect": rel(rq.q14_promo_effect),
+        "q15_top_supplier": rel(rq.q15_top_supplier),
+        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
+        "q17_small_quantity_revenue": rel(rq.q17_small_quantity_revenue),
+        "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
+        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
+        "q20_potential_promotion": rel(rq.q20_potential_promotion),
+        "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
+        "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
+        "events_quantiles": rel(rq.events_quantiles),
+        "interleave_desync": _q_interleave_desync,
+        "salted_join": _q_salted_join,
+        "range_join": _q_range_join,
+        "doc_repetition": _q_doc_repetition,
+        "quality_filter": _q_quality_filter,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "mix_sample": _q_mix_sample,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_recall": _q_ann_recall,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "image_resize": _q_image_resize,
+        "image_features": _q_image_features,
+        "audio_chunker": _q_audio_chunker,
+        "padded_chunker": _q_padded_chunker,
+        "audio_resampler": _q_audio_resampler,
+        "video_mixer": _q_video_mixer,
+        "speech_enhance": _q_speech_enhance,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
     }
+    window = list(q)[:50]
+    missing = [n for n in _MUST_VERIFY_R04 if n not in window]
+    assert not missing, (
+        f"queries changed this round sit outside the driver's 50-entry "
+        f"verification window: {missing}"
+    )
+    return q
 
 
 # ------------------------------------------------------------ oracle SQL
@@ -2143,10 +2157,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_shipping": """
             SELECT l_returnflag,
-              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                  THEN 1 ELSE 0 END) AS high_line_count,
-              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                  THEN 1 ELSE 0 END) AS low_line_count
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2433,7 +2447,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_type, k % 10 AS k_mod, count(*) AS n,
-                   sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
             FROM x WHERE k IS NOT NULL GROUP BY event_type, k_mod
         """,
         "set_ops": """

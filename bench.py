@@ -80,6 +80,22 @@ def main() -> int:
     restart_every = int(os.environ.get("SPARK_GRAFT_RESTART_EVERY", "5"))
 
     qs = entrymod.queries()
+    # JVM/JIT warm-up phase: C2 compilation of Spark's scan/shuffle/
+    # codegen machinery needs dozens of plan executions, which the
+    # per-query untimed warm-up alone doesn't deliver for the first
+    # dict positions — measured +0.45s mean inflation on positions
+    # 1-15 vs the SAME unchanged queries deep in the run (r03→r04
+    # order rotation). One untimed pass over the first N queries
+    # hot-compiles those paths before any timing starts; the JVM (and
+    # its JIT state) survives the periodic session restarts below.
+    warmup_n = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "10"))
+    if not only and warmup_n > 0:
+        for name, fn in list(qs.items())[:warmup_n]:
+            try:
+                run_query(fn, spark, sf_dir)
+            except Exception:
+                pass  # the timed loop will report it
+        log(f"bench: warm-up pass over first {warmup_n} queries done")
     results: dict[str, float | None] = {}
     t_start = time.perf_counter()
     n_run = 0
@@ -109,13 +125,31 @@ def main() -> int:
         "metric": "sum_of_per_query_best_wall_seconds_noop_sink",
         "value": total,
         "unit": "sec",
-        "queries": results,
         "sf": sf,
         "n_queries": len(results),
         "n_failed": len(results) - len(ok),
         "wall_total": round(time.perf_counter() - t_start, 2),
     }
-    print(json.dumps(payload), flush=True)
+    # The round driver keeps only the LAST 2,000 chars of stdout; a JSON
+    # line longer than that is head-truncated and fails to parse (this
+    # killed BENCH_r03: 102 per-query timings ≈ 2,550 chars). Inline the
+    # per-query map only while it fits comfortably; otherwise point at
+    # BENCH_DETAIL.json next to this script, which always gets the full
+    # map (plus the same aggregate fields).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({**payload, "queries": results}, f, indent=1)
+    except OSError as e:
+        log(f"bench: could not write {detail_path}: {e}")
+    with_queries = json.dumps({**payload, "queries": results})
+    if len(with_queries) <= 1900:
+        line = with_queries
+    else:
+        line = json.dumps({**payload, "queries_detail": "BENCH_DETAIL.json"})
+    assert len(line) <= 1900, f"stdout JSON line {len(line)} chars > 1900"
+    print(line, flush=True)
     return 0 if ok and len(ok) == len(results) else 1
 
 

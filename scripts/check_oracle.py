@@ -43,6 +43,66 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
 
 
+# DuckDB types whose pandas conversion silently changes the byte-level
+# representation: integer sum() returns HUGEINT which .df() converts to
+# float64 while Spark emits int64 — identical values, different bytes,
+# driver hash fails (burned 4 driver rows in round 3).
+_TRAP_DUCK_TYPES = ("HUGEINT", "INT128", "UHUGEINT")
+
+
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the class the driver's byte hash sees."""
+    k = dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    return "object"
+
+
+def audit_types(
+    sdf: pd.DataFrame, odf: pd.DataFrame, duck_types: dict[str, str] | None = None
+) -> list[str]:
+    """Byte-level trap audit: catches oracle-typing artifacts that the
+    approximate value compare below cannot (r2's -0.0, r3's HUGEINT).
+
+    Flags (a) any oracle column whose DuckDB type is HUGEINT/INT128,
+    (b) any shared column whose pandas dtype class differs between the
+    Spark and oracle frames, (c) float columns whose -0.0 population
+    differs between the frames."""
+    problems = []
+    for c, t in (duck_types or {}).items():
+        if any(trap in t.upper() for trap in _TRAP_DUCK_TYPES):
+            problems.append(
+                f"col {c}: DuckDB result type {t} — pandas converts to float64 "
+                f"while Spark emits int64; CAST(... AS BIGINT) in the oracle SQL"
+            )
+    for c in sdf.columns:
+        if c not in odf.columns:
+            continue
+        sk, ok_ = _kind(sdf[c].dtype), _kind(odf[c].dtype)
+        if sk != ok_:
+            problems.append(
+                f"col {c}: dtype class differs: spark={sdf[c].dtype} ({sk}) vs "
+                f"oracle={odf[c].dtype} ({ok_}) — driver hashes bytes, this fails"
+            )
+        elif sk == "float":
+            a = sdf[c].to_numpy(dtype="float64")
+            b = odf[c].to_numpy(dtype="float64")
+            neg0_s = int((np.signbit(a) & (a == 0.0)).sum())
+            neg0_o = int((np.signbit(b) & (b == 0.0)).sum())
+            if neg0_s != neg0_o:
+                problems.append(
+                    f"col {c}: -0.0 count differs: spark={neg0_s} oracle={neg0_o} "
+                    f"— normalize with '+ 0.0' on both sides"
+                )
+    return problems
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -105,11 +165,13 @@ def main() -> int:
             continue
         try:
             odf = con.execute(oracles[name]).df()
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            duck_types = {row[0]: row[1] for row in desc}
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = compare(name, sdf, odf)
+        problems = audit_types(sdf, odf, duck_types) + compare(name, sdf, odf)
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({len(sdf)} spark rows, {len(odf)} oracle rows):")

@@ -28,6 +28,22 @@ def epoch_us(col: Column | str) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+def rebuild_ts(df, ts: str, us: Column) -> Column:
+    """Rebuild an event-time column from epoch microseconds, preserving
+    the input column's timestamp flavor. ``F.timestamp_micros`` always
+    returns TIMESTAMP (LTZ); operators that shift/bucket event time with
+    it would silently emit LTZ for TIMESTAMP_NTZ inputs, drifting the
+    output schema from the input schema for downstream NTZ consumers.
+    With the session timezone pinned to UTC (``get_spark``) the
+    LTZ→NTZ cast is an exact round-trip."""
+    from pyspark.sql.types import TimestampNTZType
+
+    col = F.timestamp_micros(us.cast("long"))
+    if isinstance(df.schema[ts].dataType, TimestampNTZType):
+        col = col.cast("timestamp_ntz")
+    return col
+
+
 def ensure_event_time(df, ts: str = "ts"):
     """Cast an NTZ event-time column to TIMESTAMP so Structured
     Streaming accepts it: ``withWatermark`` (and therefore every

@@ -74,7 +74,14 @@ def timestamp_update(
     ts: Column, *, offset_ms: int = 0, use_wall_clock: bool = False
 ) -> Column:
     """TimestampUpdater (reference system/tasks/timestampupdater.py:19-41):
-    rewrite event time from message time or wall clock, plus an offset."""
+    rewrite event time from message time or wall clock, plus an offset.
+
+    Output is always TIMESTAMP (LTZ): this is a Column-level function
+    with no DataFrame in scope, so it cannot inspect the input column's
+    type to preserve TIMESTAMP_NTZ the way the DataFrame-level operators
+    do (``core.timeutil.rebuild_ts``). NTZ callers who need the input
+    type back should ``.cast("timestamp_ntz")`` the result (exact under
+    the UTC session timezone that ``get_spark`` pins)."""
     base = F.current_timestamp() if use_wall_clock else ts
     # micros arithmetic: preserves sub-millisecond event-time precision
     return F.timestamp_micros(

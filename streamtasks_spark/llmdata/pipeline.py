@@ -246,7 +246,7 @@ def oracle_pack_sequences_sql(
     SELECT {id_col}, {shards}, n_tokens,
            CAST(floor((__cum - n_tokens) / {seq_len}) AS BIGINT) AS start_seq,
            CAST(floor((__cum - 1) / {seq_len}) AS BIGINT) AS end_seq,
-           (__cum - n_tokens) % {seq_len} AS offset
+           CAST((__cum - n_tokens) % {seq_len} AS BIGINT) AS offset
     FROM c
     """
 

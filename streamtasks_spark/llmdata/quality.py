@@ -362,7 +362,7 @@ def oracle_source_stats_sql(
     )
     SELECT {source_col},
       count(*) AS n_docs,
-      sum(__keep) AS n_kept,
+      CAST(sum(__keep) AS BIGINT) AS n_kept,
       round(avg(CAST(__keep AS DOUBLE)), 6) AS keep_rate,
       round(avg(CAST(n_words AS DOUBLE)), 6) AS avg_words,
       round(avg(__uniq_ratio), 6) AS avg_unique_ratio

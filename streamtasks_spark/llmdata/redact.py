@@ -28,7 +28,16 @@ from pyspark.sql import functions as F
 # Java regex and RE2; keep them backslash-free (see module docstring).
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", "[0-9]{1,3}([.][0-9]{1,3}){3}", "<IP>"),
+    # octets bounded to 0-255 so version-ish strings ("v1.2.300.4") don't
+    # count as IPs; still unanchored (RE2 has no lookaround and word
+    # boundaries need backslashes), so a longer dotted run like
+    # '1.2.3.4.5' scrubs its first four octets — documented overmatch.
+    (
+        "ip",
+        "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        "([.](25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}",
+        "<IP>",
+    ),
     ("phone", "[+][0-9]{7,15}", "<PHONE>"),
 )
 

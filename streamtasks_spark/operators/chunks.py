@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from streamtasks_spark.core.timeutil import epoch_us
+from streamtasks_spark.core.timeutil import epoch_us, rebuild_ts
 
 from streamtasks_spark.operators.joins import last_value_join
 
@@ -240,7 +240,7 @@ def audio_volume_meter(
         )
         .select(
             *keys,
-            F.timestamp_micros((F.col("__win") * F.lit(win_us)).cast("long")).alias(ts),
+            rebuild_ts(chunks, ts, F.col("__win") * F.lit(win_us)).alias(ts),
             "volume",
             "n_samples",
         )

@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from streamtasks_spark.core.timeutil import epoch_us
+from streamtasks_spark.core.timeutil import epoch_us, rebuild_ts
 
 from streamtasks_spark.operators.joins import last_value_join
 
@@ -228,9 +228,7 @@ def message_detector(
         F.col("__next").isNull() | (next_gap_us > F.lit(timeout_us))
     ).select(
         *keys,
-        F.timestamp_micros(
-            (epoch_us(F.col(ts)) + F.lit(timeout_us)).cast("long")
-        ).alias(ts),
+        rebuild_ts(data, ts, epoch_us(F.col(ts)) + F.lit(timeout_us)).alias(ts),
         F.lit(0.0).alias("value"),
     )
     return ups.unionByName(downs)

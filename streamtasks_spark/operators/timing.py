@@ -13,7 +13,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from streamtasks_spark.core.timeutil import epoch_us
+from streamtasks_spark.core.timeutil import epoch_us, rebuild_ts
 
 from streamtasks_spark.operators.joins import asof_join, ordered_merge
 
@@ -27,9 +27,7 @@ def time_buffer(
     a watermark of the same size."""
     return data.withColumn(
         ts,
-        F.timestamp_micros(
-            (epoch_us(F.col(ts)) + F.lit(delay_ms * 1000)).cast("long")
-        ),
+        rebuild_ts(data, ts, epoch_us(F.col(ts)) + F.lit(delay_ms * 1000)),
     )
 
 
@@ -87,7 +85,7 @@ def repeater(
                 F.lit(step_us),
             )
         ).alias("__tick_us"),
-    ).select(*keys, F.timestamp_micros(F.col("__tick_us").cast("long")).alias(ts))
+    ).select(*keys, rebuild_ts(data, ts, F.col("__tick_us")).alias(ts))
     src_cols = [*keys, ts, *value_cols] + (
         [seq_col] if seq_col and seq_col not in value_cols else []
     )
@@ -119,8 +117,8 @@ def replay_rebase(
     )
     return recorded.withColumn(
         ts,
-        F.timestamp_micros(
-            (epoch_us(F.col(ts)) - w_min + F.lit(new_start_ms * 1000)).cast("long")
+        rebuild_ts(
+            recorded, ts, epoch_us(F.col(ts)) - w_min + F.lit(new_start_ms * 1000)
         ),
     )
 
@@ -153,13 +151,13 @@ def replay(
     )
     return out.withColumn(
         ts,
-        F.timestamp_micros(
-            (
-                epoch_us(F.col(ts))
-                - F.col("__t0")
-                + F.lit(new_start_ms * 1000)
-                + F.col("iteration") * F.col("__stride")
-            ).cast("long")
+        rebuild_ts(
+            recorded,
+            ts,
+            epoch_us(F.col(ts))
+            - F.col("__t0")
+            + F.lit(new_start_ms * 1000)
+            + F.col("iteration") * F.col("__stride"),
         ),
     ).drop("__t0", "__stride")
 
