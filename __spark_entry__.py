@@ -1092,6 +1092,9 @@ _MUST_VERIFY_R04 = [
     # through event-time arithmetic; pii_scrub bounds IP octets to 0-255
     "pii_scrub", "time_buffer", "repeater", "replay_rebase",
     "replay_loop", "message_detector", "audio_volume_meter",
+    # implementation changed r04: real-model kernel branches added to
+    # the ASR / enhancement / chat Arrow stages (stubs stay default)
+    "asr_transcribe", "speech_enhance",
 ]
 
 
@@ -1166,10 +1169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_renderer": _q_text_renderer,
         "image_renderer": _q_image_renderer,
         "asr_transcribe": _q_asr_transcribe,
-        "tts_synthesize": _q_tts_synthesize,
+        "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
         # r02-green, unchanged; lowest drift risk of the remainder
         # (pure text expressions, no event-time arithmetic)
+        "tts_synthesize": _q_tts_synthesize,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "string_matcher": _q_string_matcher,
@@ -1220,7 +1224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padded_chunker": _q_padded_chunker,
         "audio_resampler": _q_audio_resampler,
         "video_mixer": _q_video_mixer,
-        "speech_enhance": _q_speech_enhance,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
     }

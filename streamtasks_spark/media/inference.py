@@ -28,15 +28,130 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # per-executor model cache (pattern: real handles would live here)
-_MODEL_CACHE: dict[str, object] = {}
+_MODEL_CACHE: dict[object, object] = {}
 
 
-def _get_model(name: str):
-    """Lazy per-executor model handle. Real models: replace the stub
-    constructor with e.g. speechbrain.pretrained.EncoderDecoderASR."""
+def _get_model(name: object, loader=None):
+    """Lazy per-executor model handle, keyed by model identity. With a
+    ``loader`` callable the cache holds the REAL model (loaded once per
+    executor process, reused across Arrow batches); without one it holds
+    a placeholder so the stub path exercises the same cache discipline."""
     if name not in _MODEL_CACHE:
-        _MODEL_CACHE[name] = object()
+        _MODEL_CACHE[name] = loader() if loader is not None else object()
     return _MODEL_CACHE[name]
+
+
+def speechbrain_available() -> bool:
+    try:  # pragma: no cover - not installed in this container
+        import speechbrain  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def llama_cpp_available() -> bool:
+    try:  # pragma: no cover - not installed in this container
+        import llama_cpp  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class SpeechBrainASR:
+    """Real ASR kernel (reference inference/asrspeechrecognition.py:
+    the task wraps speechbrain's EncoderDecoderASR and feeds it audio
+    chunks). Drop into :func:`asr_stub` via ``kernel=``; the model
+    loads once per executor through ``_MODEL_CACHE`` — the kernel
+    object itself carries only strings, so it pickles to workers
+    cheaply. Constructing raises ImportError when speechbrain is
+    absent (import-gated, stubs stay the default)."""
+
+    def __init__(
+        self,
+        source: str = "speechbrain/asr-crdnn-rnnlm-librispeech",
+        rate: int = 16000,
+    ):
+        if not speechbrain_available():
+            raise ImportError("speechbrain is not installed")
+        self.source = source
+        self.rate = rate
+
+    def __call__(self, sample_arrays) -> list[str]:
+        import torch  # speechbrain depends on torch
+
+        def load():
+            from speechbrain.inference.ASR import EncoderDecoderASR
+
+            return EncoderDecoderASR.from_hparams(source=self.source)
+
+        model = _get_model(("sb_asr", self.source), load)
+        waves = [np.asarray(s, dtype=np.float32) for s in sample_arrays]
+        n = max((w.size for w in waves), default=0)
+        batch = torch.zeros(len(waves), n)
+        lens = torch.zeros(len(waves))
+        for i, w in enumerate(waves):
+            batch[i, : w.size] = torch.from_numpy(w)
+            lens[i] = w.size / max(n, 1)
+        texts, _ = model.transcribe_batch(batch, lens)
+        return [str(t) for t in texts]
+
+
+class SpeechBrainEnhancer:
+    """Real speech-enhancement kernel (reference inference/
+    smespeechenhancement.py wraps speechbrain SpectralMaskEnhancement).
+    Drop into :func:`speech_enhance_stub` via ``kernel=``."""
+
+    def __init__(self, source: str = "speechbrain/metricgan-plus-voicebank"):
+        if not speechbrain_available():
+            raise ImportError("speechbrain is not installed")
+        self.source = source
+
+    def __call__(self, sample_arrays) -> list[list[float]]:
+        import torch
+
+        def load():
+            from speechbrain.inference.enhancement import SpectralMaskEnhancement
+
+            return SpectralMaskEnhancement.from_hparams(source=self.source)
+
+        model = _get_model(("sb_enh", self.source), load)
+        out = []
+        for s in sample_arrays:
+            wave = torch.from_numpy(np.asarray(s, dtype=np.float32)).unsqueeze(0)
+            enhanced = model.enhance_batch(wave, lengths=torch.tensor([1.0]))
+            out.append(enhanced.squeeze(0).numpy().astype(np.float64).tolist())
+        return out
+
+
+class LlamaCppChat:
+    """Real chat kernel (reference inference/llamacppchat.py:51-57 —
+    llama.cpp completion over the carried conversation history). Drop
+    into :func:`llm_chat_stub` via ``reply_fn=``. The Llama handle
+    loads once per executor; the kernel pickles as just the path +
+    params."""
+
+    def __init__(self, model_path: str, n_ctx: int = 2048, max_tokens: int = 64):
+        if not llama_cpp_available():
+            raise ImportError("llama-cpp-python is not installed")
+        self.model_path = model_path
+        self.n_ctx = n_ctx
+        self.max_tokens = max_tokens
+
+    def __call__(self, history: list[str], prompt: str) -> str:
+        def load():
+            from llama_cpp import Llama
+
+            return Llama(model_path=self.model_path, n_ctx=self.n_ctx)
+
+        model = _get_model(("llama", self.model_path), load)
+        msgs = [
+            {"role": ("user" if i % 2 == 0 else "assistant"), "content": h}
+            for i, h in enumerate(history)
+        ] + [{"role": "user", "content": prompt}]
+        res = model.create_chat_completion(msgs, max_tokens=self.max_tokens)
+        return str(res["choices"][0]["message"]["content"])
 
 
 def asr_stub(
@@ -44,10 +159,12 @@ def asr_stub(
     *,
     id_cols: Sequence[str] = ("user_id", "ts"),
     samples_col: str = "samples",
+    kernel=None,
 ) -> DataFrame:
     """ASR stage (reference inference/asrspeechrecognition.py): audio
-    chunks → text. Stub kernel: deterministic token count from sample
-    energy (real model: one line in ``transcribe``)."""
+    chunks → text. Default kernel is a deterministic stub (token count
+    from sample energy); pass ``kernel=SpeechBrainASR()`` for the real
+    model — same Arrow stage, same schema."""
     ids = list(id_cols)
     src = chunks.select(*ids, samples_col)
     ddl = ", ".join(f"`{c}` {src.schema[c].dataType.simpleString()}" for c in ids)
@@ -56,9 +173,12 @@ def asr_stub(
         _get_model("asr")
         for pdf in batches:
             out = pdf[ids].copy()
-            out["text"] = [
-                f"tok{int(abs(sum(s)) * 10) % 97}" for s in pdf[samples_col]
-            ]
+            if kernel is not None:
+                out["text"] = kernel(list(pdf[samples_col]))
+            else:
+                out["text"] = [
+                    f"tok{int(abs(sum(s)) * 10) % 97}" for s in pdf[samples_col]
+                ]
             yield out
 
     return src.mapInPandas(transcribe, f"{ddl}, text string")
@@ -104,13 +224,14 @@ def speech_enhance_stub(
     *,
     id_cols: Sequence[str] = ("user_id", "ts"),
     samples_col: str = "samples",
+    kernel=None,
 ) -> DataFrame:
     """Speech-enhancement stage (reference inference/
     smespeechenhancement.py, waveformspeechenhancement.py: audio chunk in,
     enhanced chunk out). Stub kernel: 3-tap moving average (edge samples
     average their available neighbors) — a real, deterministic DSP
-    smoother so the Arrow plumbing is verifiable end-to-end; the
-    speechbrain enhancer drops into ``enhance`` unchanged."""
+    smoother so the Arrow plumbing is verifiable end-to-end; pass
+    ``kernel=SpeechBrainEnhancer()`` for the real model."""
     ids = list(id_cols)
     src = chunks.select(*ids, samples_col)
     ddl = ", ".join(f"`{c}` {src.schema[c].dataType.simpleString()}" for c in ids)
@@ -119,6 +240,10 @@ def speech_enhance_stub(
         _get_model("enhance")
         for pdf in batches:
             out = pdf[ids].copy()
+            if kernel is not None:
+                out["enhanced"] = kernel(list(pdf[samples_col]))
+                yield out
+                continue
             enhanced = []
             for s in pdf[samples_col]:
                 # vectorized 3-tap smoother; (a+b)+c grouping matches the
@@ -149,12 +274,15 @@ def llm_chat_stub(
     text_col: str = "value",
     seq_col: str | None = None,
     history_limit: int = 8,
+    reply_fn=None,
 ) -> DataFrame:
     """Chat stage (reference inference/llamacppchat.py:51-57 — the model
     is STATEFUL per conversation: history is carried). Batch
     formulation: conversations co-partitioned, rows processed in event
     order, reply = f(history, prompt). Stub reply: running count of
-    turns + echo length; real llama.cpp drops into ``reply_fn``."""
+    turns + echo length; pass ``reply_fn=LlamaCppChat(path)`` for real
+    llama.cpp completions (signature: reply_fn(history, prompt) → str,
+    where history excludes the current prompt)."""
     order = [F.col(ts).asc()] + ([F.col(seq_col).asc()] if seq_col else [])
     src = (
         messages.select(conversation_col, ts, *( [seq_col] if seq_col else []), text_col)
@@ -171,10 +299,14 @@ def llm_chat_stub(
             replies = []
             for conv, text in zip(pdf[conversation_col], pdf[text_col].astype(str)):
                 hist = histories.setdefault(conv, [])
+                if reply_fn is not None:
+                    reply = reply_fn(list(hist), text)
                 hist.append(text)
                 # not hist[:-limit]: a -0 slice would delete nothing at limit=0
                 del hist[: max(0, len(hist) - history_limit)]
-                replies.append(f"reply#{len(hist)}:{sum(len(h) for h in hist)}")
+                if reply_fn is None:
+                    reply = f"reply#{len(hist)}:{sum(len(h) for h in hist)}"
+                replies.append(reply)
             out = pdf[ids].copy()
             out["reply"] = replies
             yield out
