@@ -310,6 +310,16 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_simhash(docs, max_hamming=3)
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLASSES from near-dup pairs: minhash-LSH pairs →
+    connected components (alternating large-star/small-star), so one
+    canonical doc per class survives instead of both ends of every
+    pair dropping."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = dedup.dedup_minhash(docs, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
@@ -1095,6 +1105,8 @@ _MUST_VERIFY_R04 = [
     # implementation changed r04: real-model kernel branches added to
     # the ASR / enhancement / chat Arrow stages (stubs stay default)
     "asr_transcribe", "speech_enhance",
+    # NEW in r04 (appended after the changed queries, per r03 advice)
+    "dedup_components",
 ]
 
 
@@ -1133,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replay_loop": _q_replay_loop,
         "message_detector": _q_message_detector,
         "audio_volume_meter": _q_audio_volume_meter,
+        # --- NEW in r04: duplicate clustering over minhash pairs
+        "dedup_components": _q_dedup_components,
         # --- last green row is r01 (oldest certification, pre-NTZ data)
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
@@ -1167,12 +1181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
         "text_renderer": _q_text_renderer,
-        "image_renderer": _q_image_renderer,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
         # r02-green, unchanged; lowest drift risk of the remainder
         # (pure text expressions, no event-time arithmetic)
+        "image_renderer": _q_image_renderer,
         "tts_synthesize": _q_tts_synthesize,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -1985,6 +1999,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.oracle_dedup_exact_sql(_DUP_INJECT_SQL),
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
+        "dedup_components": dedup.oracle_connected_components_sql(
+            dedup.oracle_dedup_minhash_sql(threshold=0.5)
+        ),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(max_hamming=3),
         "ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
         "audio_chunker": _CHUNKER_SQL,

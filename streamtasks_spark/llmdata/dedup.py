@@ -590,3 +590,116 @@ def oracle_ngram_jaccard_sql(
     SELECT doc_a, doc_b, round(__jac, 6) AS jaccard
     FROM j WHERE __jac >= {threshold}
     """
+
+
+# ---------------------------------------------------- connected components
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components of the duplicate-pair graph — the clustering
+    step that turns near-dup PAIRS (from :func:`dedup_minhash` /
+    :func:`dedup_simhash` / :func:`ngram_jaccard_pairs`) into duplicate
+    CLASSES, so a corpus keeps one canonical document per class instead
+    of dropping both ends of every pair.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    - large-star: every node connects its LARGER neighbors to its
+      neighborhood minimum (including itself);
+    - small-star: every node connects its smaller-or-equal neighbors
+      (and itself) to its smallest neighbor.
+
+    Each half-round is one window-min over the edge list partitioned by
+    node plus a projection — no ``collect_list`` neighborhoods (a hot
+    node's minimum comes from the window aggregate, so a
+    million-neighbor node never materializes an array), and each round
+    shuffles only the CURRENT edge set, never the corpus. Convergence
+    is O(log n) rounds — unlike naive min-label propagation whose round
+    count is the graph DIAMETER (a near-dup chain at 100 TB can be
+    arbitrarily long). The loop materializes one scalar fingerprint per
+    round (count + checksum of the canonical edge set) to detect the
+    fixpoint; each round's edge set is ``localCheckpoint``-ed — persist
+    alone does NOT truncate the logical plan, and an iterated plan
+    nests exponentially (round ~8 OOMs the driver just BUILDING the
+    plan string). On a cluster with lineage-loss concerns use
+    ``sparkContext.setCheckpointDir`` + ``checkpoint`` instead.
+
+    Returns (node, component) for every node in ``pairs``, where
+    ``component`` is the smallest node id of its component. Rows-only
+    driver check is NOT needed: an exact DuckDB oracle exists via a
+    recursive CTE (:func:`oracle_connected_components_sql`).
+    """
+    u, v = F.col("__u"), F.col("__v")
+    edges = (
+        pairs.select(F.col(a_col).alias("__u"), F.col(b_col).alias("__v"))
+        .filter(u != v)
+        .select(F.greatest(u, v).alias("__u"), F.least(u, v).alias("__v"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_iterations):
+        # large-star: group the bidirectional edge list by node; attach
+        # every neighbor LARGER than the node to the neighborhood min.
+        bidir = edges.union(edges.select(v.alias("__u"), u.alias("__v")))
+        w = Window.partitionBy("__u")
+        ls = (
+            bidir.withColumn("__m", F.least(F.min("__v").over(w), u))
+            .filter(v > u)
+            .select(v.alias("__u"), F.col("__m").alias("__v"))
+            .distinct()
+        )
+        # small-star: edges point big→small; attach the node and all its
+        # smaller neighbors to its smallest neighbor.
+        w2 = Window.partitionBy("__u")
+        mins = ls.withColumn("__m", F.min("__v").over(w2))
+        ss = (
+            mins.filter(v != F.col("__m"))
+            .select(v.alias("__u"), F.col("__m").alias("__v"))
+            .union(mins.select(u.alias("__u"), F.col("__m").alias("__v")))
+            .distinct()
+        )
+        new_edges = ss.localCheckpoint(eager=True)
+        # bit_xor, not sum: order-independent AND overflow-free under
+        # ANSI mode (sum of 64-bit hashes throws ARITHMETIC_OVERFLOW)
+        fp = new_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(__u, __v))").alias("h"),
+        ).collect()[0]
+        edges = new_edges
+        if prev_fp == (fp["n"], fp["h"]):
+            break
+        prev_fp = (fp["n"], fp["h"])
+    roots = edges.select(v.alias("__node")).distinct().select(
+        F.col("__node").alias("node"), F.col("__node").alias("component")
+    )
+    members = edges.select(u.alias("node"), v.alias("component"))
+    return members.unionByName(roots).distinct()
+
+
+def oracle_connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for :func:`connected_components`: min reachable
+    node id per node, via a recursive CTE over the same pair list
+    (UNION dedups the frontier, so the recursion terminates)."""
+    return f"""
+    WITH RECURSIVE
+    __p AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+    __e AS (
+      SELECT doc_a AS u, doc_b AS v FROM __p
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM __p
+    ),
+    __walk(node, reach) AS (
+      SELECT u, u FROM __e
+      UNION
+      SELECT w.node, e.v FROM __walk w JOIN __e e ON w.reach = e.u
+    )
+    SELECT node, min(reach) AS component
+    FROM __walk GROUP BY node
+    """

@@ -1,0 +1,94 @@
+"""connected_components: alternating large-star/small-star vs a
+hand-written union-find, over structured and random graphs.
+
+The adversarial case is the long PATH: naive min-label propagation
+needs diameter rounds (80 here), while the star algorithm must finish
+within the O(log n) budget enforced by max_iterations."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from streamtasks_spark.llmdata.dedup import (
+    connected_components,
+    oracle_connected_components_sql,
+)
+
+
+def union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min of class: path-compress to roots, root is min
+    # because unions always point the larger root at the smaller one
+    return {x: find(x) for x in parent}
+
+
+def run(spark, pairs, max_iterations=50):
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df, max_iterations=max_iterations).collect()
+    }
+    expect = set(union_find(pairs).items())
+    assert got == expect
+
+
+def test_clique_and_disjoint_components(spark):
+    clique = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    other = [(100, 101), (101, 102), (200, 201)]
+    run(spark, clique + other)
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    # diameter 80: label propagation would need 80 rounds; the star
+    # algorithm must finish within 12
+    path = [(i, i + 1) for i in range(1000, 1080)]
+    run(spark, path, max_iterations=12)
+
+
+def test_reversed_and_duplicate_edges(spark):
+    run(spark, [(5, 3), (3, 5), (3, 1), (5, 9), (9, 1), (7, 8)])
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(500))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    run(spark, pairs)
+
+
+def test_oracle_cte_matches_union_find():
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    con = duckdb.connect()
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = oracle_connected_components_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_a, doc_b)"
+    )
+    got = {(int(n), int(c)) for n, c in con.execute(sql).fetchall()}
+    assert got == set(union_find(pairs).items())
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).collect() == []
