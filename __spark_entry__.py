@@ -320,6 +320,15 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup summary: pairs → classes → canonical
+    keep, reported per source (components broadcast onto one corpus
+    scan)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    comp = dedup.connected_components(dedup.dedup_minhash(docs, threshold=0.5))
+    return dedup.dedup_retention(docs, comp)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
@@ -1106,7 +1115,7 @@ _MUST_VERIFY_R04 = [
     # the ASR / enhancement / chat Arrow stages (stubs stay default)
     "asr_transcribe", "speech_enhance",
     # NEW in r04 (appended after the changed queries, per r03 advice)
-    "dedup_components",
+    "dedup_components", "dedup_retention",
 ]
 
 
@@ -1147,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_volume_meter": _q_audio_volume_meter,
         # --- NEW in r04: duplicate clustering over minhash pairs
         "dedup_components": _q_dedup_components,
+        "dedup_retention": _q_dedup_retention,
         # --- last green row is r01 (oldest certification, pre-NTZ data)
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
@@ -1180,12 +1190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_reformatter": _q_video_reformatter,
         "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
-        "text_renderer": _q_text_renderer,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
         # r02-green, unchanged; lowest drift risk of the remainder
         # (pure text expressions, no event-time arithmetic)
+        "text_renderer": _q_text_renderer,
         "image_renderer": _q_image_renderer,
         "tts_synthesize": _q_tts_synthesize,
         "text_stats": _q_text_stats,
@@ -2000,6 +2010,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.oracle_dedup_exact_sql(_DUP_INJECT_SQL),
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
         "dedup_components": dedup.oracle_connected_components_sql(
+            dedup.oracle_dedup_minhash_sql(threshold=0.5)
+        ),
+        "dedup_retention": dedup.oracle_dedup_retention_sql(
             dedup.oracle_dedup_minhash_sql(threshold=0.5)
         ),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(max_hamming=3),

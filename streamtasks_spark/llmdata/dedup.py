@@ -703,3 +703,56 @@ def oracle_connected_components_sql(pairs_sql: str) -> str:
     SELECT node, min(reach) AS component
     FROM __walk GROUP BY node
     """
+
+
+def dedup_retention(
+    docs: DataFrame,
+    components: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus retention summary after near-dup clustering: per source,
+    how many docs exist, how many sit in a duplicate class, and how
+    many survive canonical-keep (class minimum kept, all other members
+    dropped; docs in no class always survive).
+
+    Scale shape: ``components`` is bounded by the number of DUPLICATE
+    docs — orders of magnitude smaller than the corpus — so it
+    broadcasts onto the doc scan; one narrow join + one low-cardinality
+    groupBy, the corpus is scanned once."""
+    comp = components.select(
+        F.col("node").alias("__node"), F.col("component").alias("__comp")
+    )
+    joined = docs.select(id_col, source_col).join(
+        F.broadcast(comp), F.col(id_col) == F.col("__node"), "left"
+    )
+    kept = F.col("__node").isNull() | (F.col("__node") == F.col("__comp"))
+    return joined.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("__node").alias("n_dup_members"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+def oracle_dedup_retention_sql(
+    pairs_sql: str,
+    docs_sql: str = "SELECT doc_id, source FROM documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB oracle for :func:`dedup_retention` over the same pair
+    list. Integer sums CAST to BIGINT (DuckDB HUGEINT trap)."""
+    components = oracle_connected_components_sql(pairs_sql)
+    return f"""
+    WITH
+    __cc AS ({components}),
+    __d AS ({docs_sql})
+    SELECT {source_col},
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(__cc.node) AS BIGINT) AS n_dup_members,
+      CAST(sum(CASE WHEN __cc.node IS NULL OR __cc.node = __cc.component
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM __d LEFT JOIN __cc ON __d.{id_col} = __cc.node
+    GROUP BY {source_col}
+    """

@@ -92,3 +92,23 @@ def test_oracle_cte_matches_union_find():
 def test_empty_pairs(spark):
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(df).collect() == []
+
+
+def test_dedup_retention_keeps_one_per_class(spark):
+    from streamtasks_spark.llmdata.dedup import dedup_retention
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 6 else "books") for i in range(10)],
+        "doc_id long, source string",
+    )
+    # classes: {0,1,2} (web), {6,7} (books); 3-5, 8-9 unique
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (6, 6), (7, 6)], "node long, component long"
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_dup_members"], r["n_kept"])
+        for r in dedup_retention(docs, comp).collect()
+    }
+    # web: 6 docs, 3 in a class, keep 0 + 3 uniques = 4
+    # books: 4 docs, 2 in a class, keep 6 + 2 uniques = 3
+    assert got == {"web": (6, 3, 4), "books": (4, 2, 3)}
