@@ -461,3 +461,37 @@ def test_pii_scrub_is_narrow_single_stage(psession):
     plan = plan_of(pii_scrub(docs))
     assert "Exchange" not in plan, plan[:600]
     assert "EvalPython" not in plan, plan[:600]
+
+
+def test_connected_components_round_is_window_not_join(psession):
+    """One star half-round must be a window-min over the edge list —
+    never a collect_list neighborhood or a cartesian/self-join blowup."""
+    from streamtasks_spark.llmdata.dedup import connected_components
+
+    pairs = psession.createDataFrame(
+        [(2, 1), (3, 2), (5, 4)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs, max_iterations=2)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+    # the final projection unions star edges with their roots
+    assert "Union" in plan
+
+
+def test_dedup_retention_broadcasts_components(psession):
+    """The component table is duplicate-bounded (≪ corpus) and must
+    broadcast onto the single corpus scan; the aggregate must keep a
+    map-side partial phase."""
+    from streamtasks_spark.llmdata.dedup import dedup_retention
+
+    docs = psession.createDataFrame(
+        [(i, "web") for i in range(10)], "doc_id long, source string"
+    )
+    comp = psession.createDataFrame(
+        [(0, 0), (1, 0)], "node long, component long"
+    )
+    plan = plan_of(dedup_retention(docs, comp))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial + final
