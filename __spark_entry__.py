@@ -320,6 +320,14 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab first pass: top-100 corpus tokens by occurrence
+    count with document frequency, deterministic (count desc, token
+    asc) order."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.vocab_topk(docs, k=100)
+
+
 def _q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup summary: pairs → classes → canonical
     keep, reported per source (components broadcast onto one corpus
@@ -1115,7 +1123,7 @@ _MUST_VERIFY_R04 = [
     # the ASR / enhancement / chat Arrow stages (stubs stay default)
     "asr_transcribe", "speech_enhance",
     # NEW in r04 (appended after the changed queries, per r03 advice)
-    "dedup_components", "dedup_retention",
+    "dedup_components", "dedup_retention", "vocab_topk",
 ]
 
 
@@ -1157,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in r04: duplicate clustering over minhash pairs
         "dedup_components": _q_dedup_components,
         "dedup_retention": _q_dedup_retention,
+        "vocab_topk": _q_vocab_topk,
         # --- last green row is r01 (oldest certification, pre-NTZ data)
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
@@ -1189,12 +1198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_layout": _q_video_layout,
         "video_reformatter": _q_video_reformatter,
         "image_decode": _q_image_decode,
-        "frame_sample": _q_frame_sample,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
         # r02-green, unchanged; lowest drift risk of the remainder
         # (pure text expressions, no event-time arithmetic)
+        "frame_sample": _q_frame_sample,
         "text_renderer": _q_text_renderer,
         "image_renderer": _q_image_renderer,
         "tts_synthesize": _q_tts_synthesize,
@@ -2082,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": textstats.oracle_text_stats_sql(),
         "lang_id": textstats.oracle_lang_id_sql(),
         "doc_fingerprint": textstats.oracle_doc_fingerprint_sql(),
+        "vocab_topk": textstats.oracle_vocab_topk_sql(k=100),
         "doc_repetition": quality.oracle_doc_repetition_sql(),
         "quality_filter": quality.oracle_quality_filter_sql(),
         "source_stats": quality.oracle_source_stats_sql(),

@@ -269,3 +269,62 @@ def oracle_doc_fingerprint_sql(
            md5(array_to_string(__fp, '-')) AS fingerprint
     FROM fp
     """
+
+
+# ------------------------------------------------------------- vocab
+
+def vocab_topk(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus token vocabulary: the ``k`` most frequent whitespace
+    tokens with counts and document frequency — the first pass of
+    tokenizer/vocab construction over a training corpus.
+
+    Ordering is fully deterministic: (count desc, token asc).
+
+    100 TB shape: explode → ONE shuffle on the token with map-side
+    partial counts (token cardinality ≪ token occurrences), then the
+    global top-k plans as TakeOrderedAndProject — per-partition heaps of
+    k rows, never a global sort of the vocabulary. Document frequency
+    rides the same aggregate via count_distinct of the doc id bounded
+    per token."""
+    toks = spread(docs, id_col).select(
+        F.col(id_col).alias("__doc"),
+        F.explode(
+            F.expr(f"split({norm_text(text_col, 'spark')}, ' ')")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("__doc").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def oracle_vocab_topk_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    text_col: str = "text",
+    k: int = 100,
+) -> str:
+    return f"""
+    WITH src AS ({source_sql}),
+    t AS (
+      SELECT doc_id, unnest(string_split({norm_text(text_col, "duck")}, ' ')) AS token
+      FROM src
+    )
+    SELECT token,
+      CAST(count(*) AS BIGINT) AS n_occurrences,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM t WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT {k}
+    """

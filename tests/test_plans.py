@@ -495,3 +495,16 @@ def test_dedup_retention_broadcasts_components(psession):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"HashAggregate", plan)) >= 2  # partial + final
+
+
+def test_vocab_topk_uses_heap_topk_not_global_sort(psession):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps) — a full Sort of the vocabulary would be the 100 TB killer."""
+    from streamtasks_spark.llmdata.textstats import vocab_topk
+
+    docs = psession.createDataFrame(
+        [(1, "a b c a"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = plan_of(vocab_topk(docs, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "\nSort " not in plan
