@@ -915,22 +915,24 @@ def _q_interleave_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OutputContainer interleave: mux click/view tracks per user in
     accumulated-duration order (duration := value)."""
     ev = _events(spark, sf_dir)
+    # integer-millisecond durations: the mux ORDER BY includes the
+    # cumulative duration, and a cumulative DOUBLE sum can differ by one
+    # ulp between engines, flipping near-tie ranks (observed at
+    # sf0.001). Integer cumsums are exact in both engines; the
+    # reference's real durations are integer time_base ticks anyway.
+    dur = F.expr("cast(floor(value * 1000) as bigint)").alias("duration")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.col("value").alias("duration")
+        "event_id", "user_id", dur
     )
     views = ev.filter(F.col("event_type") == "view").select(
-        "event_id", "user_id", F.col("value").alias("duration")
+        "event_id", "user_id", dur
     )
     out = interleave_by_duration(
         [clicks, views], keys=["user_id"], duration_col="duration",
         seq_col="event_id",
     )
     return out.select(
-        "event_id",
-        "user_id",
-        "stream_idx",
-        F.round("cum_before", 6).alias("cum_before"),
-        "mux_order",
+        "event_id", "user_id", "stream_idx", "cum_before", "mux_order"
     )
 
 
@@ -992,11 +994,14 @@ def _q_interleave_desync(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged — the duration-driven mux order disagrees with event time on
     this data, so the rule genuinely fires."""
     ev = _events(spark, sf_dir)
+    # integer-ms durations: see _q_interleave_mux (double-cumsum ulp
+    # divergence flips near-tie mux ranks between engines)
+    dur = F.expr("cast(floor(value * 1000) as bigint)").alias("duration")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", F.col("value").alias("duration")
+        "event_id", "user_id", "ts", dur
     )
     views = ev.filter(F.col("event_type") == "view").select(
-        "event_id", "user_id", "ts", F.col("value").alias("duration")
+        "event_id", "user_id", "ts", dur
     )
     out = interleave_by_duration(
         [clicks, views], keys=["user_id"], duration_col="duration",
@@ -1006,7 +1011,7 @@ def _q_interleave_desync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "stream_idx",
-        F.round("cum_before", 6).alias("cum_before"),
+        "cum_before",
         "mux_order",
         "dropped",
     )
@@ -1028,8 +1033,11 @@ def _q_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
 
     def track(t: str) -> DataFrame:
+        # integer-ms durations: see _q_interleave_mux (global mux here,
+        # so the double-cumsum ulp divergence actually fired at sf0.001)
         return ev.filter(F.col("event_type") == t).select(
-            "event_id", "user_id", F.col("value").alias("duration")
+            "event_id", "user_id",
+            F.expr("cast(floor(value * 1000) as bigint)").alias("duration"),
         )
 
     path = f"/tmp/stsp_container_rt_{os.getpid()}"
@@ -1040,12 +1048,7 @@ def _q_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         duration_col="duration",
     )
     clicks = input_container(spark, path, tracks=["click"])["click"]
-    return clicks.select(
-        "event_id",
-        "user_id",
-        F.round("duration", 6).alias("duration"),
-        "mux_order",
-    )
+    return clicks.select("event_id", "user_id", "duration", "mux_order")
 
 
 def _q_time_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,6 +1127,9 @@ _MUST_VERIFY_R04 = [
     "asr_transcribe", "speech_enhance",
     # NEW in r04 (appended after the changed queries, per r03 advice)
     "dedup_components", "dedup_retention", "vocab_topk",
+    # changed r04: mux durations quantized to integer ms (double-cumsum
+    # ulp divergence between engines flipped a near-tie mux rank)
+    "interleave_mux", "interleave_desync", "container_roundtrip",
 ]
 
 
@@ -1180,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "switch": _q_switch,
         "asof_join": _q_asof_join,
         "interleave_mux": _q_interleave_mux,
+        "interleave_desync": _q_interleave_desync,
         "container_roundtrip": _q_container_roundtrip,
         "synchronizer": _q_synchronizer,
         "sr_latch": _q_sr_latch,
@@ -1197,12 +1204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_activity_meter": _q_video_activity_meter,
         "video_layout": _q_video_layout,
         "video_reformatter": _q_video_reformatter,
-        "image_decode": _q_image_decode,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
         # r02-green, unchanged; lowest drift risk of the remainder
         # (pure text expressions, no event-time arithmetic)
+        "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
         "text_renderer": _q_text_renderer,
         "image_renderer": _q_image_renderer,
@@ -1236,7 +1243,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
         "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
         "events_quantiles": rel(rq.events_quantiles),
-        "interleave_desync": _q_interleave_desync,
         "salted_join": _q_salted_join,
         "range_join": _q_range_join,
         "doc_repetition": _q_doc_repetition,
@@ -1934,18 +1940,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "interleave_mux": """
             WITH u AS (
-              SELECT event_id, user_id, value AS duration,
+              SELECT event_id, user_id,
+                CAST(floor(value * 1000) AS BIGINT) AS duration,
                 CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS stream_idx
               FROM events WHERE event_type IN ('click', 'view')
             ), c AS (
               SELECT *, coalesce(sum(duration) OVER (
                   PARTITION BY user_id, stream_idx ORDER BY event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                CAST(0 AS DOUBLE)) AS cum_before
+                0) AS cum_before
               FROM u
             )
             SELECT event_id, user_id, stream_idx,
-              round(cum_before, 6) AS cum_before,
+              CAST(cum_before AS BIGINT) AS cum_before,
               CAST(row_number() OVER (PARTITION BY user_id
                    ORDER BY cum_before, stream_idx, event_id) AS INT)
                 AS mux_order
@@ -1953,14 +1960,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "interleave_desync": """
             WITH u AS (
-              SELECT event_id, user_id, ts, value AS duration,
+              SELECT event_id, user_id, ts,
+                CAST(floor(value * 1000) AS BIGINT) AS duration,
                 CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS stream_idx
               FROM events WHERE event_type IN ('click', 'view')
             ), c AS (
               SELECT *, coalesce(sum(duration) OVER (
                   PARTITION BY user_id, stream_idx ORDER BY event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                CAST(0 AS DOUBLE)) AS cum_before
+                0) AS cum_before
               FROM u
             ), m AS (
               SELECT *, CAST(row_number() OVER (PARTITION BY user_id
@@ -1969,7 +1977,7 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT event_id, user_id, stream_idx,
-              round(cum_before, 6) AS cum_before, mux_order,
+              CAST(cum_before AS BIGINT) AS cum_before, mux_order,
               coalesce(
                 (max(epoch_us(ts)) OVER (PARTITION BY user_id
                    ORDER BY mux_order
@@ -1993,21 +2001,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "container_roundtrip": """
             WITH u AS (
-              SELECT event_id, user_id, value AS duration,
+              SELECT event_id, user_id,
+                CAST(floor(value * 1000) AS BIGINT) AS duration,
                 CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS trk
               FROM events WHERE event_type IN ('click', 'view')
             ), c AS (
               SELECT *, coalesce(sum(duration) OVER (
                   PARTITION BY trk ORDER BY event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                CAST(0 AS DOUBLE)) AS cum_before
+                0) AS cum_before
               FROM u
             ), m AS (
               SELECT *, CAST(row_number() OVER (
                    ORDER BY cum_before, trk, event_id) AS INT) AS mux_order
               FROM c
             )
-            SELECT event_id, user_id, round(duration, 6) AS duration, mux_order
+            SELECT event_id, user_id, duration, mux_order
             FROM m WHERE trk = 0
         """,
         "time_to_text": """

@@ -215,9 +215,15 @@ def interleave_by_duration(
         .orderBy(*seq_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the zero literal must carry the duration column's own type: a bare
+    # 0.0 coerces the coalesce to DOUBLE even for integer durations, and
+    # integer durations are what make the mux rank reproducible across
+    # engines (cumulative double sums can differ by an ulp and flip
+    # near-tie ranks)
+    zero = F.lit(0).cast(tagged.schema[duration_col].dataType)
     tagged = tagged.withColumn(
         "cum_before",
-        F.coalesce(F.sum(duration_col).over(w_stream), F.lit(0.0)),
+        F.coalesce(F.sum(duration_col).over(w_stream), zero),
     )
     w_mux = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col("cum_before").asc(), F.col(stream_col).asc(), *seq_order
