@@ -412,11 +412,9 @@ def _q_audio_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.round(F.expr("aggregate(smoothed, 0D, (acc, x) -> acc + x)"), 6).alias(
-            "sum_smoothed"
-        ),
-        F.round(F.element_at("smoothed", 1), 6).alias("s_head"),
-        F.round(F.element_at("smoothed", 16), 6).alias("s_tail"),
+        _r6z(F.expr("aggregate(smoothed, 0D, (acc, x) -> acc + x)"), "sum_smoothed"),
+        _r6z(F.element_at("smoothed", 1), "s_head"),
+        _r6z(F.element_at("smoothed", 16), "s_tail"),
     )
 
 
@@ -446,11 +444,9 @@ def _q_audio_volume_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.round(F.expr("aggregate(scaled, 0D, (acc, x) -> acc + x)"), 6).alias(
-            "sum_scaled"
-        ),
-        F.round(F.array_min("scaled"), 6).alias("min_scaled"),
-        F.round(F.array_max("scaled"), 6).alias("max_scaled"),
+        _r6z(F.expr("aggregate(scaled, 0D, (acc, x) -> acc + x)"), "sum_scaled"),
+        _r6z(F.array_min("scaled"), "min_scaled"),
+        _r6z(F.array_max("scaled"), "max_scaled"),
     )
 
 
@@ -1130,6 +1126,10 @@ _MUST_VERIFY_R04 = [
     # changed r04: mux durations quantized to integer ms (double-cumsum
     # ulp divergence between engines flipped a near-tie mux rank)
     "interleave_mux", "interleave_desync", "container_roundtrip",
+    # changed r04: integer micro-unit sums + integer-exact rounding
+    # (cross-engine double-sum ulp drift landed on round() boundaries
+    # at sf0.1; engine round(double) half-rules also disagree)
+    "events_hourly_stats", "audio_smoother", "audio_volume_scaler",
 ]
 
 
@@ -1517,8 +1517,8 @@ WITH c AS (
   FROM l
 )
 SELECT event_id, user_id,
-  round(list_sum(sm), 6) AS sum_smoothed,
-  round(sm[1], 6) AS s_head, round(sm[16], 6) AS s_tail
+  round(list_sum(sm), 6) + 0.0 AS sum_smoothed,
+  round(sm[1], 6) + 0.0 AS s_head, round(sm[16], 6) + 0.0 AS s_tail
 FROM sm
 """
 
@@ -1558,9 +1558,9 @@ WITH u AS (
   FROM st WHERE is_data = 1
 )
 SELECT event_id, user_id,
-  round(list_sum(scaled), 6) AS sum_scaled,
-  round(list_min(scaled), 6) AS min_scaled,
-  round(list_max(scaled), 6) AS max_scaled
+  round(list_sum(scaled), 6) + 0.0 AS sum_scaled,
+  round(list_min(scaled), 6) + 0.0 AS min_scaled,
+  round(list_max(scaled), 6) + 0.0 AS max_scaled
 FROM d
 """
 
@@ -2418,7 +2418,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) - o.h * (INTERVAL 1 HOUR)
                 AS window_start,
               event_type, count(*) AS n_events,
-              round(sum(value), 4) AS sum_value
+              CAST((sum(CAST(floor(value * 1000000) AS BIGINT)) + 50) // 100
+                   AS DOUBLE) / 10000.0 AS sum_value
             FROM events CROSS JOIN (SELECT unnest([0, 1]) AS h) o
             GROUP BY 1, 2
         """,
@@ -2467,17 +2468,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "events_hourly_stats": """
+            WITH q AS (
+              SELECT ts, event_type,
+                CAST(floor(value * 1000000) AS BIGINT) AS qv
+              FROM events
+            )
             SELECT date_trunc('hour', ts) AS hour, event_type,
               count(*) AS n_events,
-              round(sum(value), 4) AS sum_value,
-              round(avg(value), 4) AS avg_value
-            FROM events GROUP BY 1, 2
+              CAST((sum(qv) + 50) // 100 AS DOUBLE) / 10000.0 AS sum_value,
+              CAST((sum(qv) + count(*) * 50) // (count(*) * 100) AS DOUBLE)
+                / 10000.0 AS avg_value
+            FROM q GROUP BY 1, 2
         """,
         "events_session_windows": _SESSION_SQL,
         "events_rollup": """
             SELECT event_type, date_trunc('day', ts) AS day,
               count(*) AS n,
-              round(sum(value), 4) AS sum_value,
+              CAST((sum(CAST(floor(value * 1000000) AS BIGINT)) + 50) // 100
+                   AS DOUBLE) / 10000.0 AS sum_value,
               count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY ROLLUP(event_type, date_trunc('day', ts))

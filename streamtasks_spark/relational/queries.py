@@ -747,8 +747,17 @@ def customers_with_orders_semi(t: dict[str, DataFrame]) -> DataFrame:
 
 def events_hourly_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Tumbling event-time window aggregation over the stream table —
-    streaming twin is groupBy(window(ts, '1 hour')) with a watermark."""
+    streaming twin is groupBy(window(ts, '1 hour')) with a watermark.
+
+    Values quantize to integer micro-units before aggregation: a
+    cumulative DOUBLE sum differs at ulp level between engines (and
+    between partial-aggregation orders), and dividing it for the avg
+    lands those ulps on uniform round() boundaries — observed as
+    3/3600 avg_value mismatches at sf0.1. Integer sums are exact and
+    order-free; the one division afterwards is the same IEEE op on
+    identical inputs in both engines."""
     ev = t["events"]
+    q = F.expr("cast(floor(value * 1000000) as bigint)")
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -756,11 +765,26 @@ def events_hourly_stats(t: dict[str, DataFrame]) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(q).alias("__s"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
-        .drop("approx_users")  # approximate — excluded from exact oracle
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            # exact integer half-up rounding to 1e-4 units, THEN one
+            # double conversion — engine round(double, n) implementations
+            # disagree at representability boundaries (Spark rounds the
+            # exact decimal expansion via BigDecimal, DuckDB multiplies
+            # and std::rounds), so never round a computed double
+            F.expr(
+                "cast((__s + 50) div 100 as double) / 10000.0"
+            ).alias("sum_value"),
+            F.expr(
+                "cast((__s + n_events * 50) div (n_events * 100) as double)"
+                " / 10000.0"
+            ).alias("avg_value"),
+        )
     )
 
 
@@ -802,19 +826,24 @@ def events_sliding_stats(t: dict[str, DataFrame]) -> DataFrame:
     that assignment JVM-side inside the grouping (no explicit explode).
     Streaming twin: streaming/windows.py streaming_sliding_stats."""
     ev = t["events"]
+    # integer micro-unit sums: see events_hourly_stats (ulp-exact across
+    # engines and aggregation orders)
+    q = F.expr("cast(floor(value * 1000000) as bigint)")
     return (
         ev.groupBy(
             F.window(F.col("ts"), "2 hours", "1 hour"), F.col("event_type")
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(q).alias("__s"),
         )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            F.expr(
+                "cast((__s + 50) div 100 as double) / 10000.0"
+            ).alias("sum_value"),
         )
     )
 
@@ -827,12 +856,26 @@ def events_rollup(t: dict[str, DataFrame]) -> DataFrame:
     the expanded grouping keys; distinct-user counts add one extra
     de-dup exchange that AQE sizes."""
     ev = t["events"]
-    return ev.rollup(
-        F.col("event_type"), F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-        F.countDistinct("user_id").alias("n_users"),
+    # integer micro-unit sums: see events_hourly_stats — the rollup's
+    # grand-total row sums EVERY event, where double-order ulp drift is
+    # largest
+    q = F.expr("cast(floor(value * 1000000) as bigint)")
+    return (
+        ev.rollup(F.col("event_type"), F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("__s"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.expr(
+                "cast((__s + 50) div 100 as double) / 10000.0"
+            ).alias("sum_value"),
+            "n_users",
+        )
     )
 
 

@@ -31,15 +31,28 @@ def streaming_hourly_stats(
     event-time windows, emitted once closed. Output columns match the
     batch query (window start renamed ``hour``)."""
     events = ensure_event_time(events, ts)
+    # integer micro-unit sums, same formula as the batch twin (see
+    # events_hourly_stats: ulp-exact across engines and agg orders)
+    q = F.expr("cast(floor(value * 1000000) as bigint)")
     return (
         events.withWatermark(ts, watermark_delay)
         .groupBy(F.window(F.col(ts), "1 hour"), F.col(key))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(q).alias("__s"),
         )
-        .select(F.col("window.start").alias("hour"), key, "n_events", "sum_value", "avg_value")
+        .select(
+            F.col("window.start").alias("hour"),
+            key,
+            "n_events",
+            F.expr(
+                "cast((__s + 50) div 100 as double) / 10000.0"
+            ).alias("sum_value"),
+            F.expr(
+                "cast((__s + n_events * 50) div (n_events * 100) as double)"
+                " / 10000.0"
+            ).alias("avg_value"),
+        )
     )
 
 
@@ -55,18 +68,22 @@ def streaming_sliding_stats(
     append mode emits each window once its END passes the watermark, so
     the delay must cover the window width plus allowed lateness."""
     events = ensure_event_time(events, ts)
+    # integer micro-unit sums, same formula as the batch twin
+    q = F.expr("cast(floor(value * 1000000) as bigint)")
     return (
         events.withWatermark(ts, watermark_delay)
         .groupBy(F.window(F.col(ts), "2 hours", "1 hour"), F.col(key))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(q).alias("__s"),
         )
         .select(
             F.col("window.start").alias("window_start"),
             key,
             "n_events",
-            "sum_value",
+            F.expr(
+                "cast((__s + 50) div 100 as double) / 10000.0"
+            ).alias("sum_value"),
         )
     )
 
