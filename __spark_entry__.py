@@ -342,6 +342,30 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style substring dedup, distributed: per-doc fraction
+    of 16-char grams shared with any other document (Lee et al. ACL'22
+    reformulated as a gram-frequency window over xxhash64 keys)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup.substring_dup_spans(docs, k=16, threshold=0.5)
+
+
+def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning histogram: docs bucketed by
+    floor(log2(BPE-ish token count)) via integer bit-length — one
+    narrow scan + one bounded-key shuffle."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.token_histogram(docs)
+
+
+def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style decile bucketing of the composed quality score:
+    exact percentile boundaries through one scalar aggregate, broadcast
+    binning — deliberately no global ntile sort."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.quality_buckets(docs, n_buckets=10)
+
+
 # synthetic chunk stream: each event becomes a 16-sample array derived
 # from its value by pure double arithmetic (fmod is bit-identical across
 # engines; no transcendentals, so the DuckDB oracle reproduces it exactly)
@@ -1123,6 +1147,7 @@ _MUST_VERIFY_R04 = [
     "asr_transcribe", "speech_enhance",
     # NEW in r04 (appended after the changed queries, per r03 advice)
     "dedup_components", "dedup_retention", "vocab_topk",
+    "substring_dedup", "token_histogram", "quality_buckets",
     # changed r04: mux durations quantized to integer ms (double-cumsum
     # ulp divergence between engines flipped a near-tie mux rank)
     "interleave_mux", "interleave_desync", "container_roundtrip",
@@ -1172,6 +1197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_retention": _q_dedup_retention,
         "vocab_topk": _q_vocab_topk,
+        "substring_dedup": _q_substring_dedup,
+        "token_histogram": _q_token_histogram,
+        "quality_buckets": _q_quality_buckets,
         # --- last green row is r01 (oldest certification, pre-NTZ data)
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
@@ -1200,13 +1228,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_smoother": _q_audio_smoother,
         "audio_volume_scaler": _q_audio_volume_scaler,
         "audio_mixer": _q_audio_mixer,
-        "media_switch": _q_media_switch,
         "video_activity_meter": _q_video_activity_meter,
-        "video_layout": _q_video_layout,
-        "video_reformatter": _q_video_reformatter,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
+        # r02-green, unchanged pure-array media ops displaced by the
+        # three new r04 corpus queries (lowest drift risk: no
+        # event-time arithmetic, no oracle edits since certification)
+        "media_switch": _q_media_switch,
+        "video_layout": _q_video_layout,
+        "video_reformatter": _q_video_reformatter,
         # r02-green, unchanged; lowest drift risk of the remainder
         # (pure text expressions, no event-time arithmetic)
         "image_decode": _q_image_decode,
@@ -2101,6 +2132,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textstats.oracle_lang_id_sql(),
         "doc_fingerprint": textstats.oracle_doc_fingerprint_sql(),
         "vocab_topk": textstats.oracle_vocab_topk_sql(k=100),
+        "substring_dedup": dedup.oracle_substring_dup_sql(
+            k=16, threshold=0.5
+        ),
+        "token_histogram": textstats.oracle_token_histogram_sql(),
+        "quality_buckets": textstats.oracle_quality_buckets_sql(
+            n_buckets=10
+        ),
         "doc_repetition": quality.oracle_doc_repetition_sql(),
         "quality_filter": quality.oracle_quality_filter_sql(),
         "source_stats": quality.oracle_source_stats_sql(),

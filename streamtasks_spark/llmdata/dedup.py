@@ -756,3 +756,107 @@ def oracle_dedup_retention_sql(
     FROM __d LEFT JOIN __cc ON __d.{id_col} = __cc.node
     GROUP BY {source_col}
     """
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-document repeated-substring detection: for every document,
+    the fraction of its distinct character ``k``-grams that also occur
+    in at least one OTHER document — the distributed approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22: exact repeated spans via
+    a corpus suffix array). A suffix array is inherently single-machine;
+    the shuffle-friendly reformulation fingerprints every k-char window
+    and counts cross-document gram frequency instead.
+
+    Reference parity: the reference has no substring-level pass (its
+    dedup surface is task-level); this extends the corpus tier per the
+    training-data mandate.
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_ratio, is_dup_heavy) for
+    every doc with normalized length ≥ k. ``is_dup_heavy`` compares the
+    ROUNDED ratio against ``threshold`` so both engines flag from
+    byte-identical inputs.
+
+    100 TB shape: grams are hashed to 64-bit (xxhash64) immediately
+    after the per-doc distinct, so the three shuffles (per-doc distinct,
+    gram-frequency window, per-doc rollup) move (int64, int64) rows —
+    never gram strings. Cross-doc frequency is a count-over-window on
+    the gram hash (ONE shuffle) rather than groupBy + re-join (two).
+    A 64-bit collision merges two gram classes (P ≈ n²/2⁶⁵ — negligible
+    against a byte-hash check at test scale and irrelevant at corpus
+    scale where the answer is statistical)."""
+    norm = norm_text(text_col, "spark")
+    grams = (
+        f"array_distinct(transform(sequence(1, length(__n) - {k} + 1), "
+        f"i -> substring(__n, i, {k})))"
+    )
+    g = (
+        spread(docs, id_col)
+        .select(F.col(id_col), F.expr(norm).alias("__n"))
+        .filter(F.length("__n") >= k)
+        .select(F.col(id_col), F.explode(F.expr(grams)).alias("__g"))
+        .select(F.col(id_col), F.xxhash64("__g").alias("__h"))
+    )
+    w = Window.partitionBy("__h")
+    per = g.withColumn("__nd", F.count(F.lit(1)).over(w))
+    ratio = F.round(
+        F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__nd") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+        .withColumn("dup_ratio", ratio)
+        .withColumn(
+            "is_dup_heavy",
+            (F.col("dup_ratio") >= F.lit(threshold)).cast("int"),
+        )
+    )
+
+
+def oracle_substring_dup_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle for :func:`substring_dup_spans`. Grams stay as raw
+    strings here (no hashing) — counts agree with the hashed Spark plan
+    barring a 64-bit collision. Counts CAST to BIGINT (HUGEINT trap)."""
+    return f"""
+    WITH src AS ({source_sql}),
+    n AS (SELECT {id_col}, {norm_text(text_col, "duck")} AS __n FROM src),
+    p AS (
+      SELECT {id_col}, __n,
+        unnest(generate_series(1, length(__n) - {k} + 1)) AS i
+      FROM n WHERE length(__n) >= {k}
+    ),
+    g AS (
+      SELECT DISTINCT {id_col}, substr(__n, CAST(i AS INT), {k}) AS gram
+      FROM p
+    ),
+    c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram),
+    d AS (
+      SELECT g.{id_col} AS {id_col},
+        CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_grams
+      FROM g JOIN c USING (gram)
+      GROUP BY g.{id_col}
+    )
+    SELECT {id_col}, n_grams, n_dup_grams,
+      round(n_dup_grams / CAST(n_grams AS DOUBLE), 6) AS dup_ratio,
+      CAST(round(n_dup_grams / CAST(n_grams AS DOUBLE), 6) >= {threshold}
+           AS INT) AS is_dup_heavy
+    FROM d
+    """

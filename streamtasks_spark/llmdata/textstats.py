@@ -328,3 +328,183 @@ def oracle_vocab_topk_sql(
     ORDER BY n_occurrences DESC, token ASC
     LIMIT {k}
     """
+
+
+def token_histogram(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus sequence-length histogram: documents bucketed by
+    floor(log2(token count)) — the standard pre-packing diagnostic for
+    choosing a training sequence length (what fraction of the corpus
+    fits 512/1k/2k/4k tokens).
+
+    Bucketing is INTEGER-exact on both engines: bucket = bit-length − 1
+    via the binary string (``bin``/``printf('%%b')``), never a float
+    ``log2`` whose libm rounding could disagree at bucket boundaries.
+
+    100 TB shape: one narrow scan (regexp_count is codegen'd JVM-side),
+    then ONE map-side-combined shuffle onto ≤ ~40 bucket keys; the
+    final orderBy sorts a bounded handful of rows."""
+    norm = norm_text(text_col, "spark")
+    d = (
+        spread(docs, id_col)
+        .select(F.expr(norm).alias("__n"))
+        .select(
+            F.length("__n").alias("__chars"),
+            F.expr(f"regexp_count(__n, '{_TOKEN_RE_SPARK}')").alias("__t"),
+        )
+        .filter(F.col("__t") >= 1)
+        .select(
+            "__chars", "__t",
+            (F.length(F.expr("bin(__t)")) - 1).cast("int").alias("bucket"),
+        )
+    )
+    return (
+        d.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("sum_tokens"),
+            F.min("__t").cast("long").alias("min_tokens"),
+            F.max("__t").cast("long").alias("max_tokens"),
+            F.sum("__chars").alias("__sum_chars"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(cast(1 as bigint), bucket)").alias("bucket_lo"),
+            "n_docs", "sum_tokens", "min_tokens", "max_tokens",
+            F.round(
+                F.col("__sum_chars") / F.col("n_docs").cast("double"), 6
+            ).alias("avg_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def oracle_token_histogram_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`token_histogram`. Integer aggregates
+    CAST to BIGINT (HUGEINT trap); avg built from the exact integer sum
+    so no cross-engine float-summation drift exists."""
+    return f"""
+    WITH src AS ({source_sql}),
+    n AS (SELECT {norm_text(text_col, "duck")} AS __n FROM src),
+    d AS (
+      SELECT length(__n) AS __chars,
+        len(regexp_extract_all(__n, '{_TOKEN_RE_DUCK}')) AS __t
+      FROM n
+    ),
+    b AS (
+      SELECT __chars, __t,
+        CAST(length(printf('%b', __t)) - 1 AS INT) AS bucket
+      FROM d WHERE __t >= 1
+    )
+    SELECT bucket,
+      CAST(1 AS BIGINT) << bucket AS bucket_lo,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(__t) AS BIGINT) AS sum_tokens,
+      CAST(min(__t) AS BIGINT) AS min_tokens,
+      CAST(max(__t) AS BIGINT) AS max_tokens,
+      round(sum(__chars) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+def quality_buckets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets", LREC'20 — there perplexity
+    terciles; here the composed quality score): exact decile boundaries
+    over the corpus score, every doc binned by boundary comparison,
+    per-bucket retention stats.
+
+    100 TB shape: deliberately NOT ``ntile`` — a global ntile is a
+    single-partition sort of the corpus. Instead the ``n_buckets − 1``
+    exact percentile boundaries reduce through one scalar aggregate
+    (sorts per aggregation buffer, merges sorted runs — no global
+    exchange of rows), broadcast back onto the scan, and binning is a
+    narrow array comparison followed by one bounded-key groupBy. The
+    boundary aggregate is order-deterministic (a sort, not a float
+    sum), so both engines interpolate from byte-identical inputs.
+    Bucket populations are near-equal rather than ntile-exact — the
+    CCNet semantics, at a plan shape that survives 1000 executors."""
+    fracs = ", ".join(
+        f"{i / n_buckets:.6f}D" for i in range(1, n_buckets)
+    )
+    stats = text_stats(docs, id_col=id_col, text_col=text_col).filter(
+        F.col("quality_score").isNotNull()
+    )
+    from streamtasks_spark.llmdata.dedup import pin
+
+    stats = pin(stats.select(id_col, "quality_score", "n_chars"))
+    bnd = stats.agg(
+        F.expr(f"percentile(quality_score, array({fracs}))").alias("__bnd")
+    )
+    binned = stats.crossJoin(F.broadcast(bnd)).select(
+        (
+            1 + F.expr("size(filter(__bnd, b -> quality_score > b))")
+        ).cast("int").alias("bucket"),
+        "quality_score",
+        "n_chars",
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("quality_score"), 6).alias("min_score"),
+            F.round(F.max("quality_score"), 6).alias("max_score"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "bucket", "n_docs", "min_score", "max_score", "sum_chars",
+            F.round(
+                F.col("sum_chars") / F.col("n_docs").cast("double"), 6
+            ).alias("avg_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def oracle_quality_buckets_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`quality_buckets` — ``quantile_cont``
+    list boundaries (byte-identical interpolation to Spark
+    ``percentile``, same verification as events_quantiles), identical
+    ``>`` binning rule, BIGINT casts on integer sums."""
+    fracs = ", ".join(f"{i / n_buckets:.6f}" for i in range(1, n_buckets))
+    ts = oracle_text_stats_sql(source_sql, id_col=id_col, text_col=text_col)
+    return f"""
+    WITH __ts AS ({ts}),
+    s AS (
+      SELECT {id_col}, quality_score, n_chars FROM __ts
+      WHERE quality_score IS NOT NULL
+    ),
+    b AS (SELECT quantile_cont(quality_score, [{fracs}]) AS __bnd FROM s),
+    binned AS (
+      SELECT CAST(1 + len(list_filter(b.__bnd, x -> s.quality_score > x))
+                  AS INT) AS bucket,
+        s.quality_score, s.n_chars
+      FROM s, b
+    )
+    SELECT bucket,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      round(min(quality_score), 6) AS min_score,
+      round(max(quality_score), 6) AS max_score,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+    FROM binned
+    GROUP BY bucket
+    ORDER BY bucket
+    """

@@ -435,3 +435,86 @@ def test_approx_count_distinct_tracks_exact(spark):
     for r in merged:
         rel = abs(r["approx"] - r["exact"]) / max(1, r["exact"])
         assert rel < 0.15, (r["event_type"], r["exact"], r["approx"])
+
+
+def test_substring_dup_spans_matches_python_model(spark):
+    """Cross-doc repeated k-gram ratios vs a direct Python set model."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over a sleeping cat today"),
+        (3, "completely unrelated text with nothing shared at all"),
+        (4, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (5, "short"),  # below k -> excluded
+    ]
+    k = 16
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_dup_spans(df, k=k, threshold=0.5).collect()
+    }
+
+    def grams(t):
+        t = re.sub(r"\s+", " ", t.lower().strip())
+        return {t[i : i + k] for i in range(len(t) - k + 1)} if len(t) >= k else set()
+
+    gs = {d: grams(t) for d, t in rows}
+    from collections import Counter
+
+    freq = Counter(g for s in gs.values() for g in s)
+    for d, s in gs.items():
+        if not s:
+            assert d not in out
+            continue
+        n_dup = sum(1 for g in s if freq[g] >= 2)
+        r = out[d]
+        assert r["n_grams"] == len(s)
+        assert r["n_dup_grams"] == n_dup
+        assert r["dup_ratio"] == pytest.approx(n_dup / len(s), abs=1e-6)
+    # exact duplicates flag each other completely
+    assert out[1]["dup_ratio"] == 1.0 and out[1]["is_dup_heavy"] == 1
+    assert out[4]["dup_ratio"] == 1.0
+    # unrelated doc shares nothing
+    assert out[3]["n_dup_grams"] == 0 and out[3]["is_dup_heavy"] == 0
+
+
+def test_token_histogram_buckets_are_integer_exact(spark):
+    from streamtasks_spark.llmdata import textstats
+
+    rows = [
+        (1, "one"),                      # 1 token  -> bucket 0
+        (2, "a b"),                      # 2 tokens -> bucket 1
+        (3, "a b c"),                    # 3 tokens -> bucket 1
+        (4, "a b c d"),                  # 4 tokens -> bucket 2
+        (5, " ".join(["w"] * 7)),        # 7 tokens -> bucket 2
+        (6, " ".join(["w"] * 8)),        # 8 tokens -> bucket 3
+        (7, ""),                         # 0 tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in textstats.token_histogram(df).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["n_docs"] == 1 and out[0]["bucket_lo"] == 1
+    assert out[1]["n_docs"] == 2 and out[1]["bucket_lo"] == 2
+    assert out[2]["n_docs"] == 2 and out[2]["bucket_lo"] == 4
+    assert out[2]["min_tokens"] == 4 and out[2]["max_tokens"] == 7
+    assert out[3]["n_docs"] == 1 and out[3]["sum_tokens"] == 8
+
+
+def test_quality_buckets_partition_the_corpus(spark, docs):
+    from streamtasks_spark.llmdata import textstats
+
+    n_docs = docs.count()
+    out = sorted(
+        textstats.quality_buckets(docs, n_buckets=10).collect(),
+        key=lambda r: r["bucket"],
+    )
+    # every doc lands in exactly one bucket
+    assert sum(r["n_docs"] for r in out) == n_docs
+    # buckets are ordered, score ranges non-overlapping and increasing
+    for a, b in zip(out, out[1:]):
+        assert a["bucket"] < b["bucket"]
+        assert a["max_score"] <= b["min_score"]
+    # boundary binning keeps populations near-equal (not ntile-exact):
+    # every bucket within 3x of the ideal decile size
+    ideal = n_docs / 10
+    for r in out:
+        assert r["n_docs"] <= 3 * ideal

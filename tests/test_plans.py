@@ -508,3 +508,53 @@ def test_vocab_topk_uses_heap_topk_not_global_sort(psession):
     plan = plan_of(vocab_topk(docs, k=5))
     assert "TakeOrderedAndProject" in plan
     assert "\nSort " not in plan
+
+
+def test_substring_dedup_is_window_not_join(psession):
+    """substring_dup_spans' scale contract: cross-doc gram frequency is
+    a count-over-window on the gram hash (one shuffle), never an
+    all-pairs join — and the gram strings are hashed to int64 before
+    any exchange, so shuffles move fixed-width rows."""
+    from streamtasks_spark.llmdata import dedup
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dedup.substring_dup_spans(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # frequency rides the window
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+    # every exchange ships the hash, never the gram string
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "__g" not in m.group(1), m.group(0)
+
+
+def test_token_histogram_is_one_combined_shuffle(psession):
+    """token_histogram: narrow JVM-side scan, ONE map-side-combined
+    aggregate onto bounded bucket keys, bounded final sort."""
+    from streamtasks_spark.llmdata import textstats
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(textstats.token_histogram(docs))
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") == 2, plan[:900]  # partial+final
+    # exchanges: spread round-robin, bucket hash, final range sort
+    assert plan.count("Exchange") <= 3, plan[:900]
+
+
+def test_quality_buckets_has_no_global_ntile_sort(psession):
+    """quality_buckets' scale contract: no window function at all (a
+    global ntile would single-partition-sort the corpus); boundaries
+    attach through the broadcast-scalar pattern, and the only
+    nested-loop join is that single-row broadcast attach."""
+    from streamtasks_spark.llmdata import textstats
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(textstats.quality_buckets(docs))
+    assert "Window" not in plan, plan[:900]
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:900]
+    assert "BroadcastExchange" in plan
