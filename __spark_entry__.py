@@ -358,6 +358,17 @@ def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_histogram(docs)
 
 
+def _q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus preparation: quality rules → minhash-LSH
+    canonical keep → eval-set decontamination → hash split assignment,
+    summarized per (source, split) with drop reasons. One corpus-wide
+    scan + two broadcast drop lists; the composed DuckDB oracle chains
+    all four stage oracles."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 25 == 7)
+    return pipeline.corpus_prepare(docs, ev)
+
+
 def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style decile bucketing of the composed quality score:
     exact percentile boundaries through one scalar aggregate, broadcast
@@ -1148,6 +1159,7 @@ _MUST_VERIFY_R04 = [
     # NEW in r04 (appended after the changed queries, per r03 advice)
     "dedup_components", "dedup_retention", "vocab_topk",
     "substring_dedup", "token_histogram", "quality_buckets",
+    "corpus_prepare",
     # changed r04: mux durations quantized to integer ms (double-cumsum
     # ulp divergence between engines flipped a near-tie mux rank)
     "interleave_mux", "interleave_desync", "container_roundtrip",
@@ -1200,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "token_histogram": _q_token_histogram,
         "quality_buckets": _q_quality_buckets,
+        "corpus_prepare": _q_corpus_prepare,
         # --- last green row is r01 (oldest certification, pre-NTZ data)
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
@@ -1228,13 +1241,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_smoother": _q_audio_smoother,
         "audio_volume_scaler": _q_audio_volume_scaler,
         "audio_mixer": _q_audio_mixer,
-        "video_activity_meter": _q_video_activity_meter,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
         # r02-green, unchanged pure-array media ops displaced by the
-        # three new r04 corpus queries (lowest drift risk: no
+        # four new r04 corpus queries (lowest drift risk: no
         # event-time arithmetic, no oracle edits since certification)
+        "video_activity_meter": _q_video_activity_meter,
         "media_switch": _q_media_switch,
         "video_layout": _q_video_layout,
         "video_reformatter": _q_video_reformatter,
@@ -2136,6 +2149,7 @@ def oracle_sql() -> dict[str, str]:
             k=16, threshold=0.5
         ),
         "token_histogram": textstats.oracle_token_histogram_sql(),
+        "corpus_prepare": pipeline.oracle_corpus_prepare_sql(),
         "quality_buckets": textstats.oracle_quality_buckets_sql(
             n_buckets=10
         ),

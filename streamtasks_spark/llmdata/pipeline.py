@@ -391,3 +391,174 @@ def oracle_split_assign_sql(
            CASE {cases} ELSE '{bounds[-1][0]}' END AS split
     FROM b
     """
+
+
+# -------------------------------------------------------- corpus_prepare
+
+
+def corpus_prepare(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+    dedup_threshold: float = 0.5,
+    decontam_n: int = 8,
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+) -> DataFrame:
+    """END-TO-END corpus preparation: the full pretraining data path —
+    quality rules → near-dup canonical keep → eval decontamination →
+    split assignment — reported per (source, split) with drop reasons.
+
+    Drop precedence (each doc counted once): quality > duplicate >
+    contaminated. ``n_kept``/``kept_chars`` summarize the surviving
+    corpus exactly as a downstream tokenize/pack stage would read it.
+
+    100 TB shape — the reason this is NOT a chain of per-stage joins:
+    - ONE corpus scan computes words, quality rules, split bucket and
+      carries (source, chars): rules and split are narrow expressions,
+      so they ride the same pass (`quality_filter` and `split_assign`
+      are reused as expression vocabularies, not re-joined tables).
+    - The two per-doc drop lists are orders of magnitude smaller than
+      the corpus: LSH components are bounded by duplicate docs,
+      eval-overlap by the benchmark set — both broadcast onto the scan.
+    - The only full-width shuffle is the final bounded-key
+      (source, split) aggregate, map-side combined.
+    Separate scans DO exist inside pair generation (dedup_minhash) and
+    n-gram overlap (decontaminate) — inherent to their shapes and each
+    individually oracle-verified."""
+    from .dedup import connected_components, dedup_minhash
+    from .quality import _measures, _rule_conditions, _words_expr
+
+    # scan 1: words + rules + split, single pass
+    d = spread(docs, id_col).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(chars_col),
+        F.expr(_words_expr(text_col)).alias("__w"),
+    )
+    m = _measures(d, id_col, source_col, chars_col)
+    keep = " AND ".join(_rule_conditions().values())
+    base = m.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(chars_col),
+        F.expr(f"cast(({keep}) as int)").alias("__q"),
+    )
+    base = split_assign(
+        base, id_col=id_col, splits=splits,
+        carry=(source_col, chars_col, "__q"),
+    )
+
+    # small sides: non-canonical duplicate members, contaminated ids
+    comp = connected_components(
+        dedup_minhash(docs, id_col=id_col, text_col=text_col,
+                      threshold=dedup_threshold)
+    )
+    dup_members = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__dup_id")
+    )
+    contam = decontaminate(
+        docs, eval_docs, id_col=id_col, text_col=text_col, n=decontam_n
+    ).select(F.col(id_col).alias("__ct_id"))
+
+    marked = (
+        base.join(
+            F.broadcast(dup_members),
+            F.col(id_col) == F.col("__dup_id"), "left",
+        )
+        .join(F.broadcast(contam), F.col(id_col) == F.col("__ct_id"), "left")
+        .select(
+            source_col, "split", chars_col,
+            F.when(F.col("__q") == 0, F.lit("drop_quality"))
+            .when(F.col("__dup_id").isNotNull(), F.lit("drop_dup"))
+            .when(F.col("__ct_id").isNotNull(), F.lit("drop_contam"))
+            .otherwise(F.lit("keep")).alias("__st"),
+        )
+    )
+    st = F.col("__st")
+    return (
+        marked.groupBy(source_col, "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((st == "drop_quality").cast("long")).alias("n_drop_quality"),
+            F.sum((st == "drop_dup").cast("long")).alias("n_drop_dup"),
+            F.sum((st == "drop_contam").cast("long")).alias("n_drop_contam"),
+            F.sum((st == "keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(st == "keep", F.col(chars_col)).otherwise(F.lit(0))
+            ).alias("kept_chars"),
+        )
+    )
+
+
+def oracle_corpus_prepare_sql(
+    source_sql: str = "SELECT doc_id, text, source, n_chars FROM documents",
+    eval_sql: str = "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 7",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+    dedup_threshold: float = 0.5,
+    decontam_n: int = 8,
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+) -> str:
+    """DuckDB oracle for :func:`corpus_prepare`, composed from the four
+    stage oracles (quality rules, minhash pairs → recursive-CTE
+    components, decontaminate overlap, split buckets) — validating the
+    whole pipeline's wiring, not just each stage. BIGINT casts on every
+    integer sum (HUGEINT trap)."""
+    from .dedup import (
+        oracle_connected_components_sql,
+        oracle_dedup_minhash_sql,
+    )
+    from .quality import oracle_quality_filter_sql
+
+    qf = oracle_quality_filter_sql(source_sql, id_col=id_col,
+                                   text_col=text_col)
+    cc = oracle_connected_components_sql(
+        oracle_dedup_minhash_sql(source_sql, id_col=id_col,
+                                 text_col=text_col,
+                                 threshold=dedup_threshold)
+    )
+    ct = oracle_decontaminate_sql(source_sql, eval_sql, id_col=id_col,
+                                  text_col=text_col, n=decontam_n)
+    sp = oracle_split_assign_sql(source_sql, id_col=id_col, splits=splits,
+                                 carry=(source_col, chars_col))
+    return f"""
+    WITH __qf AS ({qf}),
+    __cc AS ({cc}),
+    __ct AS ({ct}),
+    __sp AS ({sp}),
+    __m AS (
+      SELECT __sp.{source_col} AS {source_col}, __sp.split AS split,
+        __sp.{chars_col} AS {chars_col},
+        CASE
+          WHEN __qf.keep = 0 THEN 'drop_quality'
+          WHEN __cc.node IS NOT NULL AND __cc.node <> __cc.component
+            THEN 'drop_dup'
+          WHEN __ct.{id_col} IS NOT NULL THEN 'drop_contam'
+          ELSE 'keep'
+        END AS __st
+      FROM __sp
+      JOIN __qf ON __sp.{id_col} = __qf.{id_col}
+      LEFT JOIN __cc ON __sp.{id_col} = __cc.node
+      LEFT JOIN __ct ON __sp.{id_col} = __ct.{id_col}
+    )
+    SELECT {source_col}, split,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN __st = 'drop_quality' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_drop_quality,
+      CAST(sum(CASE WHEN __st = 'drop_dup' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_drop_dup,
+      CAST(sum(CASE WHEN __st = 'drop_contam' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_drop_contam,
+      CAST(sum(CASE WHEN __st = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      CAST(sum(CASE WHEN __st = 'keep' THEN {chars_col} ELSE 0 END)
+           AS BIGINT) AS kept_chars
+    FROM __m
+    GROUP BY {source_col}, split
+    """

@@ -518,3 +518,58 @@ def test_quality_buckets_partition_the_corpus(spark, docs):
     ideal = n_docs / 10
     for r in out:
         assert r["n_docs"] <= 3 * ideal
+
+
+def test_corpus_prepare_composes_stage_outputs_exactly(spark, docs):
+    """End-to-end pipeline vs its own stages recombined in Python:
+    identical drop attribution under quality > dup > contam precedence."""
+    from streamtasks_spark.llmdata import pipeline, quality
+
+    ev = docs.filter(F.col("doc_id") % 25 == 7)
+    out = pipeline.corpus_prepare(docs, ev).collect()
+
+    q = {
+        r["doc_id"]: r["keep"]
+        for r in quality.quality_filter(docs).collect()
+    }
+    comp = dedup.connected_components(
+        dedup.dedup_minhash(docs, threshold=0.5)
+    ).collect()
+    dups = {r["node"] for r in comp if r["node"] != r["component"]}
+    contam = {
+        r["doc_id"] for r in pipeline.decontaminate(docs, ev).collect()
+    }
+    sp = {
+        r["doc_id"]: r["split"]
+        for r in pipeline.split_assign(docs).collect()
+    }
+    model: dict[tuple, dict] = {}
+    for row in docs.select("doc_id", "source", "n_chars").collect():
+        d = row["doc_id"]
+        if q[d] == 0:
+            st = "drop_quality"
+        elif d in dups:
+            st = "drop_dup"
+        elif d in contam:
+            st = "drop_contam"
+        else:
+            st = "keep"
+        key = (row["source"], sp[d])
+        m = model.setdefault(
+            key,
+            {"n_docs": 0, "drop_quality": 0, "drop_dup": 0,
+             "drop_contam": 0, "keep": 0, "kept_chars": 0},
+        )
+        m["n_docs"] += 1
+        m[st] += 1
+        if st == "keep":
+            m["kept_chars"] += row["n_chars"]
+    assert len(out) == len(model)
+    for r in out:
+        m = model[(r["source"], r["split"])]
+        assert r["n_docs"] == m["n_docs"]
+        assert r["n_drop_quality"] == m["drop_quality"]
+        assert r["n_drop_dup"] == m["drop_dup"]
+        assert r["n_drop_contam"] == m["drop_contam"]
+        assert r["n_kept"] == m["keep"]
+        assert r["kept_chars"] == m["kept_chars"]

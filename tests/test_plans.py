@@ -558,3 +558,21 @@ def test_quality_buckets_has_no_global_ntile_sort(psession):
     assert "EvalPython" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:900]
     assert "BroadcastExchange" in plan
+
+
+def test_corpus_prepare_broadcasts_only_drop_lists(psession):
+    """corpus_prepare's scale contract: the corpus-width path is ONE
+    scan into the final bounded-key aggregate; duplicate-member and
+    contamination lists arrive via BroadcastHashJoin (bounded small
+    sides), and no cartesian/nested-loop join exists anywhere."""
+    from streamtasks_spark.llmdata import pipeline
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 25 == 7)
+    plan = plan_of(pipeline.corpus_prepare(docs, ev))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # the two drop lists + decontaminate's eval n-gram set
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:900]
