@@ -358,6 +358,15 @@ def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_histogram(docs)
 
 
+def _q_embedding_dup_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate classes in EMBEDDING space: hyperplane-LSH cosine
+    near-dup pairs → alternating-star connected components — the same
+    pairs→classes path as dedup_components, over the vector modality."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.embedding_near_dup(vecs)
+    return dedup.connected_components(pairs, a_col="vec_a", b_col="vec_b")
+
+
 def _q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus preparation: quality rules → minhash-LSH
     canonical keep → eval-set decontamination → hash split assignment,
@@ -1159,7 +1168,8 @@ _MUST_VERIFY_R04 = [
     # NEW in r04 (appended after the changed queries, per r03 advice)
     "dedup_components", "dedup_retention", "vocab_topk",
     "substring_dedup", "token_histogram", "quality_buckets",
-    "corpus_prepare",
+    "corpus_prepare", "embedding_dup_classes",
+    "events_funnel", "events_retention_cohorts",
     # changed r04: mux durations quantized to integer ms (double-cumsum
     # ulp divergence between engines flipped a near-tie mux rank)
     "interleave_mux", "interleave_desync", "container_roundtrip",
@@ -1213,6 +1223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": _q_token_histogram,
         "quality_buckets": _q_quality_buckets,
         "corpus_prepare": _q_corpus_prepare,
+        "embedding_dup_classes": _q_embedding_dup_classes,
+        "events_funnel": rel(rq.events_funnel),
+        "events_retention_cohorts": rel(rq.events_retention_cohorts),
         # --- last green row is r01 (oldest certification, pre-NTZ data)
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
@@ -1235,18 +1248,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pause_state": _q_pause_state,
         "calculator": _q_calculator,
         "calculator_multivar": _q_calculator_multivar,
-        "fn_task": _q_fn_task,
-        "fn_task_stateful": _q_fn_task_stateful,
         "dedup_exact": _q_dedup_exact,
         "audio_smoother": _q_audio_smoother,
         "audio_volume_scaler": _q_audio_volume_scaler,
-        "audio_mixer": _q_audio_mixer,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
-        # r02-green, unchanged pure-array media ops displaced by the
-        # four new r04 corpus queries (lowest drift risk: no
-        # event-time arithmetic, no oracle edits since certification)
+        # r02-green, unchanged ops displaced by the eight new r04
+        # corpus/embedding/analytics queries (lowest drift risk: pure
+        # function / array surfaces, no event-time arithmetic, no
+        # oracle edits since certification)
+        "fn_task": _q_fn_task,
+        "fn_task_stateful": _q_fn_task_stateful,
+        "audio_mixer": _q_audio_mixer,
         "video_activity_meter": _q_video_activity_meter,
         "media_switch": _q_media_switch,
         "video_layout": _q_video_layout,
@@ -2150,6 +2164,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_histogram": textstats.oracle_token_histogram_sql(),
         "corpus_prepare": pipeline.oracle_corpus_prepare_sql(),
+        "embedding_dup_classes": dedup.oracle_connected_components_sql(
+            "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
+            + similarity.oracle_embedding_near_dup_sql()
+            + ")"
+        ),
         "quality_buckets": textstats.oracle_quality_buckets_sql(
             n_buckets=10
         ),
@@ -2541,6 +2560,49 @@ def oracle_sql() -> dict[str, str]:
               count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
+        "events_funnel": """
+            WITH pu AS (
+              SELECT user_id,
+                list(ts) FILTER (WHERE event_type = 'view') AS __v,
+                list(ts) FILTER (WHERE event_type = 'click') AS __c,
+                list(ts) FILTER (WHERE event_type = 'purchase') AS __p
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+              GROUP BY user_id
+            ),
+            s AS (
+              SELECT list_min(__v) AS __t1,
+                list_min(list_filter(__c, x -> x > list_min(__v))) AS __t2,
+                __p
+              FROM pu
+            ),
+            s2 AS (
+              SELECT __t1, __t2,
+                list_min(list_filter(__p, x -> x > __t2)) AS __t3
+              FROM s
+            )
+            SELECT CAST(count(__t1) AS BIGINT) AS n_viewed,
+              CAST(count(__t2) AS BIGINT) AS n_clicked_after_view,
+              CAST(count(__t3) AS BIGINT) AS n_purchased_after_click
+            FROM s2
+        """,
+        "events_retention_cohorts": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS __cw
+              FROM events GROUP BY user_id
+            ),
+            j AS (
+              SELECT e.user_id,
+                f.__cw AS cohort_week,
+                CAST(date_diff('day', CAST(f.__cw AS DATE),
+                               CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                     AS INT) AS week_offset
+              FROM events e JOIN f USING (user_id)
+            )
+            SELECT cohort_week, week_offset,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+            FROM j GROUP BY cohort_week, week_offset
         """,
         "events_quantiles": """
             SELECT event_type,

@@ -138,11 +138,12 @@ def main() -> int:
     # map (plus the same aggregate fields).
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump({**payload, "queries": results}, f, indent=1)
-    except OSError as e:
-        log(f"bench: could not write {detail_path}: {e}")
+    if not only:  # a filtered run must not clobber the full-run record
+        try:
+            with open(detail_path, "w") as f:
+                json.dump({**payload, "queries": results}, f, indent=1)
+        except OSError as e:
+            log(f"bench: could not write {detail_path}: {e}")
     with_queries = json.dumps({**payload, "queries": results})
     if len(with_queries) <= 1900:
         line = with_queries

@@ -937,3 +937,83 @@ def union_intersect_except(t: dict[str, DataFrame]) -> DataFrame:
         .distinct()
     )
     return clickers.intersect(viewers).exceptAll(bad)
+
+
+def events_funnel(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, the
+    first view, the first click strictly AFTER that view, the first
+    purchase strictly after that click; reported as stage survivor
+    counts (one summary row).
+
+    Shape: ONE shuffle — a single per-user aggregate collects each
+    stage's timestamps, and the ordered-min chain evaluates as JVM array
+    expressions (`array_min(filter(...))` with outer-column capture).
+    Per-user arrays are bounded by per-user activity; for corpora with
+    unbounded single-user streams, re-express as three staged
+    conditional min-aggregations (shuffle per stage) instead.
+    The final aggregate reduces to one row."""
+    ev = t["events"]
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.collect_list(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("__v"),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("__c"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("__p"),
+        )
+        .select(
+            F.expr("array_min(__v)").alias("__t1"),
+            F.expr(
+                "array_min(filter(__c, x -> x > array_min(__v)))"
+            ).alias("__t2"),
+            "__p",
+        )
+        .select(
+            "__t1", "__t2",
+            F.expr("array_min(filter(__p, x -> x > __t2))").alias("__t3"),
+        )
+    )
+    return per_user.agg(
+        F.count("__t1").alias("n_viewed"),
+        F.count("__t2").alias("n_clicked_after_view"),
+        F.count("__t3").alias("n_purchased_after_click"),
+    )
+
+
+def events_retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their
+    FIRST event; for every later week in which a cohort member is
+    active, the distinct active-user count.
+
+    Shape: per-user first-event aggregate (shuffle 1 on user_id), join
+    back to the fact on user_id (co-partitioned by the same key — AQE
+    plans it off the first shuffle's output), then one bounded-key
+    aggregate on (cohort_week, week_offset). The week offset is
+    integer-exact day arithmetic on week-truncated dates — no
+    engine-specific week numbering."""
+    ev = t["events"]
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cw")
+    )
+    joined = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("__aw")
+    ).join(first, "user_id")
+    return (
+        joined.groupBy(
+            # stays a (week-truncated) TIMESTAMP: Spark DATE surfaces as
+            # python-object cells in pandas while DuckDB DATE arrives
+            # as datetime64 — a byte-hash trap the local audit flags
+            F.col("__cw").alias("cohort_week"),
+            (
+                F.datediff(F.col("__aw").cast("date"),
+                           F.col("__cw").cast("date")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

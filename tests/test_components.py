@@ -112,3 +112,71 @@ def test_dedup_retention_keeps_one_per_class(spark):
     # web: 6 docs, 3 in a class, keep 0 + 3 uniques = 4
     # books: 4 docs, 2 in a class, keep 6 + 2 uniques = 3
     assert got == {"web": (6, 3, 4), "books": (4, 2, 3)}
+
+
+def test_events_funnel_orders_stages_strictly(spark):
+    """Funnel must require strict ts ordering view < click < purchase —
+    a purchase BEFORE the first qualifying click must not count."""
+    from datetime import datetime
+
+    from streamtasks_spark.relational.queries import events_funnel
+
+    def ev(uid, typ, sec):
+        return (uid, datetime(2024, 1, 1, 0, 0, sec), uid, typ, 1.0, "{}")
+
+    rows = [
+        # u1: full ordered funnel
+        ev(1, "view", 1), ev(1, "click", 2), ev(1, "purchase", 3),
+        # u2: click before view -> no qualified click
+        ev(2, "click", 1), ev(2, "view", 2), ev(2, "purchase", 3),
+        # u3: click qualifies (after view) but purchase precedes it
+        ev(3, "view", 1), ev(3, "purchase", 2), ev(3, "click", 3),
+        # u4: view only
+        ev(4, "view", 1),
+        # u5: no view at all
+        ev(5, "purchase", 1),
+        # u6: second click qualifies even though first is too early
+        ev(6, "click", 1), ev(6, "view", 2), ev(6, "click", 3),
+        ev(6, "purchase", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    out = events_funnel({"events": df}).collect()[0]
+    assert out["n_viewed"] == 5          # u1 u2 u3 u4 u6
+    assert out["n_clicked_after_view"] == 3   # u1 u6, and u3's late click
+    assert out["n_purchased_after_click"] == 2  # u1 u6
+
+
+def test_events_retention_cohorts_week_offsets(spark):
+    from datetime import datetime
+
+    from streamtasks_spark.relational.queries import events_retention_cohorts
+
+    def ev(i, uid, dt):
+        return (i, dt, uid, "view", 1.0, "{}")
+
+    # Mon 2024-01-01 starts week 0; 2024-01-08 week 1; 2024-01-15 week 2
+    rows = [
+        ev(1, 1, datetime(2024, 1, 2)),   # u1 cohort w0
+        ev(2, 1, datetime(2024, 1, 9)),   # u1 active w1
+        ev(3, 1, datetime(2024, 1, 16)),  # u1 active w2
+        ev(4, 2, datetime(2024, 1, 3)),   # u2 cohort w0
+        ev(5, 2, datetime(2024, 1, 17)),  # u2 active w2 (skipped w1)
+        ev(6, 3, datetime(2024, 1, 10)),  # u3 cohort w1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    out = {
+        (str(r["cohort_week"].date()), r["week_offset"]): r["n_active_users"]
+        for r in events_retention_cohorts({"events": df}).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,  # u1 u2 first week
+        ("2024-01-01", 1): 1,  # u1 returns
+        ("2024-01-01", 2): 2,  # u1 u2 return
+        ("2024-01-08", 0): 1,  # u3 cohort
+    }
