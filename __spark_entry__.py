@@ -1170,6 +1170,14 @@ _MUST_VERIFY_R04 = [
     "substring_dedup", "token_histogram", "quality_buckets",
     "corpus_prepare", "embedding_dup_classes",
     "events_funnel", "events_retention_cohorts",
+    # oracle SQL changed r04: norm_text's DuckDB side gained the 'g'
+    # flag (regexp_replace is replace-FIRST by default in DuckDB,
+    # replace-all in Spark — divergent on multi-whitespace text; found
+    # by tests/test_oracle_fuzz.py) and text_stats gained nullif
+    # divide-by-zero guards for empty docs
+    "text_stats", "lang_id", "doc_fingerprint", "quality_filter",
+    "doc_repetition", "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "decontaminate",
     # changed r04: mux durations quantized to integer ms (double-cumsum
     # ulp divergence between engines flipped a near-tie mux rank)
     "interleave_mux", "interleave_desync", "container_roundtrip",
@@ -1226,14 +1234,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_classes": _q_embedding_dup_classes,
         "events_funnel": rel(rq.events_funnel),
         "events_retention_cohorts": rel(rq.events_retention_cohorts),
+        # --- oracle SQL changed r04: norm_text 'g' flag + nullif
+        # --- guards (fuzz-suite finding) — all norm_text consumers
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "quality_filter": _q_quality_filter,
+        "doc_repetition": _q_doc_repetition,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "decontaminate": _q_decontaminate,
         # --- last green row is r01 (oldest certification, pre-NTZ data)
-        "set_ops": rel(rq.union_intersect_except),
-        "top_customers_per_nation": rel(rq.top_customers_per_nation),
-        "orders_without_lineitems": rel(rq.orders_without_lineitems),
-        "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
         "events_hourly_stats": rel(rq.events_hourly_stats),
         "events_session_windows": rel(rq.events_session_windows),
-        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
         # --- last green row is r02 (pre-NTZ data) — event-time-centric
         # --- operators first, they carry the most drift risk
         "gate": _q_gate,
@@ -1244,20 +1258,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "container_roundtrip": _q_container_roundtrip,
         "synchronizer": _q_synchronizer,
         "sr_latch": _q_sr_latch,
-        "string_concatenator": _q_string_concatenator,
         "pause_state": _q_pause_state,
-        "calculator": _q_calculator,
-        "calculator_multivar": _q_calculator_multivar,
-        "dedup_exact": _q_dedup_exact,
         "audio_smoother": _q_audio_smoother,
         "audio_volume_scaler": _q_audio_volume_scaler,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
-        # r02-green, unchanged ops displaced by the eight new r04
-        # corpus/embedding/analytics queries (lowest drift risk: pure
+        # r01/r02-green, unchanged ops displaced by the ten new r04
+        # corpus/embedding/analytics queries and the nine norm_text
+        # oracle rotations (lowest drift risk: pure relational /
         # function / array surfaces, no event-time arithmetic, no
         # oracle edits since certification)
+        "set_ops": rel(rq.union_intersect_except),
+        "top_customers_per_nation": rel(rq.top_customers_per_nation),
+        "orders_without_lineitems": rel(rq.orders_without_lineitems),
+        "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
+        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
+        "calculator": _q_calculator,
+        "calculator_multivar": _q_calculator_multivar,
+        "string_concatenator": _q_string_concatenator,
         "fn_task": _q_fn_task,
         "fn_task_stateful": _q_fn_task_stateful,
         "audio_mixer": _q_audio_mixer,
@@ -1272,8 +1291,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_renderer": _q_text_renderer,
         "image_renderer": _q_image_renderer,
         "tts_synthesize": _q_tts_synthesize,
-        "text_stats": _q_text_stats,
-        "lang_id": _q_lang_id,
         "string_matcher": _q_string_matcher,
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1303,9 +1320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": rel(rq.events_quantiles),
         "salted_join": _q_salted_join,
         "range_join": _q_range_join,
-        "doc_repetition": _q_doc_repetition,
-        "quality_filter": _q_quality_filter,
-        "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "mix_sample": _q_mix_sample,
@@ -1314,15 +1328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_recall": _q_ann_recall,
         "embedding_near_dup": _q_embedding_near_dup,
-        "doc_fingerprint": _q_doc_fingerprint,
         "image_resize": _q_image_resize,
         "image_features": _q_image_features,
         "audio_chunker": _q_audio_chunker,
         "padded_chunker": _q_padded_chunker,
         "audio_resampler": _q_audio_resampler,
         "video_mixer": _q_video_mixer,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
     }
     window = list(q)[:50]
     missing = [n for n in _MUST_VERIFY_R04 if n not in window]

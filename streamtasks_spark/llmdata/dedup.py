@@ -103,9 +103,15 @@ def norm_text(text_col: str, engine: str = "spark") -> str:
 
     The regex literal differs per engine — Spark SQL string literals
     process backslash escapes (``'\\\\s+'`` in SQL text → regex ``\\s+``),
-    DuckDB's don't."""
-    ws = "\\\\s+" if engine == "spark" else "\\s+"
-    return f"trim(regexp_replace(lower({text_col}), '{ws}', ' '))"
+    DuckDB's don't. DuckDB additionally needs the explicit ``'g'`` flag:
+    its regexp_replace replaces only the FIRST match by default, where
+    Spark's always replaces all — on text with more than one whitespace
+    run the unflagged oracle silently diverges (found by
+    tests/test_oracle_fuzz.py; the fixed testdata is single-spaced and
+    never exercised it)."""
+    if engine == "spark":
+        return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    return f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
 
 
 def _shingle_hashes(

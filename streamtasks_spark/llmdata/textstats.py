@@ -73,6 +73,12 @@ def text_stats(
         ).alias("n_stopwords"),
     )
     n_tokens_d = F.col("n_tokens").cast("double")
+    # nullif guard: an empty/whitespace-only doc normalizes to n_chars=0
+    # and ANSI mode makes the ratio a DIVIDE_BY_ZERO error, not ±inf.
+    # NULL ratios (and a NULL quality_score) are the contract for empty
+    # docs — mirrored with nullif in the DuckDB oracle. n_tokens needs
+    # no guard: split('', ' ') = [''] on both engines, so it is ≥ 1.
+    n_chars_d = F.expr("cast(nullif(n_chars, 0) as double)")
     return d.select(
         id_col,
         "n_chars",
@@ -81,13 +87,11 @@ def text_stats(
         "n_punct",
         "n_stopwords",
         F.round(F.col("__tok_chars") / n_tokens_d, 6).alias("avg_token_len"),
-        F.round(F.col("n_punct") / F.col("n_chars").cast("double"), 6).alias(
-            "punct_ratio"
-        ),
+        F.round(F.col("n_punct") / n_chars_d, 6).alias("punct_ratio"),
         F.round(F.col("n_stopwords") / n_tokens_d, 6).alias("stopword_ratio"),
         F.round(
             F.least(F.lit(1.0), n_tokens_d / F.lit(50.0))
-            * (F.lit(1.0) - F.least(F.lit(0.5), F.col("n_punct") / F.col("n_chars").cast("double")))
+            * (F.lit(1.0) - F.least(F.lit(0.5), F.col("n_punct") / n_chars_d))
             * (F.lit(0.5) + F.least(F.lit(0.5), F.col("n_stopwords") / n_tokens_d * F.lit(2.0))),
             6,
         ).alias("quality_score"),
@@ -120,11 +124,11 @@ def oracle_text_stats_sql(
     )
     SELECT {id_col}, n_chars, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
       round(__tok_chars / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
-      round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+      round(n_punct / CAST(nullif(n_chars, 0) AS DOUBLE), 6) AS punct_ratio,
       round(n_stopwords / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
       round(
         least(1.0, n_tokens / 50.0)
-        * (1.0 - least(0.5, n_punct / CAST(n_chars AS DOUBLE)))
+        * (1.0 - least(0.5, n_punct / CAST(nullif(n_chars, 0) AS DOUBLE)))
         * (0.5 + least(0.5, n_stopwords / CAST(n_tokens AS DOUBLE) * 2.0)),
         6) AS quality_score
     FROM e

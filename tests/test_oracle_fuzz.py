@@ -1,0 +1,138 @@
+"""Cross-engine fuzz: the driver's Spark-vs-DuckDB comparison run over
+RANDOMIZED adversarial corpora, not just the fixed testdata.
+
+The per-round driver (and `scripts/check_oracle.py`) compare every query
+against its oracle on `/root/testdata` — one fixed corpus. This suite
+regenerates small hostile corpora (empty docs, whitespace-only docs,
+exact duplicates, shared sentences, tabs/newlines, accented latin,
+punctuation runs, single-token docs) from seeded RNG, writes them as a
+parquet `documents` table, and runs the SAME query callables and oracle
+SQL through the same byte-level comparator (`scripts/check_oracle.py`'s
+`compare` + `audit_types`). A cross-engine margin (regex semantics,
+collation, rounding) that the fixed corpus never exercises fails here
+first, not in a burned driver row.
+
+Alphabet notes (deliberate exclusions, documented margins):
+- no ``\\x0b``/``\\x0c``: Java ``\\s`` includes vertical tab, RE2's does
+  not — the normalize step would legitimately diverge. Real corpora are
+  cleaned of these before ingestion.
+- accented latin (é à ü ß) is included — lower() agrees across engines;
+  full-unicode case folding (İ, Σ) is out of scope for the oracle pair.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import string
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+from check_oracle import audit_types, compare, duck_conn  # noqa: E402
+
+WORDS = [
+    "the", "a", "and", "of", "to", "in", "is", "it", "for", "on",
+    "data", "spark", "stream", "église", "über", "straße", "naïve",
+    "x", "yz", "longtokenwithoutspaces" * 3, "1234", "3.14", "—",
+]
+PUNCT = list(".,;:!?()[]'\"")
+
+
+def make_corpus(seed: int, n: int = 60) -> list[tuple]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = rng.randrange(10)
+        if kind == 0:
+            text = ""  # empty
+        elif kind == 1:
+            text = " \t\n  " * rng.randrange(1, 4)  # whitespace-only
+        elif kind == 2:
+            text = rng.choice(WORDS)  # single token
+        elif kind == 3 and rows:
+            text = rows[rng.randrange(len(rows))][1]  # exact duplicate
+        elif kind == 4:
+            text = "".join(rng.choice(PUNCT) for _ in range(rng.randrange(1, 30)))
+        else:
+            k = rng.randrange(3, 40)
+            toks = [rng.choice(WORDS) for _ in range(k)]
+            # random whitespace runs between tokens
+            seps = [rng.choice([" ", "  ", "\t", "\n", " \t "]) for _ in toks]
+            text = "".join(t + s for t, s in zip(toks, seps))
+            if rng.random() < 0.3 and rows:
+                # splice a shared sentence from an earlier doc (near-dup)
+                text += " " + rows[rng.randrange(len(rows))][1][:80]
+        rows.append(
+            (i, text, rng.choice(["en", "fr", "es", "de"]),
+             rng.choice(["web", "book", "code", "wiki"]), len(text))
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_dirs(tmp_path_factory):
+    """One parquet FILE per seed (single file like the real testdata, so
+    both engines read the identical bytes), schema-identical to the
+    testdata documents table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    dirs = []
+    for seed in (7, 23, 99):
+        d = tmp_path_factory.mktemp(f"fuzz{seed}")
+        cols = list(zip(*make_corpus(seed)))
+        table = pa.table(
+            {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+        )
+        pq.write_table(table, str(d / "documents.parquet"))
+        dirs.append(str(d))
+    return dirs
+
+
+# document-only queries: every corpus-tier entry whose inputs are just
+# the documents table (queries needing events/embeddings/lineitem or
+# synthetic side-inputs are exercised by check_oracle on testdata)
+DOC_QUERIES = [
+    "text_stats", "lang_id", "doc_fingerprint", "vocab_topk",
+    "token_histogram", "quality_filter", "doc_repetition",
+    "dedup_minhash", "dedup_simhash", "ngram_jaccard",
+    "substring_dedup", "quality_buckets", "source_stats",
+    "dedup_components", "dedup_retention", "corpus_prepare",
+    "decontaminate", "split_assign", "stratified_sample",
+]
+
+
+def test_document_tier_matches_oracle_on_adversarial_corpora(spark, fuzz_dirs):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for sf_dir in fuzz_dirs:
+        con = duck_conn(sf_dir)
+        for name in DOC_QUERIES:
+            try:
+                sdf = qs[name](spark, sf_dir).toPandas()
+                odf = con.execute(oracles[name]).df()
+                desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+                duck_types = {row[0]: row[1] for row in desc}
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"{sf_dir}/{name}: ERROR {type(e).__name__}: {e}")
+                continue
+            problems = audit_types(sdf, odf, duck_types) + compare(name, sdf, odf)
+            failures.extend(f"{os.path.basename(sf_dir)}/{name}: {p}" for p in problems)
+    assert not failures, "\n".join(failures[:40])
