@@ -1178,6 +1178,11 @@ _MUST_VERIFY_R04 = [
     "text_stats", "lang_id", "doc_fingerprint", "quality_filter",
     "doc_repetition", "dedup_exact", "dedup_minhash", "dedup_simhash",
     "decontaminate",
+    # oracle SQL changed r04: zero-norm vector guard in every ANN norm
+    # CTE (embedding fuzz tier finding: a zero vector raised ANSI
+    # DIVIDE_BY_ZERO through the cosine division)
+    "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall",
+    "embedding_near_dup",
     # changed r04: mux durations quantized to integer ms (double-cumsum
     # ulp divergence between engines flipped a near-tie mux rank)
     "interleave_mux", "interleave_desync", "container_roundtrip",
@@ -1245,20 +1250,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "decontaminate": _q_decontaminate,
+        # --- oracle SQL changed r04: ANN zero-norm guard (fuzz finding)
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_recall": _q_ann_recall,
+        "embedding_near_dup": _q_embedding_near_dup,
         # --- last green row is r01 (oldest certification, pre-NTZ data)
         "events_hourly_stats": rel(rq.events_hourly_stats),
-        "events_session_windows": rel(rq.events_session_windows),
         # --- last green row is r02 (pre-NTZ data) — event-time-centric
         # --- operators first, they carry the most drift risk
         "gate": _q_gate,
-        "switch": _q_switch,
-        "asof_join": _q_asof_join,
         "interleave_mux": _q_interleave_mux,
         "interleave_desync": _q_interleave_desync,
         "container_roundtrip": _q_container_roundtrip,
         "synchronizer": _q_synchronizer,
-        "sr_latch": _q_sr_latch,
-        "pause_state": _q_pause_state,
         "audio_smoother": _q_audio_smoother,
         "audio_volume_scaler": _q_audio_volume_scaler,
         "asr_transcribe": _q_asr_transcribe,
@@ -1269,6 +1275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle rotations (lowest drift risk: pure relational /
         # function / array surfaces, no event-time arithmetic, no
         # oracle edits since certification)
+        "events_session_windows": rel(rq.events_session_windows),
+        "switch": _q_switch,
+        "asof_join": _q_asof_join,
+        "sr_latch": _q_sr_latch,
+        "pause_state": _q_pause_state,
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
@@ -1323,11 +1334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "mix_sample": _q_mix_sample,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_recall": _q_ann_recall,
-        "embedding_near_dup": _q_embedding_near_dup,
         "image_resize": _q_image_resize,
         "image_features": _q_image_features,
         "audio_chunker": _q_audio_chunker,

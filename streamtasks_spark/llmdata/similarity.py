@@ -47,9 +47,17 @@ def _dot(a: str, b: str) -> str:
 
 
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Attach the double-cast vector and its L2 norm, DROPPING zero-norm
+    (and NULL) vectors: a zero vector has no direction, and under ANSI
+    mode the cosine division would raise DIVIDE_BY_ZERO the moment one
+    appears in a 100 TB corpus. The exclusion is mirrored with a
+    ``dot(v,v) > 0`` predicate in every DuckDB oracle (found by the
+    embedding fuzz tier in tests/test_oracle_fuzz.py)."""
     v = f"cast({vec_col} as array<double>)"
-    return df.withColumn("__v", F.expr(v)).withColumn(
-        "__nrm", F.expr(f"sqrt({_dot('__v', '__v')})")
+    return (
+        df.withColumn("__v", F.expr(v))
+        .withColumn("__nrm", F.expr(f"sqrt({_dot('__v', '__v')})"))
+        .filter(F.col("__nrm") > 0)
     )
 
 
@@ -143,7 +151,7 @@ def oracle_cosine_topk_sql(
     n AS (
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
-      FROM base
+      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
     ),
     q AS (SELECT * FROM n WHERE {query_filter}),
     scored AS (
@@ -230,7 +238,7 @@ def oracle_lsh_topk_sql(
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm,
              {_duck_bucket(planes, "__v", dim)} AS __bkt
-      FROM base
+      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
     ),
     q AS (SELECT * FROM n WHERE {query_filter}),
     scored AS (
@@ -350,7 +358,7 @@ def oracle_ivf_topk_sql(
     n AS (
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
-      FROM base
+      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
     ),
     cents AS (SELECT * FROM n WHERE {id_col} < {n_cells}),
     assigned AS (
@@ -529,7 +537,7 @@ def oracle_embedding_near_dup_sql(
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm,
              {_duck_bucket(planes, "__v", dim)} AS __bkt
-      FROM base
+      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
     )
     SELECT DISTINCT a.{id_col} AS vec_a, b.{id_col} AS vec_b,
            round({dot} / (a.__nrm * b.__nrm), 6) AS cosine

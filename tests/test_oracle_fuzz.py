@@ -116,6 +116,81 @@ DOC_QUERIES = [
 ]
 
 
+def make_vectors(seed: int, n: int = 80, dim: int = 64) -> list[tuple]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = rng.randrange(8)
+        if kind == 0:
+            vec = [0.0] * dim  # zero vector: no direction, must be dropped
+        elif kind == 1 and rows:
+            vec = list(rows[rng.randrange(len(rows))][1])  # exact duplicate
+        elif kind == 2:
+            vec = [0.0] * dim
+            vec[rng.randrange(dim)] = rng.choice([1e-30, -1e-30, 1e30])
+        else:
+            vec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        rows.append((i, vec, rng.randrange(4)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_vec_dirs(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    dirs = []
+    for seed in (5, 41):
+        d = tmp_path_factory.mktemp(f"fuzzvec{seed}")
+        cols = list(zip(*make_vectors(seed)))
+        table = pa.table(
+            {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+        )
+        pq.write_table(table, str(d / "embeddings.parquet"))
+        dirs.append(str(d))
+    return dirs
+
+
+VEC_QUERIES = [
+    "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall",
+    "embedding_near_dup", "embedding_dup_classes",
+]
+
+
+def test_embedding_tier_matches_oracle_on_adversarial_vectors(
+    spark, fuzz_vec_dirs
+):
+    """Zero vectors (ANSI DIVIDE_BY_ZERO without the zero-norm guard),
+    exact duplicates (cosine exactly 1.0, rank ties), and near-zero /
+    huge single components through the whole ANN tier on both engines."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for sf_dir in fuzz_vec_dirs:
+        con = duck_conn(sf_dir)
+        for name in VEC_QUERIES:
+            try:
+                sdf = qs[name](spark, sf_dir).toPandas()
+                odf = con.execute(oracles[name]).df()
+                desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+                duck_types = {row[0]: row[1] for row in desc}
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"{sf_dir}/{name}: ERROR {type(e).__name__}: {e}")
+                continue
+            problems = audit_types(sdf, odf, duck_types) + compare(name, sdf, odf)
+            failures.extend(f"{os.path.basename(sf_dir)}/{name}: {p}" for p in problems)
+    assert not failures, "\n".join(failures[:40])
+
+
 def test_document_tier_matches_oracle_on_adversarial_corpora(spark, fuzz_dirs):
     import __spark_entry__ as entrymod
 
@@ -135,4 +210,111 @@ def test_document_tier_matches_oracle_on_adversarial_corpora(spark, fuzz_dirs):
                 continue
             problems = audit_types(sdf, odf, duck_types) + compare(name, sdf, odf)
             failures.extend(f"{os.path.basename(sf_dir)}/{name}: {p}" for p in problems)
+    assert not failures, "\n".join(failures[:40])
+
+
+def make_events(seed: int, n: int = 400) -> list[tuple]:
+    """Adversarial events: duplicate (user, ts) pairs, cross-type ts
+    collisions (a control and a data row in the same instant), hot
+    users, single-event users, zero/negative/boundary values (2-decimal
+    like the real table), props with missing keys and NULLs.
+
+    Deliberate exclusion: malformed-JSON props — Spark's
+    get_json_object returns NULL where DuckDB's json_extract raises, so
+    the oracle pair's contract is 'valid JSON or NULL'."""
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+    t0 = datetime(2024, 3, 1)
+    types = ["click", "view", "purchase", "error", "signup"]
+    rows = []
+    for i in range(n):
+        uid = rng.choice([1, 1, 1, 1, 2, 3, 4, 5, 6, 7])  # user 1 is hot
+        # coarse ts -> many exact collisions within and across users
+        ts = t0 + timedelta(seconds=rng.randrange(0, 600) * 30)
+        typ = rng.choice(types)
+        value = rng.choice(
+            [0.0, 0.01, -5.25, 49.5, 50.0, 499.99, round(rng.uniform(0, 500), 2)]
+        )
+        props = rng.choice(
+            ['{"k": %d}' % rng.randrange(0, 100), "{}", '{"x": 1}', None]
+        )
+        rows.append((i, ts, uid, typ, value, props))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_event_dirs(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    dirs = []
+    for seed in (13, 77):
+        d = tmp_path_factory.mktemp(f"fuzzev{seed}")
+        cols = list(zip(*make_events(seed)))
+        table = pa.table(
+            {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        dirs.append(str(d))
+    return dirs
+
+
+def test_event_tier_matches_oracle_on_adversarial_events(
+    spark, fuzz_event_dirs
+):
+    """Every query derivable from the events table alone (temporal
+    operators, chunk-stream media ops, event analytics, function tier)
+    against its oracle on collision-heavy corpora. Queries needing other
+    tables fail the read and are skipped — the test asserts the
+    events-only population is large enough that a silent wiring change
+    can't hollow it out."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    ran = set()
+    for sf_dir in fuzz_event_dirs:
+        con = duck_conn(sf_dir)
+        for name, fn in qs.items():
+            try:
+                sdf = fn(spark, sf_dir).toPandas()
+            except Exception as e:  # noqa: BLE001
+                msg = f"{type(e).__name__}: {e}"
+                if (
+                    "PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg
+                    or isinstance(e, KeyError)  # load_tables: table absent
+                ):
+                    continue  # needs documents/embeddings/tpc-h tables
+                failures.append(f"{sf_dir}/{name}: SPARK ERROR {msg[:300]}")
+                continue
+            if name not in oracles:
+                continue
+            try:
+                odf = con.execute(oracles[name]).df()
+                desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+                duck_types = {row[0]: row[1] for row in desc}
+            except Exception as e:  # noqa: BLE001
+                failures.append(
+                    f"{sf_dir}/{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}"
+                )
+                continue
+            ran.add(name)
+            problems = audit_types(sdf, odf, duck_types) + compare(name, sdf, odf)
+            failures.extend(
+                f"{os.path.basename(sf_dir)}/{name}: {p}" for p in problems
+            )
+    assert len(ran) >= 30, f"only {len(ran)} events-only queries ran: {sorted(ran)}"
     assert not failures, "\n".join(failures[:40])
