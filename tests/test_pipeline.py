@@ -77,3 +77,52 @@ def test_start_rejects_batch_sink(spark):
     p.source("nums", lambda s: s.range(10))
     with pytest.raises(PipelineError, match="not streaming"):
         p.start(spark, sinks={"nums": {"format": "memory"}})
+
+
+def test_write_dataset_plans_shards_and_partitions(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from streamtasks_spark.core.dataset import plan_shards, write_dataset
+
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    n, est = plan_shards(df, target_file_mb=1)
+    assert n >= 1 and est > 0
+
+    out = str(tmp_path / "ds")
+    manifest = write_dataset(
+        df, out, partition_by=["part"], sort_within=["id"],
+        target_file_mb=1,
+    )
+    assert manifest["n_shards"] == n
+    # partition directories exist and the dataset round-trips completely
+    dirs = sorted(
+        p.split("part=")[1] for p in glob.glob(f"{out}/part=*")
+    )
+    assert dirs == ["0", "1", "2", "3"]
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert set(back.columns) == {"id", "part", "payload"}
+    # sort_within produced monotone ids inside each file
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{out}/part=0/*.parquet")[0]
+    ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+    assert ids == sorted(ids)
+
+
+def test_write_dataset_max_records_splits_files(spark, tmp_path):
+    import glob
+
+    from streamtasks_spark.core.dataset import write_dataset
+
+    df = spark.range(0, 1000).coalesce(1)
+    out = str(tmp_path / "cap")
+    write_dataset(df, out, max_records_per_file=100, target_file_mb=10_000)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 10  # 1000 rows / 100-record cap
