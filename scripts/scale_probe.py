@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Measured scale-up probe: replicate the sf0.1 corpus 1×/10×/100× and
+time the bucketed dedup / corpus operators at each size.
+
+This is the empirical companion to SCALE.md: the dedup tier's claim is
+that banded LSH / blocked candidate generation keeps pair formation
+near-LINEAR in corpus size (an all-pairs design would be quadratic —
+10× data → 100× time). The probe replicates documents with id offsets
+and salted text mutations (so replicas are near-dups of their original,
+not byte-identical — the worst realistic case: duplicate classes GROW
+with scale), runs each operator at n×, and prints the observed scaling
+exponent log(t_100/t_1)/log(100).
+
+Usage: python scripts/scale_probe.py [--factors 1,10,100]
+Writes nothing outside /tmp; prints one JSON line per (op, factor).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from streamtasks_spark.llmdata import dedup, pipeline, textstats  # noqa: E402
+from streamtasks_spark.session import get_spark, read_parquet  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(spark, factor: int):
+    """factor copies of documents: copy 0 verbatim; copy k>0 re-ids the
+    doc and appends a per-copy suffix token, so each original spawns a
+    family of NEAR-duplicates (shingle overlap high but not 1.0)."""
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    if factor == 1:
+        return docs
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    return (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("__copy") * 10_000_000).alias("doc_id"),
+            F.when(F.col("__copy") == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(" ", F.col("text"),
+                            F.concat(F.lit("copytag"), F.col("__copy")))
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+
+
+def probe_ops(spark, docs):
+    n = docs.count()
+    yield "dedup_minhash", lambda: dedup.dedup_minhash(docs, threshold=0.5), n
+    yield "dedup_components", lambda: dedup.connected_components(
+        dedup.dedup_minhash(docs, threshold=0.5)
+    ), n
+    yield "substring_dedup", lambda: dedup.substring_dup_spans(docs), n
+    yield "vocab_topk", lambda: textstats.vocab_topk(docs, k=100), n
+    yield "quality_buckets", lambda: textstats.quality_buckets(docs), n
+    ev = docs.filter(F.col("doc_id") % 25 == 7)
+    yield "corpus_prepare", lambda: pipeline.corpus_prepare(docs, ev), n
+
+
+def main() -> int:
+    factors = [1, 10, 100]
+    for a in sys.argv[1:]:
+        if a.startswith("--factors"):
+            factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+    spark = get_spark("scale_probe")
+    results: dict[str, dict[int, float]] = {}
+    for factor in factors:
+        docs = replicate(spark, factor)
+        # materialize the replicated input once so operator timings do
+        # not include the replication cross-join itself
+        with tempfile.TemporaryDirectory(prefix=f"scale{factor}_") as td:
+            docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            mat = spark.read.parquet(f"{td}/documents.parquet")
+            for name, thunk, _n in probe_ops(spark, mat):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                thunk().write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                results.setdefault(name, {})[factor] = dt
+                print(json.dumps({
+                    "op": name, "factor": factor,
+                    "n_docs": _n, "sec": round(dt, 3),
+                }), flush=True)
+    lo, hi = min(factors), max(factors)
+    if lo != hi:
+        for name, r in results.items():
+            exp = math.log(r[hi] / r[lo]) / math.log(hi / lo)
+            print(json.dumps({
+                "op": name, "scaling_exponent": round(exp, 3),
+                "span": f"{lo}x..{hi}x",
+                "verdict": "sub-linear-to-linear" if exp <= 1.15
+                else ("super-linear" if exp < 1.7 else "QUADRATIC-SUSPECT"),
+            }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
