@@ -1183,6 +1183,10 @@ _MUST_VERIFY_R04 = [
     # DIVIDE_BY_ZERO through the cosine division)
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall",
     "embedding_near_dup",
+    # implementation changed r04: gate gained the reference's fail_mode
+    # knob (default "open" path is behavior-identical; permutation-
+    # tested batch+streaming)
+    "gate",
     # changed r04: mux durations quantized to integer ms (double-cumsum
     # ulp divergence between engines flipped a near-tie mux rank)
     "interleave_mux", "interleave_desync", "container_roundtrip",

@@ -32,6 +32,7 @@ def gate(
     control_value: str = "value",
     initial_open: bool = False,
     seq_col: str | None = None,
+    fail_mode: str = "open",
 ) -> DataFrame:
     """Gate (reference system/tasks/gate.py:15-110): pass data rows while
     the latest control value as of the row's event time is > 0.5. Control
@@ -39,16 +40,33 @@ def gate(
 
     ``initial_open`` governs rows arriving before any control message —
     the reference's ``initial_control`` (gate.py:32, default False/closed).
-    The reference's separate ``fail_mode`` knob (gate.py:77-81) concerns
-    paused/validation-error control streams, which have no batch
-    equivalent; pause itself is modeled as control-as-data by
-    :func:`pause_state` (and its streaming twin)."""
+
+    ``fail_mode`` (reference ``GateFailMode``, gate.py:15-17,39-43): an
+    INVALID control message — modeled as a NULL ``control_value``, the
+    batch analog of a NumberMessage validation error — never updates the
+    latched control (the as-of join skips NULLs, mirroring gate.py:76-81
+    where a ValidationError leaves ``state.control`` untouched). Under
+    ``"open"`` (reference default) that is the whole story; under
+    ``"closed"`` the gate is additionally FORCED closed while the most
+    recent control row (valid or not) is invalid (gate.py:41-42).
+    Pause-as-data is modeled separately by :func:`pause_state`."""
+    if fail_mode not in ("open", "closed"):
+        raise ValueError(f"gate: fail_mode must be open|closed, got {fail_mode!r}")
     ctl_cols = [*keys, ts, F.col(control_value).alias("value")]
     if seq_col is not None and seq_col in control.columns:
         ctl_cols.append(seq_col)
+    ctl = control.select(*ctl_cols)
+    controls = {"__gate_ctl": ctl}
+    if fail_mode == "closed":
+        # badness indicator of the LATEST control row: 1.0 when invalid.
+        # Non-null by construction, so the as-of yields the newest row's
+        # validity even though the value latch skipped the invalid one.
+        controls["__gate_bad"] = ctl.withColumn(
+            "value", F.col("value").isNull().cast("double")
+        )
     joined = last_value_join(
         data,
-        {"__gate_ctl": control.select(*ctl_cols)},
+        controls,
         keys=keys,
         ts=ts,
         control_first=True,
@@ -57,6 +75,11 @@ def gate(
     open_ = F.coalesce(
         F.col("__gate_ctl") > F.lit(0.5), F.lit(bool(initial_open))
     )
+    if fail_mode == "closed":
+        open_ = open_ & ~F.coalesce(
+            F.col("__gate_bad") > F.lit(0.5), F.lit(False)
+        )
+        return joined.filter(open_).drop("__gate_ctl", "__gate_bad")
     return joined.filter(open_).drop("__gate_ctl")
 
 

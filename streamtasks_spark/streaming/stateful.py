@@ -119,20 +119,37 @@ def streaming_gate(
     control_value: str = "value",
     initial_open: bool = False,
     seq_col: str | None = None,
+    fail_mode: str = "open",
 ) -> DataFrame:
     """Streaming Gate: pass data rows while the latched control is open
-    (>0.5); control applies before data at equal timestamps."""
+    (>0.5); control applies before data at equal timestamps. ``fail_mode``
+    mirrors the batch twin: an invalid (NULL-valued) control never
+    updates the latch; ``"closed"`` additionally forces the gate shut
+    while the most recent control row is invalid."""
+    if fail_mode not in ("open", "closed"):
+        raise ValueError(
+            f"streaming_gate: fail_mode must be open|closed, got {fail_mode!r}"
+        )
     ctl_cols = [*keys, ts, F.col(control_value).alias("value")]
     if seq_col is not None and seq_col in control.columns:
         ctl_cols.append(F.col(seq_col))
+    ctl = control.select(*ctl_cols)
+    controls = {"__gate_ctl": ctl}
+    if fail_mode == "closed":
+        controls["__gate_bad"] = ctl.withColumn(
+            "value", F.col("value").isNull().cast("double")
+        )
     joined = streaming_last_value_join(
         data,
-        {"__gate_ctl": control.select(*ctl_cols)},
+        controls,
         keys=keys,
         ts=ts,
         seq_col=seq_col,
     )
     open_ = F.coalesce(F.col("__gate_ctl") > 0.5, F.lit(bool(initial_open)))
+    if fail_mode == "closed":
+        open_ = open_ & ~F.coalesce(F.col("__gate_bad") > 0.5, F.lit(False))
+        return joined.filter(open_).drop("__gate_ctl", "__gate_bad")
     return joined.filter(open_).drop("__gate_ctl")
 
 

@@ -234,3 +234,60 @@ def test_sr_latch_all_permutations(spark):
     for key in got:
         got[key].sort()
     assert got == expected
+
+
+def test_gate_fail_modes_all_permutations(spark):
+    """Reference GateFailMode parity (tests/tasks/test_gate.py:135-136):
+    an invalid control (NULL value = NumberMessage validation error)
+    never updates the latch; fail "closed" additionally forces the gate
+    shut while the MOST RECENT control row is invalid; fail "open"
+    ignores it entirely."""
+    alphabet = [
+        {"src": "data", "value": 1337.0},
+        {"src": "ctl", "value": 1.0},
+        {"src": "ctl", "value": 0.0},
+        {"src": "ctl", "value": None},  # invalid control message
+        {"src": "data", "value": 7.0},
+    ]
+    rows = perm_rows(alphabet)
+    data = [r for r in rows if r["src"] == "data"]
+    ctl = [r for r in rows if r["src"] == "ctl"]
+    df = to_df(spark, rows)
+
+    def model(key, ts_ms, fail):
+        cands = [c for c in ctl if c["key"] == key and c["ts_ms"] <= ts_ms]
+        valid = [c for c in cands if c["value"] is not None]
+        latch = (
+            max(valid, key=lambda c: (c["ts_ms"], c["seq"]))["value"]
+            if valid else None
+        )
+        is_open = latch is not None and latch > 0.5
+        if fail == "closed" and cands:
+            newest = max(cands, key=lambda c: (c["ts_ms"], c["seq"]))
+            if newest["value"] is None:
+                is_open = False
+        return is_open
+
+    for fail in ("open", "closed"):
+        out = gate(
+            df.filter(F.col("src") == "data").drop("src"),
+            df.filter(F.col("src") == "ctl").drop("src"),
+            keys=["key"],
+            seq_col="seq",
+            fail_mode=fail,
+        ).collect()
+        expected = {
+            (d["key"], d["seq"])
+            for d in data
+            if model(d["key"], d["ts_ms"], fail)
+        }
+        got = {(r["key"], r["seq"]) for r in out}
+        assert got == expected, fail
+        assert expected
+    # the two modes must actually differ somewhere in the space
+    open_only = {
+        (d["key"], d["seq"]) for d in data
+        if model(d["key"], d["ts_ms"], "open")
+        and not model(d["key"], d["ts_ms"], "closed")
+    }
+    assert open_only

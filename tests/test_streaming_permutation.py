@@ -161,3 +161,46 @@ def test_streaming_sr_latch_every_permutation_every_batch_boundary(
     )
     assert got == expect
     assert expect
+
+
+FAIL_ALPHABET = [
+    {"src": "data", "value": 1337.0},
+    {"src": "ctl", "value": 1.0},
+    {"src": "ctl", "value": 0.0},
+    {"src": "ctl", "value": None},  # invalid control message
+]
+
+
+def test_streaming_gate_fail_closed_every_permutation(spark, tmp_path):
+    """GateFailMode.CLOSED across micro-batch boundaries: the invalid
+    marker must latch in state (a later batch's data row is still
+    blocked until a valid control arrives)."""
+    rows = perm_rows(FAIL_ALPHABET)
+    src_dir = tmp_path / "gate_fail_perm"
+    df = write_per_position(spark, rows, src_dir, len(FAIL_ALPHABET))
+
+    expect = {
+        (r["key"], r["seq"])
+        for r in gate(
+            df.filter(F.col("src") == "data").drop("src"),
+            df.filter(F.col("src") == "ctl").drop("src"),
+            keys=["key"],
+            seq_col="seq",
+            fail_mode="closed",
+        ).collect()
+    }
+
+    s = stream_positions(spark, df.schema, src_dir)
+    out = streaming_gate(
+        s.filter(F.col("src") == "data").drop("src"),
+        s.filter(F.col("src") == "ctl").drop("src"),
+        keys=["key"],
+        seq_col="seq",
+        fail_mode="closed",
+    )
+    got = {
+        (r["key"], r["seq"])
+        for r in run_to_memory(spark, out, tmp_path).collect()
+    }
+    assert got == expect
+    assert expect
