@@ -1169,7 +1169,7 @@ _MUST_VERIFY_R04 = [
     "dedup_components", "dedup_retention", "vocab_topk",
     "substring_dedup", "token_histogram", "quality_buckets",
     "corpus_prepare", "embedding_dup_classes",
-    "events_funnel", "events_retention_cohorts",
+    "events_funnel", "events_retention_cohorts", "events_anomaly",
     # oracle SQL changed r04: norm_text's DuckDB side gained the 'g'
     # flag (regexp_replace is replace-FIRST by default in DuckDB,
     # replace-all in Spark — divergent on multi-whitespace text; found
@@ -1243,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_classes": _q_embedding_dup_classes,
         "events_funnel": rel(rq.events_funnel),
         "events_retention_cohorts": rel(rq.events_retention_cohorts),
+        "events_anomaly": rel(rq.events_anomaly),
         # --- oracle SQL changed r04: norm_text 'g' flag + nullif
         # --- guards (fuzz-suite finding) — all norm_text consumers
         "text_stats": _q_text_stats,
@@ -1268,7 +1269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_mux": _q_interleave_mux,
         "interleave_desync": _q_interleave_desync,
         "container_roundtrip": _q_container_roundtrip,
-        "synchronizer": _q_synchronizer,
         "audio_smoother": _q_audio_smoother,
         "audio_volume_scaler": _q_audio_volume_scaler,
         "asr_transcribe": _q_asr_transcribe,
@@ -1279,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle rotations (lowest drift risk: pure relational /
         # function / array surfaces, no event-time arithmetic, no
         # oracle edits since certification)
+        "synchronizer": _q_synchronizer,
         "events_session_windows": rel(rq.events_session_windows),
         "switch": _q_switch,
         "asof_join": _q_asof_join,
@@ -2607,6 +2608,41 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(__t2) AS BIGINT) AS n_clicked_after_view,
               CAST(count(__t3) AS BIGINT) AS n_purchased_after_click
             FROM s2
+        """,
+        "events_anomaly": """
+            WITH base AS (
+              SELECT event_type,
+                CAST(floor(value * 10000 + 0.5) AS BIGINT) AS __q
+              FROM events
+            ),
+            stats AS (
+              SELECT event_type,
+                CAST(count(*) AS BIGINT) AS __n,
+                CAST(sum(__q) AS BIGINT) AS __s,
+                CAST(sum(__q * __q) AS BIGINT) AS __ss
+              FROM base GROUP BY event_type
+            ),
+            st AS (
+              SELECT event_type, __n,
+                __s / CAST(__n AS DOUBLE) AS __mean,
+                sqrt(greatest(__ss / CAST(__n AS DOUBLE)
+                  - (__s / CAST(__n AS DOUBLE)) * (__s / CAST(__n AS DOUBLE)),
+                  0.0)) AS __std
+              FROM stats
+            ),
+            z AS (
+              SELECT b.event_type, st.__n,
+                (CAST(b.__q AS DOUBLE) - st.__mean) / nullif(st.__std, 0.0)
+                  AS __z
+              FROM base b JOIN st USING (event_type)
+            )
+            SELECT event_type,
+              CAST(max(__n) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN __z > 3.0 OR __z < -3.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_anomalies,
+              round(min(__z), 6) AS min_z,
+              round(max(__z), 6) AS max_z
+            FROM z GROUP BY event_type
         """,
         "events_retention_cohorts": """
             WITH f AS (

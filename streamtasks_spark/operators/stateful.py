@@ -235,7 +235,16 @@ def message_detector(
     signal 1.0 while messages arrive, 0.0 after ``timeout_ms`` of silence.
     Batch formulation emits the signal *transitions*: a (ts, 1.0) row when a
     message arrives after silence (or first ever), and a (prev_ts + timeout,
-    0.0) row when a gap exceeds the timeout (or the stream ends)."""
+    0.0) row when a gap exceeds the timeout (or the stream ends).
+
+    Deliberate non-parity: the reference's ``MessageDetectorFailMode``
+    (messagedetector.py:15-17,44-49) governs messages whose TIMESTAMP
+    fails to parse — but an event-time batch row without a timestamp has
+    no position on the time axis at all, so the knob is unmodelable
+    here (unlike the gate's fail_mode, where the invalid CONTROL VALUE
+    rides a valid timestamp). Rows with a NULL ``ts`` should be
+    filtered/repaired upstream; the streaming twin's arrival-order
+    processing is where a timestampless message could even exist."""
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(ts).asc())
     gaps = data.select(*keys, ts).withColumn(
         "__prev", F.lag(ts).over(w)

@@ -1017,3 +1017,61 @@ def events_retention_cohorts(t: dict[str, DataFrame]) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+def events_anomaly(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type z-score anomaly summary with CROSS-ENGINE-EXACT moment
+    arithmetic: values quantize to integer 1e-4 units (floor(v*1e4+0.5)
+    — floor-based so both engines round identically, unlike their
+    round() half-rules), the two moments accumulate as exact integer
+    sums (order-independent, no float-summation ulp drift), and mean/
+    std/z derive from those exact integers through an identical double
+    expression on both engines.
+
+    Shape: one map-side-combined shuffle onto event types for the
+    moments, stats broadcast back onto the scan, one bounded-key
+    aggregate. At larger scale the integer sums become decimal(38,0)
+    (sum of q² reaches int64 range near ~10⁹ rows at this value
+    domain); the plan shape is unchanged."""
+    ev = t["events"]
+    q = F.expr("cast(floor(value * 10000 + 0.5) as bigint)")
+    base = ev.select("event_type", q.alias("__q"))
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__q").alias("__s"),
+        F.sum(F.col("__q") * F.col("__q")).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    var = (
+        F.col("__ss").cast("double") / F.col("__n").cast("double")
+        - mean * mean
+    )
+    stats = stats.select(
+        "event_type", "__n",
+        mean.alias("__mean"),
+        F.expr("sqrt(greatest(__ss / cast(__n as double) "
+               "- (__s / cast(__n as double)) * (__s / cast(__n as double)), "
+               "0.0D))").alias("__std"),
+    )
+    # nullif: a constant-valued group has std 0 - its rows are not
+    # anomalous (NULL z), never a DIVIDE_BY_ZERO
+    z = (F.col("__q").cast("double") - F.col("__mean")) / F.expr(
+        "nullif(__std, 0.0D)"
+    )
+    return (
+        base.join(F.broadcast(stats), "event_type")
+        .select("event_type", "__n", z.alias("__z"))
+        .groupBy("event_type")
+        .agg(
+            F.max("__n").alias("n"),
+            # when/otherwise, not a bool cast: a NULL z (zero-variance
+            # group) must count 0, matching the oracle's CASE ELSE 0
+            F.sum(
+                F.when(
+                    (F.col("__z") > 3.0) | (F.col("__z") < -3.0), F.lit(1)
+                ).otherwise(F.lit(0)).cast("long")
+            ).alias("n_anomalies"),
+            F.round(F.min("__z"), 6).alias("min_z"),
+            F.round(F.max("__z"), 6).alias("max_z"),
+        )
+    )
