@@ -37,43 +37,75 @@ def union_find(pairs):
     return {x: find(x) for x in parent}
 
 
-def run(spark, pairs, max_iterations=50):
+def run(spark, pairs, max_iterations=50, max_local_edges=1_000_000):
     df = spark.createDataFrame(
         [(a, b) for a, b in pairs], "doc_a long, doc_b long"
     )
     got = {
         (r["node"], r["component"])
-        for r in connected_components(df, max_iterations=max_iterations).collect()
+        for r in connected_components(
+            df, max_iterations=max_iterations,
+            max_local_edges=max_local_edges,
+        ).collect()
     }
     expect = set(union_find(pairs).items())
     assert got == expect
 
 
-def test_clique_and_disjoint_components(spark):
+# max_local_edges=0 forces the distributed star loop; the default takes
+# the adaptive driver union-find for bounded graphs — both must agree
+# with the reference union-find on every graph shape.
+@pytest.mark.parametrize("cap", [0, 1_000_000])
+def test_clique_and_disjoint_components(spark, cap):
     clique = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
     other = [(100, 101), (101, 102), (200, 201)]
-    run(spark, clique + other)
+    run(spark, clique + other, max_local_edges=cap)
 
 
-def test_long_path_converges_in_log_rounds(spark):
+@pytest.mark.parametrize("cap", [0, 1_000_000])
+def test_long_path_converges_in_log_rounds(spark, cap):
     # diameter 80: label propagation would need 80 rounds; the star
     # algorithm must finish within 12
     path = [(i, i + 1) for i in range(1000, 1080)]
-    run(spark, path, max_iterations=12)
+    run(spark, path, max_iterations=12, max_local_edges=cap)
 
 
-def test_reversed_and_duplicate_edges(spark):
-    run(spark, [(5, 3), (3, 5), (3, 1), (5, 9), (9, 1), (7, 8)])
+@pytest.mark.parametrize("cap", [0, 1_000_000])
+def test_reversed_and_duplicate_edges(spark, cap):
+    run(spark, [(5, 3), (3, 5), (3, 1), (5, 9), (9, 1), (7, 8)],
+        max_local_edges=cap)
 
 
-def test_random_graphs_match_union_find(spark):
+@pytest.mark.parametrize("cap", [0, 1_000_000])
+def test_random_graphs_match_union_find(spark, cap):
     rng = random.Random(42)
     nodes = list(range(500))
     pairs = [
         (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
     ]
     pairs = [(a, b) for a, b in pairs if a != b]
-    run(spark, pairs)
+    run(spark, pairs, max_local_edges=cap)
+
+
+def test_local_and_distributed_paths_agree_at_threshold(spark):
+    """The adaptive cutover must be invisible: solve the same graph with
+    the cap just below and just above the edge count."""
+    rng = random.Random(11)
+    pairs = list({(a, b) for a, b in (
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ) if a != b})
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    n_nodes = connected_components(df).count()  # one row per node
+    lo = {
+        (r["node"], r["component"])
+        for r in connected_components(df, max_local_edges=1).collect()
+    }
+    hi = {
+        (r["node"], r["component"])
+        for r in connected_components(df, max_local_edges=10**6).collect()
+    }
+    assert lo == hi == set(union_find(pairs).items())
+    assert n_nodes == len(lo)
 
 
 def test_oracle_cte_matches_union_find():

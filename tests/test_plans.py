@@ -471,7 +471,10 @@ def test_connected_components_round_is_window_not_join(psession):
     pairs = psession.createDataFrame(
         [(2, 1), (3, 2), (5, 4)], "doc_a long, doc_b long"
     )
-    out = connected_components(pairs, max_iterations=2)
+    # max_local_edges=0 forces the distributed star loop — the 100 TB
+    # path this pin is about (the default adaptively solves bounded
+    # graphs driver-side, like a broadcast join would)
+    out = connected_components(pairs, max_iterations=2, max_local_edges=0)
     plan = plan_of(out)
     assert "CartesianProduct" not in plan
     assert "collect_list" not in plan
