@@ -59,8 +59,12 @@ def replicate(spark, factor: int):
 def probe_ops(spark, docs):
     n = docs.count()
     yield "dedup_minhash", lambda: dedup.dedup_minhash(docs, threshold=0.5), n
+    # max_local_edges=0: the probe measures the DISTRIBUTED star loop —
+    # the 100 TB path whose scaling exponent SCALE.md claims; the
+    # adaptive driver union-find would otherwise absorb the small
+    # factors and make the exponent incomparable across rows
     yield "dedup_components", lambda: dedup.connected_components(
-        dedup.dedup_minhash(docs, threshold=0.5)
+        dedup.dedup_minhash(docs, threshold=0.5), max_local_edges=0
     ), n
     yield "substring_dedup", lambda: dedup.substring_dup_spans(docs), n
     yield "vocab_topk", lambda: textstats.vocab_topk(docs, k=100), n
