@@ -130,6 +130,11 @@ class Pipeline:
             )
             for k, v in cfg.get("options", {}).items():
                 writer = writer.option(k, v)
+            if "trigger" in cfg:
+                # e.g. {"availableNow": True} for a bounded drain of the
+                # backlog (the reference's run-to-completion replay mode),
+                # or {"processingTime": "5 seconds"}
+                writer = writer.trigger(**cfg["trigger"])
             if "path" in cfg:
                 self._queries.append(writer.start(cfg["path"]))
             else:

@@ -72,6 +72,104 @@ def test_streaming_start_stop(spark, tmp_path):
     assert not queries[0].isActive
 
 
+def test_deployment_multi_operator_graph_matches_batch(spark, tmp_path):
+    """Reference-style deployment (task_web.py:267-316 wires several
+    tasks over topics, then schedule/start/stop as a unit): ONE source
+    branching into a data topic and a control topic, re-joined by a
+    Gate, then a Calculator formula over the gated stream — declared as
+    a Pipeline DAG, drained with an availableNow trigger, and the
+    result must equal the batch composition of the same operators."""
+    import time as _time
+
+    from streamtasks_spark.core.timeutil import ensure_event_time
+    from streamtasks_spark.functions.calculator import compile_column
+    from streamtasks_spark.operators.stateful import gate
+    from streamtasks_spark.session import read_parquet
+    from streamtasks_spark.streaming.stateful import streaming_gate
+
+    sf = "/root/testdata/sf0.001"
+    ev_b = read_parquet(spark, f"{sf}/events.parquet")
+
+    def split_data(ev):
+        return ev.filter(F.col("event_type").isin("click", "view"))
+
+    def split_ctl(ev):
+        return ev.filter(F.col("event_type") == "purchase").withColumn(
+            "value",
+            F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+
+    def formula(df):
+        return df.withColumn(
+            "calc",
+            compile_column(
+                "value * 2 + max(value, 10)", {"value": F.col("value")}
+            ),
+        )
+
+    expect = {
+        (r["event_id"], r["calc"])
+        for r in formula(
+            gate(split_data(ev_b), split_ctl(ev_b),
+                 keys=["user_id"], seq_col="event_id")
+        ).collect()
+    }
+
+    # two time-split files -> two micro-batches with cross-batch latching
+    d = tmp_path / "events_in"
+    mid = ev_b.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev_b.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        str(d / "p1")
+    )
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    ev_b.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        str(d / "p2")
+    )
+
+    p = Pipeline(f"deploy_{uuid.uuid4().hex[:6]}")
+    p.source(
+        "events",
+        lambda s: ensure_event_time(
+            s.readStream.schema(ev_b.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(d))
+        ),
+    )
+    p.stage("data", split_data, "events")
+    p.stage("ctl", split_ctl, "events")
+    p.stage(
+        "gated",
+        lambda data, ctl: streaming_gate(
+            data, ctl, keys=["user_id"], seq_col="event_id"
+        ),
+        "data", "ctl",
+    )
+    p.stage("calc", formula, "gated")
+    out = str(tmp_path / "deploy_out")
+    queries = p.start(
+        spark,
+        sinks={
+            "calc": {
+                "format": "parquet",
+                "path": out,
+                "trigger": {"availableNow": True},
+                "checkpointLocation": str(tmp_path / "ckpt_deploy"),
+            }
+        },
+    )
+    try:
+        for q in queries:
+            assert q.awaitTermination(180)
+    finally:
+        p.stop()
+    got = {
+        (r["event_id"], r["calc"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expect
+
+
 def test_start_rejects_batch_sink(spark):
     p = Pipeline("b")
     p.source("nums", lambda s: s.range(10))
