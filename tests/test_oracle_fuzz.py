@@ -318,3 +318,137 @@ def test_event_tier_matches_oracle_on_adversarial_events(
             )
     assert len(ran) >= 30, f"only {len(ran)} events-only queries ran: {sorted(ran)}"
     assert not failures, "\n".join(failures[:40])
+
+
+# --------------------------------------------------------------- TPC-H tier
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+)
+
+
+def mutate_tpch(seed: int, frac: float) -> dict[str, list[dict]]:
+    """Adversarial relational tables by MUTATION RESAMPLING of the real
+    sf0.001 tables: resample rows with replacement (duplicate keys →
+    identical join fanout both engines), orphan a fraction of foreign
+    keys (customers without orders, lineitems whose order vanished —
+    outer/anti/semi join null paths), concentrate a hot order key, snap
+    dates to year boundaries (the filters' cutoff class) and
+    quantities/discounts to the queries' threshold bands. Engine
+    agreement needs no spec validity — both engines see identical
+    parquet bytes; what fuzz hunts is tie-ordering, NULL-handling and
+    ANSI-mode divergence the fixed testdata never exercises."""
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    base = "/root/testdata/sf0.001"
+    out: dict[str, list[dict]] = {}
+    for t in TPCH_TABLES:
+        rows = pq.read_table(f"{base}/{t}.parquet").to_pylist()
+        if t in ("region", "nation"):
+            out[t] = rows  # tiny fixed dims: keep intact
+            continue
+        n = max(3, int(len(rows) * frac))
+        rows = [dict(rng.choice(rows)) for _ in range(n)]
+        out[t] = rows
+
+    from datetime import datetime
+
+    year_starts = [datetime(y, 1, 1) for y in range(1995, 2002)]
+    hot_order = rng.choice(out["orders"])["o_orderkey"]
+    order_keys = [r["o_orderkey"] for r in out["orders"]]
+    for r in out["customer"]:
+        if rng.random() < 0.15:
+            r["c_acctbal"] = rng.choice([0.0, -999.99, 0.01])
+    for r in out["orders"]:
+        if rng.random() < 0.2:
+            r["o_orderdate"] = rng.choice(year_starts)
+        if rng.random() < 0.1:
+            r["o_custkey"] = 99_999_999  # orphan: no such customer
+    for r in out["lineitem"]:
+        if rng.random() < 0.15:
+            r["l_shipdate"] = rng.choice(year_starts)
+        if rng.random() < 0.15:
+            r["l_discount"] = rng.choice([0.04, 0.05, 0.06, 0.07, 0.08])
+        if rng.random() < 0.15:
+            r["l_quantity"] = float(rng.choice([1, 24, 25, 49, 50]))
+        roll = rng.random()
+        if roll < 0.05:
+            r["l_orderkey"] = hot_order  # hot key: heavy fanout
+        elif roll < 0.1:
+            r["l_orderkey"] = rng.choice(order_keys)  # re-wire
+        elif roll < 0.14:
+            r["l_orderkey"] = 88_888_888  # orphan lineitem
+    return out
+
+
+@pytest.fixture(scope="module")
+def fuzz_tpch_dirs(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "/root/testdata/sf0.001"
+    dirs = []
+    # dense resample + sparse resample (empty groups, empty scalar
+    # subqueries, aggregates over no rows)
+    for seed, frac in ((13, 0.9), (77, 0.12)):
+        d = tmp_path_factory.mktemp(f"fuzztpch{seed}")
+        tables = mutate_tpch(seed, frac)
+        for t in TPCH_TABLES:
+            schema = pq.read_schema(f"{base}/{t}.parquet")
+            pq.write_table(
+                pa.Table.from_pylist(tables[t], schema=schema),
+                str(d / f"{t}.parquet"),
+            )
+        dirs.append(str(d))
+    return dirs
+
+
+def test_relational_tier_matches_oracle_on_mutated_tpch(
+    spark, fuzz_tpch_dirs
+):
+    """Every query derivable from the 7 relational tables alone (the
+    TPC-H shapes + join-discipline queries) against its oracle on
+    mutation-resampled tables. Queries needing events/documents/
+    embeddings fail the read and are skipped; the test asserts the
+    relational population stays large enough that a wiring change
+    can't hollow it out."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    ran = set()
+    for sf_dir in fuzz_tpch_dirs:
+        con = duck_conn(sf_dir)
+        for name, fn in qs.items():
+            try:
+                sdf = fn(spark, sf_dir).toPandas()
+            except Exception as e:  # noqa: BLE001
+                msg = f"{type(e).__name__}: {e}"
+                if (
+                    "PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg
+                    or isinstance(e, KeyError)  # load_tables: table absent
+                ):
+                    continue  # needs events/documents/embeddings
+                failures.append(f"{sf_dir}/{name}: SPARK ERROR {msg[:300]}")
+                continue
+            if name not in oracles:
+                continue
+            try:
+                odf = con.execute(oracles[name]).df()
+                desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+                duck_types = {row[0]: row[1] for row in desc}
+            except Exception as e:  # noqa: BLE001
+                failures.append(
+                    f"{sf_dir}/{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}"
+                )
+                continue
+            ran.add(name)
+            problems = audit_types(sdf, odf, duck_types) + compare(name, sdf, odf)
+            failures.extend(
+                f"{os.path.basename(sf_dir)}/{name}: {p}" for p in problems
+            )
+    assert len(ran) >= 25, f"only {len(ran)} relational queries ran: {sorted(ran)}"
+    assert not failures, "\n".join(failures[:40])
