@@ -706,3 +706,25 @@ def test_streaming_stateless_text_tier(spark, tmp_path):
             for r in got_df.collect()
         }
         assert got == expect, op.__name__
+
+
+def test_stream_probe_pipelines_build(spark):
+    """scripts/stream_probe.py is the measured-throughput record; its
+    three pipeline builders must keep constructing valid streaming
+    plans as the operator APIs evolve (build-only — the probe itself
+    is run manually for numbers)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "stream_probe.py",
+    )
+    spec = importlib.util.spec_from_file_location("stream_probe", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert set(mod.PIPELINES) == {"stateless", "windowed", "stateful"}
+    for name, (build, _rpb, mode) in mod.PIPELINES.items():
+        df = build(spark, 1000)
+        assert df.isStreaming, name
+        assert mode in ("append", "update"), name
