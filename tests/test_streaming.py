@@ -728,3 +728,49 @@ def test_stream_probe_pipelines_build(spark):
         df = build(spark, 1000)
         assert df.isStreaming, name
         assert mode in ("append", "update"), name
+
+
+def test_query_metrics_listener_collects_progress(spark, tmp_path):
+    """The monitoring surface (reference task_web status dashboard):
+    progress rows must accumulate per micro-batch and come back as a
+    queryable DataFrame with sane rates."""
+    from streamtasks_spark.streaming.metrics import (
+        attach_metrics,
+        detach_metrics,
+        metrics_df,
+    )
+
+    listener = attach_metrics(spark)
+    try:
+        name = f"met_{uuid.uuid4().hex[:8]}"
+        df = pulse_generator(spark, interval_ms=50, partitions=2)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_met"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                rows = [
+                    r for r in listener.snapshot() if r[0] == name and r[4] > 0
+                ]
+                if len(rows) >= 2:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        mdf = metrics_df(spark, listener).filter(F.col("query_name") == name)
+        got = mdf.filter(F.col("num_input_rows") > 0).collect()
+        assert len(got) >= 2
+        assert all(r["processed_rows_per_sec"] > 0 for r in got)
+        assert all(r["batch_duration_ms"] >= 0 for r in got)
+        # empty-ring path stays queryable
+        from streamtasks_spark.streaming.metrics import QueryMetricsListener
+
+        empty = QueryMetricsListener()
+        assert metrics_df(spark, empty).count() == 0
+    finally:
+        detach_metrics(spark, listener)
