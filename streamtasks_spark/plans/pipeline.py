@@ -105,12 +105,18 @@ class Pipeline:
         sinks: dict[str, dict],
         *,
         checkpoint_root: str = "/tmp/streamtasks_spark_ckpt",
+        run_id: str | None = None,
     ) -> list:
         """Streaming run: one writeStream per sink stage. ``sinks`` maps
         stage name → writer options (format, outputMode, options...).
         Checkpoints live under a per-run namespace (the reference's
-        topic-space isolation, discovery.py:83-109)."""
-        run_id = uuid.uuid4().hex[:12]
+        topic-space isolation, discovery.py:83-109). Pass the same
+        ``run_id`` across invocations to RESUME the deployment from its
+        checkpoints — source offsets and operator state carry over, so
+        a stopped graph picks up where it left off (the reference's
+        deployment stop/start lifecycle, task_web.py:286-316); omit it
+        for a fresh isolated run."""
+        run_id = run_id or uuid.uuid4().hex[:12]
         built = self.materialize(spark)
         for stage_name, cfg in sinks.items():
             df = built[stage_name]

@@ -224,3 +224,106 @@ def test_write_dataset_max_records_splits_files(spark, tmp_path):
     write_dataset(df, out, max_records_per_file=100, target_file_mb=10_000)
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) >= 10  # 1000 rows / 100-record cap
+
+
+def test_deployment_resume_with_run_id_keeps_state_and_offsets(
+    spark, tmp_path
+):
+    """Stop/start lifecycle parity (reference task_web.py:286-316): a
+    deployment restarted under the same run_id must resume from its
+    checkpoints — already-read files are not reprocessed, and stateful
+    operator state (the gate's latched control) survives the restart."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from streamtasks_spark.core.timeutil import ensure_event_time
+    from streamtasks_spark.streaming.stateful import streaming_gate
+
+    d = tmp_path / "in"
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    def write_file(sub, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / sub)
+        )
+
+    from datetime import datetime
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # run 1: control OPENS the gate for user 7; one data row passes
+    write_file("p1", [
+        (1, t(1), 7, "purchase", 30.0),   # control: open (>25 -> 1.0)
+        (2, t(2), 7, "click", 5.0),       # passes
+    ])
+
+    def build(p):
+        p.source(
+            "events",
+            lambda s: ensure_event_time(
+                s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(str(d))
+            ),
+        )
+        p.stage(
+            "data",
+            lambda ev: ev.filter(F.col("event_type") == "click"),
+            "events",
+        )
+        p.stage(
+            "ctl",
+            lambda ev: ev.filter(F.col("event_type") == "purchase")
+            .withColumn(
+                "value",
+                F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0)),
+            ),
+            "events",
+        )
+        p.stage(
+            "gated",
+            lambda data, ctl: streaming_gate(
+                data, ctl, keys=["user_id"], seq_col="event_id"
+            ),
+            "data", "ctl",
+        )
+        return p
+
+    out = str(tmp_path / "out")
+    sink = {
+        "gated": {
+            "format": "parquet",
+            "path": out,
+            "trigger": {"availableNow": True},
+        }
+    }
+    root = str(tmp_path / "ckpt_root")
+
+    p1 = build(Pipeline("resume_demo"))
+    qs = p1.start(spark, sinks=sink, checkpoint_root=root, run_id="run7")
+    for q in qs:
+        assert q.awaitTermination(120)
+    p1.stop()
+    first = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {2}
+
+    # run 2: ONLY new data rows — no fresh control. They pass iff the
+    # gate's latch was restored from the run's checkpointed state.
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    write_file("p2", [
+        (3, t(10), 7, "click", 6.0),   # passes only via restored latch
+        (4, t(11), 8, "click", 7.0),   # user 8 never opened: dropped
+    ])
+    p2 = build(Pipeline("resume_demo"))
+    qs = p2.start(spark, sinks=sink, checkpoint_root=root, run_id="run7")
+    for q in qs:
+        assert q.awaitTermination(120)
+    p2.stop()
+    got = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    # no duplicate of event 2 (offsets resumed), event 3 passed (state
+    # restored), event 4 dropped (no control for user 8)
+    assert got == {2, 3}
