@@ -88,3 +88,86 @@ def write_dataset(
         "est_bytes": est,
         "partition_by": list(partition_by),
     }
+
+
+def shuffle_shards(
+    df: DataFrame,
+    *,
+    id_cols: Sequence[str],
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: every row
+    gets a ``(shard, pos)`` address that is a seeded pseudorandom
+    permutation of the corpus — the "global shuffle before training"
+    step, reproducible across runs and engines.
+
+    Design for 100 TB:
+    - the shuffle key is an md5-derived 60-bit integer of
+      ``(id_cols..., seed)`` — the repo's cross-engine hash (identical
+      bit pattern in Spark and DuckDB, see llmdata/dedup.py), so shard
+      assignment is a pure narrow expression, reproducible anywhere;
+    - ``pos`` is a row_number window PER SHARD (partitionBy shard,
+      order by hash) — ~corpus/n_shards rows per window partition,
+      never a single global sort; a training reader streams shard
+      files and trusts ``pos`` for intra-shard order;
+    - ties: the hash orders by (hash, id_cols...) so exact hash
+      collisions stay deterministic.
+
+    Changing ``seed`` re-permutes every epoch; `write_dataset(...,
+    partition_by=[shard_col], sort_within=[pos_col])` materializes the
+    shuffled dataset with one partition-aligned exchange.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not id_cols:
+        raise ValueError("shuffle_shards: id_cols must be non-empty")
+    if n_shards < 1:
+        raise ValueError("shuffle_shards: n_shards must be >= 1")
+    # 60-bit md5 prefix: always non-negative, so Spark pmod and DuckDB %
+    # agree on the shard id
+    h = F.expr(
+        f"cast(conv(substr(md5(concat_ws('|', "
+        f"{', '.join(f'cast({c} as string)' for c in id_cols)}, "
+        f"'{int(seed)}')), 1, 15), 16, 10) as bigint)"
+    )
+    out = df.withColumn("__h", h).withColumn(
+        shard_col, F.pmod(F.col("__h"), F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("__h").asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    return out.withColumn(
+        pos_col, (F.row_number().over(w) - 1).cast("long")
+    ).drop("__h")
+
+
+def oracle_shuffle_shards_sql(
+    table: str,
+    *,
+    id_cols: Sequence[str],
+    n_shards: int,
+    seed: int = 0,
+    select_cols: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`shuffle_shards` (same md5-derived hash)."""
+    ids = ", ".join(f"cast({c} as varchar)" for c in id_cols)
+    keep = ", ".join(select_cols) if select_cols else ", ".join(id_cols)
+    order_ids = ", ".join(id_cols)
+    return f"""
+WITH h AS (
+  SELECT {keep},
+    CAST('0x' || substr(md5(concat_ws('|', {ids}, '{int(seed)}')), 1, 15)
+         AS BIGINT) AS __h
+  FROM {table}
+)
+SELECT {keep},
+  CAST(__h % {int(n_shards)} AS INT) AS shard,
+  CAST(row_number() OVER (
+    PARTITION BY __h % {int(n_shards)} ORDER BY __h, {order_ids}
+  ) - 1 AS BIGINT) AS pos
+FROM h
+"""

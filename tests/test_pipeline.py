@@ -327,3 +327,61 @@ def test_deployment_resume_with_run_id_keeps_state_and_offsets(
     # no duplicate of event 2 (offsets resumed), event 3 passed (state
     # restored), event 4 dropped (no control for user 8)
     assert got == {2, 3}
+
+
+def test_shuffle_shards_matches_duckdb_bit_exactly(spark):
+    """Deterministic global shuffle: the (shard, pos) addressing must be
+    bit-identical across engines (same md5-derived hash), seed-stable,
+    and a complete permutation of the corpus."""
+    import duckdb
+
+    from streamtasks_spark.core.dataset import (
+        oracle_shuffle_shards_sql,
+        shuffle_shards,
+    )
+    from streamtasks_spark.session import read_parquet
+
+    sys_path_scripts = __import__("os").path.join(
+        __import__("os").path.dirname(
+            __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+        ),
+        "scripts",
+    )
+    import sys
+
+    if sys_path_scripts not in sys.path:
+        sys.path.insert(0, sys_path_scripts)
+    from check_oracle import compare
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    got = shuffle_shards(
+        docs.select("doc_id"), id_cols=["doc_id"], n_shards=8, seed=3
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.execute(
+        oracle_shuffle_shards_sql(
+            "documents", id_cols=["doc_id"], n_shards=8, seed=3
+        )
+    ).df()
+    assert compare("shuffle_shards", got, want) == []
+
+    # complete permutation: every doc exactly once, every shard densely
+    # numbered 0..k-1
+    n = docs.count()
+    assert len(got) == n and got["doc_id"].nunique() == n
+    for _, g in got.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+
+    # a different seed re-permutes (some address must move)
+    got2 = shuffle_shards(
+        docs.select("doc_id"), id_cols=["doc_id"], n_shards=8, seed=4
+    ).toPandas()
+    merged = got.merge(got2, on="doc_id", suffixes=("_a", "_b"))
+    assert (
+        (merged["shard_a"] != merged["shard_b"])
+        | (merged["pos_a"] != merged["pos_b"])
+    ).any()

@@ -579,3 +579,20 @@ def test_corpus_prepare_broadcasts_only_drop_lists(psession):
     assert "EvalPython" not in plan
     # the two drop lists + decontaminate's eval n-gram set
     assert plan.count("BroadcastHashJoin") >= 3, plan[:900]
+
+
+def test_shuffle_shards_window_is_per_shard_not_global(psession):
+    """The training-shuffle addressing must window PER SHARD — a global
+    row_number (empty partition spec) would funnel the corpus through
+    one task."""
+    from streamtasks_spark.core.dataset import shuffle_shards
+
+    df = psession.range(1000).withColumnRenamed("id", "doc_id")
+    plan = plan_of(
+        shuffle_shards(df, id_cols=["doc_id"], n_shards=8, seed=1)
+    )
+    assert "row_number" in plan
+    # the exchange feeding the window hashes on the shard column, never
+    # a SinglePartition funnel
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(shard", plan)
