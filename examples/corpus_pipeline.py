@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""The 100 TB training-data path, end to end at sf0.001: quality rules
+→ near-dup classes → decontamination → split assignment → deterministic
+global shuffle → size-managed sharded parquet output.
+
+Every stage is the scale-shaped operator (banded LSH, broadcast drop
+lists, per-shard shuffle windows) — this script just composes them the
+way a production corpus build would.
+
+Run: python examples/corpus_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streamtasks_spark.core.dataset import shuffle_shards, write_dataset
+from streamtasks_spark.llmdata.dedup import connected_components, dedup_minhash
+from streamtasks_spark.llmdata.pipeline import decontaminate, split_assign
+from streamtasks_spark.llmdata.quality import quality_filter
+from streamtasks_spark.session import get_spark, read_parquet
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark("example_corpus")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality rules (one scan, inline expressions; quality_filter
+    # emits per-rule 0/1 flags + keep, keyed by doc_id)
+    keep_ids = quality_filter(docs).filter(F.col("keep") == 1).select("doc_id")
+    kept = docs.join(keep_ids, "doc_id", "left_semi")
+
+    # 2. near-dup classes: keep one canonical doc per class
+    comp = connected_components(dedup_minhash(kept, threshold=0.5))
+    dups = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = kept.join(F.broadcast(dups), "doc_id", "left_anti")
+
+    # 3. decontamination vs a held-out eval set (here: a synthetic slice)
+    eval_docs = docs.filter(F.col("doc_id") % 25 == 7)
+    contaminated = decontaminate(kept, eval_docs).select("doc_id")
+    kept = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    # 4. deterministic split + global shuffle + sharded write
+    kept = split_assign(kept, carry=("text", "lang", "source", "n_chars"))
+    train = kept.filter(F.col("split") == "train").drop("split")
+    addressed = shuffle_shards(
+        train, id_cols=["doc_id"], n_shards=8, seed=42
+    )
+
+    td = tempfile.TemporaryDirectory(prefix="corpus_out_")
+    out = out_dir or td.name
+    manifest = write_dataset(
+        addressed, f"{out}/train",
+        partition_by=["shard"], sort_within=["pos"], target_file_mb=64,
+    )
+
+    back = spark.read.parquet(f"{out}/train")
+    n_train = back.count()
+    print(f"docs in: {n0}")
+    print(f"after quality+dedup+decontam: {kept.count()}")
+    print(f"train shard files written: {manifest['n_shards']} shards, "
+          f"{n_train} docs, est {manifest['est_bytes']} bytes")
+    assert n_train > 0 and back.select("shard").distinct().count() <= 8
+    print("ok")
+
+
+if __name__ == "__main__":
+    main()

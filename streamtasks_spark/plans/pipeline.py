@@ -132,7 +132,14 @@ class Pipeline:
                         f"{checkpoint_root}/{self.name}/{run_id}/{stage_name}",
                     ),
                 )
-                .queryName(f"{self.name}_{run_id}_{stage_name}")
+                .queryName(
+                    # memory-sink view names reject hyphens/dots — keep
+                    # deployment names unrestricted, sanitize here
+                    "".join(
+                        c if c.isalnum() or c == "_" else "_"
+                        for c in f"{self.name}_{run_id}_{stage_name}"
+                    )
+                )
             )
             for k, v in cfg.get("options", {}).items():
                 writer = writer.option(k, v)

@@ -385,3 +385,24 @@ def test_shuffle_shards_matches_duckdb_bit_exactly(spark):
         (merged["shard_a"] != merged["shard_b"])
         | (merged["pos_a"] != merged["pos_b"])
     ).any()
+
+
+def test_examples_import_cleanly():
+    """examples/ scripts (reference examples/ parity) must at least
+    import — full runs are manual (each spins its own session)."""
+    import importlib.util
+    import os
+
+    exdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+    )
+    mods = sorted(f for f in os.listdir(exdir) if f.endswith(".py"))
+    assert len(mods) >= 3
+    for f in mods:
+        spec = importlib.util.spec_from_file_location(
+            f"example_{f[:-3]}", os.path.join(exdir, f)
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert callable(getattr(mod, "main", None)), f
