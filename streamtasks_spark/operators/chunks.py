@@ -291,7 +291,10 @@ def audio_mixer(
 ) -> DataFrame:
     """Element-wise sum of two chunk streams aligned on (keys, ts);
     missing chunks zero-fill (reference gap-fill, audiomixer.py:105-112).
-    Output: (keys, ts, mixed array, n_present)."""
+    For the reference's full mixer alignment, run each drifting track
+    through :func:`stretch_align` first (the AudioSequencer re-sync,
+    max_stretch_ratio audiomixer.py:33). Output: (keys, ts, mixed
+    array, n_present)."""
     zeros = F.array_repeat(F.lit(0.0), chunk_size)
     an = a.select(*keys, ts, F.col(samples_col).alias("__a"))
     bn = b.select(*keys, ts, F.col(samples_col).alias("__b"))
@@ -340,6 +343,106 @@ def audio_resampler(
             ")"
         )
     return chunks.withColumn(out_col, F.expr(expr))
+
+
+
+
+def stretch_align(
+    chunks: "DataFrame",
+    *,
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    samples_col: str = "samples",
+    seq_col: str | None = None,
+    rate: int = 16_000,
+    chunk_size: int = 16,
+    max_stretch_ratio: float = 1.1,
+) -> "DataFrame":
+    """Per-track drift correction by bounded linear-interp stretching —
+    the reference AudioSequencer's re-sync step (media/util.py:188-269,
+    wired into the mixer at audiomixer.py:99-120 with
+    ``max_stretch_ratio`` 1.1): each track keeps a sample clock; when a
+    chunk's event time drifts from that clock, the chunk is stretched
+    or squeezed by at most the ratio bound so the clock converges
+    instead of accumulating error. Compose with :func:`audio_mixer`
+    (``stretch_align`` each track first) for the reference's full
+    mixer alignment.
+
+    Exact recurrence (integer sample units, cross-engine reproducible):
+    with ``e_i = floor((ts_i - ts_0) * rate / 1e6 us)`` the nominal
+    clock offset and ``S_i`` the samples emitted before chunk i,
+
+        m_i = n + clamp(e_i - S_i, -d, +d),   d = round(n*(ratio-1))
+        S_{i+1} = S_i + m_i
+
+    and chunk i is resampled n -> m_i with the same endpoint-preserving
+    linear interpolation as :func:`audio_resampler`.
+
+    Scale shape: the fold that resolves the recurrence runs over ONE
+    compact integer list per key (collect_list of (idx, e) pairs — no
+    sample data), then a join on (keys, idx) carries m back and the
+    resample itself is a narrow per-row expression. Like the exact
+    quantiles, per-key folds assume bounded tracks; an unbounded track
+    would move this to applyInPandasWithState (streaming tier).
+
+    Output: input columns plus ``m`` (emitted length) and ``aligned``
+    (the stretched chunk).
+    """
+    n = int(chunk_size)
+    d = int(round(n * (max_stretch_ratio - 1.0)))
+    order = [F.col(ts).asc()] + (
+        [F.col(seq_col).asc()] if seq_col else []
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    rows = chunks.withColumn("__idx", F.row_number().over(w) - 1).withColumn(
+        "__e",
+        F.floor(
+            (epoch_us(ts) - F.min(epoch_us(ts)).over(w))
+            * F.lit(int(rate))
+            / F.lit(1_000_000)
+        ).cast("long"),
+    )
+    # resolve the recurrence per key over a compact integer list
+    ms = (
+        rows.groupBy(*keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__idx", "__e"))
+            ).alias("__es")
+        )
+        .select(
+            *keys,
+            F.expr(
+                f"""aggregate(
+                  __es,
+                  struct(cast(0 as bigint) as s, cast(array() as array<bigint>) as ms),
+                  (acc, x) -> struct(
+                    acc.s + ({n} + greatest(cast(-{d} as bigint),
+                                            least(cast({d} as bigint), x.__e - acc.s))),
+                    concat(acc.ms, array({n} + greatest(cast(-{d} as bigint),
+                                            least(cast({d} as bigint), x.__e - acc.s))))
+                  ),
+                  acc -> acc.ms
+                )"""
+            ).alias("__ms"),
+        )
+        .select(*keys, F.posexplode("__ms").alias("__idx", "__m"))
+    )
+    out = rows.join(ms, [*keys, "__idx"])
+    interp = (
+        f"CASE WHEN __m <= 1 THEN array(element_at({samples_col}, 1)) "
+        f"ELSE transform(sequence(0, cast(__m - 1 as int)), j -> "
+        f"((j * {n - 1}) / (__m - 1) - floor((j * {n - 1}) / (__m - 1))) * "
+        f"element_at({samples_col}, cast(least(floor((j * {n - 1}) / (__m - 1)) + 2, {n}) as int)) + "
+        f"(1.0 - ((j * {n - 1}) / (__m - 1) - floor((j * {n - 1}) / (__m - 1)))) * "
+        f"element_at({samples_col}, cast(floor((j * {n - 1}) / (__m - 1)) + 1 as int))"
+        f") END"
+    )
+    return (
+        out.withColumn("aligned", F.expr(interp))
+        .withColumnRenamed("__m", "m")
+        .drop("__idx", "__e")
+    )
 
 
 def video_activity_meter(

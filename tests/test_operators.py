@@ -486,3 +486,109 @@ def test_range_join_reversed_and_null_bounds(spark):
     )
     out = range_join(left, nulls, keys=["key"], bucket_minutes=1).collect()
     assert len(out) == 1 and out[0]["v"] == 1
+
+
+def test_stretch_align_resyncs_clock_and_matches_duckdb(spark, tmp_path):
+    """AudioSequencer drift correction (reference media/util.py:188-269,
+    max_stretch_ratio audiomixer.py:33): per-track sample clock must
+    converge to event time under jitter, stretch stays within the
+    ratio bound, and the whole op is bit-identical to a DuckDB twin
+    built on the same integer recurrence."""
+    import os
+    import sys
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from streamtasks_spark.operators.chunks import stretch_align
+
+    scripts = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    )
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    from check_oracle import compare
+
+    n, rate, ratio = 16, 16_000, 1.1
+    d = round(n * (ratio - 1.0))  # ±2 samples per chunk
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for k in (1, 2, 3):
+        drift = 0
+        for i in range(40):
+            # deterministic jitter: accumulating then receding phase
+            drift += (37 * (i + k) % 23) - 11
+            ts = t0 + timedelta(microseconds=i * 1000 + max(0, drift) * 10)
+            rows.append(
+                (k, i, ts, [float((i * n + j + k) % 9) for j in range(n)])
+            )
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, samples array<double>",
+    )
+    src = str(tmp_path / "chunks.parquet")
+    df.coalesce(1).write.parquet(src)
+    back = spark.read.parquet(src)
+
+    out = stretch_align(
+        back, keys=["user_id"], seq_col="event_id",
+        rate=rate, chunk_size=n, max_stretch_ratio=ratio,
+    )
+    got = out.select(
+        "user_id", "event_id", "m",
+        F.size("aligned").alias("n_out"),
+        (F.round(F.expr("aggregate(aligned, 0D, (acc, x) -> acc + x)"), 6)
+         + F.lit(0.0)).alias("sum_aligned"),
+        (F.round(F.element_at("aligned", 1), 6) + F.lit(0.0)).alias("first_s"),
+    ).toPandas()
+
+    # stretch bound honored
+    assert got["m"].between(n - d, n + d).all()
+
+    # the clock converges: cumulative emitted samples track the nominal
+    # event-time clock within one chunk's correction budget window
+    per_key = out.select("user_id", "ts", "m").toPandas()
+    for k, g in per_key.groupby("user_id"):
+        g = g.sort_values("ts")
+        emitted = g["m"].cumsum().shift(fill_value=0)
+        nominal = (
+            (g["ts"] - g["ts"].iloc[0]).dt.total_seconds() * rate
+        ).apply(int)
+        # drift never exceeds the per-chunk clamp times a small factor
+        assert (emitted - nominal).abs().max() <= 4 * d + n
+
+    pos = "((j * 15) / (m - 1))"
+    oracle = f"""
+WITH RECURSIVE b AS (
+  SELECT user_id, event_id, samples,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+    CAST(floor((epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+         * {rate} / 1000000.0) AS BIGINT) AS e
+  FROM read_parquet('{src}/*.parquet')
+), rec AS (
+  SELECT user_id, idx,
+    CAST({n} AS BIGINT) + greatest(-{d}, least({d}, e)) AS m,
+    CAST({n} AS BIGINT) + greatest(-{d}, least({d}, e)) AS s_after
+  FROM b WHERE idx = 0
+  UNION ALL
+  SELECT b.user_id, b.idx,
+    {n} + greatest(-{d}, least({d}, b.e - r.s_after)),
+    r.s_after + {n} + greatest(-{d}, least({d}, b.e - r.s_after))
+  FROM b JOIN rec r ON b.user_id = r.user_id AND b.idx = r.idx + 1
+), j AS (
+  SELECT b.user_id, b.event_id, r.m,
+    CASE WHEN r.m <= 1 THEN [b.samples[1]]
+    ELSE list_transform(range(0, CAST(r.m AS INT)), j ->
+      ({pos} - floor({pos})) * b.samples[CAST(least(floor({pos}) + 2, {n}) AS INT)]
+      + (1.0 - ({pos} - floor({pos}))) * b.samples[CAST(floor({pos}) + 1 AS INT)])
+    END AS aligned
+  FROM b JOIN rec r ON b.user_id = r.user_id AND b.idx = r.idx
+)
+SELECT user_id, event_id, m, len(aligned) AS n_out,
+  round(list_sum(aligned), 6) + 0.0 AS sum_aligned,
+  round(aligned[1], 6) + 0.0 AS first_s
+FROM j
+"""
+    want = duckdb.connect().execute(oracle).df()
+    assert compare("stretch_align", got, want) == []
