@@ -412,6 +412,82 @@ def streaming_time_buffer(
     )
 
 
+def streaming_stretch_align(
+    data: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts: str = "ts",
+    samples_col: str = "samples",
+    seq_col: str | None = None,
+    rate: int = 16_000,
+    chunk_size: int = 16,
+    max_stretch_ratio: float = 1.1,
+) -> DataFrame:
+    """Streaming twin of ``operators.chunks.stretch_align`` — and the
+    operator's true 100 TB shape: the batch version resolves the
+    clamped clock recurrence with a per-key fold (bounded tracks),
+    while here the recurrence IS the state: one (t0, emitted-samples)
+    pair per key, O(1) state, unbounded tracks. Same integer
+    arithmetic, same interpolation op order, so outputs are
+    bit-identical to the batch twin (duality-tested).
+
+    Rows are processed in (ts, seq) order within each micro-batch;
+    cross-batch order follows the topic contract (nondecreasing event
+    time per key, SURVEY \u00a71.3)."""
+    import numpy as np
+
+    n = int(chunk_size)
+    d = int(round(n * (max_stretch_ratio - 1.0)))
+    cols = list(data.columns)
+    base = _schema_of(data, cols)
+    out_schema = StructType(
+        base.fields
+        + StructType.fromDDL("m bigint, aligned array<double>").fields
+    )
+    state_schema = StructType.fromDDL("t0 bigint, s bigint")
+    sort_cols = [ts] + ([seq_col] if seq_col else [])
+
+    def interp(s: "np.ndarray", m: int) -> "np.ndarray":
+        if m <= 1:
+            return s[:1].copy()
+        j = np.arange(m, dtype=np.int64)
+        pos = (j * (n - 1)) / (m - 1)
+        lo = np.floor(pos)
+        frac = pos - lo
+        hi_idx = np.minimum(lo.astype(np.int64) + 1, n - 1)
+        # op order mirrors the JVM expression: frac*hi + (1.0-frac)*lo
+        return frac * s[hi_idx] + (1.0 - frac) * s[lo.astype(np.int64)]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        ts_us = pdf[ts].astype("int64") // 1000  # ns -> us
+        if state.exists:
+            t0, s_emitted = state.get
+        else:
+            t0, s_emitted = int(ts_us.iloc[0]), 0
+        ms = []
+        aligned = []
+        for i in range(len(pdf)):
+            # float64 division exactly as the batch expression computes it
+            e = int(np.floor(float((int(ts_us.iloc[i]) - t0) * rate) / 1_000_000.0))
+            m = n + max(-d, min(d, e - s_emitted))
+            s_emitted += m
+            ms.append(m)
+            arr = np.asarray(pdf[samples_col].iloc[i], dtype=np.float64)
+            aligned.append(interp(arr, m))
+        state.update((t0, s_emitted))
+        out = pdf[cols].copy()
+        out["m"] = pd.Series(ms, dtype="int64")
+        out["aligned"] = aligned
+        yield out
+
+    return data.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_llm_chat(
     messages: DataFrame,
     *,

@@ -774,3 +774,59 @@ def test_query_metrics_listener_collects_progress(spark, tmp_path):
         assert metrics_df(spark, empty).count() == 0
     finally:
         detach_metrics(spark, listener)
+
+
+def test_streaming_stretch_align_matches_batch(spark, tmp_path):
+    """Duality for the drift re-sync: the O(1)-state streaming twin must
+    reproduce the batch fold bit-exactly across a micro-batch boundary
+    (the clock recurrence spans the batch seam)."""
+    from datetime import datetime, timedelta
+
+    from streamtasks_spark.operators.chunks import stretch_align
+    from streamtasks_spark.streaming.stateful import streaming_stretch_align
+
+    n, rate = 16, 16_000
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for k in (1, 2):
+        drift = 0
+        for i in range(30):
+            drift += (31 * (i + k) % 19) - 9
+            ts = t0 + timedelta(microseconds=i * 1000 + max(0, drift) * 10)
+            rows.append(
+                (k, i, ts, [float((i * n + j + k) % 9) for j in range(n)])
+            )
+    schema = (
+        "user_id long, event_id long, ts timestamp, samples array<double>"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    batch = stretch_align(
+        df, keys=["user_id"], seq_col="event_id", rate=rate, chunk_size=n
+    )
+    expect = {
+        (r["user_id"], r["event_id"]): (r["m"], tuple(r["aligned"]))
+        for r in batch.collect()
+    }
+
+    # split mid-track so the recurrence crosses the micro-batch seam
+    d = tmp_path / "stream_in"
+    df.filter(F.col("event_id") < 15).coalesce(1).write.parquet(str(d / "p1"))
+    time.sleep(1.1)
+    df.filter(F.col("event_id") >= 15).coalesce(1).write.parquet(str(d / "p2"))
+
+    src = ensure_event_time(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    out = streaming_stretch_align(
+        src, keys=["user_id"], seq_col="event_id", rate=rate, chunk_size=n
+    )
+    got_df = run_to_memory(spark, out, tmp_path)
+    got = {
+        (r["user_id"], r["event_id"]): (r["m"], tuple(r["aligned"]))
+        for r in got_df.collect()
+    }
+    assert got == expect  # exact float equality — same op order both paths
