@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamtasks_spark.functions import calculator as calc
@@ -753,6 +753,46 @@ def _q_speech_enhance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stretch_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AudioSequencer drift re-sync (reference media/util.py:188-269,
+    wired into the mixer at audiomixer.py:99-120): per-track sample
+    clock converges on event time by stretching each chunk within the
+    ±10% clamp. Synthetic per-track timeline (1 ms nominal spacing,
+    deterministic ±560 us jitter derived from event_id) exercises the
+    clamp in both directions; oracle is a recursive-CTE DuckDB twin of
+    the same integer recurrence."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "event_id", "user_id", "ts",
+            F.expr(_SAMPLES_EXPR).alias("samples"),
+        )
+        .withColumn("__i", F.row_number().over(w) - 1)
+        .withColumn(
+            "ts2",
+            F.timestamp_micros(
+                F.col("__i") * 1000
+                + ((F.col("event_id") * 13) % 29 - 14) * 40
+            ),
+        )
+        .drop("__i", "ts")
+    )
+    out = chunkops.stretch_align(
+        clicks, keys=["user_id"], ts="ts2", seq_col="event_id",
+        rate=16_000, chunk_size=16, max_stretch_ratio=1.1,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "m",
+        F.size("aligned").alias("n_out"),
+        _r6z(F.expr("aggregate(aligned, 0D, (acc, x) -> acc + x)"), "sum_aligned"),
+        _r6z(F.element_at("aligned", 1), "first_s"),
+    )
+
+
 def _q_llm_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamtasks_spark.media.inference import llm_chat_stub
 
@@ -1274,6 +1314,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
+        # stretch_align is NEW in r04 but the window is exactly full
+        # with changed-or-never-checked queries (every one of the 50
+        # above ships uncertified otherwise); it is bit-pinned against
+        # its DuckDB twin in tests/test_operators.py and in
+        # scripts/check_oracle.py, and is first in line for the r05
+        # window rotation.
+        "stretch_align": _q_stretch_align,
         # r01/r02-green, unchanged ops displaced by the ten new r04
         # corpus/embedding/analytics queries and the nine norm_text
         # oracle rotations (lowest drift risk: pure relational /
@@ -1898,6 +1945,50 @@ SELECT event_id, user_id,
 FROM e
 """
 
+# stretch_align: same integer recurrence as the Spark fold
+# (operators/chunks.py:371-427) resolved with a recursive CTE; linear
+# interp mirrors the resampler kernel. n=16, rate=16000, ratio=1.1 →
+# d=2; synthetic per-track clock: 1 ms nominal + jitter from event_id.
+_SA_POS = "((j * 15) / (m - 1))"
+_STRETCH_ALIGN_SQL = f"""
+WITH RECURSIVE src AS (
+  SELECT event_id, user_id, {_SAMPLES_DUCK} AS samples,
+    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+      * 1000 + ((event_id * 13) % 29 - 14) * 40 AS us
+  FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT user_id, event_id, samples,
+    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) - 1 AS idx,
+    CAST(floor((us - min(us) OVER (PARTITION BY user_id))
+         * 16000 / 1000000.0) AS BIGINT) AS e
+  FROM src
+), rec AS (
+  SELECT user_id, idx,
+    CAST(16 AS BIGINT) + greatest(-2, least(2, e)) AS m,
+    CAST(16 AS BIGINT) + greatest(-2, least(2, e)) AS s_after
+  FROM b WHERE idx = 0
+  UNION ALL
+  SELECT b.user_id, b.idx,
+    16 + greatest(-2, least(2, b.e - r.s_after)),
+    r.s_after + 16 + greatest(-2, least(2, b.e - r.s_after))
+  FROM b JOIN rec r ON b.user_id = r.user_id AND b.idx = r.idx + 1
+), al AS (
+  SELECT b.user_id, b.event_id, r.m,
+    CASE WHEN r.m <= 1 THEN [b.samples[1]]
+    ELSE list_transform(range(0, CAST(r.m AS INT)), j ->
+      ({_SA_POS} - floor({_SA_POS}))
+        * b.samples[CAST(least(floor({_SA_POS}) + 2, 16) AS INT)]
+      + (1.0 - ({_SA_POS} - floor({_SA_POS})))
+        * b.samples[CAST(floor({_SA_POS}) + 1 AS INT)])
+    END AS aligned
+  FROM b JOIN rec r ON b.user_id = r.user_id AND b.idx = r.idx
+)
+SELECT user_id, event_id, m, len(aligned) AS n_out,
+  round(list_sum(aligned), 6) + 0.0 AS sum_aligned,
+  round(aligned[1], 6) + 0.0 AS first_s
+FROM al
+"""
+
 # stub reply = 'reply#' || len(history) || ':' || total chars of the last
 # history_limit(=8) messages including the current one
 _LLM_CHAT_SQL = """
@@ -2175,6 +2266,7 @@ def oracle_sql() -> dict[str, str]:
         "asr_transcribe": _ASR_SQL,
         "tts_synthesize": _TTS_SQL,
         "speech_enhance": _ENHANCE_SQL,
+        "stretch_align": _STRETCH_ALIGN_SQL,
         "llm_chat": _LLM_CHAT_SQL,
         "pii_scrub": _oracle_pii_scrub(),
         "text_stats": textstats.oracle_text_stats_sql(),
