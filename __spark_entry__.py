@@ -320,6 +320,16 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality pin for the MinHash-LSH dedup tier (analog of
+    ann_recall for the ANN tiers): exhaustive exact-Jaccard ground
+    truth via a postings self-join vs the banded LSH candidates, as one
+    deterministic summary row (n_exact / n_candidates / n_verified /
+    recall / candidate_precision)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup.dedup_recall_probe(docs, threshold=0.5)
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocab first pass: top-100 corpus tokens by occurrence
     count with document frequency, deterministic (count desc, token
@@ -1321,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_oracle.py, and is first in line for the r05
         # window rotation.
         "stretch_align": _q_stretch_align,
+        "dedup_recall": _q_dedup_recall,
         # r01/r02-green, unchanged ops displaced by the ten new r04
         # corpus/embedding/analytics queries and the nine norm_text
         # oracle rotations (lowest drift risk: pure relational /
@@ -2198,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.oracle_dedup_exact_sql(_DUP_INJECT_SQL),
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
+        "dedup_recall": dedup.oracle_dedup_recall_sql(threshold=0.5),
         "dedup_components": dedup.oracle_connected_components_sql(
             dedup.oracle_dedup_minhash_sql(threshold=0.5)
         ),

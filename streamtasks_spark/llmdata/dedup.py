@@ -900,3 +900,269 @@ def oracle_substring_dup_sql(
            AS INT) AS is_dup_heavy
     FROM d
     """
+
+
+# --------------------------------------------------------- recall probe
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT shingle-Jaccard pairs ≥ threshold via a postings self-join
+    — the exhaustive ground truth the banded LSH tiers approximate.
+
+    Plan: explode each doc's distinct shingle hashes into postings,
+    self-join postings on the hash (one shuffle keyed by hash — work is
+    proportional to co-occurrence, NOT |docs|²), count shared hashes per
+    (doc_a, doc_b), then jaccard = shared / (|A| + |B| - shared) by
+    joining the per-doc set sizes. ``max_df`` (optional) drops hashes
+    appearing in more than that many documents before pairing — the
+    document-frequency analog of :func:`_band_pairs`' hot-bucket cap: a
+    boilerplate shingle shared by m docs alone emits m·(m−1)/2 join
+    rows. Default None keeps exact semantics (and the DuckDB oracle);
+    at corpus scale this runs on a sample, which is exactly how the
+    recall probe uses it (mirroring the exact tier of the ANN probe,
+    similarity.py recall_probe).
+    """
+    hs = pin(_shingle_hashes(docs, id_col, text_col, k))
+    post = hs.select(F.col(id_col), F.explode("hashes").alias("__h"))
+    # df=1 hashes cannot contribute a pair — pruning them is free
+    # exactness-preserving selectivity (most shingles are unique, so
+    # this drops the bulk of the postings before the self-join). The
+    # count-over-window shuffles on __h, the same partitioning the
+    # join needs anyway.
+    w = Window.partitionBy("__h")
+    post = (
+        post.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.col("__df") >= 2)
+            & ((F.col("__df") <= max_df) if max_df is not None else F.lit(True))
+        )
+        .drop("__df")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sizes = hs.select(F.col(id_col), F.size("hashes").alias("__n"))
+    jac = F.expr("cast(__shared as double) / cast(__na + __nb - __shared as double)")
+    return (
+        shared.join(
+            sizes.select(
+                F.col(id_col).alias("doc_a"), F.col("__n").alias("__na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb")
+            ),
+            "doc_b",
+        )
+        .withColumn("__jac", jac)
+        .filter(F.col("__jac") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))
+    )
+
+
+def dedup_recall_probe(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measured quality pin for the MinHash-LSH dedup tier (the dedup
+    analog of similarity.py's ANN recall_probe): one summary row with
+
+      n_exact      — exhaustive pairs with exact Jaccard ≥ threshold
+                     (:func:`exact_jaccard_pairs`)
+      n_candidates — distinct band-collision candidate pairs the LSH
+                     banding surfaces (pre-verification)
+      n_verified   — candidates surviving exact-Jaccard verification
+                     (:func:`dedup_minhash`'s output — a subset of the
+                     exact set by construction, same hashes + formula)
+      recall       — n_verified / n_exact (banding miss rate)
+      candidate_precision — n_verified / n_candidates (band selectivity)
+
+    Every quantity is deterministic (fixed permutation constants), so
+    the probe has a bit-exact DuckDB oracle. At 100 TB this runs on a
+    sampled slice — ground truth is the probe's cost, by design.
+    """
+    exact = exact_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col, k=k, threshold=threshold
+    )
+    hs = pin(_shingle_hashes(docs, id_col, text_col, k))
+    consts = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in MINHASH_PERMS
+    )
+    sig_expr = (
+        f"aggregate(hashes, array_repeat({P_MOD}L, {N_PERMS}), "
+        f"(acc, h) -> zip_with(acc, array({consts}), "
+        f"(m, c) -> least(m, (c.a * h + c.b) % {P_MOD}L)))"
+    )
+    sigs = hs.select(F.col(id_col), F.expr(sig_expr).alias("__sig"))
+    band_cols = []
+    for bi in range(N_BANDS):
+        members = ", ".join(
+            f"cast(__sig[{bi * ROWS_PER_BAND + r}] as string)"
+            for r in range(ROWS_PER_BAND)
+        )
+        band_cols.append(f"__b{bi}")
+        sigs = sigs.withColumn(
+            f"__b{bi}", F.expr(f"md5(concat_ws('-', {members}))")
+        )
+    cands = pin(
+        _band_pairs(sigs.select(id_col, *band_cols), id_col, band_cols)
+    )
+    # verify the candidate set directly (same join + formula as
+    # dedup_minhash) instead of re-running the whole signature+banding
+    # pass a second time — signatures are computed exactly once.
+    x = hs.select(F.col(id_col).alias("doc_a"), F.col("hashes").alias("__ha"))
+    y = hs.select(F.col(id_col).alias("doc_b"), F.col("hashes").alias("__hb"))
+    jac = F.expr(
+        "cast(size(array_intersect(__ha, __hb)) as double) / "
+        "cast(size(array_union(__ha, __hb)) as double)"
+    )
+    verified = (
+        cands.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("__jac", jac)
+        .filter(F.col("__jac") >= F.lit(threshold))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6)
+        + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_verified",
+            ratio("n_verified", "n_exact").alias("recall"),
+            ratio("n_verified", "n_candidates").alias("candidate_precision"),
+        )
+    )
+
+
+def oracle_dedup_recall_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`dedup_recall_probe`: reruns the full LSH
+    algorithm (same shingles/permutations/banding as
+    :func:`oracle_dedup_minhash_sql`) plus the exact postings join, and
+    emits the same one-row summary."""
+    gram = " || ' ' || ".join(f"__toks[i + {d}]" for d in range(k))
+    sig_exprs = ",\n      ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {P_MOD})) AS __s{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_exprs = ",\n      ".join(
+        "md5(concat_ws('-', "
+        + ", ".join(
+            f"cast(__s{bi * ROWS_PER_BAND + r} as varchar)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + f")) AS __b{bi}"
+        for bi in range(N_BANDS)
+    )
+    band_match = " OR ".join(f"a.__b{bi} = b.__b{bi}" for bi in range(N_BANDS))
+    return f"""
+    WITH src AS ({source_sql}),
+    tok AS (
+      SELECT {id_col},
+             string_split({norm_text(text_col, "duck")}, ' ') AS __toks
+      FROM src
+    ),
+    sh AS (
+      SELECT {id_col},
+             list_transform(range(1, len(__toks) - {k - 1} + 1),
+                            i -> {gram}) AS __sh
+      FROM tok WHERE len(__toks) >= {k}
+    ),
+    hs AS (
+      SELECT {id_col},
+             list_distinct(list_transform(__sh,
+               s -> cast('0x' || substr(md5(s), 1, 7) AS BIGINT))) AS hashes
+      FROM sh
+    ),
+    post AS (SELECT {id_col}, unnest(hashes) AS h FROM hs),
+    shared AS (
+      SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, count(*) AS s
+      FROM post a JOIN post b
+        ON a.h = b.h AND a.{id_col} < b.{id_col}
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT {id_col}, len(hashes) AS n FROM hs),
+    exact AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sz x ON shared.doc_a = x.{id_col}
+      JOIN sz y ON shared.doc_b = y.{id_col}
+      WHERE CAST(s AS DOUBLE) / CAST(x.n + y.n - s AS DOUBLE) >= {threshold}
+    ),
+    sig AS (
+      SELECT {id_col}, hashes,
+      {sig_exprs}
+      FROM hs
+    ),
+    bands AS (
+      SELECT {id_col},
+      {band_exprs}
+      FROM sig
+    ),
+    cands AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM bands a JOIN bands b
+        ON a.{id_col} < b.{id_col} AND ({band_match})
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      JOIN hs x ON c.doc_a = x.{id_col}
+      JOIN hs y ON c.doc_b = y.{id_col}
+      WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(x.hashes, y.hashes))) AS DOUBLE)
+          >= {threshold}
+    ),
+    agg AS (
+      SELECT (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM cands) AS n_candidates,
+             (SELECT count(*) FROM ver) AS n_verified
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+      CAST(n_candidates AS BIGINT) AS n_candidates,
+      CAST(n_verified AS BIGINT) AS n_verified,
+      CASE WHEN n_exact > 0
+        THEN round(CAST(n_verified AS DOUBLE) / n_exact, 6) + 0.0
+        ELSE 0.0 END AS recall,
+      CASE WHEN n_candidates > 0
+        THEN round(CAST(n_verified AS DOUBLE) / n_candidates, 6) + 0.0
+        ELSE 0.0 END AS candidate_precision
+    FROM agg
+    """

@@ -573,3 +573,59 @@ def test_corpus_prepare_composes_stage_outputs_exactly(spark, docs):
         assert r["n_drop_contam"] == m["drop_contam"]
         assert r["n_kept"] == m["keep"]
         assert r["kept_chars"] == m["kept_chars"]
+
+
+def test_exact_jaccard_pairs_matches_bruteforce(spark, docs):
+    """The recall probe's ground-truth tier must be exhaustively exact:
+    the postings self-join (with its df>=2 prune) finds exactly the
+    pairs a brute-force all-pairs Python scan finds."""
+    rows = docs.select("doc_id", "text").collect()
+    expected = python_jaccard_pairs(rows, threshold=0.5)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(got) == set(expected)
+    for p, j in got.items():
+        assert abs(expected[p] - j) < 1e-6
+
+
+def test_exact_jaccard_max_df_drops_boilerplate(spark):
+    """max_df caps the postings join fanout: a shingle shared by every
+    doc is excluded from the shared-hash counts, so pairs that only
+    overlap on the boilerplate no longer reach the threshold."""
+    boiler = "copyright legal footer text all rights reserved"
+    rows = [(i, f"unique body {i} alpha beta {boiler}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.exact_jaccard_pairs(df, threshold=0.3)
+    capped = dedup.exact_jaccard_pairs(df, threshold=0.3, max_df=3)
+    assert full.count() > 0  # boilerplate-driven pairs exist
+    assert capped.count() < full.count()
+
+
+def test_dedup_recall_probe_counts_are_consistent(spark, docs):
+    """Probe invariants: verified ⊆ candidates (verification filters),
+    verified ⊆ exact (same hashes + formula + threshold), n_exact equals
+    the brute-force pair count, and the ratios are the rounded
+    quotients."""
+    row = dedup.dedup_recall_probe(docs, threshold=0.5).collect()[0]
+    rows = docs.select("doc_id", "text").collect()
+    expected = python_jaccard_pairs(rows, threshold=0.5)
+    assert row["n_exact"] == len(expected)
+    assert row["n_verified"] <= row["n_candidates"]
+    assert row["n_verified"] <= row["n_exact"]
+    assert row["recall"] == round(row["n_verified"] / row["n_exact"], 6)
+    assert row["candidate_precision"] == round(
+        row["n_verified"] / row["n_candidates"], 6
+    )
+
+
+def test_dedup_recall_probe_zero_guard(spark):
+    """No exact pairs at all → ratios are 0.0, not a division error
+    (mirrors the ANN probe's empty-tier behavior)."""
+    rows = [(1, "alpha beta gamma delta"), (2, "wholly different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = dedup.dedup_recall_probe(df, threshold=0.5).collect()[0]
+    assert row["n_exact"] == 0
+    assert row["recall"] == 0.0
+    assert row["candidate_precision"] == 0.0
