@@ -1166,3 +1166,177 @@ def oracle_dedup_recall_sql(
         ELSE 0.0 END AS candidate_precision
     FROM agg
     """
+
+
+# ---------------------------------------------------- incremental index
+
+def _band_postings(hs: DataFrame, id_col: str) -> DataFrame:
+    """(id, __band_idx, __band_key) postings for the standard signature
+    (same permutation constants and banding as :func:`dedup_minhash`)."""
+    consts = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in MINHASH_PERMS
+    )
+    sig_expr = (
+        f"aggregate(hashes, array_repeat({P_MOD}L, {N_PERMS}), "
+        f"(acc, h) -> zip_with(acc, array({consts}), "
+        f"(m, c) -> least(m, (c.a * h + c.b) % {P_MOD}L)))"
+    )
+    sigs = hs.select(F.col(id_col), F.expr(sig_expr).alias("__sig"))
+    band_keys = []
+    for bi in range(N_BANDS):
+        members = ", ".join(
+            f"cast(__sig[{bi * ROWS_PER_BAND + r}] as string)"
+            for r in range(ROWS_PER_BAND)
+        )
+        band_keys.append(f"md5(concat_ws('-', {members}))")
+    arr = ", ".join(band_keys)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"array({arr})")).alias("__band_idx", "__band_key"),
+    )
+
+
+class MinHashIndex:
+    """Incremental corpus-scale near-dedup: a persistent banded-LSH
+    index on disk, so each new ingest batch is deduplicated against the
+    ENTIRE historical corpus without recomputing it.
+
+    This is the 100 TB ingestion shape the one-shot
+    :func:`dedup_minhash` can't cover: a training-data pipeline
+    receives the corpus in crawl increments, and re-sketching petabytes
+    per increment is not an option. The index persists exactly the two
+    derived artifacts the verify path needs — band postings
+    (``bands/``: id, band_idx, band_key) and the distinct shingle-hash
+    arrays (``hashes/``: id, hashes) — both tiny relative to the text.
+
+    Per :meth:`ingest` batch B against history H:
+
+      pairs(B) = verify( band_join(B, B) ∪ band_join(B, H) )
+
+    so over any batch decomposition, ∪ pairs(Bᵢ) equals
+    ``dedup_minhash(∪ Bᵢ)`` exactly (pairs canonicalized doc_a < doc_b;
+    H–H pairs were emitted by earlier ingests). Pinned by
+    tests/test_llmdata.py's batch-equivalence test.
+
+    Scale shape: each ingest shuffles only the new batch's sketches;
+    the history side is ONE join keyed on (band_idx, band_key) against
+    the postings table — at warehouse scale, persist that table bucketed
+    on the band key so the join is co-located with no history shuffle.
+    ``max_bucket`` is the same hot-bucket guard as :func:`_band_pairs`,
+    applied to the combined bucket occupancy. Doc ids must be unique
+    across ingests (enforce upstream); re-ingesting an id would pair it
+    with itself.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 3,
+        threshold: float = 0.5,
+        max_bucket: int | None = None,
+    ) -> None:
+        self.path = str(path)
+        self.bands_path = f"{self.path}/bands"
+        self.hashes_path = f"{self.path}/hashes"
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+
+    def _read_or_none(self, spark, path: str) -> DataFrame | None:
+        """Read the index as a SNAPSHOT: resolve the concrete parquet
+        file list up front and read those files explicitly. The append
+        at the end of :meth:`ingest` fires Spark's refreshByPath cache
+        invalidation for the index path, so any later action on the
+        returned pairs DataFrame recomputes its plan — a plain
+        path-based read would then re-list the directory, see the
+        batch's OWN just-appended sketches, duplicate every id in the
+        hash-lookup join, and multiply the output pairs. Pinning alone
+        does not protect against this (the refresh drops the cache).
+        Explicit file lists also give concurrent readers a consistent
+        view mid-append."""
+        try:
+            df = spark.read.parquet(path)
+            files = df.inputFiles()
+        except Exception:
+            return None  # first ingest: no index yet
+        if not files:
+            return None
+        return spark.read.schema(df.schema).parquet(*files)
+
+    def ingest(self, docs: DataFrame) -> DataFrame:
+        """Dedup one batch against itself + history, append its sketches
+        to the index, and return the verified pairs
+        (doc_a, doc_b, jaccard), doc_a < doc_b, ready to feed
+        :func:`connected_components`. The returned DataFrame is
+        materialized (persisted) BEFORE the index append so its plan
+        cannot observe the batch's own postings twice."""
+        spark = docs.sparkSession
+        idc = self.id_col
+        hs = pin(_shingle_hashes(docs, idc, self.text_col, self.k))
+        new_posts = pin(_band_postings(hs, idc))
+        new_hashes = hs.select(F.col(idc), F.col("hashes"))
+
+        old_posts = self._read_or_none(spark, self.bands_path)
+        posts = (
+            new_posts if old_posts is None
+            else new_posts.unionByName(old_posts)
+        )
+        if self.max_bucket is not None:
+            w = Window.partitionBy("__band_idx", "__band_key")
+            posts = (
+                posts.withColumn("__bsz", F.count(F.lit(1)).over(w))
+                .filter(F.col("__bsz") <= self.max_bucket)
+                .drop("__bsz")
+            )
+            new_side = posts.join(
+                new_posts.select(idc).distinct(), idc, "left_semi"
+            )
+        else:
+            new_side = new_posts
+        # candidate pairs: at least one end in the new batch; dedup the
+        # (new,new) double-count with doc_a < doc_b canonical order
+        a, b = new_side.alias("a"), posts.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.__band_idx") == F.col("b.__band_idx"))
+                & (F.col("a.__band_key") == F.col("b.__band_key"))
+                & (F.col(f"a.{idc}") != F.col(f"b.{idc}")),
+            )
+            .select(
+                F.least(F.col(f"a.{idc}"), F.col(f"b.{idc}")).alias("doc_a"),
+                F.greatest(F.col(f"a.{idc}"), F.col(f"b.{idc}")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        old_hashes = self._read_or_none(spark, self.hashes_path)
+        all_hashes = (
+            new_hashes if old_hashes is None
+            else new_hashes.unionByName(old_hashes)
+        )
+        x = all_hashes.select(
+            F.col(idc).alias("doc_a"), F.col("hashes").alias("__ha")
+        )
+        y = all_hashes.select(
+            F.col(idc).alias("doc_b"), F.col("hashes").alias("__hb")
+        )
+        jac = F.expr(
+            "cast(size(array_intersect(__ha, __hb)) as double) / "
+            "cast(size(array_union(__ha, __hb)) as double)"
+        )
+        verified = pin(
+            cands.join(x, "doc_a")
+            .join(y, "doc_b")
+            .withColumn("__jac", jac)
+            .filter(F.col("__jac") >= F.lit(self.threshold))
+            .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))
+        )
+        verified.count()  # materialize before the append below
+        new_posts.write.mode("append").parquet(self.bands_path)
+        new_hashes.write.mode("append").parquet(self.hashes_path)
+        return verified

@@ -629,3 +629,47 @@ def test_dedup_recall_probe_zero_guard(spark):
     assert row["n_exact"] == 0
     assert row["recall"] == 0.0
     assert row["candidate_precision"] == 0.0
+
+
+def test_minhash_index_incremental_equals_batch(spark, docs, tmp_path):
+    """The 100 TB ingestion contract: deduplicating the corpus in
+    arrival batches through the persistent MinHashIndex yields EXACTLY
+    the pairs the one-shot dedup_minhash finds on the full corpus —
+    same pair set, same exact-Jaccard values."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_minhash(docs, threshold=0.5).collect()
+    }
+    idx = dedup.MinHashIndex(str(tmp_path / "mh_index"), threshold=0.5)
+    got = {}
+    for part in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == part)
+        for r in idx.ingest(batch).collect():
+            key = (r["doc_a"], r["doc_b"])
+            assert key not in got  # each pair emitted exactly once
+            got[key] = r["jaccard"]
+    assert got == full
+
+
+def test_minhash_index_first_ingest_is_self_dedup(spark, tmp_path):
+    """Empty index: first ingest behaves exactly like batch minhash on
+    that batch alone, and the index then persists its sketches."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely unrelated text about database systems design"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = dedup.MinHashIndex(str(tmp_path / "idx"), threshold=0.5)
+    out = idx.ingest(df).collect()
+    batch = dedup.dedup_minhash(df, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {
+        (r["doc_a"], r["doc_b"]) for r in batch
+    }
+    # second ingest: a near-dup of doc 1 pairs across the batch seam
+    df2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today now")],
+        "doc_id long, text string",
+    )
+    out2 = {(r["doc_a"], r["doc_b"]) for r in idx.ingest(df2).collect()}
+    assert any(a in (1, 2) and b == 10 for a, b in out2)
