@@ -691,3 +691,69 @@ def streaming_interval_join(
     for k in keys:
         out = out.drop(f"__l_{k}")
     return out
+
+
+def streaming_dedup_minhash(
+    docs: DataFrame,
+    *,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+):
+    """Streaming near-dedup: continuously ingest a document stream
+    against a persistent :class:`~streamtasks_spark.llmdata.dedup.
+    MinHashIndex`, appending each micro-batch's verified near-dup pairs
+    to ``pairs_path``.
+
+    Near-dedup is join-against-all-history — outside the watermark
+    model that serves :func:`streaming_dedup_exact` (whose state is one
+    row per hash with an expiry horizon). The scale-correct streaming
+    shape is therefore ``foreachBatch`` over the incremental index: the
+    stream only ever shuffles the micro-batch's own sketches, history
+    participates as one band-keyed join against the postings table, and
+    the union of all emitted pair deltas equals the one-shot batch
+    ``dedup_minhash`` over everything ingested (the property
+    MinHashIndex pins in its batch-equivalence test; exactly-once per
+    pair follows from each pair being emitted by the first micro-batch
+    that contains both ends... i.e. the one where the later doc
+    arrives).
+
+    Restart semantics: the checkpoint replays an in-flight micro-batch,
+    and the index append is not transactional with the checkpoint — a
+    crash between append and commit can re-append one batch's sketches.
+    Idempotent upstream ids make that harmless for pair OUTPUT
+    correctness only if consumers dedup pairs_path on (doc_a, doc_b);
+    documented here rather than hidden.
+
+    Returns the started StreamingQuery.
+    """
+    from streamtasks_spark.llmdata.dedup import MinHashIndex
+
+    index = MinHashIndex(
+        index_path,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pairs = index.ingest(batch.select(id_col, text_col))
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_path)
+        pairs.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

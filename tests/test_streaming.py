@@ -830,3 +830,54 @@ def test_streaming_stretch_align_matches_batch(spark, tmp_path):
         for r in got_df.collect()
     }
     assert got == expect  # exact float equality — same op order both paths
+
+
+def test_streaming_dedup_minhash_matches_batch(spark, tmp_path):
+    """Streaming near-dedup over the persistent MinHash index: the
+    union of per-micro-batch pair deltas equals one-shot batch
+    dedup_minhash over everything ingested, each pair exactly once,
+    with cross-micro-batch pairs found via the persisted postings."""
+    from streamtasks_spark.llmdata.dedup import dedup_minhash
+    from streamtasks_spark.streaming.stateful import streaming_dedup_minhash
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    expect = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash(docs, threshold=0.5).collect()
+    }
+    assert expect  # corpus has near-dup pairs; test must be non-vacuous
+
+    src = tmp_path / "mh_src"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    time.sleep(1.1)  # file-source ordering is by modification time
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    pairs_path = str(tmp_path / "pairs")
+    q = streaming_dedup_minhash(
+        stream,
+        index_path=str(tmp_path / "mh_index"),
+        pairs_path=pairs_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_rows = spark.read.parquet(pairs_path).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got_rows}
+    assert len(got_rows) == len(got)  # exactly-once per pair
+    assert got == expect
+    # cross-batch pairs exist (odd-even doc_id pairs span micro-batches)
+    assert any((a % 2) != (b % 2) for a, b in got)
