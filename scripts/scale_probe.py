@@ -73,9 +73,64 @@ def probe_ops(spark, docs):
     yield "corpus_prepare", lambda: pipeline.corpus_prepare(docs, ev), n
 
 
+def probe_incremental(spark, n_batches: int) -> int:
+    """Incremental-ingest probe for MinHashIndex: ingest ``n_batches``
+    constant-size batches into one persistent index and time each.
+
+    Batch k is the base corpus with every token salted by k, so batches
+    share NO shingles across each other — cross-batch near-dup pairs
+    don't exist and per-batch verified output stays constant. What
+    grows is only the HISTORY the batch is checked against (the
+    postings/hashes tables), so a flat per-batch time is exactly the
+    claim that ingest cost is O(batch + collisions), not O(corpus):
+    re-running one-shot dedup_minhash over the union instead would grow
+    linearly with every batch. Prints one JSON line per batch plus a
+    summary ratio of the last batch to the first (steady-state vs
+    cold); ≤ ~1.3 including JIT/warm-up noise is 'flat'."""
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    times = []
+    with tempfile.TemporaryDirectory(prefix="mh_inc_") as td:
+        idx = dedup.MinHashIndex(f"{td}/index", threshold=0.5)
+        for k in range(n_batches):
+            batch = docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                F.expr(
+                    f"array_join(transform(split(text, ' '), "
+                    f"t -> concat(t, '{k}')), ' ')"
+                ).alias("text"),
+            )
+            batch.write.mode("overwrite").parquet(f"{td}/batch.parquet")
+            mat = spark.read.parquet(f"{td}/batch.parquet")
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            pairs = idx.ingest(mat)
+            n_pairs = pairs.count()
+            dt = time.perf_counter() - t0
+            pairs.unpersist()
+            times.append(dt)
+            print(json.dumps({
+                "op": "minhash_index_ingest", "batch": k,
+                "history_batches": k, "sec": round(dt, 3),
+                "n_pairs": n_pairs,
+            }), flush=True)
+    print(json.dumps({
+        "op": "minhash_index_ingest",
+        "first_batch_sec": round(times[0], 3),
+        "last_batch_sec": round(times[-1], 3),
+        "steady_ratio_last_over_second": round(times[-1] / times[1], 3)
+        if len(times) > 2 else None,
+        "verdict": "flat" if len(times) > 2 and times[-1] / times[1] <= 1.3
+        else "growing",
+    }), flush=True)
+    return 0
+
+
 def main() -> int:
     factors = [1, 10, 100]
     for a in sys.argv[1:]:
+        if a.startswith("--incremental"):
+            n = int(a.split("=", 1)[1]) if "=" in a else 8
+            return probe_incremental(get_spark("scale_probe"), n)
         if a.startswith("--factors"):
             factors = [int(x) for x in a.split("=", 1)[1].split(",")]
     spark = get_spark("scale_probe")
