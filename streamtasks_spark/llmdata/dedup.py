@@ -1170,6 +1170,32 @@ def oracle_dedup_recall_sql(
 
 # ---------------------------------------------------- incremental index
 
+def snapshot_read(spark, path: str, base_path: str | None = None):
+    """Read a parquet dataset as a SNAPSHOT: resolve the concrete file
+    list up front and read those files explicitly. Appending to ``path``
+    fires Spark's refreshByPath cache invalidation, so any cached plan
+    reading the plain path recomputes against a RE-LISTED directory —
+    observing rows appended after the read was planned (the
+    double-counting trap MinHashIndex documents). Explicit file lists
+    pin the view; ``base_path`` preserves partition columns when the
+    dataset is directory-partitioned. Returns None when the dataset
+    doesn't exist yet."""
+    try:
+        reader = spark.read
+        if base_path:
+            reader = reader.option("basePath", base_path)
+        df = reader.parquet(path)
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    reader = spark.read.schema(df.schema)
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    return reader.parquet(*files)
+
+
 def _band_postings(hs: DataFrame, id_col: str) -> DataFrame:
     """(id, __band_idx, __band_key) postings for the standard signature
     (same permutation constants and banding as :func:`dedup_minhash`)."""
@@ -1248,25 +1274,12 @@ class MinHashIndex:
         self.max_bucket = max_bucket
 
     def _read_or_none(self, spark, path: str) -> DataFrame | None:
-        """Read the index as a SNAPSHOT: resolve the concrete parquet
-        file list up front and read those files explicitly. The append
-        at the end of :meth:`ingest` fires Spark's refreshByPath cache
-        invalidation for the index path, so any later action on the
-        returned pairs DataFrame recomputes its plan — a plain
-        path-based read would then re-list the directory, see the
+        """Snapshot read (see :func:`snapshot_read`): the append at the
+        end of :meth:`ingest` invalidates path-based caches, and a
+        recomputation through a re-listed directory would see the
         batch's OWN just-appended sketches, duplicate every id in the
-        hash-lookup join, and multiply the output pairs. Pinning alone
-        does not protect against this (the refresh drops the cache).
-        Explicit file lists also give concurrent readers a consistent
-        view mid-append."""
-        try:
-            df = spark.read.parquet(path)
-            files = df.inputFiles()
-        except Exception:
-            return None  # first ingest: no index yet
-        if not files:
-            return None
-        return spark.read.schema(df.schema).parquet(*files)
+        hash-lookup join, and multiply the output pairs."""
+        return snapshot_read(spark, path)
 
     def ingest(self, docs: DataFrame) -> DataFrame:
         """Dedup one batch against itself + history, append its sketches

@@ -544,3 +544,153 @@ def oracle_embedding_near_dup_sql(
     FROM n a JOIN n b ON a.__bkt = b.__bkt AND a.{id_col} < b.{id_col}
     WHERE {dot} / (a.__nrm * b.__nrm) >= {threshold}
     """
+
+
+# ---------------------------------------------------- persistent index
+
+class IvfIndex:
+    """Persistent IVF ANN index — the serving shape of :func:`ivf_topk`:
+    build the index once (or in increments), answer top-k queries
+    against the stored cells without re-reading or re-assigning the
+    vector corpus.
+
+    On-disk layout under ``path``:
+
+      ``centroids/`` — the coarse codebook (cell id, vector, norm).
+        Written by the FIRST ingest from its ``n_cells`` lowest-id
+        vectors — the same deterministic seeding as :func:`ivf_topk`,
+        so a one-shot build answers queries identically to it. Later
+        ingests REUSE the stored codebook (production IVF semantics:
+        the codebook is trained once on a sample, then frozen; a
+        k-means-trained table drops into the same files).
+      ``cells/`` — vectors partitioned BY CELL on disk
+        (``__cell=<id>/``): a query probing ``n_probe`` cells
+        collects its probed cell ids (bounded by the codebook size,
+        driver-safe) and pushes them as a partition filter, so the
+        scan reads ONLY the probed directories — query cost follows
+        probed-cell volume, not corpus size.
+
+    Reads are snapshot-isolated against concurrent appends via
+    :func:`~streamtasks_spark.llmdata.dedup.snapshot_read`.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 8,
+        n_probe: int = 2,
+    ) -> None:
+        self.path = str(path)
+        self.centroids_path = f"{self.path}/centroids"
+        self.cells_path = f"{self.path}/cells"
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+
+    def _centroids(self, spark) -> DataFrame | None:
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        return snapshot_read(spark, self.centroids_path)
+
+    def _assign(self, df: DataFrame, cents: DataFrame, id_out: str,
+                rank_limit: int) -> DataFrame:
+        score = (
+            F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
+        )
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("__score").desc(), F.col("__cell").asc()
+        )
+        return (
+            df.crossJoin(broadcast(cents))
+            .withColumn("__score", score)
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= rank_limit)
+            .drop("__cv", "__cn", "__score", "__cr")
+        )
+
+    def ingest(self, vectors: DataFrame) -> None:
+        """Assign a batch to cells and append it to the index; the
+        first ingest also writes the codebook (from the batch's
+        ``n_cells`` lowest-id vectors)."""
+        spark = vectors.sparkSession
+        idc = self.id_col
+        v = _with_norm(
+            spread(vectors, idc).select(idc, self.vec_col), self.vec_col
+        ).select(idc, "__v", "__nrm")
+        cents = self._centroids(spark)
+        if cents is None:
+            seed = (
+                v.orderBy(F.col(idc).asc())
+                .limit(self.n_cells)
+                .select(
+                    F.col(idc).alias("__cell"),
+                    F.col("__v").alias("__cv"),
+                    F.col("__nrm").alias("__cn"),
+                )
+            )
+            seed.coalesce(1).write.parquet(self.centroids_path)
+            cents = self._centroids(spark)
+        assigned = self._assign(pin(v), cents, idc, 1)
+        assigned.write.mode("append").partitionBy("__cell").parquet(
+            self.cells_path
+        )
+        v.unpersist()
+
+    def query(
+        self, queries: DataFrame, *, k: int = 5, n_probe: int | None = None
+    ) -> DataFrame:
+        """Exact-rerank top-k within the probed cells. Output matches
+        :func:`ivf_topk` (query_id, vec_id, cosine, rank) when the
+        index was built from the same vectors and codebook seeding."""
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        spark = queries.sparkSession
+        n_probe = self.n_probe if n_probe is None else n_probe
+        idc = self.id_col
+        cents = self._centroids(spark)
+        if cents is None:
+            raise ValueError(f"IvfIndex at {self.path} has no data")
+        q = self._assign(
+            _with_norm(
+                queries.select(F.col(idc).alias("query_id"), self.vec_col),
+                self.vec_col,
+            ).select("query_id", "__v", "__nrm"),
+            cents,
+            "query_id",
+            n_probe,
+        ).select(
+            "query_id",
+            F.col("__v").alias("__qv"),
+            F.col("__nrm").alias("__qn"),
+            "__cell",
+        )
+        q = pin(q)
+        # probed cells: bounded by the codebook size — driver-safe; a
+        # literal IN filter on the partition column prunes unprobed
+        # cell directories out of the scan entirely
+        probed = [r["__cell"] for r in q.select("__cell").distinct().collect()]
+        cells = snapshot_read(spark, self.cells_path, base_path=self.cells_path)
+        if cells is None:
+            raise ValueError(f"IvfIndex at {self.path} has no data")
+        cells = cells.filter(F.col("__cell").isin(probed))
+        cos = F.expr(f"{_dot('__v', '__qv')}") / (F.col("__nrm") * F.col("__qn"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__cos").desc(), F.col(idc).asc()
+        )
+        return (
+            cells.join(q, "__cell")
+            .filter(F.col(idc) != F.col("query_id"))
+            .withColumn("__cos", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col(idc),
+                F.round("__cos", 6).alias("cosine"),
+                "rank",
+            )
+        )

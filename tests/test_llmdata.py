@@ -673,3 +673,66 @@ def test_minhash_index_first_ingest_is_self_dedup(spark, tmp_path):
     )
     out2 = {(r["doc_a"], r["doc_b"]) for r in idx.ingest(df2).collect()}
     assert any(a in (1, 2) and b == 10 for a, b in out2)
+
+
+def test_ivf_index_matches_ivf_topk(spark, tmp_path):
+    """A one-shot IvfIndex build answers queries identically to the
+    in-plan ivf_topk (same codebook seeding, same rerank)."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    qs = vecs.filter(F.col("vec_id") < 10)
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            vecs, qs, n_cells=8, n_probe=2, k=5
+        ).collect()
+    }
+    idx = similarity.IvfIndex(str(tmp_path / "ivf"), n_cells=8, n_probe=2)
+    idx.ingest(vecs)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in idx.query(qs, k=5).collect()
+    }
+    assert got == want
+
+
+def test_ivf_index_incremental_build_and_pruned_scan(spark, tmp_path):
+    """Index built in two increments (codebook frozen by the first)
+    still answers like the one-shot plan, and the probed-cell partition
+    filter reaches the parquet scan (reads only probed directories)."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    qs = vecs.filter(F.col("vec_id") < 10)
+    idx = similarity.IvfIndex(str(tmp_path / "ivf"), n_cells=8, n_probe=2)
+    # first batch holds the codebook seed ids (< n_cells), as a sampled
+    # training slice would
+    idx.ingest(vecs.filter(F.col("vec_id") < 250))
+    idx.ingest(vecs.filter(F.col("vec_id") >= 250))
+    out = idx.query(qs, k=5)
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            vecs, qs, n_cells=8, n_probe=2, k=5
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in out.collect()
+    }
+    assert got == want
+    # partition pruning: a small query batch probes few cells, and the
+    # cells scan must list ONLY those cells' directories
+    import re as _re
+
+    narrow = idx.query(qs.filter(F.col("vec_id") < 2), k=5)
+    narrow.collect()
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[[^\]]*IN \(([^)]*)\)", plan)
+    assert m, f"no partition IN-filter reached the cells scan:\n{plan[:2000]}"
+    probed_cells = {c.strip() for c in m.group(1).split(",")}
+    assert len(probed_cells) <= 2 * 2  # n_queries * n_probe bound
+    assert len(probed_cells) < 8  # strictly fewer than the 8 cell dirs
