@@ -934,6 +934,20 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a TRAINED codebook: 3 deterministic spherical
+    k-means Lloyd iterations (integer micro-unit sums make the centroid
+    means bit-identical regardless of aggregation order — and identical
+    in DuckDB, so the whole iterative training loop is oracle-checked),
+    then the standard probed-cell exact rerank."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_centroids(vecs, n_cells=8, n_iters=3)
+    return similarity.ivf_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10),
+        n_cells=8, n_probe=2, k=5, centroids=cents,
+    )
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@5 of the LSH and IVF tiers vs the exact baseline —
     the approximate tier's quality as a driver-verified number."""
@@ -1332,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window rotation.
         "stretch_align": _q_stretch_align,
         "dedup_recall": _q_dedup_recall,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         # r01/r02-green, unchanged ops displaced by the ten new r04
         # corpus/embedding/analytics queries and the nine norm_text
         # oracle rotations (lowest drift risk: pure relational /
@@ -2210,6 +2225,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.oracle_dedup_exact_sql(_DUP_INJECT_SQL),
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
         "dedup_recall": dedup.oracle_dedup_recall_sql(threshold=0.5),
+        "ann_ivf_trained": similarity.oracle_ivf_trained_sql(
+            n_cells=8, n_iters=3, n_probe=2, k=5
+        ),
         "dedup_components": dedup.oracle_connected_components_sql(
             dedup.oracle_dedup_minhash_sql(threshold=0.5)
         ),

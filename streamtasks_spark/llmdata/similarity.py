@@ -263,6 +263,7 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     k: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path
     beside :func:`lsh_topk`.
@@ -278,8 +279,13 @@ def ivf_topk(
     codebook); assignment is a broadcast join + per-vector argmax; the
     rerank shuffles once on the cell id, and per-cell work is bounded by
     cell size × queries probing the cell. No all-pairs stage."""
+    # codebook: default deterministic seeding, or a trained table from
+    # :func:`train_centroids` (columns __cell, __cv, __cn) — same plan
+    # shape either way, the codebook is always broadcast
     cents = broadcast(
-        _with_norm(
+        centroids
+        if centroids is not None
+        else _with_norm(
             vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
             vec_col,
         ).select(
@@ -694,3 +700,206 @@ class IvfIndex:
                 "rank",
             )
         )
+
+
+# ---------------------------------------------------- trained codebook
+
+def train_centroids(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Deterministic spherical k-means codebook for the IVF tier:
+    fixed-count Lloyd iterations (assign by cosine, recompute centroids
+    as the element-wise mean of assigned vectors).
+
+    Bit-determinism is the point — a naive double sum across an
+    aggregation is order-dependent, so the same data could train a
+    different codebook per run (and per engine). Here each component is
+    floored to 2^-20 integer micro-units BEFORE summing; integer sums
+    are exactly associative, so the mean (integer sum / (2^20 · count))
+    is identical regardless of partitioning — and identical in DuckDB,
+    giving the full training loop an exact oracle
+    (:func:`oracle_ivf_trained_sql`). Seeding = the ``n_cells``
+    lowest-id vectors (same as :func:`ivf_topk`'s default codebook);
+    a cell left empty by an iteration keeps its previous centroid.
+
+    Scale: the codebook is SCALAR-SIZED (n_cells × dim doubles), so it
+    lives on the driver between iterations — the same legitimacy class
+    as a broadcast scalar-aggregate attach. Each iteration is then one
+    NARROW assignment projection (the codebook inlined as literal
+    arrays, argmax as an array_max over (score, -cell) structs — no
+    crossJoin, no window, no shuffle) plus one groupBy(cell, dim)
+    aggregation whose output is again codebook-sized. Corpus size
+    enters only linearly, through the narrow pass.
+    """
+    import math
+
+    v = pin(
+        _with_norm(
+            spread(vectors, id_col).select(id_col, vec_col), vec_col
+        ).select(id_col, "__v", "__nrm")
+    )
+    seed = (
+        v.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("__cell"), "__v")
+        .collect()
+    )
+    # cell -> component list; repr() round-trips doubles exactly, so the
+    # inlined literals are bit-identical to the driver values
+    cents: dict[int, list[float]] = {r["__cell"]: list(r["__v"]) for r in seed}
+
+    def lit_arr(xs: list[float]) -> str:
+        return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
+
+    for _ in range(n_iters):
+        structs = []
+        for cell in sorted(cents):
+            cv = cents[cell]
+            cn = math.sqrt(sum_lr(x * x for x in cv))
+            dot = _dot("__v", lit_arr(cv))
+            structs.append(
+                f"named_struct('s', ({dot}) / (__nrm * {cn!r}D), "
+                f"'c', {-cell})"
+            )
+        argmax = f"-array_max(array({', '.join(structs)})).c"
+        assigned = v.withColumn("__cell", F.expr(argmax))
+        rows = (
+            assigned.select(
+                "__cell",
+                F.posexplode(
+                    F.expr(
+                        "transform(__v, x -> cast(floor(x * 1048576) as bigint))"
+                    )
+                ).alias("__d", "__m"),
+            )
+            .groupBy("__cell", "__d")
+            .agg(F.sum("__m").alias("__s"), F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in rows:
+            new.setdefault(r["__cell"], {})[r["__d"]] = r["__s"] / (
+                1048576.0 * r["__c"]
+            )
+        for cell, comps in new.items():
+            cents[cell] = [comps[d] for d in sorted(comps)]
+        # cells absent from `new` keep their previous centroid
+    spark = vectors.sparkSession
+    out = [
+        (cell, cv, math.sqrt(sum_lr(x * x for x in cv)))
+        for cell, cv in sorted(cents.items())
+    ]
+    return spark.createDataFrame(
+        out, "__cell long, __cv array<double>, __cn double"
+    )
+
+
+def sum_lr(it) -> float:
+    """Left-to-right float sum (NOT math.fsum): matches the Spark
+    ``aggregate`` fold and DuckDB ``list_sum`` exactly."""
+    acc = 0.0
+    for x in it:
+        acc = acc + x
+    return acc
+
+
+def _duck_kmeans_ctes(
+    dim: int, n_cells: int, n_iters: int, id_col: str
+) -> tuple[str, str]:
+    """DuckDB CTE chain reproducing :func:`train_centroids` exactly
+    (same micro-unit integer sums, same tie-breaks). Returns
+    (cte_sql_fragment, final_cte_name); expects an ``n`` CTE with
+    ({id_col}, __v, __nrm) in scope."""
+    cdot = _duck_dot("x.__v", "c.__cv", dim)
+    parts = [
+        f"c0 AS (SELECT {id_col} AS __cell, __v AS __cv, __nrm AS __cn "
+        f"FROM n WHERE {id_col} < {n_cells})"
+    ]
+    for t in range(n_iters):
+        parts.append(f"""a{t} AS (
+      SELECT x.{id_col}, x.__v, c.__cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__cn) DESC, c.__cell ASC) AS cr
+      FROM n x, c{t} c
+      QUALIFY cr = 1
+    )""")
+        parts.append(f"""s{t} AS (
+      SELECT __cell, d.i AS __d,
+        sum(CAST(floor(a.__v[d.i] * 1048576) AS BIGINT)) AS __s,
+        count(*) AS __c
+      FROM a{t} a CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) d
+      GROUP BY 1, 2
+    )""")
+        parts.append(f"""m{t} AS (
+      SELECT __cell,
+        list(CAST(__s AS DOUBLE) / (1048576.0 * CAST(__c AS DOUBLE))
+             ORDER BY __d) AS __cv
+      FROM s{t} GROUP BY __cell
+    )""")
+        cv = "coalesce(m.__cv, p.__cv)"
+        parts.append(f"""c{t + 1} AS (
+      SELECT p.__cell, {cv} AS __cv,
+        sqrt({_duck_dot(cv, cv, dim)}) AS __cn
+      FROM c{t} p LEFT JOIN m{t} m USING (__cell)
+    )""")
+    return ",\n    ".join(parts), f"c{n_iters}"
+
+
+def oracle_ivf_trained_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_filter: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    n_probe: int = 2,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of k-means training + IVF top-k with the trained
+    codebook — the full iterative algorithm, not just the final scan."""
+    kmeans, final = _duck_kmeans_ctes(dim, n_cells, n_iters, id_col)
+    cdot = _duck_dot("x.__v", "c.__cv", dim)
+    dot = _duck_dot("a.__v", "q.__v", dim)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
+    ),
+    {kmeans},
+    assigned AS (
+      SELECT x.{id_col}, x.__v, x.__nrm, c.__cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__cn) DESC, c.__cell ASC) AS cr
+      FROM n x, {final} c
+      QUALIFY cr = 1
+    ),
+    probes AS (
+      SELECT x.{id_col} AS query_id, x.__v, x.__nrm, c.__cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__cn) DESC, c.__cell ASC) AS cr
+      FROM n x, {final} c
+      WHERE {query_filter.replace(id_col, "x." + id_col)}
+      QUALIFY cr <= {n_probe}
+    ),
+    scored AS (
+      SELECT q.query_id, a.{id_col},
+             {dot} / (a.__nrm * q.__nrm) AS __cos
+      FROM assigned a JOIN probes q ON a.__cell = q.__cell
+      WHERE a.{id_col} <> q.query_id
+    )
+    SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM scored
+    WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
+    """

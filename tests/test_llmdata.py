@@ -736,3 +736,52 @@ def test_ivf_index_incremental_build_and_pruned_scan(spark, tmp_path):
     probed_cells = {c.strip() for c in m.group(1).split(",")}
     assert len(probed_cells) <= 2 * 2  # n_queries * n_probe bound
     assert len(probed_cells) < 8  # strictly fewer than the 8 cell dirs
+
+
+def test_train_centroids_reduces_inertia_deterministically(spark):
+    """Lloyd iterations must monotonically improve the codebook: total
+    within-cell cosine distance (1 - cos to assigned centroid) after
+    training is strictly lower than under the raw lowest-id seeding,
+    and two training runs produce bit-identical centroids (integer
+    micro-unit sums make the mean order-independent)."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+
+    def inertia(cents) -> float:
+        v = similarity._with_norm(
+            vecs.select("vec_id", "embedding"), "embedding"
+        ).select("vec_id", "__v", "__nrm")
+        score = (
+            F.expr(similarity._dot("__v", "__cv"))
+            / (F.col("__nrm") * F.col("__cn"))
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("__score").desc(), F.col("__cell").asc()
+        )
+        best = (
+            v.crossJoin(cents)
+            .withColumn("__score", score)
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+        )
+        return best.agg(F.sum(F.lit(1.0) - F.col("__score"))).collect()[0][0]
+
+    seed = similarity._with_norm(
+        vecs.filter(F.col("vec_id") < 8).select("vec_id", "embedding"),
+        "embedding",
+    ).select(
+        F.col("vec_id").alias("__cell"),
+        F.col("__v").alias("__cv"),
+        F.col("__nrm").alias("__cn"),
+    )
+    trained = similarity.train_centroids(vecs, n_cells=8, n_iters=3)
+    assert inertia(trained) < inertia(seed)
+
+    again = similarity.train_centroids(vecs, n_cells=8, n_iters=3)
+    a = sorted(map(tuple, trained.select("__cell", "__cv").collect()))
+    b = sorted(map(tuple, again.select("__cell", "__cv").collect()))
+    assert [(c, tuple(v)) for c, v in a] == [(c, tuple(v)) for c, v in b]
