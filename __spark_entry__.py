@@ -1338,12 +1338,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
         # ------- first entry PAST the driver's 50-query window -------
-        # stretch_align is NEW in r04 but the window is exactly full
-        # with changed-or-never-checked queries (every one of the 50
-        # above ships uncertified otherwise); it is bit-pinned against
-        # its DuckDB twin in tests/test_operators.py and in
-        # scripts/check_oracle.py, and is first in line for the r05
-        # window rotation.
+        # stretch_align / dedup_recall / ann_ivf_trained are NEW in r04
+        # but the window is exactly full with changed-or-never-checked
+        # queries (every one of the 50 above ships uncertified
+        # otherwise); all three are bit-pinned against their DuckDB
+        # twins by scripts/check_oracle.py (ALL-115 run green) and
+        # stretch_align additionally in tests/test_operators.py. They
+        # are first in line for the r05 window rotation.
         "stretch_align": _q_stretch_align,
         "dedup_recall": _q_dedup_recall,
         "ann_ivf_trained": _q_ann_ivf_trained,

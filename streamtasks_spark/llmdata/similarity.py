@@ -618,10 +618,14 @@ class IvfIndex:
             .drop("__cv", "__cn", "__score", "__cr")
         )
 
-    def ingest(self, vectors: DataFrame) -> None:
-        """Assign a batch to cells and append it to the index; the
-        first ingest also writes the codebook (from the batch's
-        ``n_cells`` lowest-id vectors)."""
+    def ingest(
+        self, vectors: DataFrame, *, codebook: DataFrame | None = None
+    ) -> None:
+        """Assign a batch to cells and append it to the index. The
+        first ingest writes the codebook — either the supplied
+        ``codebook`` (columns __cell/__cv/__cn, e.g. from
+        :func:`train_centroids`) or the batch's ``n_cells`` lowest-id
+        vectors; later ingests always reuse the stored one."""
         spark = vectors.sparkSession
         idc = self.id_col
         v = _with_norm(
@@ -630,7 +634,9 @@ class IvfIndex:
         cents = self._centroids(spark)
         if cents is None:
             seed = (
-                v.orderBy(F.col(idc).asc())
+                codebook
+                if codebook is not None
+                else v.orderBy(F.col(idc).asc())
                 .limit(self.n_cells)
                 .select(
                     F.col(idc).alias("__cell"),

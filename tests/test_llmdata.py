@@ -785,3 +785,27 @@ def test_train_centroids_reduces_inertia_deterministically(spark):
     a = sorted(map(tuple, trained.select("__cell", "__cv").collect()))
     b = sorted(map(tuple, again.select("__cell", "__cv").collect()))
     assert [(c, tuple(v)) for c, v in a] == [(c, tuple(v)) for c, v in b]
+
+
+def test_ivf_index_with_trained_codebook(spark, tmp_path):
+    """IvfIndex seeded with a train_centroids codebook answers exactly
+    like ivf_topk given the same trained centroids."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    qs = vecs.filter(F.col("vec_id") < 10)
+    cents = similarity.train_centroids(vecs, n_cells=8, n_iters=2)
+    idx = similarity.IvfIndex(str(tmp_path / "ivf"), n_cells=8, n_probe=2)
+    idx.ingest(vecs, codebook=cents)
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            vecs, qs, n_probe=2, k=5, centroids=cents
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in idx.query(qs, k=5).collect()
+    }
+    assert got == want
