@@ -725,11 +725,16 @@ def train_centroids(
     Bit-determinism is the point — a naive double sum across an
     aggregation is order-dependent, so the same data could train a
     different codebook per run (and per engine). Here each component is
-    floored to 2^-20 integer micro-units BEFORE summing; integer sums
-    are exactly associative, so the mean (integer sum / (2^20 · count))
-    is identical regardless of partitioning — and identical in DuckDB,
-    giving the full training loop an exact oracle
-    (:func:`oracle_ivf_trained_sql`). Seeding = the ``n_cells``
+    clamped to ±2^20 (degenerate magnitudes carry no direction
+    information a codebook needs; unclamped, one 1e30 component
+    overflows the integer sum — found by the embedding fuzz tier) and
+    floored to 2^-20 integer micro-units BEFORE summing, and the sum
+    runs in DECIMAL(38,0) (exact and associative like the integers,
+    but safe for ≥1e25 rows per cell where a BIGINT sum would overflow
+    at corpus scale). The mean (exact integer sum / (2^20 · count)) is
+    then identical regardless of partitioning — and identical in
+    DuckDB (whose sum(BIGINT) is HUGEINT-exact), giving the full
+    training loop an exact oracle (:func:`oracle_ivf_trained_sql`). Seeding = the ``n_cells``
     lowest-id vectors (same as :func:`ivf_topk`'s default codebook);
     a cell left empty by an iteration keeps its previous centroid.
 
@@ -778,17 +783,22 @@ def train_centroids(
                 "__cell",
                 F.posexplode(
                     F.expr(
-                        "transform(__v, x -> cast(floor(x * 1048576) as bigint))"
+                        "transform(__v, x -> cast(floor("
+                        "greatest(-1048576.0D, least(1048576.0D, x))"
+                        " * 1048576) as bigint))"
                     )
                 ).alias("__d", "__m"),
             )
             .groupBy("__cell", "__d")
-            .agg(F.sum("__m").alias("__s"), F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.sum(F.col("__m").cast("decimal(38,0)")).alias("__s"),
+                F.count(F.lit(1)).alias("__c"),
+            )
             .collect()
         )
         new: dict[int, dict[int, float]] = {}
         for r in rows:
-            new.setdefault(r["__cell"], {})[r["__d"]] = r["__s"] / (
+            new.setdefault(r["__cell"], {})[r["__d"]] = float(r["__s"]) / (
                 1048576.0 * r["__c"]
             )
         for cell, comps in new.items():
@@ -835,7 +845,8 @@ def _duck_kmeans_ctes(
     )""")
         parts.append(f"""s{t} AS (
       SELECT __cell, d.i AS __d,
-        sum(CAST(floor(a.__v[d.i] * 1048576) AS BIGINT)) AS __s,
+        sum(CAST(floor(greatest(-1048576.0, least(1048576.0, a.__v[d.i]))
+                       * 1048576) AS BIGINT)) AS __s,
         count(*) AS __c
       FROM a{t} a CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) d
       GROUP BY 1, 2

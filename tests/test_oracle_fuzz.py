@@ -113,6 +113,7 @@ DOC_QUERIES = [
     "substring_dedup", "quality_buckets", "source_stats",
     "dedup_components", "dedup_retention", "corpus_prepare",
     "decontaminate", "split_assign", "stratified_sample",
+    "dedup_recall",
 ]
 
 
@@ -160,7 +161,7 @@ def fuzz_vec_dirs(tmp_path_factory):
 
 VEC_QUERIES = [
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall",
-    "embedding_near_dup", "embedding_dup_classes",
+    "embedding_near_dup", "embedding_dup_classes", "ann_ivf_trained",
 ]
 
 
