@@ -1353,3 +1353,36 @@ class MinHashIndex:
         new_posts.write.mode("append").parquet(self.bands_path)
         new_hashes.write.mode("append").parquet(self.hashes_path)
         return verified
+
+    def compact(self, spark, *, files_per_table: int = 8) -> None:
+        """Rewrite both index tables into ``files_per_table`` files.
+
+        Every :meth:`ingest` appends a batch's worth of part files, so
+        a long-running index accretes thousands of small files and the
+        band join's scan degrades into file-listing overhead — the
+        standard small-files problem of any append-based table format.
+        Compaction reads a SNAPSHOT, rewrites it coalesced into a
+        sibling directory, and swaps directories atomically at the end
+        (two renames). Single-writer assumption: don't compact while an
+        ingest is mid-append; concurrent READERS are safe because they
+        resolve snapshots of concrete file paths (``snapshot_read``)
+        and the old directory is removed only after the swap.
+
+        At warehouse scale this is where the postings table would also
+        be re-bucketed on the band key (sort/cluster within rewrite);
+        locally a plain coalesced rewrite keeps the semantics
+        byte-identical (pinned by the equivalence test)."""
+        import shutil
+        import uuid
+
+        for path in (self.bands_path, self.hashes_path):
+            cur = snapshot_read(spark, path)
+            if cur is None:
+                continue
+            tag = uuid.uuid4().hex[:8]
+            tmp = f"{path}__compact_{tag}"
+            old = f"{path}__old_{tag}"
+            cur.repartition(files_per_table).write.parquet(tmp)
+            shutil.move(path, old)
+            shutil.move(tmp, path)
+            shutil.rmtree(old)

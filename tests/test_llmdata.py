@@ -809,3 +809,31 @@ def test_ivf_index_with_trained_codebook(spark, tmp_path):
         for r in idx.query(qs, k=5).collect()
     }
     assert got == want
+
+
+def test_minhash_index_compaction_preserves_results(spark, docs, tmp_path):
+    """compact() collapses the per-ingest small files without changing
+    any future ingest's output: a post-compaction ingest finds exactly
+    the pairs it would have found against the uncompacted index."""
+    import glob
+
+    idx = dedup.MinHashIndex(str(tmp_path / "mh"), threshold=0.5)
+    for part in range(2):
+        idx.ingest(docs.filter(F.col("doc_id") % 3 == part))
+    before = len(glob.glob(str(tmp_path / "mh" / "bands" / "*.parquet")))
+    uncompacted = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_minhash(docs, threshold=0.5).collect()
+    }
+    idx.compact(spark, files_per_table=2)
+    after = len(glob.glob(str(tmp_path / "mh" / "bands" / "*.parquet")))
+    assert after < before
+    got = {}
+    for r in idx.ingest(docs.filter(F.col("doc_id") % 3 == 2)).collect():
+        got[(r["doc_a"], r["doc_b"])] = r["jaccard"]
+    # final batch's pairs = full-corpus pairs involving a part-2 doc
+    expect = {
+        p: j for p, j in uncompacted.items()
+        if p[0] % 3 == 2 or p[1] % 3 == 2
+    }
+    assert got == expect
