@@ -1196,6 +1196,44 @@ def snapshot_read(spark, path: str, base_path: str | None = None):
     return reader.parquet(*files)
 
 
+def compact_table(
+    spark,
+    path: str,
+    *,
+    files: int = 8,
+    partition_by: str | None = None,
+) -> bool:
+    """Rewrite a parquet dataset coalesced into ``files`` files (per
+    partition directory when ``partition_by`` is set), then swap
+    directories atomically (two renames). Cures the small-files
+    accretion of append-based index tables. Single-writer: don't
+    compact mid-append; concurrent snapshot readers
+    (:func:`snapshot_read`) stay consistent because the old files are
+    removed only after the swap. Returns False if the dataset doesn't
+    exist."""
+    import shutil
+    import uuid
+
+    cur = snapshot_read(
+        spark, path, base_path=path if partition_by else None
+    )
+    if cur is None:
+        return False
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{path}__compact_{tag}"
+    old = f"{path}__old_{tag}"
+    writer = cur.repartition(
+        files, *( [partition_by] if partition_by else [] )
+    ).write
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return True
+
+
 def _band_postings(hs: DataFrame, id_col: str) -> DataFrame:
     """(id, __band_idx, __band_key) postings for the standard signature
     (same permutation constants and banding as :func:`dedup_minhash`)."""
@@ -1372,17 +1410,5 @@ class MinHashIndex:
         be re-bucketed on the band key (sort/cluster within rewrite);
         locally a plain coalesced rewrite keeps the semantics
         byte-identical (pinned by the equivalence test)."""
-        import shutil
-        import uuid
-
         for path in (self.bands_path, self.hashes_path):
-            cur = snapshot_read(spark, path)
-            if cur is None:
-                continue
-            tag = uuid.uuid4().hex[:8]
-            tmp = f"{path}__compact_{tag}"
-            old = f"{path}__old_{tag}"
-            cur.repartition(files_per_table).write.parquet(tmp)
-            shutil.move(path, old)
-            shutil.move(tmp, path)
-            shutil.rmtree(old)
+            compact_table(spark, path, files=files_per_table)

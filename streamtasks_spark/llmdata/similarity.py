@@ -652,6 +652,19 @@ class IvfIndex:
         )
         v.unpersist()
 
+    def compact(self, spark, *, files_per_cell: int = 1) -> None:
+        """Rewrite the cells table coalesced per cell directory — every
+        :meth:`ingest` appends part files into each ``__cell=`` dir, so
+        a long-lived index pays file-listing overhead per query. The
+        partition layout (and so probed-cell pruning) is preserved.
+        Single-writer; snapshot readers stay consistent."""
+        from streamtasks_spark.llmdata.dedup import compact_table
+
+        compact_table(
+            spark, self.cells_path,
+            files=files_per_cell, partition_by="__cell",
+        )
+
     def query(
         self, queries: DataFrame, *, k: int = 5, n_probe: int | None = None
     ) -> DataFrame:

@@ -837,3 +837,36 @@ def test_minhash_index_compaction_preserves_results(spark, docs, tmp_path):
         if p[0] % 3 == 2 or p[1] % 3 == 2
     }
     assert got == expect
+
+
+def test_ivf_index_compaction_preserves_results_and_pruning(spark, tmp_path):
+    """Compacting the cells table collapses per-ingest part files while
+    keeping the __cell partition layout (pruning still applies) and the
+    exact query results."""
+    import glob
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    qs = vecs.filter(F.col("vec_id") < 10)
+    idx = similarity.IvfIndex(str(tmp_path / "ivf"), n_cells=8, n_probe=2)
+    idx.ingest(vecs.filter(F.col("vec_id") < 250))
+    idx.ingest(vecs.filter(F.col("vec_id") >= 250))
+    before_res = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in idx.query(qs, k=5).collect()
+    }
+    n_files = lambda: len(  # noqa: E731
+        glob.glob(str(tmp_path / "ivf" / "cells" / "__cell=*" / "*.parquet"))
+    )
+    before_files = n_files()
+    idx.compact(spark)
+    assert n_files() < before_files
+    # partition dirs survive the rewrite
+    assert glob.glob(str(tmp_path / "ivf" / "cells" / "__cell=*"))
+    after_res = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in idx.query(qs, k=5).collect()
+    }
+    assert after_res == before_res
