@@ -881,3 +881,57 @@ def test_streaming_dedup_minhash_matches_batch(spark, tmp_path):
     assert got == expect
     # cross-batch pairs exist (odd-even doc_id pairs span micro-batches)
     assert any((a % 2) != (b % 2) for a, b in got)
+
+
+def test_streaming_dedup_minhash_survives_restart(spark, tmp_path):
+    """Clean stop → new query on the same checkpoint resumes WITHOUT
+    re-ingesting processed batches: pair deltas across the restart are
+    still exactly-once and equal to one-shot batch dedup."""
+    from streamtasks_spark.llmdata.dedup import dedup_minhash
+    from streamtasks_spark.streaming.stateful import streaming_dedup_minhash
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "mh_src"
+    kwargs = dict(
+        index_path=str(tmp_path / "mh_index"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+
+    def make_stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    q = streaming_dedup_minhash(make_stream(), **kwargs)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart on the same checkpoint with more data
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    q2 = streaming_dedup_minhash(make_stream(), **kwargs)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    expect = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash(docs, threshold=0.5).collect()
+    }
+    rows = spark.read.parquet(kwargs["pairs_path"]).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert len(rows) == len(got)  # no pair duplicated across the restart
+    assert got == expect
