@@ -1390,6 +1390,12 @@ class MinHashIndex:
         verified.count()  # materialize before the append below
         new_posts.write.mode("append").parquet(self.bands_path)
         new_hashes.write.mode("append").parquet(self.hashes_path)
+        # drop this batch's working pins — a long-running ingest loop
+        # would otherwise accumulate two persisted tables per batch
+        # (verified stays pinned: it is the returned result; callers
+        # unpersist when done, as streaming_dedup_minhash does)
+        new_posts.unpersist()
+        hs.unpersist()
         return verified
 
     def compact(self, spark, *, files_per_table: int = 8) -> None:
