@@ -693,7 +693,11 @@ class IvfIndex:
             F.col("__nrm").alias("__qn"),
             "__cell",
         )
-        q = pin(q)
+        # (no persist here: a serving process calls query() repeatedly,
+        # and pinned query-assignments would accumulate until session
+        # end. The assignment is a broadcast-codebook projection over
+        # the small query batch — recomputing it once for the probed
+        # collect and once in the result plan is cheaper than a leak.)
         # probed cells: bounded by the codebook size — driver-safe; a
         # literal IN filter on the partition column prunes unprobed
         # cell directories out of the scan entirely
