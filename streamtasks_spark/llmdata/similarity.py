@@ -821,6 +821,7 @@ def train_centroids(
         for cell, comps in new.items():
             cents[cell] = [comps[d] for d in sorted(comps)]
         # cells absent from `new` keep their previous centroid
+    v.unpersist()  # training is a build step; don't leak the pin
     spark = vectors.sparkSession
     out = [
         (cell, cv, math.sqrt(sum_lr(x * x for x in cv)))
