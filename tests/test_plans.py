@@ -482,6 +482,18 @@ def test_connected_components_round_is_window_not_join(psession):
     assert "Union" in plan
 
 
+def test_events_funnel_has_no_per_user_arrays(psession, tables):
+    """events_funnel (r05 rewrite): staged conditional-min aggregation —
+    partial-aggregate state is one timestamp per user per stage. A
+    collect_list (ObjectHashAggregate) of per-user stage timestamps
+    would be O(events) memory for a single hot user at 100 TB."""
+    plan = plan_of(rq.events_funnel(tables))
+    assert "collect_list" not in plan, plan[:800]
+    assert "ObjectHashAggregate" not in plan, plan[:800]
+    # min() partials keep the map-side combine: partial + final pairs
+    assert len(re.findall(r"HashAggregate", plan)) >= 4
+
+
 def test_dedup_retention_broadcasts_components(psession):
     """The component table is duplicate-bounded (≪ corpus) and must
     broadcast onto the single corpus scan; the aggregate must keep a
