@@ -37,6 +37,7 @@ from __future__ import annotations
 import random
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1186,8 +1187,23 @@ def snapshot_read(spark, path: str, base_path: str | None = None):
             reader = reader.option("basePath", base_path)
         df = reader.parquet(path)
         files = df.inputFiles()
-    except Exception:
-        return None
+    except AnalysisException as e:
+        # Only "dataset doesn't exist yet" maps to None: a missing
+        # path, or an existing-but-empty directory (schema inference
+        # has nothing to read). Anything else — corruption,
+        # permissions, transient FS faults — must propagate, or
+        # MinHashIndex.ingest / IvfIndex.query would silently treat an
+        # unreadable index as empty history and emit wrong results.
+        name = getattr(e, "getErrorClass", lambda: None)() or ""
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in name
+            or "UNABLE_TO_INFER_SCHEMA" in name
+            or "Path does not exist" in msg
+            or "Unable to infer schema" in msg
+        ):
+            return None
+        raise
     if not files:
         return None
     reader = spark.read.schema(df.schema)
@@ -1205,12 +1221,17 @@ def compact_table(
 ) -> bool:
     """Rewrite a parquet dataset coalesced into ``files`` files (per
     partition directory when ``partition_by`` is set), then swap
-    directories atomically (two renames). Cures the small-files
-    accretion of append-based index tables. Single-writer: don't
-    compact mid-append; concurrent snapshot readers
-    (:func:`snapshot_read`) stay consistent because the old files are
-    removed only after the swap. Returns False if the dataset doesn't
-    exist."""
+    directories (two renames). Cures the small-files accretion of
+    append-based index tables.
+
+    Compaction requires EXCLUSIVE access — no concurrent writer and no
+    concurrent reader mid-query. The swap renames the live directory
+    aside before the replacement lands, so a :func:`snapshot_read` view
+    resolved before compaction holds concrete file paths that move and
+    are then deleted; a read started inside the rename gap sees a
+    missing dataset. Run it from the single maintenance owner of the
+    index (the same discipline ingest already requires). Returns False
+    if the dataset doesn't exist."""
     import shutil
     import uuid
 
@@ -1280,7 +1301,13 @@ class MinHashIndex:
     so over any batch decomposition, ∪ pairs(Bᵢ) equals
     ``dedup_minhash(∪ Bᵢ)`` exactly (pairs canonicalized doc_a < doc_b;
     H–H pairs were emitted by earlier ingests). Pinned by
-    tests/test_llmdata.py's batch-equivalence test.
+    tests/test_llmdata.py's batch-equivalence test. The equivalence
+    holds for ``max_bucket=None`` only: with a cap set, each ingest
+    applies it to CUMULATIVE bucket occupancy at ingest time, and
+    pairs emitted while a bucket was still under the cap cannot be
+    retracted once later batches push it over — incremental output is
+    then a superset of the capped one-shot result (and a subset of
+    the uncapped one).
 
     Scale shape: each ingest shuffles only the new batch's sketches;
     the history side is ONE join keyed on (band_idx, band_key) against

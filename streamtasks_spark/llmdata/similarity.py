@@ -563,9 +563,11 @@ class IvfIndex:
     On-disk layout under ``path``:
 
       ``centroids/`` — the coarse codebook (cell id, vector, norm).
-        Written by the FIRST ingest from its ``n_cells`` lowest-id
-        vectors — the same deterministic seeding as :func:`ivf_topk`,
-        so a one-shot build answers queries identically to it. Later
+        Written by the FIRST ingest from the batch's vectors with
+        ``id_col < n_cells`` — the identical filter :func:`ivf_topk`
+        uses for its default seeding, so a one-shot build answers
+        queries identically to it (both degrade identically when ids
+        are not 0-based contiguous; pass a trained codebook then). Later
         ingests REUSE the stored codebook (production IVF semantics:
         the codebook is trained once on a sample, then frozen; a
         k-means-trained table drops into the same files).
@@ -624,8 +626,14 @@ class IvfIndex:
         """Assign a batch to cells and append it to the index. The
         first ingest writes the codebook — either the supplied
         ``codebook`` (columns __cell/__cv/__cn, e.g. from
-        :func:`train_centroids`) or the batch's ``n_cells`` lowest-id
-        vectors; later ingests always reuse the stored one."""
+        :func:`train_centroids`) or the batch's vectors with
+        ``id_col < n_cells`` — the SAME filter :func:`ivf_topk` uses
+        for its default seeding, so index answers match the one-shot
+        function whenever the first batch contains those ids. (With
+        non-zero-based ids, supply an explicit codebook: both the
+        one-shot and the index would otherwise see fewer than
+        ``n_cells`` seed vectors.) Later ingests always reuse the
+        stored codebook."""
         spark = vectors.sparkSession
         idc = self.id_col
         v = _with_norm(
@@ -636,14 +644,21 @@ class IvfIndex:
             seed = (
                 codebook
                 if codebook is not None
-                else v.orderBy(F.col(idc).asc())
-                .limit(self.n_cells)
-                .select(
+                else v.filter(F.col(idc) < self.n_cells).select(
                     F.col(idc).alias("__cell"),
                     F.col("__v").alias("__cv"),
                     F.col("__nrm").alias("__cn"),
                 )
             )
+            # codebook-sized driver check (≤ n_cells rows): an empty
+            # seed would "succeed" into an index that answers nothing
+            if not seed.limit(1).count():
+                raise ValueError(
+                    "IvfIndex first ingest produced an empty codebook: "
+                    f"no batch ids satisfy {idc} < {self.n_cells}. "
+                    "Pass an explicit codebook= (e.g. train_centroids) "
+                    "when ids are not 0-based contiguous."
+                )
             seed.coalesce(1).write.parquet(self.centroids_path)
             cents = self._centroids(spark)
         assigned = self._assign(pin(v), cents, idc, 1)
@@ -657,7 +672,9 @@ class IvfIndex:
         :meth:`ingest` appends part files into each ``__cell=`` dir, so
         a long-lived index pays file-listing overhead per query. The
         partition layout (and so probed-cell pruning) is preserved.
-        Single-writer; snapshot readers stay consistent."""
+        Exclusive access required (no concurrent reader mid-query, no
+        concurrent ingest) — see
+        :func:`~streamtasks_spark.llmdata.dedup.compact_table`."""
         from streamtasks_spark.llmdata.dedup import compact_table
 
         compact_table(

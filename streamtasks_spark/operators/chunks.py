@@ -378,6 +378,14 @@ def stretch_align(
     and chunk i is resampled n -> m_i with the same endpoint-preserving
     linear interpolation as :func:`audio_resampler`.
 
+    Divergence from the reference for OUT-OF-BOUND drift: the reference
+    stretches only while the required ratio stays within
+    ``max_stretch_ratio`` and otherwise falls back to dropping samples
+    / zero-filling gaps (media/util.py ``insert()``); this operator
+    always applies the clamped ±d stretch, so large drift is worked
+    off over several chunks (bounded convergence) rather than cut or
+    padded in one step. Within the bound the two are sample-exact.
+
     Scale shape: the fold that resolves the recurrence runs over ONE
     compact integer list per key (collect_list of (idx, e) pairs — no
     sample data), then a join on (keys, idx) carries m back and the

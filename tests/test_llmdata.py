@@ -870,3 +870,46 @@ def test_ivf_index_compaction_preserves_results_and_pruning(spark, tmp_path):
         for r in idx.query(qs, k=5).collect()
     }
     assert after_res == before_res
+
+
+def test_snapshot_read_missing_vs_corrupt(spark, tmp_path):
+    """snapshot_read maps only 'dataset not there yet' to None (missing
+    path, empty dir); an unreadable dataset must RAISE — returning None
+    would make the indexes silently treat corrupt history as empty and
+    emit wrong results (ADVICE r04)."""
+    import os
+
+    import pytest
+
+    from streamtasks_spark.llmdata.dedup import snapshot_read
+
+    assert snapshot_read(spark, str(tmp_path / "nope")) is None
+    os.makedirs(tmp_path / "empty")
+    assert snapshot_read(spark, str(tmp_path / "empty")) is None
+    os.makedirs(tmp_path / "corrupt")
+    (tmp_path / "corrupt" / "part-0000.parquet").write_bytes(
+        b"garbage not parquet at all" * 10
+    )
+    with pytest.raises(Exception):
+        snapshot_read(spark, str(tmp_path / "corrupt"))
+
+
+def test_ivf_index_default_seed_matches_ivf_topk_filter(spark, tmp_path):
+    """The first-ingest default codebook uses the identical
+    id_col < n_cells filter as ivf_topk's default seeding — not the
+    batch's n_cells lowest ids (divergent for non-zero-based ids,
+    ADVICE r04). With ids starting at 100 and n_cells=8 the seed set is
+    EMPTY — the ingest must fail loudly instead of silently seeding 8
+    arbitrary vectors (old behavior) or writing an index that answers
+    nothing (empty-codebook behavior)."""
+    import pytest
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").withColumn(
+        "vec_id", F.col("vec_id") + 100
+    )
+    idx = similarity.IvfIndex(str(tmp_path / "ivf"), n_cells=8, n_probe=2)
+    with pytest.raises(ValueError, match="empty codebook"):
+        idx.ingest(vecs)
