@@ -73,6 +73,124 @@ def probe_ops(spark, docs):
     yield "corpus_prepare", lambda: pipeline.corpus_prepare(docs, ev), n
 
 
+def replicate_vectors(spark, factor: int):
+    """factor copies of embeddings: copy 0 verbatim; copy k>0 re-ids
+    the vector and tilts it by a per-copy deterministic per-component
+    factor (1 + 0.02·k·sin(i)) — a DIRECTION change, since pure
+    scaling is invisible to cosine. Each original spawns a family
+    whose members drift apart with copy distance, so near-dup output
+    grows ~linearly with family size (adjacent copies pair, far ones
+    don't) instead of quadratically — the probe then measures
+    candidate-generation scaling, not output volume."""
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    if factor == 1:
+        return vecs
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    return (
+        vecs.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("__copy") * 10_000_000).alias(
+                "vec_id"
+            ),
+            # per-copy PHASE (i·(1+k)) decorrelates the tilt directions:
+            # copy k drifts toward its own direction with angle ∝ k, so
+            # only a bounded neighborhood of low-k copies stays within
+            # the near-dup threshold of the original — without this, all
+            # copies tilt along ONE direction and far copies become
+            # parallel to each other (every family all-pairs near-dup,
+            # output quadratic in factor, exponent meaningless)
+            F.expr(
+                "transform(embedding, (x, i) -> cast("
+                "x * (1.0d + 0.05d * __copy * sin(i * (1 + __copy))) "
+                "as float))"
+            ).alias("embedding"),
+            "label",
+        )
+    )
+
+
+def probe_vector_ops(spark, vecs, queries, factor: int):
+    from streamtasks_spark.llmdata import similarity
+
+    n = vecs.count()
+    yield "lsh_topk", lambda: similarity.lsh_topk(
+        vecs, queries, n_planes=4, k=5
+    ), n
+    yield "ivf_topk", lambda: similarity.ivf_topk(
+        vecs, queries, n_cells=8, n_probe=2, k=5
+    ), n
+    # threshold 0.9 + the decorrelated tilt bounds each vector's true
+    # near-dup neighborhood to a few adjacent copies: output saturates
+    # per family, so the exponent measures candidate generation.
+    # FIXED plane count: bucket population grows linearly with the
+    # corpus and within-bucket pairing quadratically — the documented
+    # failure mode of leaving the knob alone. Capped at ≤16× (the
+    # quadratic term makes 100× a ~half-hour run that only re-measures
+    # the known term); the skip is printed, not silent.
+    if factor <= 16:
+        yield "embedding_near_dup_fixed_planes", (
+            lambda: similarity.embedding_near_dup(
+                vecs, n_planes=4, threshold=0.9
+            )
+        ), n
+    else:
+        print(json.dumps({
+            "op": "embedding_near_dup_fixed_planes", "factor": factor,
+            "skipped": "fixed 4-plane config is quadratic-in-bucket; "
+            "measured through 16x, the 100 TB path is scaled planes",
+        }), flush=True)
+    # SCALED plane count (4 + log2(factor)): bucket count tracks corpus
+    # size so expected bucket population stays constant — the knob a
+    # 100 TB deployment actually turns (recall per plane drops as
+    # buckets shrink; n_out in the output line shows the trade).
+    p = 4 + max(0, round(math.log2(factor)))
+    yield "embedding_near_dup_scaled_planes", (
+        lambda: similarity.embedding_near_dup(
+            vecs, n_planes=p, threshold=0.9
+        )
+    ), n
+
+
+def probe_vectors(spark, factors) -> int:
+    """ANN-tier twin of the corpus probe: replicate embeddings with
+    mutated near-dup families, fix the query set (10 copy-0 vectors, so
+    query-side work is constant and the exponent isolates corpus-side
+    scaling), time each tier at every factor."""
+    results: dict[str, dict[int, float]] = {}
+    for factor in factors:
+        vecs = replicate_vectors(spark, factor)
+        with tempfile.TemporaryDirectory(prefix=f"vscale{factor}_") as td:
+            vecs.write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+            mat = spark.read.parquet(f"{td}/embeddings.parquet")
+            queries = mat.filter(F.col("vec_id") < 10)
+            for name, thunk, _n in probe_vector_ops(
+                spark, mat, queries, factor
+            ):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                out = thunk()
+                n_rows = out.count()
+                dt = time.perf_counter() - t0
+                results.setdefault(name, {})[factor] = dt
+                print(json.dumps({
+                    "op": name, "factor": factor, "n_vecs": _n,
+                    "n_out": n_rows, "sec": round(dt, 3),
+                }), flush=True)
+    for name, r in results.items():
+        # per-op span: the fixed-planes row stops at 16×
+        lo, hi = min(r), max(r)
+        if lo == hi:
+            continue
+        exp = math.log(r[hi] / r[lo]) / math.log(hi / lo)
+        print(json.dumps({
+            "op": name, "scaling_exponent": round(exp, 3),
+            "span": f"{lo}x..{hi}x",
+            "verdict": "sub-linear-to-linear" if exp <= 1.15
+            else ("super-linear" if exp < 1.7 else "QUADRATIC-SUSPECT"),
+        }), flush=True)
+    return 0
+
+
 def probe_incremental(spark, n_batches: int) -> int:
     """Incremental-ingest probe for MinHashIndex: ingest ``n_batches``
     constant-size batches into one persistent index and time each.
@@ -133,6 +251,8 @@ def main() -> int:
             return probe_incremental(get_spark("scale_probe"), n)
         if a.startswith("--factors"):
             factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+    if "--vectors" in sys.argv[1:]:
+        return probe_vectors(get_spark("scale_probe"), factors)
     spark = get_spark("scale_probe")
     results: dict[str, dict[int, float]] = {}
     for factor in factors:
