@@ -329,6 +329,175 @@ def test_deployment_resume_with_run_id_keeps_state_and_offsets(
     assert got == {2, 3}
 
 
+def test_deployment_graph_killed_midrun_resumes_exactly_once(
+    spark, tmp_path
+):
+    """Crash-restart soak for a COMPOSED deployment: one source fans out
+    into TWO stateful twins (gate + SR latch) with independent sinks;
+    the run is stopped abruptly mid-drain (after ≥1 committed
+    micro-batch, with several still pending — an in-flight batch at
+    stop time is aborted uncommitted, which is exactly the crash case),
+    more data arrives, and a restart under the same run_id must
+    produce, across BOTH sinks at once, exactly the batch operators'
+    output on the full data — no duplicates, no losses, state
+    recovered. Single-op restarts are covered in test_streaming.py;
+    this pins the composed graph, where each sink tracks its own
+    offsets and the kill lands at a different batch per sink."""
+    import time as _time
+    from collections import Counter
+    from datetime import datetime
+
+    from streamtasks_spark.core.timeutil import ensure_event_time
+    from streamtasks_spark.operators.stateful import gate, sr_latch
+    from streamtasks_spark.streaming.stateful import (
+        streaming_gate,
+        streaming_sr_latch,
+    )
+
+    d = tmp_path / "in"
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    types = ["click", "purchase", "click", "error", "click", "click"]
+    all_rows = [
+        (
+            i,
+            datetime(2024, 1, 1, 0, i // 60, i % 60),
+            i % 7,
+            types[(i * 5 + i // 11) % len(types)],
+            float((i * 13) % 50),
+        )
+        for i in range(400)
+    ]
+
+    def write_file(sub, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / sub)
+        )
+
+    # phase 1: 8 files -> 8 micro-batches per sink at 1 file/trigger
+    for fi in range(8):
+        write_file(f"p{fi}", all_rows[fi * 40 : (fi + 1) * 40])
+
+    bool_val = lambda df: df.withColumn(  # noqa: E731
+        "value",
+        F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+
+    def build(p):
+        p.source(
+            "events",
+            lambda s: ensure_event_time(
+                s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(str(d))
+            ),
+        )
+        p.stage(
+            "data",
+            lambda ev: ev.filter(F.col("event_type") == "click"),
+            "events",
+        )
+        p.stage(
+            "ctl",
+            lambda ev: bool_val(
+                ev.filter(F.col("event_type") == "purchase")
+            ),
+            "events",
+        )
+        p.stage(
+            "rst",
+            lambda ev: bool_val(ev.filter(F.col("event_type") == "error")),
+            "events",
+        )
+        p.stage(
+            "gated",
+            lambda data, ctl: streaming_gate(
+                data, ctl, keys=["user_id"], seq_col="event_id"
+            ),
+            "data", "ctl",
+        )
+        p.stage(
+            "latched",
+            lambda ctl, rst: streaming_sr_latch(
+                ctl, rst, keys=["user_id"], seq_col="event_id"
+            ),
+            "ctl", "rst",
+        )
+        return p
+
+    out_g, out_l = str(tmp_path / "out_g"), str(tmp_path / "out_l")
+    sinks = {
+        "gated": {
+            "format": "parquet", "path": out_g,
+            "trigger": {"availableNow": True},
+        },
+        "latched": {
+            "format": "parquet", "path": out_l,
+            "trigger": {"availableNow": True},
+        },
+    }
+    root = str(tmp_path / "ckpt_root")
+
+    p1 = build(Pipeline("soak"))
+    qs = p1.start(spark, sinks=sinks, checkpoint_root=root, run_id="s1")
+    # abrupt stop once every sink has committed ≥1 batch (the stop
+    # aborts whatever batch is in flight at that moment)
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        progs = [q.lastProgress for q in qs]
+        if all(p is not None and p["batchId"] >= 1 for p in progs):
+            break
+        if all(not q.isActive for q in qs):
+            break  # tiny batches drained before the kill landed
+        _time.sleep(0.02)
+    killed_midrun = any(q.isActive for q in qs)
+    p1.stop()
+
+    # phase 2: late data, then resume under the same run_id
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    for fi in range(8, 10):
+        write_file(f"p{fi}", all_rows[fi * 40 : (fi + 1) * 40])
+    p2 = build(Pipeline("soak"))
+    qs = p2.start(spark, sinks=sinks, checkpoint_root=root, run_id="s1")
+    for q in qs:
+        assert q.awaitTermination(120)
+    p2.stop()
+
+    # batch ground truth over ALL data through the same stage fns
+    ev = spark.createDataFrame(all_rows, schema)
+    clicks = ev.filter(F.col("event_type") == "click")
+    ctl = bool_val(ev.filter(F.col("event_type") == "purchase"))
+    rst = bool_val(ev.filter(F.col("event_type") == "error"))
+    expect_g = Counter(
+        (r["event_id"],)
+        for r in gate(
+            clicks, ctl, keys=["user_id"], seq_col="event_id"
+        ).collect()
+    )
+    expect_l = Counter(
+        (r["user_id"], r["ts"], r["value"])
+        for r in sr_latch(
+            ctl, rst, keys=["user_id"], seq_col="event_id"
+        ).collect()
+    )
+    got_g = Counter(
+        (r["event_id"],) for r in spark.read.parquet(out_g).collect()
+    )
+    got_l = Counter(
+        (r["user_id"], r["ts"], r["value"])
+        for r in spark.read.parquet(out_l).collect()
+    )
+    assert got_g == expect_g, "gate sink diverged after mid-run kill"
+    assert got_l == expect_l, "latch sink diverged after mid-run kill"
+    # documentation, not assertion: with 8 pending batches the abrupt
+    # stop virtually always lands mid-run; if the drain won the race
+    # the test still verified resume-from-clean-stop
+    print(f"killed_midrun={killed_midrun}")
+
+
 def test_shuffle_shards_matches_duckdb_bit_exactly(spark):
     """Deterministic global shuffle: the (shard, pos) addressing must be
     bit-identical across engines (same md5-derived hash), seed-stable,
