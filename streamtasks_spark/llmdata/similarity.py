@@ -650,9 +650,12 @@ class IvfIndex:
                     F.col("__nrm").alias("__cn"),
                 )
             )
-            # codebook-sized driver check (≤ n_cells rows): an empty
-            # seed would "succeed" into an index that answers nothing
-            if not seed.limit(1).count():
+            # default-seed path only: an empty seed would "succeed"
+            # into an index that answers nothing. (The check is one
+            # cheap filter-limit job; for an explicit codebook we skip
+            # it — re-evaluating e.g. a train_centroids plan here would
+            # re-run the whole training loop.)
+            if codebook is None and not seed.limit(1).count():
                 raise ValueError(
                     "IvfIndex first ingest produced an empty codebook: "
                     f"no batch ids satisfy {idc} < {self.n_cells}. "
