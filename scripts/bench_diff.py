@@ -39,14 +39,26 @@ def load_queries(path: str) -> dict[str, float]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    threshold = 1.3
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--threshold"):
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                threshold = float(argv[i])
+            else:
+                raise SystemExit("--threshold needs a value")
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         return 2
-    threshold = 1.3
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1])
     old, new = load_queries(args[0]), load_queries(args[1])
     common = sorted(k for k in old if k in new and old[k] > 0)
     if not common:

@@ -46,6 +46,12 @@ def pytest_counts() -> tuple[int, int] | None:
     m = re.search(r"(\d+) passed", summary)
     if not m:
         return None
+    if re.search(r"\d+ (failed|error)", summary):
+        # a red suite must never be written up as "N tests passing" —
+        # that is the optimistic drift this script exists to prevent
+        raise SystemExit(
+            f"refusing to record a failing suite: {summary.strip()!r}"
+        )
     passed = int(m.group(1))
     ms = re.search(r"(\d+) skipped", summary)
     return passed, int(ms.group(1)) if ms else 0

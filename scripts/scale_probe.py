@@ -76,7 +76,7 @@ def probe_ops(spark, docs):
 def replicate_vectors(spark, factor: int):
     """factor copies of embeddings: copy 0 verbatim; copy k>0 re-ids
     the vector and tilts it by a per-copy deterministic per-component
-    factor (1 + 0.02·k·sin(i)) — a DIRECTION change, since pure
+    factor (1 + 0.05·k·sin(i·(1+k))) — a DIRECTION change, since pure
     scaling is invisible to cosine. Each original spawns a family
     whose members drift apart with copy distance, so near-dup output
     grows ~linearly with family size (adjacent copies pair, far ones
@@ -151,6 +151,38 @@ def probe_vector_ops(spark, vecs, queries, factor: int):
     ), n
 
 
+def time_op(spark, results, name, factor, line_fields, run) -> None:
+    """Time one (op, factor) cell with a cold cache; record it in
+    ``results`` and print the per-cell JSON line. ``run`` materializes
+    the op and may return extra fields for the line (e.g. n_out)."""
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    extra = run() or {}
+    dt = time.perf_counter() - t0
+    results.setdefault(name, {})[factor] = dt
+    print(json.dumps({
+        "op": name, "factor": factor, **line_fields,
+        "sec": round(dt, 3), **extra,
+    }), flush=True)
+
+
+def print_exponents(results: dict[str, dict[int, float]]) -> None:
+    """One summary line per op over the op's own measured span (ops
+    skipped at some factors — e.g. the fixed-planes cap — get the span
+    they actually ran)."""
+    for name, r in results.items():
+        lo, hi = min(r), max(r)
+        if lo == hi:
+            continue
+        exp = math.log(r[hi] / r[lo]) / math.log(hi / lo)
+        print(json.dumps({
+            "op": name, "scaling_exponent": round(exp, 3),
+            "span": f"{lo}x..{hi}x",
+            "verdict": "sub-linear-to-linear" if exp <= 1.15
+            else ("super-linear" if exp < 1.7 else "QUADRATIC-SUSPECT"),
+        }), flush=True)
+
+
 def probe_vectors(spark, factors) -> int:
     """ANN-tier twin of the corpus probe: replicate embeddings with
     mutated near-dup families, fix the query set (10 copy-0 vectors, so
@@ -166,28 +198,11 @@ def probe_vectors(spark, factors) -> int:
             for name, thunk, _n in probe_vector_ops(
                 spark, mat, queries, factor
             ):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                out = thunk()
-                n_rows = out.count()
-                dt = time.perf_counter() - t0
-                results.setdefault(name, {})[factor] = dt
-                print(json.dumps({
-                    "op": name, "factor": factor, "n_vecs": _n,
-                    "n_out": n_rows, "sec": round(dt, 3),
-                }), flush=True)
-    for name, r in results.items():
-        # per-op span: the fixed-planes row stops at 16×
-        lo, hi = min(r), max(r)
-        if lo == hi:
-            continue
-        exp = math.log(r[hi] / r[lo]) / math.log(hi / lo)
-        print(json.dumps({
-            "op": name, "scaling_exponent": round(exp, 3),
-            "span": f"{lo}x..{hi}x",
-            "verdict": "sub-linear-to-linear" if exp <= 1.15
-            else ("super-linear" if exp < 1.7 else "QUADRATIC-SUSPECT"),
-        }), flush=True)
+                time_op(
+                    spark, results, name, factor, {"n_vecs": _n},
+                    lambda t=thunk: {"n_out": t().count()},
+                )
+    print_exponents(results)
     return 0
 
 
@@ -263,25 +278,14 @@ def main() -> int:
             docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
             mat = spark.read.parquet(f"{td}/documents.parquet")
             for name, thunk, _n in probe_ops(spark, mat):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                thunk().write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                results.setdefault(name, {})[factor] = dt
-                print(json.dumps({
-                    "op": name, "factor": factor,
-                    "n_docs": _n, "sec": round(dt, 3),
-                }), flush=True)
-    lo, hi = min(factors), max(factors)
-    if lo != hi:
-        for name, r in results.items():
-            exp = math.log(r[hi] / r[lo]) / math.log(hi / lo)
-            print(json.dumps({
-                "op": name, "scaling_exponent": round(exp, 3),
-                "span": f"{lo}x..{hi}x",
-                "verdict": "sub-linear-to-linear" if exp <= 1.15
-                else ("super-linear" if exp < 1.7 else "QUADRATIC-SUSPECT"),
-            }), flush=True)
+                time_op(
+                    spark, results, name, factor, {"n_docs": _n},
+                    lambda t=thunk: t()
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                )
+    print_exponents(results)
     return 0
 
 

@@ -650,20 +650,29 @@ class IvfIndex:
                     F.col("__nrm").alias("__cn"),
                 )
             )
-            # default-seed path only: an empty seed would "succeed"
-            # into an index that answers nothing. (The check is one
-            # cheap filter-limit job; for an explicit codebook we skip
-            # it — re-evaluating e.g. a train_centroids plan here would
-            # re-run the whole training loop.)
-            if codebook is None and not seed.limit(1).count():
-                raise ValueError(
-                    "IvfIndex first ingest produced an empty codebook: "
-                    f"no batch ids satisfy {idc} < {self.n_cells}. "
-                    "Pass an explicit codebook= (e.g. train_centroids) "
-                    "when ids are not 0-based contiguous."
-                )
             seed.coalesce(1).write.parquet(self.centroids_path)
             cents = self._centroids(spark)
+            # emptiness check AFTER the write, against the materialized
+            # file — one tiny file read that covers BOTH seed paths
+            # without re-evaluating the caller's codebook plan (a
+            # train_centroids plan would re-run its whole training
+            # loop). An empty codebook would "succeed" into an index
+            # that answers nothing, forever; unwrite it and fail loud.
+            if cents is None or not cents.limit(1).count():
+                import shutil
+
+                shutil.rmtree(self.centroids_path, ignore_errors=True)
+                raise ValueError(
+                    "IvfIndex first ingest produced an empty codebook"
+                    + (
+                        ": the supplied codebook= has no rows."
+                        if codebook is not None
+                        else f": no batch ids satisfy {idc} < "
+                        f"{self.n_cells}. Pass an explicit codebook= "
+                        "(e.g. train_centroids) when ids are not "
+                        "0-based contiguous."
+                    )
+                )
         assigned = self._assign(pin(v), cents, idc, 1)
         assigned.write.mode("append").partitionBy("__cell").parquet(
             self.cells_path

@@ -913,3 +913,16 @@ def test_ivf_index_default_seed_matches_ivf_topk_filter(spark, tmp_path):
     idx = similarity.IvfIndex(str(tmp_path / "ivf"), n_cells=8, n_probe=2)
     with pytest.raises(ValueError, match="empty codebook"):
         idx.ingest(vecs)
+    # an explicitly supplied EMPTY codebook must fail the same way
+    # (checked post-write against the materialized file, so the
+    # caller's plan is not re-evaluated)
+    empty_cb = vecs.sparkSession.createDataFrame(
+        [], "__cell long, __cv array<double>, __cn double"
+    )
+    with pytest.raises(ValueError, match="empty codebook"):
+        idx.ingest(vecs, codebook=empty_cb)
+    # the failed attempts unwrote their codebook: a valid ingest on the
+    # same path now succeeds and serves queries
+    ok = vecs.withColumn("vec_id", F.col("vec_id") - 100)
+    idx.ingest(ok)
+    assert idx.query(ok.filter(F.col("vec_id") < 3), k=2).count() > 0
