@@ -1222,6 +1222,14 @@ _MUST_VERIFY_R05 = [
     # the r04 docstring documented this alternative, now it IS the
     # implementation). Oracle SQL unchanged.
     "events_funnel",
+    # implementation AND oracle changed r05: the percentile boundary
+    # array is rounded to 6 dp on both engines before binning — raw
+    # interpolation between TIED values differs by an ulp between
+    # Spark (lower + d*(hi-lo), exact when hi==lo) and DuckDB
+    # ((1-d)*lo + d*hi, not), flipping boundary-valued docs across
+    # buckets. Found by the r05 sf0.001 full oracle sweep; green at
+    # sf0.001/0.01/0.1 after the fix.
+    "quality_buckets",
 ]
 
 
@@ -1250,6 +1258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _q_ann_ivf_trained,
         # --- implementation changed r05: staged conditional-min funnel
         "events_funnel": rel(rq.events_funnel),
+        # --- impl+oracle changed r05: 6dp-rounded percentile bounds
+        "quality_buckets": _q_quality_buckets,
         # --- last green row is r01 (pre-NTZ testdata)
         "events_session_windows": rel(rq.events_session_windows),
         "set_ops": rel(rq.union_intersect_except),
@@ -1302,10 +1312,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": rel(rq.events_quantiles),
         "q1_pricing_summary": rel(rq.q1_pricing_summary),
         "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
-        "q3_shipping_priority": rel(rq.q3_shipping_priority),
         # ------- first entry PAST the driver's 50-query window -------
         # Remaining r03-green rows (unchanged relational/queries.py TPC-H
-        # shapes — lowest drift risk; next in line for the r06 rotation)
+        # shapes — lowest drift risk; next in line for the r06 rotation;
+        # q3 was evicted from the window by the quality_buckets oracle
+        # fix, which MUST be certified this round)
+        "q3_shipping_priority": rel(rq.q3_shipping_priority),
         "q4_order_priority": rel(rq.q4_order_priority),
         "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
         "q7_volume_shipping": rel(rq.q7_volume_shipping),
@@ -1345,7 +1357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "substring_dedup": _q_substring_dedup,
         "token_histogram": _q_token_histogram,
-        "quality_buckets": _q_quality_buckets,
         "corpus_prepare": _q_corpus_prepare,
         "embedding_dup_classes": _q_embedding_dup_classes,
         "events_retention_cohorts": rel(rq.events_retention_cohorts),

@@ -437,9 +437,15 @@ def quality_buckets(
     exchange of rows), broadcast back onto the scan, and binning is a
     narrow array comparison followed by one bounded-key groupBy. The
     boundary aggregate is order-deterministic (a sort, not a float
-    sum), so both engines interpolate from byte-identical inputs.
-    Bucket populations are near-equal rather than ntile-exact — the
-    CCNet semantics, at a plan shape that survives 1000 executors."""
+    sum), and the boundary array is rounded to 6 dp before binning:
+    when a percentile position lands between TIED values, Spark's
+    ``lower + d*(hi-lo)`` is exact while DuckDB's ``(1-d)*lo + d*hi``
+    carries an ulp of float error, and a doc whose score equals the
+    boundary then flips buckets under the strict ``>`` (caught by the
+    sf0.001 oracle sweep in r05 — same rounding discipline as
+    events_quantiles). Bucket populations are near-equal rather than
+    ntile-exact — the CCNet semantics, at a plan shape that survives
+    1000 executors."""
     fracs = ", ".join(
         f"{i / n_buckets:.6f}D" for i in range(1, n_buckets)
     )
@@ -450,7 +456,10 @@ def quality_buckets(
 
     stats = pin(stats.select(id_col, "quality_score", "n_chars"))
     bnd = stats.agg(
-        F.expr(f"percentile(quality_score, array({fracs}))").alias("__bnd")
+        F.expr(
+            f"transform(percentile(quality_score, array({fracs})), "
+            "b -> round(b, 6))"
+        ).alias("__bnd")
     )
     binned = stats.crossJoin(F.broadcast(bnd)).select(
         (
@@ -484,9 +493,11 @@ def oracle_quality_buckets_sql(
     n_buckets: int = 10,
 ) -> str:
     """DuckDB oracle for :func:`quality_buckets` — ``quantile_cont``
-    list boundaries (byte-identical interpolation to Spark
-    ``percentile``, same verification as events_quantiles), identical
-    ``>`` binning rule, BIGINT casts on integer sums."""
+    list boundaries rounded to 6 dp exactly like the Spark side
+    (raw interpolation differs by an ulp between the engines when a
+    percentile position lands between tied values — see the operator
+    docstring), identical ``>`` binning rule, BIGINT casts on integer
+    sums."""
     fracs = ", ".join(f"{i / n_buckets:.6f}" for i in range(1, n_buckets))
     ts = oracle_text_stats_sql(source_sql, id_col=id_col, text_col=text_col)
     return f"""
@@ -495,7 +506,9 @@ def oracle_quality_buckets_sql(
       SELECT {id_col}, quality_score, n_chars FROM __ts
       WHERE quality_score IS NOT NULL
     ),
-    b AS (SELECT quantile_cont(quality_score, [{fracs}]) AS __bnd FROM s),
+    b AS (SELECT list_transform(
+            quantile_cont(quality_score, [{fracs}]), x -> round(x, 6)
+          ) AS __bnd FROM s),
     binned AS (
       SELECT CAST(1 + len(list_filter(b.__bnd, x -> s.quality_score > x))
                   AS INT) AS bucket,
