@@ -608,3 +608,60 @@ def test_shuffle_shards_window_is_per_shard_not_global(psession):
     # a SinglePartition funnel
     assert "SinglePartition" not in plan
     assert re.search(r"hashpartitioning\(shard", plan)
+
+
+def test_no_plan_antipatterns_across_all_queries(spark):
+    """Repo-wide plan lint over every queries() entry at sf0.001:
+
+    - ``CartesianProduct`` (a non-broadcast cross join) and
+      ``BatchEvalPython`` (row-at-a-time Python UDF) are forbidden
+      outright — zero occurrences across all 116 plans as of r05.
+    - ``ObjectHashAggregate`` (collect_list/set and typed-imperative
+      aggregates; non-spillable mid-group) must stay EXACTLY the known
+      bounded set below — a new entry means someone introduced a
+      per-group array whose growth story hasn't been reviewed.
+
+    Catches regressions the per-query contract pins can't: they only
+    cover the queries someone thought to pin."""
+    import os
+    import sys
+
+    entry_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, entry_dir)
+    import __spark_entry__ as entrymod
+
+    # query -> why its ObjectHashAggregate is bounded
+    OHA_BOUNDED = {
+        "stretch_align": "compact (idx, e) int pairs per track, no samples",
+        "quality_buckets": "exact-percentile scalar aggregate (one group)",
+        "string_concatenator": "per-flush-run string fragments",
+        "audio_chunker": "per-chunk sample regroup, chunk_size-bounded",
+        "padded_chunker": "per-chunk sample regroup, chunk_size-bounded",
+        "events_quantiles": "exact-percentile per bounded event-type group",
+    }
+    sf_dir = "/root/testdata/sf0.001"
+    forbidden_hits, oha_hits, errors = [], set(), []
+    for name, fn in entrymod.queries().items():
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+            continue
+        for pat in ("CartesianProduct", "BatchEvalPython"):
+            if pat in plan:
+                forbidden_hits.append(f"{name}: {pat}")
+        if "ObjectHashAggregate" in plan:
+            oha_hits.add(name)
+    assert not errors, "\n".join(errors[:10])
+    assert not forbidden_hits, "\n".join(forbidden_hits)
+    new = oha_hits - set(OHA_BOUNDED)
+    gone = set(OHA_BOUNDED) - oha_hits
+    assert not new, (
+        f"unreviewed ObjectHashAggregate in {sorted(new)} — justify its "
+        f"bounded-state story and add it to OHA_BOUNDED, or remove the "
+        f"per-group array"
+    )
+    assert not gone, (
+        f"{sorted(gone)} no longer plan ObjectHashAggregate — prune them "
+        f"from OHA_BOUNDED so the allowlist stays tight"
+    )
