@@ -4,6 +4,7 @@ entry on Spark AND its oracle_sql() on DuckDB over the same parquet dir,
 compare row count + column names + order-insensitive values.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py --all-sf [query ...]   # sweep all 3 scales
 """
 
 from __future__ import annotations
@@ -138,9 +139,23 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--all-sf"]
+    if "--all-sf" in sys.argv[1:]:
+        # the multi-scale sweep that caught the r05 tied-percentile
+        # bug: the driver only ever checks sf0.01, but cross-engine
+        # float edges (interpolation between ties, round() boundaries)
+        # are SCALE-DEPENDENT — tiny corpora tie more, big ones hit
+        # more round() edges. One command, three scales.
+        rc = 0
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            print(f"===== /root/testdata/{sf} =====", flush=True)
+            rc |= run_suite(f"/root/testdata/{sf}", set(argv))
+        return rc
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    return run_suite(sf_dir, set(argv[1:]))
 
+
+def run_suite(sf_dir: str, only: set[str]) -> int:
     import __spark_entry__ as entrymod
     from streamtasks_spark.session import get_spark
 
