@@ -453,3 +453,74 @@ def test_relational_tier_matches_oracle_on_mutated_tpch(
             )
     assert len(ran) >= 25, f"only {len(ran)} relational queries ran: {sorted(ran)}"
     assert not failures, "\n".join(failures[:40])
+
+
+@pytest.fixture(scope="module")
+def tie_heavy_dir(tmp_path_factory):
+    """A 997-doc corpus built from 40 distinct texts: quality scores
+    collapse to 40 tied groups, so interior percentile positions
+    interpolate between ties — the geometry where Spark's
+    lower + d*(hi-lo) is float-exact but DuckDB's (1-d)*lo + d*hi is
+    not, flipping boundary-valued docs across quality_buckets buckets
+    until the 6 dp boundary rounding (r05). Seed 19 for the texts is
+    load-bearing: verified during r05 that the PRE-fix oracle produces
+    2 bucket-population mismatches on this exact corpus while the
+    fixed one matches — most seeds round back to x and pin nothing."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    words = [
+        "the", "fox", "data", "pipeline", "runs", "with", "care", "a",
+        "of", "is", "river", "executor", "shuffle", "bank", "lazy",
+        "dog", "quick", "brown", "near", "over",
+    ]
+    rng = random.Random(19)
+    base = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(3, 30)))
+        for _ in range(40)
+    ]
+    rows = [
+        (i, base[i % 40], "en", "web", len(base[i % 40]))
+        for i in range(997)
+    ]
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    d = tmp_path_factory.mktemp("ties")
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table({f.name: list(c) for f, c in zip(schema, cols)},
+                 schema=schema),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_percentile_paths_survive_massive_ties(spark, tie_heavy_dir):
+    """quality_buckets (and the other score-threshold doc queries) must
+    match their oracles bit-exactly when the score distribution is
+    almost entirely ties — the r05 regression geometry."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_conn(tie_heavy_dir)
+    failures = []
+    for name in ("quality_buckets", "quality_filter", "text_stats"):
+        sdf = qs[name](spark, tie_heavy_dir).toPandas()
+        odf = con.execute(oracles[name]).df()
+        desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+        duck_types = {row[0]: row[1] for row in desc}
+        problems = audit_types(sdf, odf, duck_types) + compare(
+            name, sdf, odf
+        )
+        failures.extend(f"{name}: {p}" for p in problems)
+    assert not failures, "\n".join(failures)
