@@ -987,6 +987,7 @@ def dedup_recall_probe(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Measured quality pin for the MinHash-LSH dedup tier (the dedup
     analog of similarity.py's ANN recall_probe): one summary row with
@@ -1003,8 +1004,16 @@ def dedup_recall_probe(
 
     Every quantity is deterministic (fixed permutation constants), so
     the probe has a bit-exact DuckDB oracle. At 100 TB this runs on a
-    sampled slice — ground truth is the probe's cost, by design.
+    sampled slice — ground truth is the probe's cost, by design:
+    ``sample_mod=m`` keeps only docs with ``id % m == 0`` (systematic,
+    engine-reproducible — a Bernoulli ``df.sample`` would depend on
+    partitioning and break the oracle), and all five quantities are
+    then computed on the slice, i.e. recall over within-slice pairs —
+    an unbiased estimate when ids are unrelated to content. Default
+    None keeps the exhaustive semantics the driver certifies.
     """
+    if sample_mod is not None:
+        docs = docs.filter(F.col(id_col) % sample_mod == 0)
     exact = exact_jaccard_pairs(
         docs, id_col=id_col, text_col=text_col, k=k, threshold=threshold
     )

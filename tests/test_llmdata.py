@@ -926,3 +926,18 @@ def test_ivf_index_default_seed_matches_ivf_topk_filter(spark, tmp_path):
     ok = vecs.withColumn("vec_id", F.col("vec_id") - 100)
     idx.ingest(ok)
     assert idx.query(ok.filter(F.col("vec_id") < 3), k=2).count() > 0
+
+
+def test_dedup_recall_probe_sampling_is_systematic(spark, docs):
+    """sample_mod=m must equal running the probe on the id%m==0 slice
+    (engine-reproducible systematic sampling — not partitioning-
+    dependent Bernoulli), and sample_mod=None must stay the exhaustive
+    default the driver certifies."""
+    from streamtasks_spark.llmdata import dedup
+
+    sliced = docs.filter(F.col("doc_id") % 3 == 0)
+    a = dedup.dedup_recall_probe(docs, sample_mod=3).collect()[0]
+    b = dedup.dedup_recall_probe(sliced).collect()[0]
+    assert a.asDict() == b.asDict()
+    full = dedup.dedup_recall_probe(docs).collect()[0]
+    assert full["n_exact"] >= a["n_exact"]
