@@ -1441,12 +1441,13 @@ class MinHashIndex:
         a long-running index accretes thousands of small files and the
         band join's scan degrades into file-listing overhead — the
         standard small-files problem of any append-based table format.
-        Compaction reads a SNAPSHOT, rewrites it coalesced into a
-        sibling directory, and swaps directories atomically at the end
-        (two renames). Single-writer assumption: don't compact while an
-        ingest is mid-append; concurrent READERS are safe because they
-        resolve snapshots of concrete file paths (``snapshot_read``)
-        and the old directory is removed only after the swap.
+        Compaction reads a snapshot, rewrites it coalesced into a
+        sibling directory, and swaps directories (two renames).
+        EXCLUSIVE access required — no concurrent ingest and no reader
+        mid-query: the swap renames the live directory aside, so a
+        snapshot's resolved file paths move (and are then deleted), and
+        a read started inside the rename gap sees a missing dataset.
+        See :func:`compact_table`.
 
         At warehouse scale this is where the postings table would also
         be re-bucketed on the band key (sort/cluster within rewrite);
