@@ -238,7 +238,13 @@ def _q_sr_latch(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = F.when(F.col("value") > 25, F.lit(1.0)).otherwise(F.lit(0.0))
     sets = ev.filter(F.col("event_type") == "purchase").withColumn("value", thr)
     resets = ev.filter(F.col("event_type") == "error").withColumn("value", thr)
-    return sr_latch(sets, resets, keys=["user_id"], default=False)
+    # seq_col makes the fold a TOTAL order: without it, two same-type
+    # control events at identical (user, ts) are order-undefined and
+    # the engines resolve the tie differently (r05 fresh-seed fuzz
+    # finding — seeds 523/823 flipped the latch between Spark/DuckDB)
+    return sr_latch(
+        sets, resets, keys=["user_id"], default=False, seq_col="event_id"
+    )
 
 
 def _q_message_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1455,18 +1461,18 @@ FROM st WHERE prio = 1
 
 _SR_LATCH_SQL = f"""
 WITH u AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CASE WHEN event_type = 'purchase' THEN 'set' ELSE 'reset' END AS src,
     {_CTL} AS v
   FROM events WHERE event_type IN ('purchase', 'error')
 ), st AS (
-  SELECT user_id, ts, src,
+  SELECT user_id, ts, event_id,
     coalesce(last_value(CASE WHEN src = 'set' THEN v END IGNORE NULLS)
              OVER w > 0.5, false) AS sb,
     coalesce(last_value(CASE WHEN src = 'reset' THEN v END IGNORE NULLS)
              OVER w > 0.5, false) AS rb
   FROM u
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), st2 AS (
   SELECT user_id, ts,
@@ -1474,7 +1480,7 @@ WITH u AS (
                (CASE WHEN sb THEN 1.0 ELSE 0.0 END) END IGNORE NULLS)
              OVER w2, 0.0) AS DOUBLE) AS value
   FROM st
-  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, src
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, ts, value FROM st2

@@ -187,7 +187,14 @@ def sr_latch(
     boolean (value > 0.5) seen on each of set/reset; on every incoming
     message emits the latched value, which flips only when exactly one of
     (set, reset) is currently true (srlatch.py:51-54). Output: one row per
-    input event with columns keys + ts + value (1.0/0.0)."""
+    input event with columns keys + ts + value (1.0/0.0).
+
+    Ordering: without ``seq_col``, ties order as reset-before-set at
+    equal ts — but two SAME-source events at identical (keys, ts) are
+    order-undefined (the fold's result can differ between runs or
+    engines). Pass ``seq_col`` (any unique, monotone-per-arrival
+    column) to make the fold a total order; the reference never faces
+    this because a stream arrives already totally ordered."""
     seq_cols = [seq_col] if seq_col is not None else []
     s = set_stream.select(
         *keys, ts, *seq_cols,

@@ -238,7 +238,9 @@ def streaming_sr_latch(
     """Streaming SR latch (reference srlatch.py:20-55): per-key state
     holds (latest set bool, latest reset bool, latched value); every
     event emits the latched value, which flips only when exactly one of
-    set/reset is true. Cross-batch latching via applyInPandasWithState."""
+    set/reset is true. Cross-batch latching via applyInPandasWithState.
+    Same ordering caveat as the batch twin: two same-source events at
+    identical (keys, ts) are order-undefined without ``seq_col``."""
     seq_cols = [seq_col] if seq_col is not None else []
     # tags sort reset(0) before set(1) at equal ts without a seq column,
     # matching the batch operator's 'reset' < 'set' string ordering
