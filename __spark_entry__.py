@@ -1236,6 +1236,11 @@ _MUST_VERIFY_R05 = [
     # buckets. Found by the r05 sf0.001 full oracle sweep; green at
     # sf0.001/0.01/0.1 after the fix.
     "quality_buckets",
+    # query AND oracle changed r05: seq_col=event_id total order — two
+    # same-type control events at identical (user, ts) were
+    # order-undefined and the engines latched oppositely (found by
+    # fresh-seed fuzz, seed 523 now a committed fixture).
+    "sr_latch",
 ]
 
 
