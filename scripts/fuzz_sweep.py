@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Fresh-seed cross-engine fuzz sweep over all four adversarial tiers.
+
+The committed fuzz fixtures (tests/test_oracle_fuzz.py) pin specific
+seeds; this tool runs the SAME generators and compare machinery with
+arbitrary new seeds — the campaign that found the r04 regexp/ANSI bugs
+and the r05 sr_latch tie-indeterminacy (seed 523, later promoted into
+the fixtures). When a seed fails here, fix the divergence, then add the
+seed to the committed fixture so the geometry stays covered.
+
+Usage:
+  python scripts/fuzz_sweep.py                      # default 3 seeds/tier
+  python scripts/fuzz_sweep.py --seeds 11,22,33     # same seeds, all tiers
+  python scripts/fuzz_sweep.py --tiers events,docs  # restrict tiers
+
+Exit 0 = no divergences; 1 = at least one FAIL/ERR line printed.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+REPO = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, REPO)
+sys.path.insert(0, f"{REPO}/tests")
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from test_oracle_fuzz import (  # noqa: E402
+    TPCH_TABLES,
+    audit_types,
+    compare,
+    duck_conn,
+    make_corpus,
+    make_events,
+    make_vectors,
+    mutate_tpch,
+)
+
+DOC_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+    ("source", pa.string()), ("n_chars", pa.int64()),
+])
+EV_SCHEMA = pa.schema([
+    ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+    ("user_id", pa.int64()), ("event_type", pa.string()),
+    ("value", pa.float64()), ("props", pa.string()),
+])
+VEC_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+    ("label", pa.int32()),
+])
+
+
+def write_one(d: str, name: str, schema, rows) -> None:
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table({f.name: list(c) for f, c in zip(schema, cols)},
+                 schema=schema),
+        f"{d}/{name}.parquet",
+    )
+
+
+def make_dir(tier: str, seed: int) -> str:
+    d = tempfile.mkdtemp(prefix=f"fz_{tier}{seed}_")
+    if tier == "docs":
+        write_one(d, "documents", DOC_SCHEMA, make_corpus(seed, n=80))
+    elif tier == "events":
+        write_one(d, "events", EV_SCHEMA, make_events(seed))
+    elif tier == "vectors":
+        write_one(d, "embeddings", VEC_SCHEMA, make_vectors(seed))
+    elif tier == "tpch":
+        tables = mutate_tpch(seed, 0.25 + (seed % 7) / 10.0)
+        base = "/root/testdata/sf0.001"
+        for t in TPCH_TABLES:
+            schema = pq.read_schema(f"{base}/{t}.parquet")
+            pq.write_table(
+                pa.Table.from_pylist(tables[t], schema=schema),
+                f"{d}/{t}.parquet",
+            )
+    return d
+
+
+def main() -> int:
+    seeds = [37, 141, 245]
+    tiers = ["docs", "events", "vectors", "tpch"]
+    for a in sys.argv[1:]:
+        if a.startswith("--seeds"):
+            seeds = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--tiers"):
+            tiers = a.split("=", 1)[1].split(",")
+
+    import __spark_entry__ as entrymod
+    from streamtasks_spark.session import get_spark
+
+    spark = get_spark("fuzz_sweep")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for tier in tiers:
+        for seed in seeds:
+            d = make_dir(tier, seed)
+            con = duck_conn(d)
+            ran = 0
+            for name, fn in qs.items():
+                try:
+                    sdf = fn(spark, d).toPandas()
+                except Exception as e:  # noqa: BLE001
+                    msg = f"{type(e).__name__}: {e}"
+                    if (
+                        "PATH_NOT_FOUND" in msg
+                        or "Path does not exist" in msg
+                        or isinstance(e, KeyError)
+                    ):
+                        continue  # query needs tables this tier lacks
+                    n_fail += 1
+                    print(f"ERR  {tier}/{seed}/{name}: {msg[:200]}",
+                          flush=True)
+                    continue
+                if name not in oracles:
+                    continue
+                try:
+                    odf = con.execute(oracles[name]).df()
+                    desc = con.execute(
+                        f"DESCRIBE ({oracles[name]})"
+                    ).fetchall()
+                    duck_types = {r[0]: r[1] for r in desc}
+                except Exception as e:  # noqa: BLE001
+                    n_fail += 1
+                    print(f"ERR  {tier}/{seed}/{name}: oracle "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                    continue
+                ran += 1
+                problems = audit_types(sdf, odf, duck_types) + compare(
+                    name, sdf, odf
+                )
+                if problems:
+                    n_fail += 1
+                    print(f"FAIL {tier}/{seed}/{name}: {problems[:2]}",
+                          flush=True)
+            print(f"tier {tier} seed {seed}: {ran} queries compared",
+                  flush=True)
+    print(f"TOTAL FAILS: {n_fail}", flush=True)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
