@@ -1241,6 +1241,10 @@ _MUST_VERIFY_R05 = [
     # order-undefined and the engines latched oppositely (found by
     # fresh-seed fuzz, seed 523 now a committed fixture).
     "sr_latch",
+    # impl AND oracle changed r05: unit_cost mean in integer
+    # micro-units — double avg() order-drift split round(.., 4) at a
+    # 0.00005 boundary between the engines (fuzz_sweep tpch seed 3527).
+    "q2_min_cost_supplier",
 ]
 
 
@@ -2438,7 +2442,10 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_cost_supplier": """
             WITH cost AS (
               SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
-                round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+                CAST((sum(CAST(floor(l_extendedprice / l_quantity
+                                     * 1000000 + 0.5) AS BIGINT))
+                      + count(*) * 50) // (count(*) * 100) AS DOUBLE)
+                  / 10000.0 AS unit_cost
               FROM lineitem
               JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation ON s_nationkey = n_nationkey

@@ -306,7 +306,16 @@ def q2_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
     nation/region are fixed-size broadcasts; supplier and part are
     SF-scaled (10k×SF / 200k×SF in TPC-H) so NO broadcast hint — AQE
     may downgrade the filtered subsets at runtime. The min is taken on
-    the ROUNDED cost so the equality join-back is byte-stable."""
+    the ROUNDED cost so the equality join-back is byte-stable.
+
+    The unit-cost mean accumulates in integer MICRO-units: each
+    l_extendedprice/l_quantity division is IEEE-deterministic (bit-
+    identical in any engine), but a double avg() sums in partition
+    order, and when the mean drifts within an ulp of a 0.00005
+    rounding boundary the engines' round(.., 4) split (r05 fuzz
+    finding, mutated-TPC-H seed 3527 — same class as the r04
+    events_hourly_stats fix). floor(x*1e6 + 0.5) per row, exact
+    BIGINT sum, then half-up integer rounding to 4 dp."""
     sized_parts = t["part"].filter(F.col("p_size") == 15)
     eur_supp = (
         t["supplier"]
@@ -327,9 +336,14 @@ def q2_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
         .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-                "unit_cost"
-            )
+            (
+                F.expr(
+                    "(sum(cast(floor(l_extendedprice / l_quantity "
+                    "* 1000000 + 0.5) as bigint)) + count(*) * 50) "
+                    "div (count(*) * 100)"
+                ).cast("double")
+                / 10000.0
+            ).alias("unit_cost")
         )
     )
     min_cost = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
