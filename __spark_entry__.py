@@ -1245,6 +1245,11 @@ _MUST_VERIFY_R05 = [
     # micro-units — double avg() order-drift split round(.., 4) at a
     # 0.00005 boundary between the engines (fuzz_sweep tpch seed 3527).
     "q2_min_cost_supplier",
+    # impl AND oracle changed r05: the same drift class preempted —
+    # q1's money sums/means in exact cent/micro units, q22's threshold
+    # mean in exact cents (strict-> membership), source_stats'
+    # uniqueness-ratio mean in nano-units.
+    "q1_pricing_summary", "q22_global_sales_opportunity", "source_stats",
 ]
 
 
@@ -1316,9 +1321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padded_chunker": _q_padded_chunker,
         "audio_resampler": _q_audio_resampler,
         "video_mixer": _q_video_mixer,
+        # --- impl+oracle changed r05: exact integer-cent / nano-unit
+        # --- means (the q2 drift class, preempted before it fires)
+        "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
+        "source_stats": _q_source_stats,
         # --- r03-green, oldest of the remainder (fills the window)
-        "image_resize": _q_image_resize,
-        "image_features": _q_image_features,
         "salted_join": _q_salted_join,
         "range_join": _q_range_join,
         "stratified_sample": _q_stratified_sample,
@@ -1349,11 +1356,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
         "q20_potential_promotion": rel(rq.q20_potential_promotion),
         "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
-        "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
+        # (q22 moved INTO the window: its threshold mean changed r05;
+        # image_resize/image_features were evicted to make room and
+        # keep their r03 rows — first in line for r06 with q3)
+        "image_resize": _q_image_resize,
+        "image_features": _q_image_features,
         # ------- r04-green window retires to the tail, unchanged -------
         "q12_priority_shipping": rel(rq.q12_priority_shipping),
         "events_json_extract": rel(rq.events_json_extract),
-        "source_stats": _q_source_stats,
         "pack_sequences": _q_pack_sequences,
         "ngram_jaccard": _q_ngram_jaccard,
         "codec_roundtrip": _q_codec_roundtrip,
@@ -2331,12 +2341,22 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
               round(sum(l_quantity), 4) AS sum_qty,
-              round(sum(l_extendedprice), 4) AS sum_base_price,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100.0 AS sum_base_price,
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                   AS DOUBLE) / 10000.0 AS sum_disc_price,
+              CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                        * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+                    + 50) // 100 AS DOUBLE) / 10000.0 AS sum_charge,
               round(avg(l_quantity), 4) AS avg_qty,
-              round(avg(l_extendedprice), 4) AS avg_price,
-              round(avg(l_discount), 4) AS avg_disc,
+              CAST((sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT))
+                    + count(*) * 50) // (count(*) * 100) AS DOUBLE)
+                / 10000.0 AS avg_price,
+              CAST((sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT))
+                    + count(*) * 50) // (count(*) * 100) AS DOUBLE)
+                / 10000.0 AS avg_disc,
               count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -2636,10 +2656,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7)
             )
             SELECT c_nationkey, count(*) AS numcust,
-              round(sum(c_acctbal), 4) AS totacctbal
+              CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100.0 AS totacctbal
             FROM cust
-            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust
-                               WHERE c_acctbal > 0.0)
+            WHERE c_acctbal > (SELECT
+                    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                         AS DOUBLE) / (count(*) * 100.0)
+                  FROM cust WHERE c_acctbal > 0.0)
               AND NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')

@@ -335,7 +335,19 @@ def source_stats(
         F.sum("__keep").alias("n_kept"),
         F.round(F.avg(F.col("__keep").cast("double")), 6).alias("keep_rate"),
         F.round(F.avg(F.col("n_words").cast("double")), 6).alias("avg_words"),
-        F.round(F.avg("__uniq_ratio"), 6).alias("avg_unique_ratio"),
+        # keep_rate/avg_words average INTEGER-valued doubles — their
+        # sums are exact in any order. The uniqueness ratio is a true
+        # double per doc, so its mean accumulates in nano-units
+        # (exact BIGINT sum, order-independent) with half-up integer
+        # rounding to 6 dp — the double-avg partition-order drift
+        # class the r05 fuzz caught in q2 (preempted here).
+        (
+            F.expr(
+                "(sum(cast(floor(__uniq_ratio * 1000000000 + 0.5) "
+                "as bigint)) + count(*) * 500) div (count(*) * 1000)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("avg_unique_ratio"),
     )
 
 
@@ -365,7 +377,9 @@ def oracle_source_stats_sql(
       CAST(sum(__keep) AS BIGINT) AS n_kept,
       round(avg(CAST(__keep AS DOUBLE)), 6) AS keep_rate,
       round(avg(CAST(n_words AS DOUBLE)), 6) AS avg_words,
-      round(avg(__uniq_ratio), 6) AS avg_unique_ratio
+      CAST((sum(CAST(floor(__uniq_ratio * 1000000000 + 0.5) AS BIGINT))
+            + count(*) * 500) // (count(*) * 1000) AS DOUBLE)
+        / 1000000.0 AS avg_unique_ratio
     FROM k
     GROUP BY {source_col}
     """

@@ -28,22 +28,47 @@ def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # All money sums/means accumulate in EXACT integer units
+            # (price/discount/tax are 2-dp values: cents_p,
+            # 100-cents_d, 100+cents_t are exact integers, so the
+            # disc-price/charge products are exact in 1e-4 / 1e-6
+            # units and the BIGINT sums are order-independent). A
+            # double sum's partition-order drift at SF-scale reaches
+            # the 4-dp rounding unit — the r05 q2 fuzz finding's
+            # class, preempted here.
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            (
+                F.sum(F.expr(
+                    "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                )).cast("double") / 100.0
+            ).alias("sum_base_price"),
+            (
+                F.sum(F.expr(
+                    "cast(floor(l_extendedprice * 100 + 0.5) as bigint) * "
+                    "(100 - cast(floor(l_discount * 100 + 0.5) as bigint))"
+                )).cast("double") / 10000.0
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                4,
+            (
+                F.expr(
+                    "(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                    " * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))"
+                    " * (100 + cast(floor(l_tax * 100 + 0.5) as bigint)))"
+                    " + 50) div 100"
+                ).cast("double") / 10000.0
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (
+                F.expr(
+                    "(sum(cast(floor(l_extendedprice * 1000000 + 0.5) "
+                    "as bigint)) + count(*) * 50) div (count(*) * 100)"
+                ).cast("double") / 10000.0
+            ).alias("avg_price"),
+            (
+                F.expr(
+                    "(sum(cast(floor(l_discount * 1000000 + 0.5) "
+                    "as bigint)) + count(*) * 50) div (count(*) * 100)"
+                ).cast("double") / 10000.0
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -710,8 +735,17 @@ def q22_global_sales_opportunity(t: dict[str, DataFrame]) -> DataFrame:
     scan. No per-row subquery execution anywhere."""
     nations = [1, 3, 5, 7]
     cust = t["customer"].filter(F.col("c_nationkey").isin(nations))
+    # threshold mean in exact integer cents (acctbal is a 2-dp value):
+    # a double avg() drifts with partition order, and a customer whose
+    # balance sits within an ulp of the mean would flip the strict >
+    # membership between engines — same class as the r05 q2 finding
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        (
+            F.sum(
+                F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")
+            ).cast("double")
+            / (F.count(F.lit(1)) * 100.0)
+        ).alias("__avg_bal")
     )
     recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
     return (
@@ -721,7 +755,12 @@ def q22_global_sales_opportunity(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            (
+                F.sum(
+                    F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")
+                ).cast("double")
+                / 100.0
+            ).alias("totacctbal"),
         )
     )
 
