@@ -1250,6 +1250,15 @@ _MUST_VERIFY_R05 = [
     # mean in exact cents (strict-> membership), source_stats'
     # uniqueness-ratio mean in nano-units.
     "q1_pricing_summary", "q22_global_sales_opportunity", "source_stats",
+    # impl AND oracle changed r05: exact integer money units swept
+    # across every remaining revenue/profit/ratio aggregate in the
+    # relational tier (plus events_session_windows' cent-exact
+    # sum_value and q6, both already in the window).
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_stock",
+    "q14_promo_effect", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates", "events_session_windows",
 ]
 
 
@@ -1302,18 +1311,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mixer": _q_audio_mixer,
         "video_activity_meter": _q_video_activity_meter,
         "media_switch": _q_media_switch,
-        "video_layout": _q_video_layout,
         "video_reformatter": _q_video_reformatter,
-        "image_decode": _q_image_decode,
-        "frame_sample": _q_frame_sample,
-        "text_renderer": _q_text_renderer,
-        "image_renderer": _q_image_renderer,
-        "tts_synthesize": _q_tts_synthesize,
-        "string_matcher": _q_string_matcher,
-        "text_format": _q_text_format,
-        "number_to_text": _q_number_to_text,
-        "time_to_text": _q_time_to_text,
-        "timestamp_update": _q_timestamp_update,
+        # --- impl+oracle changed r05: exact integer money units in
+        # --- every revenue/profit/ratio aggregate (the q2 drift class
+        # --- swept across the whole relational tier)
+        "q3_shipping_priority": rel(rq.q3_shipping_priority),
+        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
+        "q7_volume_shipping": rel(rq.q7_volume_shipping),
+        "q8_market_share": rel(rq.q8_market_share),
+        "q9_product_profit": rel(rq.q9_product_profit),
+        "q10_returned_items": rel(rq.q10_returned_items),
+        "q11_important_stock": rel(rq.q11_important_stock),
+        "q14_promo_effect": rel(rq.q14_promo_effect),
+        "q15_top_supplier": rel(rq.q15_top_supplier),
+        "q17_small_quantity_revenue": rel(rq.q17_small_quantity_revenue),
+        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
         # --- r03-green rows whose backing files absorbed r04 edits
         # --- after their row (operators/chunks.py: mux integer-ms,
         # --- volume scaler, stretch_align additions)
@@ -1335,30 +1347,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": rel(rq.q1_pricing_summary),
         "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
         # ------- first entry PAST the driver's 50-query window -------
-        # Remaining r03-green rows (unchanged relational/queries.py TPC-H
-        # shapes — lowest drift risk; next in line for the r06 rotation;
-        # q3 was evicted from the window by the quality_buckets oracle
-        # fix, which MUST be certified this round)
-        "q3_shipping_priority": rel(rq.q3_shipping_priority),
+        # Evicted to make room for the r05 exact-money rotation, all
+        # with standing green rows and UNCHANGED code — first in line
+        # for r06: the 11 r02 pure-expression queries (image/format/
+        # text tier, no float aggregation, no event-time arithmetic),
+        # image_resize/image_features (r03), and the unchanged TPC-H
+        # counting shapes (q4/q13/q16/q18/q20/q21, r03)
+        "image_decode": _q_image_decode,
+        "frame_sample": _q_frame_sample,
+        "text_renderer": _q_text_renderer,
+        "image_renderer": _q_image_renderer,
+        "tts_synthesize": _q_tts_synthesize,
+        "string_matcher": _q_string_matcher,
+        "text_format": _q_text_format,
+        "number_to_text": _q_number_to_text,
+        "time_to_text": _q_time_to_text,
+        "timestamp_update": _q_timestamp_update,
+        "video_layout": _q_video_layout,
         "q4_order_priority": rel(rq.q4_order_priority),
-        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
-        "q7_volume_shipping": rel(rq.q7_volume_shipping),
-        "q8_market_share": rel(rq.q8_market_share),
-        "q9_product_profit": rel(rq.q9_product_profit),
-        "q10_returned_items": rel(rq.q10_returned_items),
-        "q11_important_stock": rel(rq.q11_important_stock),
         "q13_customer_distribution": rel(rq.q13_customer_distribution),
-        "q14_promo_effect": rel(rq.q14_promo_effect),
-        "q15_top_supplier": rel(rq.q15_top_supplier),
         "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
-        "q17_small_quantity_revenue": rel(rq.q17_small_quantity_revenue),
         "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
-        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
         "q20_potential_promotion": rel(rq.q20_potential_promotion),
         "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
-        # (q22 moved INTO the window: its threshold mean changed r05;
-        # image_resize/image_features were evicted to make room and
-        # keep their r03 rows — first in line for r06 with q3)
         "image_resize": _q_image_resize,
         "image_features": _q_image_features,
         # ------- r04-green window retires to the tail, unchanged -------
@@ -2038,7 +2049,7 @@ WITH g AS (
   FROM marked
 )
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
-  count(*) AS n_events, round(sum(value), 4) AS sum_value
+  count(*) AS n_events, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM sess GROUP BY user_id, session_id
 """
 
@@ -2364,7 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
             FROM customer, orders, lineitem
             WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
               AND l_orderkey = o_orderkey
@@ -2375,7 +2386,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
             FROM lineitem, orders, customer, supplier, nation, region
             WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -2384,7 +2395,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1994-01-01'
               AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -2402,7 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -2415,9 +2426,9 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "q14_promo_effect": """
-            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-              / sum(l_extendedprice * (1 - l_discount)), 4)
+            SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) ELSE 0 END) AS DOUBLE)
+              / CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE), 4)
               AS promo_revenue_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -2449,7 +2460,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q19_disjunctive_predicates": """
             SELECT
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
               count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -2486,7 +2497,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
               CAST(year(l_shipdate) AS INTEGER) AS l_year,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -2501,10 +2512,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q8_market_share": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-              round(sum(CASE WHEN n1.n_name = 'NATION_3'
-                        THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0.0 END)
-                    / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+              round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                        THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                        ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                           AS DOUBLE), 6) AS mkt_share
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN orders ON l_orderkey = o_orderkey
@@ -2521,8 +2535,10 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_profit": """
             SELECT n_name AS nation,
               CAST(year(o_orderdate) AS INTEGER) AS o_year,
-              round(sum(l_extendedprice * (1 - l_discount)
-                        - 0.6 * p_retailprice * l_quantity), 4) + 0.0
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                        - 60 * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                  / 10000.0 + 0.0
                 AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -2535,7 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_stock": """
             WITH pp AS (
               SELECT l_partkey,
-                sum(l_extendedprice * (1 - l_discount)) AS __v
+                sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS __v
               FROM lineitem
               WHERE l_suppkey IN (
                 SELECT s_suppkey FROM supplier
@@ -2544,9 +2560,9 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r_name = 'EUROPE')
               GROUP BY l_partkey
             )
-            SELECT l_partkey, round(__v, 4) AS part_value
+            SELECT l_partkey, CAST(__v AS DOUBLE) / 10000.0 AS part_value
             FROM pp
-            WHERE __v > (SELECT sum(__v) FROM pp) * 0.001
+            WHERE __v * 1000 > (SELECT sum(__v) FROM pp)
         """,
         "q13_customer_distribution": """
             WITH per_cust AS (
@@ -2562,7 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": """
             WITH rev AS (
               SELECT l_suppkey,
-                round(sum(l_extendedprice * (1 - l_discount)), 4)
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0
                   AS total_revenue
               FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2591,7 +2607,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_partkey IN
                 (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
             )
-            SELECT round(sum(l_extendedprice) / 7.0, 4) + 0.0 AS avg_yearly
+            SELECT round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 700.0, 4) + 0.0 AS avg_yearly
             FROM li
             WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                                 FROM li l2

@@ -19,6 +19,23 @@ from pyspark.sql import functions as F
 from streamtasks_spark.core.timeutil import epoch_us
 from pyspark.sql.functions import broadcast
 
+# Exact integer money units. Every money column in the testdata is a
+# 2-dp value (verified by granularity probe), so cent-scaled terms are
+# exact BIGINTs, their products are exact, and BIGINT sums are
+# order-independent — where a double sum accumulates in partition order
+# and its drift reaches rounding boundaries and threshold compares at
+# SF scale (the r05 q2 fuzz finding's class). Mirrored verbatim in the
+# DuckDB oracles.
+_CENT_PRICE = "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+_CENT_DISC = "cast(floor(l_discount * 100 + 0.5) as bigint)"
+_REV_UNITS = f"{_CENT_PRICE} * (100 - {_CENT_DISC})"  # 1e-4 currency units
+
+
+def _rev_sum_4dp():
+    """Σ price·(1−discount) via exact integer units — the sum is
+    4-dp-exact by construction, so no round() is needed."""
+    return F.sum(F.expr(_REV_UNITS)).cast("double") / 10000.0
+
 
 def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q1 flavor: full-scan aggregate with map-side combine; the
@@ -90,9 +107,7 @@ def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            _rev_sum_4dp().alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -127,9 +142,7 @@ def q5_local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
         .join(asian_nations, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            _rev_sum_4dp().alias("revenue")
         )
     )
 
@@ -177,9 +190,7 @@ def q10_returned_items(t: dict[str, DataFrame]) -> DataFrame:
         .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            _rev_sum_4dp().alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -196,14 +207,18 @@ def q14_promo_effect(t: dict[str, DataFrame]) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-09-01"))
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
+            # exact-unit sums; one deterministic division
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(
+                        F.col("p_type") == "PROMO", F.expr(_REV_UNITS)
+                    ).otherwise(F.lit(0).cast("bigint"))
+                ).cast("double")
+                / F.sum(F.expr(_REV_UNITS)).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -220,9 +235,11 @@ def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-            "revenue"
-        )
+        # price·discount in exact 1e-4 units (both are 2-dp values)
+        (
+            F.sum(F.expr(f"{_CENT_PRICE} * {_CENT_DISC}")).cast("double")
+            / 10000.0
+        ).alias("revenue")
     )
 
 
@@ -307,9 +324,7 @@ def q19_disjunctive_predicates(t: dict[str, DataFrame]) -> DataFrame:
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .filter(bands)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            _rev_sum_4dp().alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -429,9 +444,7 @@ def q7_volume_shipping(t: dict[str, DataFrame]) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            _rev_sum_4dp().alias("revenue")
         )
     )
 
@@ -460,7 +473,6 @@ def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1998-01-01"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t["lineitem"]
         .join(t["part"].filter(F.col("p_type") == "ECONOMY"),
@@ -471,9 +483,16 @@ def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
         .join(broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # both sums in exact integer units; the single division of
+            # two exact BIGINT-derived doubles is deterministic
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3",
+                        F.expr(_REV_UNITS),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                ).cast("double")
+                / F.sum(F.expr(_REV_UNITS)).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -486,11 +505,14 @@ def q9_product_profit(t: dict[str, DataFrame]) -> DataFrame:
     nation and order year.
 
     Scale: part's name filter prunes its scan before the fact join;
-    nation broadcast; profit can legitimately round to ±0 per group so
-    the rounded sum is zero-normalized (+0.0) on both engines."""
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    nation broadcast; profit can legitimately sum to ±0 per group so
+    the result is zero-normalized (+0.0) on both engines. Profit in
+    exact 1e-4 units: 0.6·retail·qty = 60·retail_cents·qty such units
+    (retail is 2-dp, qty integer-valued), so the whole term is an
+    exact BIGINT per row."""
+    profit = F.expr(
+        f"{_REV_UNITS} - 60 * cast(floor(p_retailprice * 100 + 0.5) "
+        "as bigint) * cast(l_quantity as bigint)"
     )
     return (
         t["lineitem"]
@@ -502,7 +524,11 @@ def q9_product_profit(t: dict[str, DataFrame]) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg((F.round(F.sum(profit), 4) + F.lit(0.0)).alias("sum_profit"))
+        .agg(
+            (F.sum(profit).cast("double") / 10000.0 + F.lit(0.0)).alias(
+                "sum_profit"
+            )
+        )
     )
 
 
@@ -523,17 +549,28 @@ def q11_important_stock(t: dict[str, DataFrame], fraction: float = 0.001) -> Dat
         )
         .select("s_suppkey")
     )
+    # per-part value and the HAVING threshold both in exact integer
+    # units, so the > membership test is PURE INTEGER comparison
+    # (fraction=0.001 → __v * 1000 > __total) — a double-sum drift on
+    # either side could otherwise flip parts sitting at the threshold
     per_part = (
         t["lineitem"]
         .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__v"))
+        .agg(F.sum(F.expr(_REV_UNITS)).alias("__v"))
     )
     total = per_part.agg(F.sum("__v").alias("__total"))
+    inv_frac = round(1.0 / fraction)
+    assert abs(inv_frac * fraction - 1.0) < 1e-12, (
+        "fraction must be a reciprocal integer for the exact compare"
+    )
     return (
         per_part.crossJoin(broadcast(total))
-        .filter(F.col("__v") > F.col("__total") * F.lit(fraction))
-        .select("l_partkey", F.round("__v", 4).alias("part_value"))
+        .filter(F.col("__v") * F.lit(inv_frac) > F.col("__total"))
+        .select(
+            "l_partkey",
+            (F.col("__v").cast("double") / 10000.0).alias("part_value"),
+        )
     )
 
 
@@ -573,11 +610,9 @@ def q15_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("total_revenue")
-        )
+        # exact units: the max-equality join-back compares doubles
+        # derived from integers, so drift can't split the max set
+        .agg(_rev_sum_4dp().alias("total_revenue"))
     )
     max_rev = rev.agg(F.max("total_revenue").alias("__max"))
     return (
@@ -634,9 +669,13 @@ def q17_small_quantity_revenue(t: dict[str, DataFrame]) -> DataFrame:
         li.join(avg_qty, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__qty_limit"))
         .agg(
-            (F.round(F.sum("l_extendedprice") / F.lit(7.0), 4) + F.lit(0.0)).alias(
-                "avg_yearly"
-            )
+            # exact cent sum, then ONE deterministic division by 700
+            (
+                F.round(
+                    F.sum(F.expr(_CENT_PRICE)).cast("double") / 700.0, 4
+                )
+                + F.lit(0.0)
+            ).alias("avg_yearly")
         )
     )
 
@@ -868,7 +907,12 @@ def events_session_windows(t: dict[str, DataFrame], gap_minutes: int = 30) -> Da
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        # value is a 2-dp column: exact cent sum, order-independent
+        (
+            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
+            .cast("double")
+            / 100.0
+        ).alias("sum_value"),
     )
 
 
