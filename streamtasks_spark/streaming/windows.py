@@ -109,7 +109,15 @@ def streaming_session_stats(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # cent-exact like the batch twin (r05): 2-dp values sum as
+            # exact BIGINTs, so micro-batch boundaries can't drift the
+            # double sum against the batch result
+            (
+                F.sum(
+                    F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+                ).cast("double")
+                / 100.0
+            ).alias("sum_value"),
         )
         .select(
             F.col("session_window.start").alias("session_start"),
