@@ -2357,10 +2357,10 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                    AS DOUBLE) / 10000.0 AS sum_disc_price,
-              CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
-                        * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
-                    + 50) // 100 AS DOUBLE) / 10000.0 AS sum_charge,
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                       * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+                   AS DOUBLE) / 1000000.0 AS sum_charge,
               round(avg(l_quantity), 4) AS avg_qty,
               CAST((sum(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT))
                     + count(*) * 50) // (count(*) * 100) AS DOUBLE)

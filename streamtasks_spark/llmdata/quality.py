@@ -336,15 +336,22 @@ def source_stats(
         F.round(F.avg(F.col("__keep").cast("double")), 6).alias("keep_rate"),
         F.round(F.avg(F.col("n_words").cast("double")), 6).alias("avg_words"),
         # keep_rate/avg_words average INTEGER-valued doubles — their
-        # sums are exact in any order. The uniqueness ratio is a true
-        # double per doc, so its mean accumulates in nano-units
-        # (exact BIGINT sum, order-independent) with half-up integer
-        # rounding to 6 dp — the double-avg partition-order drift
-        # class the r05 fuzz caught in q2 (preempted here).
+        # sums are exact in any order (and stay below the 2^53 double
+        # integer edge through the 100 TB envelope). The uniqueness
+        # ratio is a true double per doc, so its mean accumulates in
+        # nano-units with half-up integer rounding to 6 dp — the
+        # double-avg partition-order drift class the r05 fuzz caught
+        # in q2 (preempted here). The accumulator is DECIMAL(38,0):
+        # per-source doc counts grow with the corpus, and a BIGINT sum
+        # of 1e9-scale terms wraps silently near 1e10 docs per source
+        # (the r06 ADVICE overflow class); the div quotient is a mean
+        # (~1e6) so the BIGINT quotient is always safe. DuckDB's
+        # sum(BIGINT)→HUGEINT oracle is exact as-is.
         (
             F.expr(
-                "(sum(cast(floor(__uniq_ratio * 1000000000 + 0.5) "
-                "as bigint)) + count(*) * 500) div (count(*) * 1000)"
+                "(sum(cast(cast(floor(__uniq_ratio * 1000000000 + 0.5) "
+                "as bigint) as decimal(38,0))) + count(*) * 500) "
+                "div (count(*) * 1000)"
             ).cast("double")
             / 1000000.0
         ).alias("avg_unique_ratio"),

@@ -20,21 +20,48 @@ from streamtasks_spark.core.timeutil import epoch_us
 from pyspark.sql.functions import broadcast
 
 # Exact integer money units. Every money column in the testdata is a
-# 2-dp value (verified by granularity probe), so cent-scaled terms are
-# exact BIGINTs, their products are exact, and BIGINT sums are
-# order-independent — where a double sum accumulates in partition order
-# and its drift reaches rounding boundaries and threshold compares at
-# SF scale (the r05 q2 fuzz finding's class). Mirrored verbatim in the
-# DuckDB oracles.
+# 2-dp value (pinned by tests/test_money_granularity.py across all
+# SFs), so cent-scaled terms are exact BIGINTs, their products are
+# exact, and integer sums are order-independent — where a double sum
+# accumulates in partition order and its drift reaches rounding
+# boundaries and threshold compares at SF scale (the r05 q2 fuzz
+# finding's class).
+#
+# ACCUMULATOR WIDTH is chosen per group-growth class:
+#   * groups whose row count is CONSTANT w.r.t. SF (per-order ≤7
+#     lineitems, per-part ~30, per-supplier ~600, per-customer ~70 —
+#     TPC-H scales entity counts, not rows per entity) keep BIGINT
+#     sums: worst-case per-group magnitude ≤ ~600·1.3e11 ≈ 8e13,
+#     5 orders below the int64 edge at ANY SF.
+#   * groups that GROW with SF (global / per-nation / per-year /
+#     per-hour aggregates) accumulate as DECIMAL(38,0): a BIGINT sum
+#     of 1e-6-unit terms wraps SILENTLY (non-ANSI Spark) near SF150
+#     per group, far inside the 100 TB envelope. DECIMAL(38,0) raises
+#     the ceiling to 1e38 (~SF1e28). The DuckDB oracles need no
+#     mirror: DuckDB promotes sum(BIGINT) to HUGEINT (int128)
+#     natively, so both engines are exact and values stay identical.
 _CENT_PRICE = "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
 _CENT_DISC = "cast(floor(l_discount * 100 + 0.5) as bigint)"
 _REV_UNITS = f"{_CENT_PRICE} * (100 - {_CENT_DISC})"  # 1e-4 currency units
+# the same per-row term, widened for SF-growing groups: the BIGINT
+# product is exact per row; the cast widens only the accumulator
+_REV_UNITS_DEC = f"cast({_REV_UNITS} as decimal(38,0))"
 
 
 def _rev_sum_4dp():
     """Σ price·(1−discount) via exact integer units — the sum is
-    4-dp-exact by construction, so no round() is needed."""
+    4-dp-exact by construction, so no round() is needed. BIGINT
+    accumulator: callers must have SF-constant group sizes (see the
+    module note above)."""
     return F.sum(F.expr(_REV_UNITS)).cast("double") / 10000.0
+
+
+def _rev_sum_4dp_dec():
+    """Like _rev_sum_4dp, but with a DECIMAL(38,0) accumulator for
+    groups whose row count grows with SF (global / per-nation /
+    per-year): the BIGINT variant wraps silently near SF150 per group
+    (r06 ADVICE finding)."""
+    return F.sum(F.expr(_REV_UNITS_DEC)).cast("double") / 10000.0
 
 
 def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
@@ -49,41 +76,57 @@ def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
             # (price/discount/tax are 2-dp values: cents_p,
             # 100-cents_d, 100+cents_t are exact integers, so the
             # disc-price/charge products are exact in 1e-4 / 1e-6
-            # units and the BIGINT sums are order-independent). A
-            # double sum's partition-order drift at SF-scale reaches
-            # the 4-dp rounding unit — the r05 q2 fuzz finding's
-            # class, preempted here.
+            # units and the sums are order-independent). A double
+            # sum's partition-order drift at SF-scale reaches the
+            # 4-dp rounding unit — the r05 q2 fuzz finding's class,
+            # preempted here. q1's groups span the WHOLE table (~4
+            # groups), so every accumulator is DECIMAL(38,0): a
+            # BIGINT sum of the 1e-6-unit charge terms wraps silently
+            # near SF150 (r06 ADVICE finding). The per-row products
+            # stay BIGINT (exact, ≤1.3e11); only the accumulator
+            # widens. DuckDB's sum(BIGINT)→HUGEINT is already exact.
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             (
                 F.sum(F.expr(
-                    "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                    "cast(cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                    " as decimal(38,0))"
                 )).cast("double") / 100.0
             ).alias("sum_base_price"),
             (
                 F.sum(F.expr(
-                    "cast(floor(l_extendedprice * 100 + 0.5) as bigint) * "
+                    "cast(cast(floor(l_extendedprice * 100 + 0.5) as bigint) * "
                     "(100 - cast(floor(l_discount * 100 + 0.5) as bigint))"
+                    " as decimal(38,0))"
                 )).cast("double") / 10000.0
             ).alias("sum_disc_price"),
             (
-                F.expr(
-                    "(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                # no half-up div-100 here: that quotient is itself in
+                # 1e-4 units and outgrows int64 near SF1e5 — cast the
+                # exact decimal sum straight to double (identical
+                # round-to-nearest on both engines)
+                F.sum(F.expr(
+                    "cast(cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
                     " * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))"
-                    " * (100 + cast(floor(l_tax * 100 + 0.5) as bigint)))"
-                    " + 50) div 100"
-                ).cast("double") / 10000.0
+                    " * (100 + cast(floor(l_tax * 100 + 0.5) as bigint))"
+                    " as decimal(38,0))"
+                )).cast("double") / 1000000.0
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             (
+                # div quotient is a per-row-scale mean (~1e8 in 1e-4
+                # units) — always inside int64; only the dividend sum
+                # needed widening
                 F.expr(
-                    "(sum(cast(floor(l_extendedprice * 1000000 + 0.5) "
-                    "as bigint)) + count(*) * 50) div (count(*) * 100)"
+                    "(sum(cast(cast(floor(l_extendedprice * 1000000 + 0.5) "
+                    "as bigint) as decimal(38,0))) + count(*) * 50) "
+                    "div (count(*) * 100)"
                 ).cast("double") / 10000.0
             ).alias("avg_price"),
             (
                 F.expr(
-                    "(sum(cast(floor(l_discount * 1000000 + 0.5) "
-                    "as bigint)) + count(*) * 50) div (count(*) * 100)"
+                    "(sum(cast(cast(floor(l_discount * 1000000 + 0.5) "
+                    "as bigint) as decimal(38,0))) + count(*) * 50) "
+                    "div (count(*) * 100)"
                 ).cast("double") / 10000.0
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -142,7 +185,7 @@ def q5_local_supplier_volume(t: dict[str, DataFrame]) -> DataFrame:
         .join(asian_nations, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            _rev_sum_4dp().alias("revenue")
+            _rev_sum_4dp_dec().alias("revenue")
         )
     )
 
@@ -210,15 +253,18 @@ def q14_promo_effect(t: dict[str, DataFrame]) -> DataFrame:
     return (
         li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            # exact-unit sums; one deterministic division
+            # exact-unit sums; one deterministic division. One global
+            # group (the ship month grows with SF) → DECIMAL(38,0)
+            # accumulators on both sums (module note)
             F.round(
                 F.lit(100.0)
                 * F.sum(
                     F.when(
                         F.col("p_type") == "PROMO", F.expr(_REV_UNITS)
                     ).otherwise(F.lit(0).cast("bigint"))
+                    .cast("decimal(38,0)")
                 ).cast("double")
-                / F.sum(F.expr(_REV_UNITS)).cast("double"),
+                / F.sum(F.expr(_REV_UNITS_DEC)).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -235,9 +281,12 @@ def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        # price·discount in exact 1e-4 units (both are 2-dp values)
+        # price·discount in exact 1e-4 units (both are 2-dp values);
+        # GLOBAL group → DECIMAL(38,0) accumulator (module note)
         (
-            F.sum(F.expr(f"{_CENT_PRICE} * {_CENT_DISC}")).cast("double")
+            F.sum(
+                F.expr(f"cast({_CENT_PRICE} * {_CENT_DISC} as decimal(38,0))")
+            ).cast("double")
             / 10000.0
         ).alias("revenue")
     )
@@ -324,7 +373,7 @@ def q19_disjunctive_predicates(t: dict[str, DataFrame]) -> DataFrame:
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .filter(bands)
         .agg(
-            _rev_sum_4dp().alias("revenue"),
+            _rev_sum_4dp_dec().alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -444,7 +493,7 @@ def q7_volume_shipping(t: dict[str, DataFrame]) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            _rev_sum_4dp().alias("revenue")
+            _rev_sum_4dp_dec().alias("revenue")
         )
     )
 
@@ -484,15 +533,17 @@ def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             # both sums in exact integer units; the single division of
-            # two exact BIGINT-derived doubles is deterministic
+            # two exact integer-derived doubles is deterministic.
+            # per-year groups grow with SF → DECIMAL(38,0) accumulators
             F.round(
                 F.sum(
                     F.when(
                         F.col("supp_nation") == "NATION_3",
                         F.expr(_REV_UNITS),
                     ).otherwise(F.lit(0).cast("bigint"))
+                    .cast("decimal(38,0)")
                 ).cast("double")
-                / F.sum(F.expr(_REV_UNITS)).cast("double"),
+                / F.sum(F.expr(_REV_UNITS_DEC)).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -525,9 +576,12 @@ def q9_product_profit(t: dict[str, DataFrame]) -> DataFrame:
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
-            (F.sum(profit).cast("double") / 10000.0 + F.lit(0.0)).alias(
-                "sum_profit"
-            )
+            # per-(nation, year) groups grow with SF → DECIMAL(38,0)
+            # accumulator; the signed per-row term stays exact BIGINT
+            (
+                F.sum(profit.cast("decimal(38,0)")).cast("double") / 10000.0
+                + F.lit(0.0)
+            ).alias("sum_profit")
         )
     )
 
@@ -552,21 +606,35 @@ def q11_important_stock(t: dict[str, DataFrame], fraction: float = 0.001) -> Dat
     # per-part value and the HAVING threshold both in exact integer
     # units, so the > membership test is PURE INTEGER comparison
     # (fraction=0.001 → __v * 1000 > __total) — a double-sum drift on
-    # either side could otherwise flip parts sitting at the threshold
+    # either side could otherwise flip parts sitting at the threshold.
+    # __v keeps a BIGINT accumulator (≈30 lineitems per part at any
+    # SF, module note); __total sums __v over the SF-growing part set
+    # and therefore widens to DECIMAL(38,0), as does __v's side of the
+    # threshold compare so both operands stay exact
     per_part = (
         t["lineitem"]
         .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(F.expr(_REV_UNITS)).alias("__v"))
     )
-    total = per_part.agg(F.sum("__v").alias("__total"))
-    inv_frac = round(1.0 / fraction)
-    assert abs(inv_frac * fraction - 1.0) < 1e-12, (
-        "fraction must be a reciprocal integer for the exact compare"
+    total = per_part.agg(
+        F.sum(F.col("__v").cast("decimal(38,0)")).alias("__total")
     )
+    inv_frac = round(1.0 / fraction)
+    if abs(inv_frac * fraction - 1.0) >= 1e-12:
+        # not an assert: stripped under python -O, and a silently
+        # wrong inv_frac (e.g. 333 for fraction=0.003) would compute a
+        # wrong threshold with no error (r06 ADVICE finding)
+        raise ValueError(
+            "fraction must be a reciprocal integer (1/N) for the exact "
+            f"integer threshold compare; got {fraction!r}"
+        )
     return (
         per_part.crossJoin(broadcast(total))
-        .filter(F.col("__v") * F.lit(inv_frac) > F.col("__total"))
+        .filter(
+            F.col("__v").cast("decimal(38,0)") * F.lit(inv_frac)
+            > F.col("__total")
+        )
         .select(
             "l_partkey",
             (F.col("__v").cast("double") / 10000.0).alias("part_value"),
@@ -857,7 +925,7 @@ def events_hourly_stats(t: dict[str, DataFrame]) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(q).alias("__s"),
+            F.sum(q.cast("decimal(38,0)")).alias("__s"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
@@ -932,7 +1000,7 @@ def events_sliding_stats(t: dict[str, DataFrame]) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(q).alias("__s"),
+            F.sum(q.cast("decimal(38,0)")).alias("__s"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -961,7 +1029,7 @@ def events_rollup(t: dict[str, DataFrame]) -> DataFrame:
         ev.rollup(F.col("event_type"), F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(q).alias("__s"),
+            F.sum(q.cast("decimal(38,0)")).alias("__s"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
@@ -1151,8 +1219,8 @@ def events_anomaly(t: dict[str, DataFrame]) -> DataFrame:
     base = ev.select("event_type", q.alias("__q"))
     stats = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum("__q").alias("__s"),
-        F.sum(F.col("__q") * F.col("__q")).alias("__ss"),
+        F.sum(F.col("__q").cast("decimal(38,0)")).alias("__s"),
+        F.sum((F.col("__q") * F.col("__q")).cast("decimal(38,0)")).alias("__ss"),
     )
     mean = F.col("__s").cast("double") / F.col("__n").cast("double")
     var = (
