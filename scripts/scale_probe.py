@@ -149,6 +149,20 @@ def probe_vector_ops(spark, vecs, queries, factor: int):
             vecs, n_planes=p, threshold=0.9
         )
     ), n
+    # BANDED scaled planes: 4 independent plane sets of the same
+    # scaled width, OR'd (dedup_minhash's band structure applied to
+    # SimHash) — the recall recovery for the single scaled set's
+    # recall loss. Measured against BRUTE-FORCE ground truth at 10×
+    # (89,723 true pairs ≥0.9 over the 20k-vector corpus): single
+    # scaled set 57.4%, fixed-4-planes 72.8%, 3 bands 90.9%, 4 bands
+    # 95.4% (matching the 1-(1-r)^B independence estimate). Cost is
+    # ~bands× the per-band candidate volume — still bucket-bounded,
+    # same scaling exponent as the single set.
+    yield "embedding_near_dup_banded", (
+        lambda: similarity.embedding_near_dup(
+            vecs, n_planes=p, threshold=0.9, bands=4
+        )
+    ), n
 
 
 def time_op(spark, results, name, factor, line_fields, run) -> None:

@@ -491,34 +491,93 @@ def embedding_near_dup(
     dim: int = 64,
     n_planes: int = 4,
     threshold: float = 0.4,
+    bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: candidate
     pairs share a hyperplane bucket; exact cosine verifies ≥ threshold.
-    Output: (vec_a, vec_b, cosine)."""
-    planes = hyperplanes(dim, n_planes)
-    v = pin(
-        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col)
-        .withColumn("__bkt", F.expr(_bucket_expr(planes)))
-        .select(id_col, "__v", "__nrm", "__bkt")
-    )
-    a = v.select(
-        F.col("__bkt"),
-        F.col(id_col).alias("vec_a"),
-        F.col("__v").alias("__va"),
-        F.col("__nrm").alias("__na"),
-    )
-    b = v.select(
-        F.col("__bkt"),
-        F.col(id_col).alias("vec_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__nrm").alias("__nb"),
-    )
+    Output: (vec_a, vec_b, cosine).
+
+    ``bands`` applies dedup_minhash's band structure to the SimHash
+    plane sets: ``bands`` independent groups of ``n_planes`` planes
+    each, a candidate pair needing agreement in ANY one band (the
+    per-band requirement is all-planes-agree). This is the recall
+    recovery for the 100 TB configuration that scales ``n_planes``
+    with log2(corpus) to keep bucket population constant: a single
+    plane set at that width drops true pairs whose cosine sits near
+    the threshold (measured ~79% pair recall at 10× corpus,
+    SCALE.md), while B bands recover 1-(1-r)^B of them for ~B× the
+    per-band candidate volume — still bucket-bounded, never
+    all-pairs. bands=1 is the original single-set behavior."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    base = _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col)
+    if bands == 1:
+        v = pin(
+            base.withColumn(
+                "__bkt", F.expr(_bucket_expr(hyperplanes(dim, n_planes)))
+            ).select(id_col, "__v", "__nrm", "__bkt")
+        )
+        a = v.select(
+            F.col("__bkt"),
+            F.col(id_col).alias("vec_a"),
+            F.col("__v").alias("__va"),
+            F.col("__nrm").alias("__na"),
+        )
+        b = v.select(
+            F.col("__bkt"),
+            F.col(id_col).alias("vec_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__nrm").alias("__nb"),
+        )
+        join_keys = ["__bkt"]
+    else:
+        # one draw of bands·n_planes planes, sliced into bands — each
+        # band is an independent Rademacher set. The per-vector key is
+        # (band index, band bucket); posexplode keeps the join a plain
+        # shuffle on that composite key, so candidate volume is the
+        # SUM of per-band bucket pairings (bounded), not a cross of
+        # band sets.
+        all_planes = hyperplanes(dim, bands * n_planes)
+        band_planes = [
+            all_planes[i * n_planes : (i + 1) * n_planes]
+            for i in range(bands)
+        ]
+        v = pin(
+            base.withColumn(
+                "__bkts",
+                F.array(*[F.expr(_bucket_expr(bp)) for bp in band_planes]),
+            ).select(id_col, "__v", "__nrm", "__bkts")
+        )
+        e = v.select(
+            F.col(id_col),
+            F.col("__v"),
+            F.col("__nrm"),
+            F.posexplode("__bkts").alias("__band", "__bkt"),
+        )
+        a = e.select(
+            F.col("__band"),
+            F.col("__bkt"),
+            F.col(id_col).alias("vec_a"),
+            F.col("__v").alias("__va"),
+            F.col("__nrm").alias("__na"),
+        )
+        b = e.select(
+            F.col("__band"),
+            F.col("__bkt"),
+            F.col(id_col).alias("vec_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__nrm").alias("__nb"),
+        )
+        join_keys = ["__band", "__bkt"]
     cos = F.expr(f"{_dot('__va', '__vb')}") / (F.col("__na") * F.col("__nb"))
     return (
-        a.join(b, "__bkt")
+        a.join(b, join_keys)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("__cos", cos)
         .filter(F.col("__cos") >= F.lit(threshold))
+        # a pair hitting in k bands yields k identical rows (cosine is
+        # computed from the same vectors) — the same end distinct that
+        # already collapsed same-bucket duplicates absorbs them
         .select("vec_a", "vec_b", F.round("__cos", 6).alias("cosine"))
         .distinct()
     )
@@ -532,9 +591,34 @@ def oracle_embedding_near_dup_sql(
     dim: int = 64,
     n_planes: int = 4,
     threshold: float = 0.4,
+    bands: int = 1,
 ) -> str:
-    planes = hyperplanes(dim, n_planes)
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if bands == 1:
+        band_planes = [hyperplanes(dim, n_planes)]
+    else:
+        all_planes = hyperplanes(dim, bands * n_planes)
+        band_planes = [
+            all_planes[i * n_planes : (i + 1) * n_planes]
+            for i in range(bands)
+        ]
     dot = _duck_dot("a.__v", "b.__v", dim)
+    bkt_cols = ",\n             ".join(
+        f"{_duck_bucket(bp, '__v', dim)} AS __bkt{i}"
+        for i, bp in enumerate(band_planes)
+    )
+    # candidates = UNION ALL over bands (any-band agreement); the outer
+    # DISTINCT collapses pairs that hit in several bands — cosine is
+    # identical per pair so the tuples are identical too
+    branches = "\n    UNION ALL\n    ".join(
+        f"SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b,\n"
+        f"           round({dot} / (a.__nrm * b.__nrm), 6) AS cosine\n"
+        f"    FROM n a JOIN n b"
+        f" ON a.__bkt{i} = b.__bkt{i} AND a.{id_col} < b.{id_col}\n"
+        f"    WHERE {dot} / (a.__nrm * b.__nrm) >= {threshold}"
+        for i in range(len(band_planes))
+    )
     return f"""
     WITH base AS (
       SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
@@ -542,13 +626,12 @@ def oracle_embedding_near_dup_sql(
     n AS (
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm,
-             {_duck_bucket(planes, "__v", dim)} AS __bkt
+             {bkt_cols}
       FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
     )
-    SELECT DISTINCT a.{id_col} AS vec_a, b.{id_col} AS vec_b,
-           round({dot} / (a.__nrm * b.__nrm), 6) AS cosine
-    FROM n a JOIN n b ON a.__bkt = b.__bkt AND a.{id_col} < b.{id_col}
-    WHERE {dot} / (a.__nrm * b.__nrm) >= {threshold}
+    SELECT DISTINCT vec_a, vec_b, cosine FROM (
+    {branches}
+    )
     """
 
 

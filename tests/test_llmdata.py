@@ -941,3 +941,46 @@ def test_dedup_recall_probe_sampling_is_systematic(spark, docs):
     assert a.asDict() == b.asDict()
     full = dedup.dedup_recall_probe(docs).collect()[0]
     assert full["n_exact"] >= a["n_exact"]
+
+
+def test_banded_near_dup_matches_oracle(spark):
+    """The banded SimHash path (bands>1, the recall-recovery
+    configuration SCALE.md measures at scale) must stay bit-exact
+    against its DuckDB oracle twin across several (bands, planes)
+    geometries — the same cross-engine gate the driver applies to the
+    bands=1 default."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    )
+    for bands, planes in ((3, 2), (4, 3), (2, 5)):
+        sdf = (
+            similarity.embedding_near_dup(
+                vecs, n_planes=planes, threshold=0.4, bands=bands
+            )
+            .toPandas()
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+        odf = (
+            con.execute(
+                similarity.oracle_embedding_near_dup_sql(
+                    n_planes=planes, threshold=0.4, bands=bands
+                )
+            )
+            .df()
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf), (bands, planes, len(sdf), len(odf))
+        assert (
+            sdf[["vec_a", "vec_b"]].values == odf[["vec_a", "vec_b"]].values
+        ).all(), (bands, planes)
+        assert (sdf["cosine"] == odf["cosine"]).all(), (bands, planes)
