@@ -53,6 +53,12 @@ VEC_SCHEMA = pa.schema([
     ("label", pa.int32()),
 ])
 
+# every table any queries() entry may load — a KeyError on one of
+# these means "tier lacks the table" (benign); any other key is a bug
+ALL_TABLES = frozenset(
+    list(TPCH_TABLES) + ["events", "documents", "embeddings"]
+)
+
 
 def write_one(d: str, name: str, schema, rows) -> None:
     cols = list(zip(*rows))
@@ -109,10 +115,21 @@ def main() -> int:
                     sdf = fn(spark, d).toPandas()
                 except Exception as e:  # noqa: BLE001
                     msg = f"{type(e).__name__}: {e}"
+                    # benign = the tier genuinely lacks a table the
+                    # query loads. A KeyError is only that case when
+                    # its key IS a table name (load_tables drops
+                    # missing parquet files) — any other KeyError is a
+                    # real bug inside an operator and must count as an
+                    # ERR, not a silent skip (r06 ADVICE finding).
+                    missing_table_key = (
+                        isinstance(e, KeyError)
+                        and len(e.args) == 1
+                        and e.args[0] in ALL_TABLES
+                    )
                     if (
                         "PATH_NOT_FOUND" in msg
                         or "Path does not exist" in msg
-                        or isinstance(e, KeyError)
+                        or missing_table_key
                     ):
                         continue  # query needs tables this tier lacks
                     n_fail += 1
