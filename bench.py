@@ -14,7 +14,11 @@ serialization to the driver — so timings measure the query plan, not
 seconds and is a per-class one-time cost, not a per-run cost — on a real
 cluster it is amortized over the job's lifetime), then runs
 ``SPARK_GRAFT_BENCH_ITERS`` timed iterations (default 2), reporting the
-best.
+best. Full runs add a second, reversed-order pass (one timed iteration,
+no re-warm-up; ``SPARK_GRAFT_BENCH_PASSES=1`` disables) so every query
+gets one early and one late queue position — accumulated JVM state
+inflates late positions 2-5×, and per-query best-of-both-passes strips
+that positional penalty from cross-round comparisons.
 
 Usage: python bench.py            # $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1
        python bench.py [sf_dir] [query ...]
@@ -99,25 +103,42 @@ def main() -> int:
     results: dict[str, float | None] = {}
     t_start = time.perf_counter()
     n_run = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        if restart_every > 0 and n_run > 0 and n_run % restart_every == 0:
-            spark.stop()
-            spark = fresh_session()
-        n_run += 1
-        best = None
-        try:
-            run_query(fn, spark, sf_dir)  # untimed codegen/JIT warm-up
-            for _ in range(max(1, iters)):
-                sec = run_query(fn, spark, sf_dir)
-                best = sec if best is None else min(best, sec)
-        except Exception as e:  # keep benching the rest
-            log(f"bench: {name} FAILED: {type(e).__name__}: {e}")
-            results[name] = None
-            continue
-        results[name] = round(best, 4)
-        log(f"bench: {name} {best:.3f}s")
+    # Two passes, the second in REVERSE dict order (full runs only).
+    # Accumulated JVM state inflates late-position queries 2-5× within
+    # a run even with the periodic restarts, which poisoned every
+    # cross-round comparison with false alarms (r05: token_histogram at
+    # position 88 read as a 5.1× regression and was exonerated by a
+    # same-boot A/B). With a reversed second pass every query gets one
+    # early-ish and one late-ish slot, and the per-query BEST (the
+    # metric is already best-of) strips the positional penalty. The
+    # second pass runs one timed iteration and no per-query warm-up
+    # (the JVM/codegen caches are hot by then), costing ~⅓ of pass 1.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    selected = [(n, f) for n, f in qs.items() if not only or n in only]
+    for pass_idx in range(max(1, passes) if not only else 1):
+        order = selected if pass_idx == 0 else list(reversed(selected))
+        pass_iters = iters if pass_idx == 0 else 1
+        for name, fn in order:
+            if results.get(name, False) is None:
+                continue  # failed in an earlier pass; don't retry
+            if restart_every > 0 and n_run > 0 and n_run % restart_every == 0:
+                spark.stop()
+                spark = fresh_session()
+            n_run += 1
+            best = results.get(name)
+            try:
+                if pass_idx == 0:
+                    run_query(fn, spark, sf_dir)  # untimed codegen/JIT warm-up
+                for _ in range(max(1, pass_iters)):
+                    sec = run_query(fn, spark, sf_dir)
+                    best = sec if best is None else min(best, sec)
+            except Exception as e:  # keep benching the rest
+                log(f"bench: {name} FAILED: {type(e).__name__}: {e}")
+                results[name] = None
+                continue
+            results[name] = round(best, 4)
+            log(f"bench: {name} {best:.3f}s"
+                + (" (pass 2)" if pass_idx else ""))
 
     ok = {k: v for k, v in results.items() if v is not None}
     total = round(sum(ok.values()), 4)

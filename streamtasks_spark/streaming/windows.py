@@ -32,14 +32,17 @@ def streaming_hourly_stats(
     batch query (window start renamed ``hour``)."""
     events = ensure_event_time(events, ts)
     # integer micro-unit sums, same formula as the batch twin (see
-    # events_hourly_stats: ulp-exact across engines and agg orders)
+    # events_hourly_stats: ulp-exact across engines and agg orders);
+    # DECIMAL(38,0) accumulator like the batch twin (r06) — per-window
+    # row counts grow with event rate, and a BIGINT sum of 1e-6-unit
+    # terms wraps silently at scale
     q = F.expr("cast(floor(value * 1000000) as bigint)")
     return (
         events.withWatermark(ts, watermark_delay)
         .groupBy(F.window(F.col(ts), "1 hour"), F.col(key))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(q).alias("__s"),
+            F.sum(q.cast("decimal(38,0)")).alias("__s"),
         )
         .select(
             F.col("window.start").alias("hour"),
@@ -68,14 +71,16 @@ def streaming_sliding_stats(
     append mode emits each window once its END passes the watermark, so
     the delay must cover the window width plus allowed lateness."""
     events = ensure_event_time(events, ts)
-    # integer micro-unit sums, same formula as the batch twin
+    # integer micro-unit sums, same formula as the batch twin, with
+    # the same r06 DECIMAL(38,0) accumulator (per-window row counts
+    # grow with event rate)
     q = F.expr("cast(floor(value * 1000000) as bigint)")
     return (
         events.withWatermark(ts, watermark_delay)
         .groupBy(F.window(F.col(ts), "2 hours", "1 hour"), F.col(key))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(q).alias("__s"),
+            F.sum(q.cast("decimal(38,0)")).alias("__s"),
         )
         .select(
             F.col("window.start").alias("window_start"),
