@@ -343,8 +343,8 @@ def source_stats(
         # double-avg partition-order drift class the r05 fuzz caught
         # in q2 (preempted here). The accumulator is DECIMAL(38,0):
         # per-source doc counts grow with the corpus, and a BIGINT sum
-        # of 1e9-scale terms wraps silently near 1e10 docs per source
-        # (the r06 ADVICE overflow class); the div quotient is a mean
+        # of 1e9-scale terms overflows near 1e10 docs per source
+        # (the r06 ADVICE class: fatal under ANSI, silent wrap without); the div quotient is a mean
         # (~1e6) so the BIGINT quotient is always safe. DuckDB's
         # sum(BIGINT)→HUGEINT oracle is exact as-is.
         (

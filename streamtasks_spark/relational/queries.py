@@ -35,9 +35,13 @@ from pyspark.sql.functions import broadcast
 #     5 orders below the int64 edge at ANY SF.
 #   * groups that GROW with SF (global / per-nation / per-year /
 #     per-hour aggregates) accumulate as DECIMAL(38,0): a BIGINT sum
-#     of 1e-6-unit terms wraps SILENTLY (non-ANSI Spark) near SF150
-#     per group, far inside the 100 TB envelope. DECIMAL(38,0) raises
-#     the ceiling to 1e38 (~SF1e28). The DuckDB oracles need no
+#     of 1e-6-unit terms overflows near SF150 per group, far inside
+#     the 100 TB envelope — under this engine's Spark 4 ANSI default
+#     the job dies mid-run with ARITHMETIC_OVERFLOW; under non-ANSI it
+#     wraps silently while the oracle stays right. Either way broken;
+#     DECIMAL(38,0) raises the ceiling to 1e38 (~SF1e28). Both
+#     behaviors + the decimal exactness are pinned by
+#     tests/test_decimal_overflow.py. The DuckDB oracles need no
 #     mirror: DuckDB promotes sum(BIGINT) to HUGEINT (int128)
 #     natively, so both engines are exact and values stay identical.
 _CENT_PRICE = "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
@@ -59,8 +63,9 @@ def _rev_sum_4dp():
 def _rev_sum_4dp_dec():
     """Like _rev_sum_4dp, but with a DECIMAL(38,0) accumulator for
     groups whose row count grows with SF (global / per-nation /
-    per-year): the BIGINT variant wraps silently near SF150 per group
-    (r06 ADVICE finding)."""
+    per-year): the BIGINT variant overflows near SF150 per group —
+    fatal under the engine's ANSI default, a silent wrap without
+    (r06 ADVICE finding; pinned by tests/test_decimal_overflow.py)."""
     return F.sum(F.expr(_REV_UNITS_DEC)).cast("double") / 10000.0
 
 
@@ -81,8 +86,9 @@ def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
             # 4-dp rounding unit — the r05 q2 fuzz finding's class,
             # preempted here. q1's groups span the WHOLE table (~4
             # groups), so every accumulator is DECIMAL(38,0): a
-            # BIGINT sum of the 1e-6-unit charge terms wraps silently
-            # near SF150 (r06 ADVICE finding). The per-row products
+            # BIGINT sum of the 1e-6-unit charge terms overflows
+            # near SF150 (r06 ADVICE finding; fatal under ANSI,
+            # silent wrap without). The per-row products
             # stay BIGINT (exact, ≤1.3e11); only the accumulator
             # widens. DuckDB's sum(BIGINT)→HUGEINT is already exact.
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),

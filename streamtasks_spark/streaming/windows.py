@@ -35,7 +35,7 @@ def streaming_hourly_stats(
     # events_hourly_stats: ulp-exact across engines and agg orders);
     # DECIMAL(38,0) accumulator like the batch twin (r06) — per-window
     # row counts grow with event rate, and a BIGINT sum of 1e-6-unit
-    # terms wraps silently at scale
+    # terms overflows at scale (fatal under ANSI, silent wrap without)
     q = F.expr("cast(floor(value * 1000000) as bigint)")
     return (
         events.withWatermark(ts, watermark_delay)
