@@ -44,6 +44,14 @@ from pyspark.sql.functions import broadcast
 #     tests/test_decimal_overflow.py. The DuckDB oracles need no
 #     mirror: DuckDB promotes sum(BIGINT) to HUGEINT (int128)
 #     natively, so both engines are exact and values stay identical.
+#   * a third class grows with SF but sums VALUE-scale terms, not
+#     lineitem-product units: q22's per-cntrycode acctbal-cent mean
+#     (≤1e6/row → int64 edge at ~9e12 rows per group, ≥10³× headroom
+#     at the 100 TB envelope where customer ≈ 1.5e10 rows) and
+#     events_session_windows' gap-bounded per-session cent sums.
+#     These keep BIGINT; re-audit if the envelope ever exceeds
+#     ~SF1e6, and note ANSI makes an audit miss fail loudly, not
+#     silently.
 _CENT_PRICE = "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
 _CENT_DISC = "cast(floor(l_discount * 100 + 0.5) as bigint)"
 _REV_UNITS = f"{_CENT_PRICE} * (100 - {_CENT_DISC})"  # 1e-4 currency units
