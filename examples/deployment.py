@@ -60,7 +60,13 @@ def main() -> None:
         lambda calc, ctl: streaming_gate(calc, ctl, keys=["key"]),
         "calc", "ctl",
     )
-    with tempfile.TemporaryDirectory(prefix="deploy_demo_") as td:
+    # ignore_cleanup_errors: query.stop() returns while executor tasks
+    # can still be flushing state-store files into the checkpoint dir,
+    # so rmtree can race a concurrent write (observed as ENOTEMPTY on
+    # a state-store subdir); the files land in /tmp either way
+    with tempfile.TemporaryDirectory(
+        prefix="deploy_demo_", ignore_cleanup_errors=True
+    ) as td:
         queries = p.start(
             spark,
             sinks={

@@ -164,7 +164,12 @@ def main() -> int:
             override_rpb = int(a.split("=", 1)[1])
     spark = get_spark("stream_probe")
     results = []
-    with tempfile.TemporaryDirectory(prefix="stream_probe_") as td:
+    # ignore_cleanup_errors: stopped streaming queries can still be
+    # flushing state-store files when rmtree runs (same race as
+    # examples/deployment.py)
+    with tempfile.TemporaryDirectory(
+        prefix="stream_probe_", ignore_cleanup_errors=True
+    ) as td:
         for name, (build, rpb, mode) in PIPELINES.items():
             r = measure(
                 spark, name, build, override_rpb or rpb, seconds, td, mode
