@@ -68,3 +68,23 @@ def test_session_ansi_posture_is_known(spark):
     config change flips it, the docs' 'fails loudly vs wraps silently'
     claims need updating — surface that here."""
     assert spark.conf.get("spark.sql.ansi.enabled") in ("true", "false")
+
+
+def test_ansi_division_null_propagates_on_empty_aggregates(spark):
+    """The scalar-subquery queries (q11's threshold, q15's max, q22's
+    mean) divide sums by counts from a FILTERED relation that
+    adversarial data can make empty: sum over no rows is NULL while
+    count is 0, so the expressions evaluate NULL div 0. Spark's ANSI
+    mode null-propagates before the divide-by-zero check — the
+    semantic those queries' empty-input safety rests on (verified
+    green by the sparse-resample fuzz fixtures). Pin it so an ANSI
+    semantics change in a Spark upgrade fails here, not mid-query."""
+    row = spark.sql(
+        "SELECT cast(null as decimal(38,0)) div 0 AS a, "
+        "       cast(null as double) / 0 AS b, "
+        "       (sum(cast(x as decimal(38,0))) + count(*) * 50) "
+        "         div (count(*) * 100) AS empty_mean "
+        "FROM (SELECT 1 AS x WHERE false)"
+    ).collect()[0]
+    assert row["a"] is None and row["b"] is None
+    assert row["empty_mean"] is None
