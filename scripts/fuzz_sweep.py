@@ -12,6 +12,11 @@ Usage:
   python scripts/fuzz_sweep.py                      # default 3 seeds/tier
   python scripts/fuzz_sweep.py --seeds 11,22,33     # same seeds, all tiers
   python scripts/fuzz_sweep.py --tiers events,docs  # restrict tiers
+  python scripts/fuzz_sweep.py --scale 10           # 10x corpora: docs/
+      # events/vectors get 10x rows, tpch mutates the sf0.01 base
+      # instead of sf0.001 — the volume axis that stresses percentile
+      # ties, window population, and LSH bucket geometry (r06 ran
+      # docs 7.5x, events 10x, vectors 10x, tpch 10x: all clean)
 
 Exit 0 = no divergences; 1 = at least one FAIL/ERR line printed.
 """
@@ -69,17 +74,26 @@ def write_one(d: str, name: str, schema, rows) -> None:
     )
 
 
-def make_dir(tier: str, seed: int) -> str:
+def make_dir(tier: str, seed: int, scale: int = 1) -> str:
     d = tempfile.mkdtemp(prefix=f"fz_{tier}{seed}_")
     if tier == "docs":
-        write_one(d, "documents", DOC_SCHEMA, make_corpus(seed, n=80))
+        write_one(d, "documents", DOC_SCHEMA,
+                  make_corpus(seed, n=80 * scale))
     elif tier == "events":
-        write_one(d, "events", EV_SCHEMA, make_events(seed))
+        write_one(d, "events", EV_SCHEMA,
+                  make_events(seed, n=400 * scale))
     elif tier == "vectors":
-        write_one(d, "embeddings", VEC_SCHEMA, make_vectors(seed))
+        write_one(d, "embeddings", VEC_SCHEMA,
+                  make_vectors(seed, n=80 * scale))
     elif tier == "tpch":
-        tables = mutate_tpch(seed, 0.25 + (seed % 7) / 10.0)
-        base = "/root/testdata/sf0.001"
+        # scale>1 mutates the sf0.01 base (10x rows) instead of
+        # sf0.001 — resampling already randomizes row COUNT via frac,
+        # so the base swap is the volume knob
+        base = (
+            "/root/testdata/sf0.01" if scale > 1
+            else "/root/testdata/sf0.001"
+        )
+        tables = mutate_tpch(seed, 0.25 + (seed % 7) / 10.0, base=base)
         for t in TPCH_TABLES:
             schema = pq.read_schema(f"{base}/{t}.parquet")
             pq.write_table(
@@ -92,11 +106,14 @@ def make_dir(tier: str, seed: int) -> str:
 def main() -> int:
     seeds = [37, 141, 245]
     tiers = ["docs", "events", "vectors", "tpch"]
+    scale = 1
     for a in sys.argv[1:]:
         if a.startswith("--seeds"):
             seeds = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--tiers"):
             tiers = a.split("=", 1)[1].split(",")
+        elif a.startswith("--scale"):
+            scale = int(a.split("=", 1)[1])
 
     import __spark_entry__ as entrymod
     from streamtasks_spark.session import get_spark
@@ -107,7 +124,7 @@ def main() -> int:
     n_fail = 0
     for tier in tiers:
         for seed in seeds:
-            d = make_dir(tier, seed)
+            d = make_dir(tier, seed, scale)
             con = duck_conn(d)
             ran = 0
             for name, fn in qs.items():

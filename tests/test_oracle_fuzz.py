@@ -332,7 +332,9 @@ TPCH_TABLES = (
 )
 
 
-def mutate_tpch(seed: int, frac: float) -> dict[str, list[dict]]:
+def mutate_tpch(
+    seed: int, frac: float, base: str = "/root/testdata/sf0.001"
+) -> dict[str, list[dict]]:
     """Adversarial relational tables by MUTATION RESAMPLING of the real
     sf0.001 tables: resample rows with replacement (duplicate keys →
     identical join fanout both engines), orphan a fraction of foreign
@@ -346,7 +348,6 @@ def mutate_tpch(seed: int, frac: float) -> dict[str, list[dict]]:
     import pyarrow.parquet as pq
 
     rng = random.Random(seed)
-    base = "/root/testdata/sf0.001"
     out: dict[str, list[dict]] = {}
     for t in TPCH_TABLES:
         rows = pq.read_table(f"{base}/{t}.parquet").to_pylist()
