@@ -9,6 +9,10 @@ uniform helpers so a Pipeline sink config can name them.
 - :func:`foreach_batch_viewer` — the escape hatch the reference's
   websocket push maps to: a driver callback per micro-batch (push to
   websocket/HTTP/metrics from here).
+- the actual browser transport lives in streaming/webviewer.py:
+  :class:`TopicWebSocketServer` (stdlib RFC 6455 server) +
+  :func:`websocket_viewer` (foreachBatch push with the reference's
+  ``{"type": "data"|"control", "data": ...}`` envelope).
 """
 
 from __future__ import annotations

@@ -1,0 +1,197 @@
+"""WebViewer transport tests: an RFC 6455 client implemented on raw
+sockets drives the stdlib websocket server end-to-end — handshake,
+publish/receive, ping/pong, close — then a Structured Streaming query
+pushes real micro-batches through websocket_viewer and the browser
+side receives the reference's message envelope (task_web.py:382-396).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import socket
+import struct
+import time
+
+import pytest
+
+from streamtasks_spark.streaming.webviewer import (
+    TopicWebSocketServer,
+    _accept_key,
+    encode_text_frame,
+    websocket_viewer,
+)
+
+
+# ------------------------------------------------------- raw WS client
+
+def _client_connect(host: str, port: int, topic: str) -> socket.socket:
+    s = socket.create_connection((host, port), timeout=10)
+    key = base64.b64encode(os.urandom(16)).decode()
+    s.sendall(
+        (
+            f"GET /topic/{topic} HTTP/1.1\r\n"
+            f"Host: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += s.recv(4096)
+    head = resp.decode("latin-1")
+    assert "101" in head.split("\r\n")[0], head
+    expect = base64.b64encode(
+        hashlib.sha1(
+            (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+        ).digest()
+    ).decode()
+    assert f"Sec-WebSocket-Accept: {expect}" in head
+    return s
+
+
+def _client_read_frame(s: socket.socket) -> tuple[int, bytes]:
+    def rx(n):
+        buf = b""
+        while len(buf) < n:
+            chunk = s.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("closed")
+            buf += chunk
+        return buf
+
+    b1, b2 = rx(2)
+    opcode = b1 & 0x0F
+    length = b2 & 0x7F
+    if length == 126:
+        (length,) = struct.unpack("!H", rx(2))
+    elif length == 127:
+        (length,) = struct.unpack("!Q", rx(8))
+    assert not (b2 & 0x80), "server frames must be unmasked"
+    return opcode, rx(length)
+
+
+def _client_send_frame(s: socket.socket, opcode: int, payload: bytes = b""):
+    mask = os.urandom(4)
+    masked = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+    s.sendall(
+        struct.pack("!BB", 0x80 | opcode, 0x80 | len(payload)) + mask + masked
+    )
+
+
+def _recv_json(s: socket.socket) -> dict:
+    opcode, payload = _client_read_frame(s)
+    assert opcode == 0x1
+    return json.loads(payload.decode())
+
+
+# ------------------------------------------------------------ protocol
+
+def test_accept_key_matches_rfc6455_example():
+    # the worked example from RFC 6455 §1.3 (public test vector)
+    assert (
+        _accept_key("dGhlIHNhbXBsZSBub25jZQ==")
+        == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+    )
+
+
+def test_frame_length_encodings_roundtrip():
+    for n in (0, 1, 125, 126, 4096, 65535, 65536, 70000):
+        frame = encode_text_frame("x" * n)
+        b1, b2 = frame[0], frame[1]
+        assert b1 == 0x81
+        if n < 126:
+            assert b2 == n and len(frame) == 2 + n
+        elif n <= 0xFFFF:
+            assert b2 == 126
+            assert struct.unpack("!H", frame[2:4])[0] == n
+            assert len(frame) == 4 + n
+        else:
+            assert b2 == 127
+            assert struct.unpack("!Q", frame[2:10])[0] == n
+            assert len(frame) == 10 + n
+
+
+def test_publish_reaches_only_subscribed_topic_and_pings_pong():
+    srv = TopicWebSocketServer()
+    try:
+        a = _client_connect(srv.host, srv.port, "alpha")
+        b = _client_connect(srv.host, srv.port, "beta")
+        deadline = time.time() + 5
+        while srv.connection_count() < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert srv.connection_count("alpha") == 1
+
+        delivered = srv.publish("alpha", {"type": "data", "data": {"v": 1}})
+        assert delivered == 1
+        assert _recv_json(a) == {"type": "data", "data": {"v": 1}}
+
+        # a large payload exercises the 16-bit length path end to end
+        big = {"type": "data", "data": {"blob": "y" * 50_000}}
+        srv.publish("beta", big)
+        assert _recv_json(b) == big
+
+        # ping -> pong with payload echo
+        _client_send_frame(a, 0x9, b"hb")
+        opcode, payload = _client_read_frame(a)
+        assert (opcode, payload) == (0xA, b"hb")
+
+        # close handshake: server echoes close and drops the conn
+        _client_send_frame(a, 0x8, struct.pack("!H", 1000))
+        opcode, _ = _client_read_frame(a)
+        assert opcode == 0x8
+        deadline = time.time() + 5
+        while srv.connection_count("alpha") and time.time() < deadline:
+            time.sleep(0.05)
+        assert srv.connection_count("alpha") == 0
+        b.close()
+    finally:
+        srv.close()
+
+
+def test_publish_rejects_nan_like_reference():
+    srv = TopicWebSocketServer()
+    try:
+        with pytest.raises(ValueError):
+            srv.publish("t", {"type": "data", "data": {"v": float("nan")}})
+    finally:
+        srv.close()
+
+
+# ----------------------------------------------------------- streaming
+
+def test_websocket_viewer_pushes_micro_batches(spark, tmp_path):
+    srv = TopicWebSocketServer()
+    try:
+        c = _client_connect(srv.host, srv.port, "events")
+        deadline = time.time() + 5
+        while srv.connection_count("events") < 1 and time.time() < deadline:
+            time.sleep(0.05)
+
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", "5")
+            .option("numPartitions", "1")
+            .load()
+            .selectExpr("value AS v")
+        )
+        q = websocket_viewer(
+            src, srv, "events", checkpoint=str(tmp_path / "ckpt")
+        )
+        try:
+            got = []
+            deadline = time.time() + 60
+            c.settimeout(60)
+            while len(got) < 5 and time.time() < deadline:
+                msg = _recv_json(c)
+                assert msg["type"] == "data"
+                got.append(msg["data"]["v"])
+        finally:
+            q.stop()
+        assert got[:5] == [0, 1, 2, 3, 4]
+        c.close()
+    finally:
+        srv.close()
