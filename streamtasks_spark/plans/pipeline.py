@@ -122,6 +122,40 @@ class Pipeline:
             df = built[stage_name]
             if not df.isStreaming:
                 raise PipelineError(f"sink stage {stage_name!r} is not streaming")
+            if cfg.get("format") == "websocket":
+                # browser push (the reference deployment's web-UI topic
+                # stream): cfg carries a TopicWebSocketServer under
+                # "server"; browsers subscribe at /topic/<topic>
+                # (default: the stage name). See streaming/webviewer.py.
+                from streamtasks_spark.streaming.webviewer import (
+                    topic_push_batch,
+                )
+
+                server = cfg.get("server")
+                if server is None:
+                    raise PipelineError(
+                        f"websocket sink {stage_name!r} needs a 'server' "
+                        "(streaming.webviewer.TopicWebSocketServer)"
+                    )
+                self._queries.append(
+                    df.writeStream.foreachBatch(
+                        topic_push_batch(
+                            server,
+                            cfg.get("topic", stage_name),
+                            cfg.get("pause_col"),
+                        )
+                    )
+                    .option(
+                        "checkpointLocation",
+                        cfg.get(
+                            "checkpointLocation",
+                            f"{checkpoint_root}/{self.name}/{run_id}/"
+                            f"{stage_name}",
+                        ),
+                    )
+                    .start()
+                )
+                continue
             writer = (
                 df.writeStream.format(cfg.get("format", "parquet"))
                 .outputMode(cfg.get("outputMode", "append"))

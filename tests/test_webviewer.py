@@ -195,3 +195,46 @@ def test_websocket_viewer_pushes_micro_batches(spark, tmp_path):
         c.close()
     finally:
         srv.close()
+
+
+def test_pipeline_websocket_sink(spark, tmp_path):
+    """A deployment graph can name a websocket sink directly (the
+    reference deployment's web-UI topic push): stage -> browser,
+    subscribed at /topic/<stage name>."""
+    from streamtasks_spark.plans.pipeline import Pipeline
+
+    srv = TopicWebSocketServer()
+    try:
+        c = _client_connect(srv.host, srv.port, "out")
+        deadline = time.time() + 5
+        while srv.connection_count("out") < 1 and time.time() < deadline:
+            time.sleep(0.05)
+
+        p = Pipeline("ws_demo")
+        p.source(
+            "src",
+            lambda s: s.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", "3")
+            .option("numPartitions", "1")
+            .load(),
+        )
+        p.stage("out", lambda df: df.selectExpr("value AS v"), "src")
+        queries = p.start(
+            spark,
+            sinks={"out": {"format": "websocket", "server": srv}},
+            checkpoint_root=str(tmp_path),
+        )
+        try:
+            got = []
+            c.settimeout(60)
+            deadline = time.time() + 60
+            while len(got) < 3 and time.time() < deadline:
+                msg = _recv_json(c)
+                got.append(msg["data"]["v"])
+        finally:
+            p.stop()
+        assert got[:3] == [0, 1, 2]
+        assert len(queries) == 1
+        c.close()
+    finally:
+        srv.close()
