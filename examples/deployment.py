@@ -11,6 +11,8 @@ Graph (reference task classes in parentheses):
            ├─ data  (NumberMessage stream)
            └─ ctl   (Gate control: open while calc > 10)
                 └─ gated (Gate) ──> memory viewer
+                               └──> websocket viewer (WebViewer:
+                                    browsers at ws://host/topic/gated)
 
 Run: python examples/deployment.py
 """
@@ -60,10 +62,19 @@ def main() -> None:
         lambda calc, ctl: streaming_gate(calc, ctl, keys=["key"]),
         "calc", "ctl",
     )
+    # identity stage: sinks are keyed by stage name, so fanning one
+    # stream out to a second sink (memory viewer AND browsers) takes an
+    # alias — the reference UI does the same by subscribing a second
+    # viewer to the topic
+    p.stage("gated_ws", lambda g: g, "gated")
     # ignore_cleanup_errors: query.stop() returns while executor tasks
     # can still be flushing state-store files into the checkpoint dir,
     # so rmtree can race a concurrent write (observed as ENOTEMPTY on
     # a state-store subdir); the files land in /tmp either way
+    from streamtasks_spark.streaming.webviewer import TopicWebSocketServer
+
+    ws = TopicWebSocketServer()
+    print(f"web viewer listening: {ws.url}/topic/gated")
     with tempfile.TemporaryDirectory(
         prefix="deploy_demo_", ignore_cleanup_errors=True
     ) as td:
@@ -74,7 +85,15 @@ def main() -> None:
                     "format": "memory",
                     "outputMode": "append",
                     "checkpointLocation": f"{td}/ckpt",
-                }
+                },
+                # the same stage can also fan out to browsers — the
+                # reference web UI's topic stream
+                "gated_ws": {
+                    "format": "websocket",
+                    "server": ws,
+                    "topic": "gated",
+                    "checkpointLocation": f"{td}/ckpt_ws",
+                },
             },
         )
         qname = queries[0].name
@@ -84,6 +103,7 @@ def main() -> None:
             time.sleep(0.5)
         rows = spark.table(qname).orderBy("ts").collect()
         p.stop()
+    ws.close()
     print(f"gate passed {len(rows)} rows (sine above midline); first few:")
     for r in rows[:5]:
         print(f"  {r['ts']}  value={r['value']:.3f}")
