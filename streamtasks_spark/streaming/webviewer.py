@@ -93,19 +93,43 @@ def read_frame(sock: socket.socket) -> tuple[int, bytes]:
 
 
 class _Connection:
-    def __init__(self, sock: socket.socket, topic: str):
+    def __init__(self, sock: socket.socket, topic: str,
+                 send_timeout: float):
         self.sock = sock
         self.topic = topic
         self.lock = threading.Lock()
         self.alive = True
+        self.send_timeout = send_timeout
 
     def send_text(self, payload: str) -> bool:
+        # a stalled browser must never wedge the publishing thread
+        # (which is the streaming query's foreachBatch driver thread):
+        # once the OS send buffer fills, sendall blocks — bound it with
+        # the send timeout and DROP the connection on expiry, the
+        # viewer-semantics version of the reference's log-and-continue
+        # (task_web.py:392). The timeout is set inside the lock and
+        # restored, so the inbound reader (which tolerates timeouts)
+        # only transiently shares it.
         try:
             with self.lock:
-                self.sock.sendall(encode_text_frame(payload))
+                self.sock.settimeout(self.send_timeout)
+                try:
+                    self.sock.sendall(encode_text_frame(payload))
+                finally:
+                    self.sock.settimeout(None)
             return True
-        except OSError:
+        except OSError:  # includes TimeoutError
             self.alive = False
+            try:
+                # shutdown (not just close) wakes the reader thread
+                # blocked in recv so the connection fully unwinds
+                self.sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                self.sock.close()
+            except OSError:
+                pass
             return False
 
 
@@ -116,7 +140,9 @@ class TopicWebSocketServer:
     send buffer; a failed send drops the connection (the reference
     logs-and-continues the same way, task_web.py:392)."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, *,
+                 send_timeout: float = 5.0):
+        self._send_timeout = send_timeout
         self._listener = socket.create_server((host, port))
         self._listener.settimeout(0.2)
         self.host, self.port = self._listener.getsockname()[:2]
@@ -180,7 +206,7 @@ class TopicWebSocketServer:
         except OSError:
             sock.close()
             return
-        conn = _Connection(sock, topic)
+        conn = _Connection(sock, topic, self._send_timeout)
         with self._conn_lock:
             self._conns.append(conn)
         # inbound loop: answer ping, honor close, discard the rest
@@ -194,6 +220,8 @@ class TopicWebSocketServer:
                 if opcode == 0x9:  # ping -> pong
                     with conn.lock:
                         sock.sendall(_encode_control_frame(0xA, payload))
+        except TimeoutError:
+            pass  # transient shared-socket timeout; connection dropped
         except (ConnectionError, OSError):
             pass
         finally:
@@ -220,6 +248,13 @@ class TopicWebSocketServer:
         for c in conns:
             if c.send_text(payload):
                 delivered += 1
+            else:
+                # drop immediately: the reader thread also unwinds via
+                # the shutdown, but the subscriber list must not keep
+                # counting a dead browser until it does
+                with self._conn_lock:
+                    if c in self._conns:
+                        self._conns.remove(c)
         return delivered
 
     def connection_count(self, topic: str | None = None) -> int:

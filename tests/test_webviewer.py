@@ -238,3 +238,36 @@ def test_pipeline_websocket_sink(spark, tmp_path):
         c.close()
     finally:
         srv.close()
+
+
+def test_stalled_client_is_dropped_not_wedging_publish():
+    """A browser that stops reading must not block publish() (which
+    runs on the streaming query's foreachBatch thread) beyond the send
+    timeout: once the socket buffers fill, the connection is dropped
+    and publish returns 0 deliveries."""
+    srv = TopicWebSocketServer(send_timeout=1.0)
+    try:
+        c = _client_connect(srv.host, srv.port, "slow")
+        deadline = time.time() + 5
+        while srv.connection_count("slow") < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        # shrink both buffer sides so the stall trips fast
+        with srv._conn_lock:
+            srv._conns[0].sock.setsockopt(
+                socket.SOL_SOCKET, socket.SO_SNDBUF, 16_384
+            )
+        c.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 16_384)
+
+        big = {"type": "data", "data": {"blob": "z" * 200_000}}
+        t0 = time.time()
+        deadline = time.time() + 30
+        while srv.connection_count("slow") and time.time() < deadline:
+            srv.publish("slow", big)  # client never reads
+        elapsed = time.time() - t0
+        assert srv.connection_count("slow") == 0, "stalled client kept"
+        # each blocked send bounded by the 1s timeout (+ slack)
+        assert elapsed < 15, f"publish wedged for {elapsed:.1f}s"
+        assert srv.publish("slow", big) == 0
+        c.close()
+    finally:
+        srv.close()
