@@ -2743,8 +2743,8 @@ def oracle_sql() -> dict[str, str]:
             stats AS (
               SELECT event_type,
                 CAST(count(*) AS BIGINT) AS __n,
-                CAST(sum(__q) AS BIGINT) AS __s,
-                CAST(sum(__q * __q) AS BIGINT) AS __ss
+                sum(CAST(__q AS HUGEINT)) AS __s,
+                sum(CAST(__q AS HUGEINT) * __q) AS __ss
               FROM base GROUP BY event_type
             ),
             st AS (

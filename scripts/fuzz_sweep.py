@@ -107,13 +107,29 @@ def main() -> int:
     seeds = [37, 141, 245]
     tiers = ["docs", "events", "vectors", "tpch"]
     scale = 1
-    for a in sys.argv[1:]:
-        if a.startswith("--seeds"):
-            seeds = [int(x) for x in a.split("=", 1)[1].split(",")]
-        elif a.startswith("--tiers"):
-            tiers = a.split("=", 1)[1].split(",")
-        elif a.startswith("--scale"):
-            scale = int(a.split("=", 1)[1])
+
+    def flag_value(argv, i):
+        """Support both --flag=v and --flag v (the usage shows both)."""
+        if "=" in argv[i]:
+            return argv[i].split("=", 1)[1], i + 1
+        if i + 1 >= len(argv):
+            raise SystemExit(f"{argv[i]} needs a value")
+        return argv[i + 1], i + 2
+
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("--seeds"):
+            v, i = flag_value(argv, i)
+            seeds = [int(x) for x in v.split(",")]
+        elif argv[i].startswith("--tiers"):
+            v, i = flag_value(argv, i)
+            tiers = v.split(",")
+        elif argv[i].startswith("--scale"):
+            v, i = flag_value(argv, i)
+            scale = int(v)
+        else:
+            raise SystemExit(f"unknown argument: {argv[i]}")
 
     import __spark_entry__ as entrymod
     from streamtasks_spark.session import get_spark

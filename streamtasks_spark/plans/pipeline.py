@@ -137,7 +137,7 @@ class Pipeline:
                         f"websocket sink {stage_name!r} needs a 'server' "
                         "(streaming.webviewer.TopicWebSocketServer)"
                     )
-                self._queries.append(
+                writer = (
                     df.writeStream.foreachBatch(
                         topic_push_batch(
                             server,
@@ -145,6 +145,7 @@ class Pipeline:
                             cfg.get("pause_col"),
                         )
                     )
+                    .outputMode(cfg.get("outputMode", "append"))
                     .option(
                         "checkpointLocation",
                         cfg.get(
@@ -153,8 +154,12 @@ class Pipeline:
                             f"{stage_name}",
                         ),
                     )
-                    .start()
                 )
+                for k, v in cfg.get("options", {}).items():
+                    writer = writer.option(k, v)
+                if "trigger" in cfg:
+                    writer = writer.trigger(**cfg["trigger"])
+                self._queries.append(writer.start())
                 continue
             writer = (
                 df.writeStream.format(cfg.get("format", "parquet"))

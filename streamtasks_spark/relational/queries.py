@@ -1225,16 +1225,19 @@ def events_anomaly(t: dict[str, DataFrame]) -> DataFrame:
 
     Shape: one map-side-combined shuffle onto event types for the
     moments, stats broadcast back onto the scan, one bounded-key
-    aggregate. At larger scale the integer sums become decimal(38,0)
-    (sum of q² reaches int64 range near ~10⁹ rows at this value
-    domain); the plan shape is unchanged."""
+    aggregate. Both moments accumulate as DECIMAL(38,0) (sum of q²
+    reaches int64 range near ~10⁹ rows at this value domain — the r06
+    sweep), and the q² PRODUCT is widened before multiplying: q ≥
+    ~3.04e9 (value ≥ ~304k) would overflow the int64 multiply per row
+    under ANSI before any accumulator saw it. DuckDB mirrors via
+    HUGEINT. The plan shape is unchanged."""
     ev = t["events"]
     q = F.expr("cast(floor(value * 10000 + 0.5) as bigint)")
     base = ev.select("event_type", q.alias("__q"))
     stats = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col("__q").cast("decimal(38,0)")).alias("__s"),
-        F.sum((F.col("__q") * F.col("__q")).cast("decimal(38,0)")).alias("__ss"),
+        F.sum(F.col("__q").cast("decimal(38,0)") * F.col("__q")).alias("__ss"),
     )
     mean = F.col("__s").cast("double") / F.col("__n").cast("double")
     var = (

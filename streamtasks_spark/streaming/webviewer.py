@@ -206,13 +206,27 @@ class TopicWebSocketServer:
         except OSError:
             sock.close()
             return
+        except Exception:  # malformed request line/headers/encoding
+            try:
+                sock.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+            except OSError:
+                pass
+            sock.close()
+            return
         conn = _Connection(sock, topic, self._send_timeout)
         with self._conn_lock:
             self._conns.append(conn)
         # inbound loop: answer ping, honor close, discard the rest
         try:
             while conn.alive and not self._stop.is_set():
-                opcode, payload = read_frame(sock)
+                try:
+                    opcode, payload = read_frame(sock)
+                except TimeoutError:
+                    # the send path transiently shares its send_timeout
+                    # with this socket (send_text restores it inside
+                    # the lock); a timeout here is NOT a dead browser —
+                    # keep reading
+                    continue
                 if opcode == 0x8:  # close
                     with conn.lock:
                         sock.sendall(_encode_control_frame(0x8, payload[:2]))
@@ -220,8 +234,6 @@ class TopicWebSocketServer:
                 if opcode == 0x9:  # ping -> pong
                     with conn.lock:
                         sock.sendall(_encode_control_frame(0xA, payload))
-        except TimeoutError:
-            pass  # transient shared-socket timeout; connection dropped
         except (ConnectionError, OSError):
             pass
         finally:
@@ -281,21 +293,33 @@ class TopicWebSocketServer:
 
 def topic_push_batch(server: TopicWebSocketServer, topic: str,
                      pause_col: str | None = None):
-    """foreachBatch callback factory: rows become the reference's data
-    envelope; rows of a boolean ``pause_col`` (the pause-as-data
-    convention, operators/stateful.py) become control envelopes."""
+    """foreachBatch callback factory producing the reference's exact
+    topic behavior (net/__init__.py:285-287 latch; task_web.py:386-391
+    envelopes). Without ``pause_col``, every row is a data envelope.
+    With it (the pause-as-data convention — pause_state annotates each
+    data row with the latched paused flag, operators/stateful.py), the
+    viewer behaves like a reference topic: a control envelope
+    ``{"paused": ...}`` is pushed at every pause-state TRANSITION in
+    row order, data rows are forwarded (flag stripped) only while
+    unpaused, and rows during a paused span are suppressed — a paused
+    reference topic transmits control, not data. The latch resets per
+    micro-batch start: re-announcing the current state to possibly-new
+    subscribers is the reference's replay-to-late-joiners behavior."""
 
     def push(batch_df, _batch_id: int) -> None:
         if pause_col is not None and pause_col in batch_df.columns:
-            rows = batch_df.toJSON().collect()
-            for raw in rows:
+            last_paused = None  # unknown at batch start -> re-announce
+            for raw in batch_df.toJSON().collect():
                 row = json.loads(raw)
-                paused = row.pop(pause_col, None)
-                if paused is not None and not row:
+                # toJSON omits NULL columns; treat absent as unpaused
+                paused = bool(row.pop(pause_col, False))
+                if paused != last_paused:
                     server.publish(
-                        topic, {"type": "control", "data": {"paused": paused}}
+                        topic,
+                        {"type": "control", "data": {"paused": paused}},
                     )
-                else:
+                    last_paused = paused
+                if not paused:
                     server.publish(topic, {"type": "data", "data": row})
         else:
             for raw in batch_df.toJSON().collect():

@@ -570,11 +570,13 @@ def _rotation_seeds(tier: str) -> list[int]:
 
 
 @pytest.mark.parametrize("tier", sorted(ROTATION_QUERIES))
-def test_fresh_seed_rotation(spark, tier, tmp_path_factory):
+def test_fresh_seed_rotation(spark, tier):
     """5 never-before-run seeds per tier per round, over the queries
     whose divergence classes fresh seeds have historically hit. A
     failure here is a REAL cross-engine divergence: fix it, then pin
     the seed as a permanent fixture (the 523/3527/19 pattern above)."""
+    import shutil
+
     import fuzz_sweep  # scripts/ is on sys.path; imported lazily to
     # avoid a circular import (fuzz_sweep imports this module)
     import __spark_entry__ as entrymod
@@ -583,26 +585,31 @@ def test_fresh_seed_rotation(spark, tier, tmp_path_factory):
     oracles = entrymod.oracle_sql()
     failures = []
     for seed in _rotation_seeds(tier):
-        sf_dir = fuzz_sweep.make_dir(
-            "vectors" if tier == "vectors" else tier, seed
-        )
-        con = duck_conn(sf_dir)
-        for name in ROTATION_QUERIES[tier]:
-            try:
-                sdf = qs[name](spark, sf_dir).toPandas()
-                odf = con.execute(oracles[name]).df()
-                desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
-                duck_types = {row[0]: row[1] for row in desc}
-            except Exception as e:  # noqa: BLE001
-                failures.append(
-                    f"{tier}/{seed}/{name}: ERROR "
-                    f"{type(e).__name__}: {str(e)[:300]}"
+        sf_dir = fuzz_sweep.make_dir(tier, seed)
+        try:
+            con = duck_conn(sf_dir)
+            for name in ROTATION_QUERIES[tier]:
+                try:
+                    sdf = qs[name](spark, sf_dir).toPandas()
+                    odf = con.execute(oracles[name]).df()
+                    desc = con.execute(
+                        f"DESCRIBE ({oracles[name]})"
+                    ).fetchall()
+                    duck_types = {row[0]: row[1] for row in desc}
+                except Exception as e:  # noqa: BLE001
+                    failures.append(
+                        f"{tier}/{seed}/{name}: ERROR "
+                        f"{type(e).__name__}: {str(e)[:300]}"
+                    )
+                    continue
+                problems = audit_types(sdf, odf, duck_types) + compare(
+                    name, sdf, odf
                 )
-                continue
-            problems = audit_types(sdf, odf, duck_types) + compare(
-                name, sdf, odf
-            )
-            failures.extend(
-                f"{tier}/{seed}/{name}: {p}" for p in problems
-            )
+                failures.extend(
+                    f"{tier}/{seed}/{name}: {p}" for p in problems
+                )
+        finally:
+            # make_dir uses tempfile.mkdtemp — without cleanup every
+            # round accretes 20 parquet dirs in /tmp
+            shutil.rmtree(sf_dir, ignore_errors=True)
     assert not failures, "\n".join(failures[:40])

@@ -271,3 +271,37 @@ def test_stalled_client_is_dropped_not_wedging_publish():
         c.close()
     finally:
         srv.close()
+
+
+def test_pause_as_data_becomes_control_envelopes(spark):
+    """pause_state rides the latched paused flag on every data row
+    (operators/stateful.py); the viewer must translate that into the
+    reference topic behavior: a control envelope per pause TRANSITION,
+    data (flag stripped) only while unpaused, paused rows suppressed."""
+    from streamtasks_spark.streaming.webviewer import topic_push_batch
+
+    srv = TopicWebSocketServer()
+    try:
+        c = _client_connect(srv.host, srv.port, "t")
+        deadline = time.time() + 5
+        while srv.connection_count("t") < 1 and time.time() < deadline:
+            time.sleep(0.05)
+
+        batch = spark.createDataFrame(
+            [(1, False), (2, False), (3, True), (4, True), (5, False)],
+            "v int, paused boolean",
+        ).coalesce(1).sortWithinPartitions("v")
+        topic_push_batch(srv, "t", "paused")(batch, 0)
+
+        got = [_recv_json(c) for _ in range(6)]
+        assert got == [
+            {"type": "control", "data": {"paused": False}},
+            {"type": "data", "data": {"v": 1}},
+            {"type": "data", "data": {"v": 2}},
+            {"type": "control", "data": {"paused": True}},
+            {"type": "control", "data": {"paused": False}},
+            {"type": "data", "data": {"v": 5}},
+        ]
+        c.close()
+    finally:
+        srv.close()
