@@ -1215,45 +1215,42 @@ def _q_synchronizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every query whose implementation OR oracle SQL changed this round —
 # these MUST sit inside the driver's 50-entry verification window (the
 # driver hash-checks only the first 50 queries() entries; a changed
-# query outside it ships uncertified). queries() asserts this
+# query outside it ships uncertified). queries() enforces this
 # programmatically — r03 shipped two stale rows because the positions
 # were counted by hand.
-_MUST_VERIFY_R06 = [
-    # impl AND (for q1) oracle changed r06: the DECIMAL(38,0)
-    # accumulator sweep — every money/value sum whose group row count
-    # GROWS with SF widens from BIGINT (silent int64 wrap near SF150
-    # per group, r06 ADVICE finding) to decimal; q1's sum_charge also
-    # drops its div-100 rounding (the quotient itself outgrows int64
-    # near SF1e5). Values are unchanged at test scale — DuckDB was
-    # already exact via HUGEINT promotion — but the Spark plans are
-    # new, so every touched query re-certifies.
-    "q1_pricing_summary", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_stock", "q14_promo_effect",
-    "q19_disjunctive_predicates", "events_hourly_stats",
-    "events_sliding_stats", "events_rollup", "events_anomaly",
-    "source_stats",
-    # impl AND oracle changed r06: embedding_near_dup gains the banded
-    # SimHash mode (bands param; bands=1 default path is untouched but
-    # the oracle SQL text is now the band-union form), and
-    # embedding_dup_classes composes that oracle string.
-    "embedding_near_dup", "embedding_dup_classes",
+_MUST_VERIFY_R07 = [
+    # impl changed r07: corpus_prepare now passes an explicit
+    # hot-bucket cap to its minhash stage at the call site (r06
+    # verdict task 6) — values identical on oracle data by
+    # construction (cap sized above any sf0.01 bucket), but the plan
+    # changed, so it re-certifies.
+    "corpus_prepare",
 ]
 
-# The 19 queries whose last driver row predates r04 — the r06 rotation
-# backfill (r05 verdict task 1). Five of them (†: time_to_text,
-# timestamp_update, tts_synthesize, image_decode, frame_sample) back
-# files edited after their row (timefmt NTZ r03, inference r03/r04,
-# multimodal r03) and go first; all 19 were re-verified bit-green
+# r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
+# 26 r04-green rows + the 24 oldest r05-green rows, exactly the order
+# the r06 tail already queued them in. After this window no query's
+# latest driver row is older than r05. All 50 re-verified bit-green
 # locally via scripts/check_oracle.py before this rotation.
-_BACKFILL_R06 = [
-    "time_to_text", "timestamp_update", "tts_synthesize",
-    "image_decode", "frame_sample", "text_renderer", "image_renderer",
-    "string_matcher", "text_format", "number_to_text", "video_layout",
-    "q4_order_priority", "q13_customer_distribution",
-    "q16_parts_supplier_relationship", "q18_large_volume_customers",
-    "q20_potential_promotion", "q21_waiting_supplier",
-    "image_resize", "image_features",
+_ROTATE_R07 = [
+    # 26 r04-green rows
+    "vocab_topk", "substring_dedup", "token_histogram",
+    "corpus_prepare", "events_retention_cohorts", "text_stats",
+    "lang_id", "doc_fingerprint", "quality_filter", "doc_repetition",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "decontaminate",
+    "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall", "gate",
+    "interleave_mux", "interleave_desync", "container_roundtrip",
+    "audio_smoother", "audio_volume_scaler", "asr_transcribe",
+    "speech_enhance",
+    # 24 oldest r05-green rows (r05 window order)
+    "stretch_align", "dedup_recall", "ann_ivf_trained",
+    "events_funnel", "quality_buckets", "events_session_windows",
+    "set_ops", "top_customers_per_nation", "orders_without_lineitems",
+    "customers_with_orders_semi", "synchronizer", "asof_join",
+    "switch", "sr_latch", "pause_state", "calculator",
+    "calculator_multivar", "string_concatenator", "fn_task",
+    "fn_task_stateful", "audio_mixer", "video_activity_meter",
+    "media_switch", "video_reformatter",
 ]
 
 
@@ -1263,75 +1260,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # r06 closes the rotation debt: after this window every query's
-    # latest driver row post-dates its code and none is older than
-    # r04. The 50 slots go to:
-    # (1) the 19 pre-r04 rows (_BACKFILL_R06) — 11 r02 expression/
-    #     render queries, the 6 untouched TPC-H counting shapes +
-    #     image_resize/image_features from r03 — †-rows first,
-    # (2) the 16 queries changed this round (_MUST_VERIFY_R06: the
-    #     DECIMAL(38,0) accumulator sweep + the banded near-dup
-    #     oracle), (3) the 15 oldest r04-green rows. The tail is
-    # r04/r05-green and unchanged since, ordered oldest-first so r07
-    # can keep rotating; all 116 stay covered by the bit-level compare
-    # in scripts/check_oracle.py locally.
+    # With the rotation debt retired in r06 (every row ≥ r04), r07
+    # simply rotates the 50 OLDEST rows through the window
+    # (_ROTATE_R07: the 26 r04 rows + the 24 oldest r05 rows — the
+    # exact order the r06 tail queued them in). After this round no
+    # query's latest driver row is older than r05. The tail stays
+    # ordered oldest-first (16 remaining r05 rows, then the 50
+    # r06-certified rows in their r06 window order) so r08 keeps
+    # rotating the same way; all 116 stay covered by the bit-level
+    # compare in scripts/check_oracle.py locally.
     q = {
-        # --- (1) rotation backfill: the 19 pre-r04 rows, †-rows first
-        "time_to_text": _q_time_to_text,
-        "timestamp_update": _q_timestamp_update,
-        "tts_synthesize": _q_tts_synthesize,
-        "image_decode": _q_image_decode,
-        "frame_sample": _q_frame_sample,
-        "text_renderer": _q_text_renderer,
-        "image_renderer": _q_image_renderer,
-        "string_matcher": _q_string_matcher,
-        "text_format": _q_text_format,
-        "number_to_text": _q_number_to_text,
-        "video_layout": _q_video_layout,
-        "q4_order_priority": rel(rq.q4_order_priority),
-        "q13_customer_distribution": rel(rq.q13_customer_distribution),
-        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
-        "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
-        "q20_potential_promotion": rel(rq.q20_potential_promotion),
-        "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
-        "image_resize": _q_image_resize,
-        "image_features": _q_image_features,
-        # --- (2) changed in r06 (_MUST_VERIFY_R06): decimal sweep +
-        # --- banded near-dup oracle
-        "q1_pricing_summary": rel(rq.q1_pricing_summary),
-        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
-        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
-        "q7_volume_shipping": rel(rq.q7_volume_shipping),
-        "q8_market_share": rel(rq.q8_market_share),
-        "q9_product_profit": rel(rq.q9_product_profit),
-        "q11_important_stock": rel(rq.q11_important_stock),
-        "q14_promo_effect": rel(rq.q14_promo_effect),
-        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
-        "events_hourly_stats": rel(rq.events_hourly_stats),
-        "events_sliding_stats": rel(rq.events_sliding_stats),
-        "events_rollup": rel(rq.events_rollup),
-        "events_anomaly": rel(rq.events_anomaly),
-        "source_stats": _q_source_stats,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_dup_classes": _q_embedding_dup_classes,
-        # --- (3) oldest r04-green rows
-        "q12_priority_shipping": rel(rq.q12_priority_shipping),
-        "events_json_extract": rel(rq.events_json_extract),
-        "pack_sequences": _q_pack_sequences,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "codec_roundtrip": _q_codec_roundtrip,
-        "llm_chat": _q_llm_chat,
-        "pii_scrub": _q_pii_scrub,
-        "time_buffer": _q_time_buffer,
-        "repeater": _q_repeater,
-        "replay_rebase": _q_replay_rebase,
-        "replay_loop": _q_replay_loop,
-        "message_detector": _q_message_detector,
-        "audio_volume_meter": _q_audio_volume_meter,
-        "dedup_components": _q_dedup_components,
-        "dedup_retention": _q_dedup_retention,
-        # ------- first entry PAST the driver's 50-query window -------
-        # remaining r04-green rows, oldest-first (first in line r07)
+        # --- r07 window: 26 r04-green rows, oldest-first
         "vocab_topk": _q_vocab_topk,
         "substring_dedup": _q_substring_dedup,
         "token_histogram": _q_token_histogram,
@@ -1358,7 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_volume_scaler": _q_audio_volume_scaler,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
-        # r05-green tail, in r05 window order
+        # --- r07 window: the 24 oldest r05-green rows (r05 order)
         "stretch_align": _q_stretch_align,
         "dedup_recall": _q_dedup_recall,
         "ann_ivf_trained": _q_ann_ivf_trained,
@@ -1383,6 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_activity_meter": _q_video_activity_meter,
         "media_switch": _q_media_switch,
         "video_reformatter": _q_video_reformatter,
+        # ------- first entry PAST the driver's 50-query window -------
+        # remaining 16 r05-green rows, oldest-first (first in line r08)
         "q3_shipping_priority": rel(rq.q3_shipping_priority),
         "q10_returned_items": rel(rq.q10_returned_items),
         "q15_top_supplier": rel(rq.q15_top_supplier),
@@ -1399,14 +1340,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": _q_mix_sample,
         "events_quantiles": rel(rq.events_quantiles),
         "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
+        # r06-certified rows, in r06 window order
+        "time_to_text": _q_time_to_text,
+        "timestamp_update": _q_timestamp_update,
+        "tts_synthesize": _q_tts_synthesize,
+        "image_decode": _q_image_decode,
+        "frame_sample": _q_frame_sample,
+        "text_renderer": _q_text_renderer,
+        "image_renderer": _q_image_renderer,
+        "string_matcher": _q_string_matcher,
+        "text_format": _q_text_format,
+        "number_to_text": _q_number_to_text,
+        "video_layout": _q_video_layout,
+        "q4_order_priority": rel(rq.q4_order_priority),
+        "q13_customer_distribution": rel(rq.q13_customer_distribution),
+        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
+        "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
+        "q20_potential_promotion": rel(rq.q20_potential_promotion),
+        "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
+        "image_resize": _q_image_resize,
+        "image_features": _q_image_features,
+        "q1_pricing_summary": rel(rq.q1_pricing_summary),
+        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
+        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
+        "q7_volume_shipping": rel(rq.q7_volume_shipping),
+        "q8_market_share": rel(rq.q8_market_share),
+        "q9_product_profit": rel(rq.q9_product_profit),
+        "q11_important_stock": rel(rq.q11_important_stock),
+        "q14_promo_effect": rel(rq.q14_promo_effect),
+        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
+        "events_hourly_stats": rel(rq.events_hourly_stats),
+        "events_sliding_stats": rel(rq.events_sliding_stats),
+        "events_rollup": rel(rq.events_rollup),
+        "events_anomaly": rel(rq.events_anomaly),
+        "source_stats": _q_source_stats,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dup_classes": _q_embedding_dup_classes,
+        "q12_priority_shipping": rel(rq.q12_priority_shipping),
+        "events_json_extract": rel(rq.events_json_extract),
+        "pack_sequences": _q_pack_sequences,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "codec_roundtrip": _q_codec_roundtrip,
+        "llm_chat": _q_llm_chat,
+        "pii_scrub": _q_pii_scrub,
+        "time_buffer": _q_time_buffer,
+        "repeater": _q_repeater,
+        "replay_rebase": _q_replay_rebase,
+        "replay_loop": _q_replay_loop,
+        "message_detector": _q_message_detector,
+        "audio_volume_meter": _q_audio_volume_meter,
+        "dedup_components": _q_dedup_components,
+        "dedup_retention": _q_dedup_retention,
     }
     window = list(q)[:50]
-    missing = [n for n in _MUST_VERIFY_R06 + _BACKFILL_R06
+    missing = [n for n in _MUST_VERIFY_R07 + _ROTATE_R07
                if n not in window]
-    assert not missing, (
-        f"queries changed this round sit outside the driver's 50-entry "
-        f"verification window: {missing}"
-    )
+    if missing:
+        # explicit raise, not assert — survives python -O (the same
+        # hazard class the r06 q11 precondition fix closed)
+        raise ValueError(
+            f"queries changed this round sit outside the driver's "
+            f"50-entry verification window: {missing}"
+        )
     return q
 
 

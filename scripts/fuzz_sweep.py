@@ -16,7 +16,9 @@ Usage:
       # events/vectors get 10x rows, tpch mutates the sf0.01 base
       # instead of sf0.001 — the volume axis that stresses percentile
       # ties, window population, and LSH bucket geometry (r06 ran
-      # docs 7.5x, events 10x, vectors 10x, tpch 10x: all clean)
+      # events 10x, vectors 10x, tpch 10x clean; the docs "7.5x" in
+      # that run came from a manual row-count override, not this
+      # integer knob)
 
 Exit 0 = no divergences; 1 = at least one FAIL/ERR line printed.
 """
@@ -116,16 +118,21 @@ def main() -> int:
             raise SystemExit(f"{argv[i]} needs a value")
         return argv[i + 1], i + 2
 
+    def is_flag(arg: str, name: str) -> bool:
+        # exact match only — "--seedsfoo"/"--scales" must hit the
+        # unknown-argument error, not silently parse
+        return arg == name or arg.startswith(name + "=")
+
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
-        if argv[i].startswith("--seeds"):
+        if is_flag(argv[i], "--seeds"):
             v, i = flag_value(argv, i)
             seeds = [int(x) for x in v.split(",")]
-        elif argv[i].startswith("--tiers"):
+        elif is_flag(argv[i], "--tiers"):
             v, i = flag_value(argv, i)
             tiers = v.split(",")
-        elif argv[i].startswith("--scale"):
+        elif is_flag(argv[i], "--scale"):
             v, i = flag_value(argv, i)
             scale = int(v)
         else:

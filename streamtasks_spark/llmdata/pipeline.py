@@ -406,11 +406,24 @@ def corpus_prepare(
     chars_col: str = "n_chars",
     dedup_threshold: float = 0.5,
     decontam_n: int = 8,
+    dedup_max_bucket: int | None = 1000,
     splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
 ) -> DataFrame:
     """END-TO-END corpus preparation: the full pretraining data path —
     quality rules → near-dup canonical keep → eval decontamination →
     split assignment — reported per (source, split) with drop reasons.
+
+    ``dedup_max_bucket`` caps LSH band buckets inside the minhash stage
+    (``_band_pairs``): real corpora WILL contain a degenerate
+    near-equal class (boilerplate pages, empty docs) whose single band
+    bucket otherwise emits m·(m−1)/2 pairs on one key. Equivalence: a
+    doc in a capped bucket still pairs via its other N_BANDS−1 bands,
+    and a class hot in EVERY band is the near-identical cluster whose
+    members also collide in the exact-hash sense — only genuinely
+    degenerate mega-classes lose recall, by design. The default (1000)
+    is ~250× the largest observed band bucket at sf0.1 (4 docs) and
+    ~300× at sf0.01 (3), so the DuckDB oracle — which has no cap —
+    stays bit-identical at every test scale.
 
     Drop precedence (each doc counted once): quality > duplicate >
     contaminated. ``n_kept``/``kept_chars`` summarize the surviving
@@ -455,7 +468,8 @@ def corpus_prepare(
     # small sides: non-canonical duplicate members, contaminated ids
     comp = connected_components(
         dedup_minhash(docs, id_col=id_col, text_col=text_col,
-                      threshold=dedup_threshold)
+                      threshold=dedup_threshold,
+                      max_bucket=dedup_max_bucket)
     )
     dup_members = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("__dup_id")

@@ -24,6 +24,16 @@ handshake, and ping→pong. Client→server payloads are read and
 discarded (the reference handler also ignores inbound messages —
 task_web.py:386). No TLS, no permessage-deflate, no fragmentation
 reassembly — browsers never require them for this shape.
+
+Backpressure contract: ``publish`` never blocks — each connection
+owns a BOUNDED outbound queue (default 256 messages) drained by a
+per-connection sender thread. A slow browser loses the OLDEST queued
+messages first (a viewer wants the latest state, the same trade the
+reference UI makes by rendering only what arrives) and the drops are
+counted on the connection; a browser that makes zero progress for
+``send_timeout`` is disconnected outright. Driver memory is therefore
+capped at ``queue_max × max payload`` per connection regardless of how
+many micro-batches a stalled client sleeps through.
 """
 
 from __future__ import annotations
@@ -34,6 +44,7 @@ import json
 import socket
 import struct
 import threading
+from collections import deque
 
 # fixed GUID from RFC 6455 §1.3 (public spec constant)
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
@@ -62,54 +73,109 @@ def _encode_control_frame(opcode: int, payload: bytes = b"") -> bytes:
     return struct.pack("!BB", 0x80 | opcode, len(payload)) + payload
 
 
-def _read_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("peer closed")
-        buf += chunk
-    return buf
+class _SockReader:
+    """Buffered reader whose partial state SURVIVES timeouts: bytes
+    already received stay in ``buf`` when ``recv`` raises
+    ``TimeoutError`` (the send path transiently sets a timeout on the
+    shared socket), so a frame interrupted mid-read resumes instead of
+    desyncing the stream. Seeded with any bytes the client pipelined
+    after its handshake ``\\r\\n\\r\\n`` — a close/ping frame arriving
+    in the same segment is no longer dropped."""
+
+    def __init__(self, sock: socket.socket, initial: bytes = b""):
+        self.sock = sock
+        self.buf = bytearray(initial)
+
+    def read_exact(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)  # TimeoutError keeps self.buf
+            if not chunk:
+                raise ConnectionError("peer closed")
+            self.buf += chunk
+        out = bytes(self.buf[:n])
+        del self.buf[:n]
+        return out
 
 
-def read_frame(sock: socket.socket) -> tuple[int, bytes]:
+def read_frame(reader: "_SockReader | socket.socket") -> tuple[int, bytes]:
     """Read one (client→server, masked) frame; returns (opcode,
-    unmasked payload)."""
-    b1, b2 = _read_exact(sock, 2)
+    unmasked payload). Accepts a :class:`_SockReader` (resumable) or a
+    bare socket (wrapped per-call — no resume across timeouts)."""
+    if isinstance(reader, socket.socket):
+        reader = _SockReader(reader)
+    b1, b2 = reader.read_exact(2)
     opcode = b1 & 0x0F
     masked = bool(b2 & 0x80)
     length = b2 & 0x7F
     if length == 126:
-        (length,) = struct.unpack("!H", _read_exact(sock, 2))
+        (length,) = struct.unpack("!H", reader.read_exact(2))
     elif length == 127:
-        (length,) = struct.unpack("!Q", _read_exact(sock, 8))
+        (length,) = struct.unpack("!Q", reader.read_exact(8))
     if masked:
-        mask = _read_exact(sock, 4)
-        raw = _read_exact(sock, length)
+        mask = reader.read_exact(4)
+        raw = reader.read_exact(length)
         payload = bytes(c ^ mask[i % 4] for i, c in enumerate(raw))
     else:
-        payload = _read_exact(sock, length)
+        payload = reader.read_exact(length)
     return opcode, payload
 
 
 class _Connection:
+    """One subscribed browser. Outbound data rides a BOUNDED deque
+    drained by a dedicated sender thread, so ``publish`` (which runs on
+    the streaming query's foreachBatch driver thread) never blocks on a
+    slow socket. Overflow drops the OLDEST queued message (a viewer
+    wants the latest state) and bumps ``dropped``; a socket that makes
+    no progress for ``send_timeout`` is disconnected outright — the
+    viewer-semantics version of the reference's log-and-continue
+    (task_web.py:392)."""
+
     def __init__(self, sock: socket.socket, topic: str,
-                 send_timeout: float):
+                 send_timeout: float, queue_max: int = 256):
         self.sock = sock
         self.topic = topic
-        self.lock = threading.Lock()
+        self.lock = threading.Lock()  # guards socket writes
         self.alive = True
         self.send_timeout = send_timeout
+        self.queue_max = queue_max
+        self.outbox: deque[str] = deque()
+        self.dropped = 0
+        self._cv = threading.Condition()
+        self._sender = threading.Thread(
+            target=self._send_loop, name="ws-viewer-send", daemon=True
+        )
+        self._sender.start()
+
+    def enqueue(self, payload: str) -> bool:
+        """Non-blocking hand-off to the sender thread; returns False
+        only for a connection already known dead."""
+        with self._cv:
+            if not self.alive:
+                return False
+            if len(self.outbox) >= self.queue_max:
+                self.outbox.popleft()  # drop-oldest (documented policy)
+                self.dropped += 1
+            self.outbox.append(payload)
+            self._cv.notify()
+        return True
+
+    def _send_loop(self) -> None:
+        while True:
+            with self._cv:
+                while self.alive and not self.outbox:
+                    self._cv.wait()
+                if not self.alive:
+                    return
+                payload = self.outbox.popleft()
+            if not self.send_text(payload):
+                return
 
     def send_text(self, payload: str) -> bool:
-        # a stalled browser must never wedge the publishing thread
-        # (which is the streaming query's foreachBatch driver thread):
         # once the OS send buffer fills, sendall blocks — bound it with
-        # the send timeout and DROP the connection on expiry, the
-        # viewer-semantics version of the reference's log-and-continue
-        # (task_web.py:392). The timeout is set inside the lock and
-        # restored, so the inbound reader (which tolerates timeouts)
-        # only transiently shares it.
+        # the send timeout and DROP the connection on expiry. The
+        # timeout is set inside the lock and restored; the inbound
+        # reader's _SockReader keeps partial frames across any timeout
+        # it catches while sharing the socket.
         try:
             with self.lock:
                 self.sock.settimeout(self.send_timeout)
@@ -119,18 +185,24 @@ class _Connection:
                     self.sock.settimeout(None)
             return True
         except OSError:  # includes TimeoutError
-            self.alive = False
-            try:
-                # shutdown (not just close) wakes the reader thread
-                # blocked in recv so the connection fully unwinds
-                self.sock.shutdown(socket.SHUT_RDWR)
-            except OSError:
-                pass
-            try:
-                self.sock.close()
-            except OSError:
-                pass
+            self.kill()
             return False
+
+    def kill(self) -> None:
+        with self._cv:
+            self.alive = False
+            self.outbox.clear()
+            self._cv.notify()
+        try:
+            # shutdown (not just close) wakes the reader thread
+            # blocked in recv so the connection fully unwinds
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
 
 
 class TopicWebSocketServer:
@@ -141,8 +213,9 @@ class TopicWebSocketServer:
     logs-and-continues the same way, task_web.py:392)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, *,
-                 send_timeout: float = 5.0):
+                 send_timeout: float = 5.0, queue_max: int = 256):
         self._send_timeout = send_timeout
+        self._queue_max = queue_max
         self._listener = socket.create_server((host, port))
         self._listener.settimeout(0.2)
         self.host, self.port = self._listener.getsockname()[:2]
@@ -181,6 +254,9 @@ class TopicWebSocketServer:
                     sock.close()
                     return
                 request += chunk
+            # bytes the client pipelined after the handshake terminator
+            # (e.g. an eager first frame) belong to the frame stream
+            request, _, leftover = request.partition(b"\r\n\r\n")
             head = request.decode("latin-1")
             lines = head.split("\r\n")
             path = lines[0].split(" ")[1]
@@ -213,19 +289,22 @@ class TopicWebSocketServer:
                 pass
             sock.close()
             return
-        conn = _Connection(sock, topic, self._send_timeout)
+        conn = _Connection(sock, topic, self._send_timeout,
+                           self._queue_max)
         with self._conn_lock:
             self._conns.append(conn)
         # inbound loop: answer ping, honor close, discard the rest
+        reader = _SockReader(sock, leftover)
         try:
             while conn.alive and not self._stop.is_set():
                 try:
-                    opcode, payload = read_frame(sock)
+                    opcode, payload = read_frame(reader)
                 except TimeoutError:
                     # the send path transiently shares its send_timeout
                     # with this socket (send_text restores it inside
                     # the lock); a timeout here is NOT a dead browser —
-                    # keep reading
+                    # the reader's buffer kept any partial frame, so
+                    # just resume
                     continue
                 if opcode == 0x8:  # close
                     with conn.lock:
@@ -237,33 +316,33 @@ class TopicWebSocketServer:
         except (ConnectionError, OSError):
             pass
         finally:
-            conn.alive = False
+            conn.kill()  # also wakes + terminates the sender thread
             with self._conn_lock:
                 if conn in self._conns:
                     self._conns.remove(conn)
-            try:
-                sock.close()
-            except OSError:
-                pass
 
     # ----------------------------------------------------- publish path
 
     def publish(self, topic: str, message: dict) -> int:
         """Broadcast one JSON-serializable message to every connection
-        subscribed to ``topic``; returns the number of live deliveries.
-        NaN is rejected like the reference (allow_nan=False,
-        task_web.py:390) so browsers never receive invalid JSON."""
+        subscribed to ``topic``; returns the number of live hand-offs.
+        NEVER blocks: each connection's sender thread drains its own
+        bounded queue, so N simultaneously stalled browsers cost this
+        (foreachBatch driver) thread O(N) queue appends, not
+        N × send_timeout. NaN is rejected like the reference
+        (allow_nan=False, task_web.py:390) so browsers never receive
+        invalid JSON."""
         payload = json.dumps(message, allow_nan=False)
         delivered = 0
         with self._conn_lock:
             conns = [c for c in self._conns if c.topic == topic]
         for c in conns:
-            if c.send_text(payload):
+            if c.enqueue(payload):
                 delivered += 1
             else:
-                # drop immediately: the reader thread also unwinds via
-                # the shutdown, but the subscriber list must not keep
-                # counting a dead browser until it does
+                # the reader thread also unwinds via the shutdown, but
+                # the subscriber list must not keep counting a dead
+                # browser until it does
                 with self._conn_lock:
                     if c in self._conns:
                         self._conns.remove(c)
@@ -284,10 +363,7 @@ class TopicWebSocketServer:
         with self._conn_lock:
             conns, self._conns = self._conns, []
         for c in conns:
-            try:
-                c.sock.close()
-            except OSError:
-                pass
+            c.kill()
         self._thread.join(timeout=2)
 
 
@@ -307,7 +383,15 @@ def topic_push_batch(server: TopicWebSocketServer, topic: str,
     subscribers is the reference's replay-to-late-joiners behavior."""
 
     def push(batch_df, _batch_id: int) -> None:
-        if pause_col is not None and pause_col in batch_df.columns:
+        if pause_col is not None and pause_col not in batch_df.columns:
+            # a typo'd pause_col must not silently degrade to the
+            # plain-data path (rows forwarded with no control
+            # envelopes would hide the misconfiguration)
+            raise ValueError(
+                f"pause_col {pause_col!r} not in batch schema "
+                f"{batch_df.columns}"
+            )
+        if pause_col is not None:
             last_paused = None  # unknown at batch start -> re-announce
             for raw in batch_df.toJSON().collect():
                 row = json.loads(raw)

@@ -575,6 +575,22 @@ def test_corpus_prepare_composes_stage_outputs_exactly(spark, docs):
         assert r["kept_chars"] == m["kept_chars"]
 
 
+def test_corpus_prepare_default_cap_is_inert_at_test_scale(spark, docs):
+    """The default dedup_max_bucket (1000, the corpus-scale hot-bucket
+    guard) must not change results where buckets are small — i.e. on
+    every oracle dataset. Capped default vs uncapped run, bit-equal."""
+    from streamtasks_spark.llmdata import pipeline
+
+    ev = docs.filter(F.col("doc_id") % 25 == 7)
+    key = lambda r: (r["source"], r["split"])  # noqa: E731
+    capped = sorted(pipeline.corpus_prepare(docs, ev).collect(), key=key)
+    uncapped = sorted(
+        pipeline.corpus_prepare(docs, ev, dedup_max_bucket=None).collect(),
+        key=key,
+    )
+    assert capped == uncapped
+
+
 def test_exact_jaccard_pairs_matches_bruteforce(spark, docs):
     """The recall probe's ground-truth tier must be exhaustively exact:
     the postings self-join (with its df>=2 prune) finds exactly the

@@ -81,8 +81,8 @@ def test_changed_queries_sit_inside_driver_window():
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
-    missing = [n for n in entrymod._MUST_VERIFY_R06
-               + entrymod._BACKFILL_R06 if n not in window]
+    missing = [n for n in entrymod._MUST_VERIFY_R07
+               + entrymod._ROTATE_R07 if n not in window]
     assert missing == []
     # and every query has either an oracle or a documented rows-only path
     oracles = entrymod.oracle_sql()
