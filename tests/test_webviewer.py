@@ -273,6 +273,52 @@ def test_stalled_client_is_dropped_not_wedging_publish():
         srv.close()
 
 
+def test_stalled_client_soak_bounds_driver_memory():
+    """Slow-consumer soak: ~1k published batches at a client that never
+    reads must neither block publish nor accumulate unbounded driver
+    state. The per-connection outbox is a bounded deque (drop-oldest,
+    counted) drained by the sender thread, so the driver holds at most
+    queue_max payloads per connection no matter how far behind the
+    browser falls."""
+    srv = TopicWebSocketServer(send_timeout=60.0, queue_max=32)
+    try:
+        c = _client_connect(srv.host, srv.port, "soak")
+        deadline = time.time() + 5
+        while srv.connection_count("soak") < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        # shrink both buffer sides so the client stalls within a few sends
+        with srv._conn_lock:
+            conn = srv._conns[0]
+            conn.sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 16_384)
+        c.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 16_384)
+
+        big = {"type": "data", "data": {"blob": "z" * 100_000}}
+        n_batches = 1000
+        max_seen = 0
+        t0 = time.time()
+        for _ in range(n_batches):
+            srv.publish("soak", big)
+            max_seen = max(max_seen, len(conn.outbox))
+        elapsed = time.time() - t0
+
+        assert elapsed < 20, f"1k publishes took {elapsed:.1f}s — blocked"
+        assert max_seen <= conn.queue_max, (
+            f"outbox grew to {max_seen} > cap {conn.queue_max}"
+        )
+        # nearly everything was dropped-oldest, and the drops were counted:
+        # queued + dropped + at-most-a-few-actually-sent == published
+        assert conn.dropped >= n_batches - conn.queue_max - 50, (
+            f"only {conn.dropped} drops recorded for {n_batches} publishes"
+        )
+        # the long send_timeout means the stall alone must NOT kill the
+        # connection — bounding memory, not dropping the browser, is the
+        # policy under soak
+        assert srv.connection_count("soak") == 1
+        c.close()
+    finally:
+        srv.close()
+
+
 def test_pause_as_data_becomes_control_envelopes(spark):
     """pause_state rides the latched paused flag on every data row
     (operators/stateful.py); the viewer must translate that into the
