@@ -368,7 +368,14 @@ def streaming_time_buffer(
     Per-key state buffers one JSON blob per arrived micro-batch with its
     arrival clock; a processing-time timer drains blobs whose hold has
     elapsed. At scale the buffer is bounded by (arrival rate × size_ms)
-    per key — the same bound as the reference's dbm spill buffer."""
+    per key — the same bound as the reference's dbm spill buffer.
+
+    Operational note (measured, tests/test_streaming.py restart test):
+    ``trigger(availableNow=True)`` does NOT terminate while holds are
+    pending — the micro-batch engine keeps scheduling batches until
+    every ProcessingTimeTimeout timer fires. To stop mid-hold (and
+    later recover the held rows from the checkpoint), drive the query
+    with a processingTime trigger and stop it explicitly."""
     import json
 
     cols = list(data.columns)
