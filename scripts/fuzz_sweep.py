@@ -12,6 +12,9 @@ Usage:
   python scripts/fuzz_sweep.py                      # default 3 seeds/tier
   python scripts/fuzz_sweep.py --seeds 11,22,33     # same seeds, all tiers
   python scripts/fuzz_sweep.py --tiers events,docs  # restrict tiers
+  python scripts/fuzz_sweep.py --doc-len 50         # docs tier only:
+      # prose docs grow to ~2000 tokens (the LENGTH volume axis —
+      # shingle sets, substring grams, token-histogram mass per doc)
   python scripts/fuzz_sweep.py --scale 10           # 10x corpora: docs/
       # events/vectors get 10x rows, tpch mutates the sf0.01 base
       # instead of sf0.001 — the volume axis that stresses percentile
@@ -76,11 +79,11 @@ def write_one(d: str, name: str, schema, rows) -> None:
     )
 
 
-def make_dir(tier: str, seed: int, scale: int = 1) -> str:
+def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1) -> str:
     d = tempfile.mkdtemp(prefix=f"fz_{tier}{seed}_")
     if tier == "docs":
         write_one(d, "documents", DOC_SCHEMA,
-                  make_corpus(seed, n=80 * scale))
+                  make_corpus(seed, n=80 * scale, doc_len=doc_len))
     elif tier == "events":
         write_one(d, "events", EV_SCHEMA,
                   make_events(seed, n=400 * scale))
@@ -109,6 +112,7 @@ def main() -> int:
     seeds = [37, 141, 245]
     tiers = ["docs", "events", "vectors", "tpch"]
     scale = 1
+    doc_len = 1
 
     def flag_value(argv, i):
         """Support both --flag=v and --flag v (the usage shows both)."""
@@ -135,6 +139,9 @@ def main() -> int:
         elif is_flag(argv[i], "--scale"):
             v, i = flag_value(argv, i)
             scale = int(v)
+        elif is_flag(argv[i], "--doc-len"):
+            v, i = flag_value(argv, i)
+            doc_len = int(v)
         else:
             raise SystemExit(f"unknown argument: {argv[i]}")
 
@@ -147,7 +154,7 @@ def main() -> int:
     n_fail = 0
     for tier in tiers:
         for seed in seeds:
-            d = make_dir(tier, seed, scale)
+            d = make_dir(tier, seed, scale, doc_len)
             con = duck_conn(d)
             ran = 0
             for name, fn in qs.items():

@@ -43,7 +43,12 @@ WORDS = [
 PUNCT = list(".,;:!?()[]'\"")
 
 
-def make_corpus(seed: int, n: int = 60) -> list[tuple]:
+def make_corpus(seed: int, n: int = 60, doc_len: int = 1) -> list[tuple]:
+    """``doc_len`` multiplies the token-count range of the prose kinds
+    (the LENGTH volume axis — shingle-set size, substring-gram count,
+    token-histogram mass per doc — orthogonal to the row-count axis
+    ``n``). The degenerate kinds (empty/whitespace/punct/single-token)
+    stay short by design: their point is the boundary, not the bulk."""
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -59,14 +64,16 @@ def make_corpus(seed: int, n: int = 60) -> list[tuple]:
         elif kind == 4:
             text = "".join(rng.choice(PUNCT) for _ in range(rng.randrange(1, 30)))
         else:
-            k = rng.randrange(3, 40)
+            k = rng.randrange(3, 40 * doc_len)
             toks = [rng.choice(WORDS) for _ in range(k)]
             # random whitespace runs between tokens
             seps = [rng.choice([" ", "  ", "\t", "\n", " \t "]) for _ in toks]
             text = "".join(t + s for t, s in zip(toks, seps))
             if rng.random() < 0.3 and rows:
-                # splice a shared sentence from an earlier doc (near-dup)
-                text += " " + rows[rng.randrange(len(rows))][1][:80]
+                # splice a shared sentence from an earlier doc (near-dup);
+                # proportional to doc_len so long docs still form
+                # detectable near-dup geometry, not a vanishing overlap
+                text += " " + rows[rng.randrange(len(rows))][1][:80 * doc_len]
         rows.append(
             (i, text, rng.choice(["en", "fr", "es", "de"]),
              rng.choice(["web", "book", "code", "wiki"]), len(text))
