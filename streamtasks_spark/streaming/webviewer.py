@@ -73,50 +73,96 @@ def _encode_control_frame(opcode: int, payload: bytes = b"") -> bytes:
     return struct.pack("!BB", 0x80 | opcode, len(payload)) + payload
 
 
+# a client-declared inbound frame larger than this kills the
+# connection: inbound payloads are read-and-discarded (module
+# docstring), so no legitimate browser frame approaches it, and
+# without a cap the 127-length encoding lets one header demand an
+# unbounded driver-side buffer
+MAX_INBOUND_FRAME = 1 << 20
+
+
 class _SockReader:
     """Buffered reader whose partial state SURVIVES timeouts: bytes
     already received stay in ``buf`` when ``recv`` raises
     ``TimeoutError`` (the send path transiently sets a timeout on the
-    shared socket), so a frame interrupted mid-read resumes instead of
-    desyncing the stream. Seeded with any bytes the client pipelined
-    after its handshake ``\\r\\n\\r\\n`` — a close/ping frame arriving
-    in the same segment is no longer dropped."""
+    shared socket). :func:`read_frame` parses via non-consuming
+    ``fill``/``peek`` and consumes only once the WHOLE frame is
+    buffered, so a timeout at ANY point mid-frame — even between
+    header and payload — resumes cleanly instead of desyncing the
+    stream. Seeded with any bytes the client pipelined after its
+    handshake ``\\r\\n\\r\\n`` — a close/ping frame arriving in the
+    same segment is no longer dropped.
 
-    def __init__(self, sock: socket.socket, initial: bytes = b""):
+    ``exact=True`` (the bare-socket compat mode) never requests more
+    bytes from the socket than the current ``fill`` target, so a
+    throwaway per-call wrapper cannot over-read into the next frame
+    and silently discard it on return."""
+
+    def __init__(self, sock: socket.socket, initial: bytes = b"",
+                 exact: bool = False):
         self.sock = sock
         self.buf = bytearray(initial)
+        self.exact = exact
 
-    def read_exact(self, n: int) -> bytes:
+    def fill(self, n: int) -> None:
+        """Grow ``buf`` to ≥ n bytes without consuming anything."""
         while len(self.buf) < n:
-            chunk = self.sock.recv(65536)  # TimeoutError keeps self.buf
+            want = (n - len(self.buf)) if self.exact else 65536
+            chunk = self.sock.recv(want)  # TimeoutError keeps self.buf
             if not chunk:
                 raise ConnectionError("peer closed")
             self.buf += chunk
+
+    def peek_at(self, offset: int, n: int) -> bytes:
+        self.fill(offset + n)
+        return bytes(self.buf[offset:offset + n])
+
+    def take(self, n: int) -> bytes:
+        self.fill(n)
         out = bytes(self.buf[:n])
         del self.buf[:n]
         return out
 
+    def read_exact(self, n: int) -> bytes:
+        return self.take(n)
+
 
 def read_frame(reader: "_SockReader | socket.socket") -> tuple[int, bytes]:
     """Read one (client→server, masked) frame; returns (opcode,
-    unmasked payload). Accepts a :class:`_SockReader` (resumable) or a
-    bare socket (wrapped per-call — no resume across timeouts)."""
+    unmasked payload). Accepts a :class:`_SockReader` (resumable
+    across timeouts) or a bare socket (wrapped per-call in exact mode,
+    which never over-reads past the frame — sequential bare-socket
+    calls stay lossless). Nothing is consumed until the whole frame is
+    buffered. Raises ``ConnectionError`` on a frame whose declared
+    length exceeds :data:`MAX_INBOUND_FRAME` (client-controlled
+    allocation must not be unbounded)."""
     if isinstance(reader, socket.socket):
-        reader = _SockReader(reader)
-    b1, b2 = reader.read_exact(2)
+        reader = _SockReader(reader, exact=True)
+    b1, b2 = reader.peek_at(0, 2)
     opcode = b1 & 0x0F
     masked = bool(b2 & 0x80)
     length = b2 & 0x7F
+    off = 2
     if length == 126:
-        (length,) = struct.unpack("!H", reader.read_exact(2))
+        (length,) = struct.unpack("!H", reader.peek_at(off, 2))
+        off += 2
     elif length == 127:
-        (length,) = struct.unpack("!Q", reader.read_exact(8))
+        (length,) = struct.unpack("!Q", reader.peek_at(off, 8))
+        off += 8
+    if length > MAX_INBOUND_FRAME:
+        raise ConnectionError(
+            f"inbound frame of {length} bytes exceeds cap {MAX_INBOUND_FRAME}"
+        )
     if masked:
-        mask = reader.read_exact(4)
-        raw = reader.read_exact(length)
+        mask = reader.peek_at(off, 4)
+        off += 4
+    reader.fill(off + length)  # resumable point: nothing consumed yet
+    frame = reader.take(off + length)
+    raw = frame[off:]
+    if masked:
         payload = bytes(c ^ mask[i % 4] for i, c in enumerate(raw))
     else:
-        payload = reader.read_exact(length)
+        payload = raw
     return opcode, payload
 
 
@@ -171,16 +217,23 @@ class _Connection:
                 return
 
     def send_text(self, payload: str) -> bool:
+        return self.send_raw(encode_text_frame(payload))
+
+    def send_raw(self, data: bytes) -> bool:
         # once the OS send buffer fills, sendall blocks — bound it with
         # the send timeout and DROP the connection on expiry. The
         # timeout is set inside the lock and restored; the inbound
         # reader's _SockReader keeps partial frames across any timeout
-        # it catches while sharing the socket.
+        # it catches while sharing the socket. Control replies
+        # (pong/close echo) go through here too: an unbounded sendall
+        # on those paths would hold ``lock`` forever against a client
+        # that pinged and then stalled, wedging the sender thread and
+        # defeating the disconnect-on-no-progress contract.
         try:
             with self.lock:
                 self.sock.settimeout(self.send_timeout)
                 try:
-                    self.sock.sendall(encode_text_frame(payload))
+                    self.sock.sendall(data)
                 finally:
                     self.sock.settimeout(None)
             return True
@@ -307,12 +360,11 @@ class TopicWebSocketServer:
                     # just resume
                     continue
                 if opcode == 0x8:  # close
-                    with conn.lock:
-                        sock.sendall(_encode_control_frame(0x8, payload[:2]))
+                    conn.send_raw(_encode_control_frame(0x8, payload[:2]))
                     break
                 if opcode == 0x9:  # ping -> pong
-                    with conn.lock:
-                        sock.sendall(_encode_control_frame(0xA, payload))
+                    if not conn.send_raw(_encode_control_frame(0xA, payload)):
+                        break  # stalled pinger: connection was killed
         except (ConnectionError, OSError):
             pass
         finally:
@@ -419,6 +471,13 @@ def websocket_viewer(df, server: TopicWebSocketServer, topic: str, *,
     """Start a streaming query that pushes ``df`` to the browsers
     subscribed at ``{server.url}/topic/{topic}`` — the WebViewer sink.
     Composes with sinks.foreach_batch_viewer's transport point."""
+    if pause_col is not None and pause_col not in df.columns:
+        # fail HERE, synchronously, with a direct stack trace — not as
+        # a StreamingQueryException on the first micro-batch (the
+        # in-closure check remains for direct topic_push_batch users)
+        raise ValueError(
+            f"pause_col {pause_col!r} not in stream schema {df.columns}"
+        )
     return (
         df.writeStream.foreachBatch(topic_push_batch(server, topic, pause_col))
         .option("checkpointLocation", checkpoint)

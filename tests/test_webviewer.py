@@ -115,6 +115,88 @@ def test_frame_length_encodings_roundtrip():
             assert len(frame) == 10 + n
 
 
+def _masked_frame(opcode: int, payload: bytes) -> bytes:
+    mask = b"\x01\x02\x03\x04"
+    masked = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+    if len(payload) < 126:
+        head = struct.pack("!BB", 0x80 | opcode, 0x80 | len(payload))
+    else:
+        head = struct.pack("!BBH", 0x80 | opcode, 0x80 | 126, len(payload))
+    return head + mask + masked
+
+
+class _FakeSock:
+    """Scripted recv source: each entry is bytes to return or an
+    exception instance to raise (simulating the send path's transient
+    timeout landing mid-frame)."""
+
+    def __init__(self, script):
+        self.script = list(script)
+
+    def recv(self, n):
+        step = self.script.pop(0)
+        if isinstance(step, BaseException):
+            raise step
+        return step[:n] if n < len(step) else step
+
+
+def test_read_frame_resumes_after_mid_frame_timeout():
+    from streamtasks_spark.streaming.webviewer import _SockReader, read_frame
+
+    frame = _masked_frame(0x9, b"hello-ping")
+    # header arrives, then a TimeoutError fires BETWEEN header and
+    # payload (the worst spot: bytes already parsed-ahead), then the rest
+    reader = _SockReader(_FakeSock([frame[:2], TimeoutError(), frame[2:]]))
+    with pytest.raises(TimeoutError):
+        read_frame(reader)
+    opcode, payload = read_frame(reader)  # resume: nothing was consumed
+    assert (opcode, payload) == (0x9, b"hello-ping")
+
+
+def test_read_frame_rejects_oversized_declared_length():
+    from streamtasks_spark.streaming.webviewer import _SockReader, read_frame
+
+    # 127-encoding header declaring 2^40 bytes; no payload ever sent
+    head = struct.pack("!BBQ", 0x88, 0x80 | 127, 1 << 40)
+    reader = _SockReader(_FakeSock([head]))
+    with pytest.raises(ConnectionError, match="exceeds cap"):
+        read_frame(reader)
+
+
+def test_bare_socket_read_frame_is_lossless_across_pipelined_frames():
+    """Two frames in one TCP segment, read with two sequential
+    bare-socket read_frame calls: exact mode must not over-read frame 2
+    into the first call's throwaway buffer."""
+    from streamtasks_spark.streaming.webviewer import read_frame
+
+    f1 = _masked_frame(0x1, b"first")
+    f2 = _masked_frame(0x1, b"second")
+    a, b = socket.socketpair()
+    try:
+        b.sendall(f1 + f2)
+        assert read_frame(a) == (0x1, b"first")
+        assert read_frame(a) == (0x1, b"second")
+    finally:
+        a.close()
+        b.close()
+
+
+def test_websocket_viewer_rejects_bad_pause_col_synchronously(spark):
+    from streamtasks_spark.streaming.webviewer import websocket_viewer
+
+    srv = TopicWebSocketServer()
+    try:
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        )
+        with pytest.raises(ValueError, match="pause_col"):
+            websocket_viewer(
+                stream, srv, "t", checkpoint="/tmp/never-used", pause_col="nope"
+            )
+    finally:
+        srv.close()
+
+
 def test_publish_reaches_only_subscribed_topic_and_pings_pong():
     srv = TopicWebSocketServer()
     try:
