@@ -371,16 +371,13 @@ def _frame(df):
     return sorted(rows, key=repr)
 
 
-@pytest.mark.parametrize("name", sorted(SPECS))
-def test_streaming_twin_matches_batch_frame(name, spark, tmp_path, chunk_dir):
+def _batch_mod():
     import streamtasks_spark.llmdata.dedup as dedup_mod
     import streamtasks_spark.media.inference as inf_mod
     import streamtasks_spark.operators.chunks as chunks_mod
     import streamtasks_spark.operators.joins as joins_mod
     import streamtasks_spark.operators.stateful as batch_stateful
     import streamtasks_spark.relational.queries as rq
-    import streamtasks_spark.streaming.stateful as stream_stateful
-    import streamtasks_spark.streaming.windows as stream_windows
 
     class BatchMod:
         last_value_join = staticmethod(joins_mod.last_value_join)
@@ -396,6 +393,13 @@ def test_streaming_twin_matches_batch_frame(name, spark, tmp_path, chunk_dir):
         events_hourly_stats = staticmethod(rq.events_hourly_stats)
         events_sliding_stats = staticmethod(rq.events_sliding_stats)
         events_session_windows = staticmethod(rq.events_session_windows)
+
+    return BatchMod
+
+
+def _stream_mod():
+    import streamtasks_spark.streaming.stateful as stream_stateful
+    import streamtasks_spark.streaming.windows as stream_windows
 
     class StreamMod:
         streaming_last_value_join = staticmethod(
@@ -430,6 +434,12 @@ def test_streaming_twin_matches_batch_frame(name, spark, tmp_path, chunk_dir):
             stream_windows.streaming_session_stats
         )
 
+    return StreamMod
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_streaming_twin_matches_batch_frame(name, spark, tmp_path, chunk_dir):
+    BatchMod, StreamMod = _batch_mod(), _stream_mod()
     spec = SPECS[name]
     bdf = spec(lambda: batch_events(spark, chunk_dir), BatchMod)
     expect = _frame(bdf)
