@@ -568,6 +568,15 @@ def streaming_dedup_exact(
     canonical representative. Duplicates arriving later than
     ``watermark_delay`` after their original are late data and may be
     re-emitted — the documented horizon of any watermarked stream dedup.
+
+    "First arrival" is well-defined only down to MICRO-BATCH
+    granularity: duplicates landing in the SAME batch are arrival ties,
+    and the state store keeps an arbitrary one of them (measured: a
+    multi-file batch can pick a non-minimal doc_id). Sources whose
+    batches preserve ingestion order (e.g. one file per trigger) get
+    the batch operator's min-id representative exactly; coarser batches
+    still dedup correctly but the surviving representative within a
+    tied batch is unspecified.
     """
     from streamtasks_spark.llmdata.dedup import norm_text
 
