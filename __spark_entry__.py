@@ -921,6 +921,10 @@ def _q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    # cosine_topk itself is dim-agnostic; the guard declares this
+    # query's coupling to its dim-64 oracle (whose SQL dot truncates
+    # longer vectors to the first 64 coords — r07 --dim fuzz finding)
+    vecs = similarity.guard_dim(vecs, "embedding", 64, "ann_topk")
     return similarity.cosine_topk(
         vecs, vecs.filter(F.col("vec_id") < 10), k=5
     )
@@ -935,6 +939,9 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    # ivf_topk is data-derived/dim-agnostic; the guard declares the
+    # dim-64 oracle coupling (silent FAIL at dim 512 without it)
+    vecs = similarity.guard_dim(vecs, "embedding", 64, "ann_ivf_topk")
     return similarity.ivf_topk(
         vecs, vecs.filter(F.col("vec_id") < 10), n_cells=8, n_probe=2, k=5
     )
@@ -947,7 +954,12 @@ def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB, so the whole iterative training loop is oracle-checked),
     then the standard probed-cell exact rerank."""
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
-    cents = similarity.train_centroids(vecs, n_cells=8, n_iters=3)
+    # expect_dim couples the training run to the dim-64 oracle below:
+    # on a corpus of any other dimensionality this raises instead of
+    # letting the engines silently diverge (r07 --dim fuzz finding)
+    cents = similarity.train_centroids(
+        vecs, n_cells=8, n_iters=3, expect_dim=64
+    )
     return similarity.ivf_topk(
         vecs, vecs.filter(F.col("vec_id") < 10),
         n_cells=8, n_probe=2, k=5, centroids=cents,
@@ -1225,6 +1237,23 @@ _MUST_VERIFY_R07 = [
     # construction (cap sized above any sf0.01 bucket), but the plan
     # changed, so it re-certifies.
     "corpus_prepare",
+    # impl changed r07: the --dim fuzz axis found the plane/codebook
+    # ANN queries silently diverging when the configured dim mismatches
+    # the data; these five now carry a JVM-side dim guard
+    # (similarity._require_dim / train_centroids expect_dim). Values
+    # identical at the oracle's dim 64 by construction (the guard is a
+    # pass-through when size matches), but the plans changed, so all
+    # five re-certify. embedding_near_dup/_dup_classes displaced the
+    # two youngest rotation rows (media_switch, video_reformatter —
+    # untouched code, r05-green, first in line for r08).
+    "ann_lsh_topk", "ann_recall", "ann_ivf_trained",
+    "embedding_near_dup", "embedding_dup_classes",
+    # impl changed r07 (same finding, longer-data direction): the
+    # data-derived ann_topk/ann_ivf_topk queries now guard_dim their
+    # input to declare the dim-64 oracle coupling — the oracle's SQL
+    # dot truncates longer vectors to its configured dim (silent FAIL
+    # at dim 512).
+    "ann_topk", "ann_ivf_topk",
 ]
 
 # r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
@@ -1250,7 +1279,9 @@ _ROTATE_R07 = [
     "switch", "sr_latch", "pause_state", "calculator",
     "calculator_multivar", "string_concatenator", "fn_task",
     "fn_task_stateful", "audio_mixer", "video_activity_meter",
-    "media_switch", "video_reformatter",
+    # (media_switch and video_reformatter were the last two rotation
+    # rows; displaced to the head of the r08 queue by the two
+    # dim-guard re-certifications in _MUST_VERIFY_R07)
 ]
 
 
@@ -1320,10 +1351,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_task_stateful": _q_fn_task_stateful,
         "audio_mixer": _q_audio_mixer,
         "video_activity_meter": _q_video_activity_meter,
+        # --- r07 window: dim-guard re-certifications (plans changed
+        # this round; displaced media_switch/video_reformatter)
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dup_classes": _q_embedding_dup_classes,
+        # ------- first entry PAST the driver's 50-query window -------
+        # displaced rotation rows (untouched code, r05-green) — the
+        # head of the r08 queue — then the remaining 16 r05 rows
         "media_switch": _q_media_switch,
         "video_reformatter": _q_video_reformatter,
-        # ------- first entry PAST the driver's 50-query window -------
-        # remaining 16 r05-green rows, oldest-first (first in line r08)
         "q3_shipping_priority": rel(rq.q3_shipping_priority),
         "q10_returned_items": rel(rq.q10_returned_items),
         "q15_top_supplier": rel(rq.q15_top_supplier),
@@ -1374,8 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": rel(rq.events_rollup),
         "events_anomaly": rel(rq.events_anomaly),
         "source_stats": _q_source_stats,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_dup_classes": _q_embedding_dup_classes,
+        # (embedding_near_dup / embedding_dup_classes moved into the
+        # r07 window above — dim-guard plan change)
         "q12_priority_shipping": rel(rq.q12_priority_shipping),
         "events_json_extract": rel(rq.events_json_extract),
         "pack_sequences": _q_pack_sequences,

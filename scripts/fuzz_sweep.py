@@ -15,6 +15,13 @@ Usage:
   python scripts/fuzz_sweep.py --doc-len 50         # docs tier only:
       # prose docs grow to ~2000 tokens (the LENGTH volume axis —
       # shingle sets, substring grams, token-histogram mass per doc)
+  python scripts/fuzz_sweep.py --dim 512            # vectors tier only:
+      # embedding dimensionality MISMATCH axis (default 64). The
+      # entry queries and their oracles are configured for the driver
+      # corpus's dim 64, so a non-64 run must fail LOUDLY — expected
+      # outcome is 7 ERR lines naming the dim mismatch and ZERO silent
+      # FAIL lines (the r07 pre-guard state was 15 silent FAILs at
+      # dim 3 and one oracle-truncation FAIL at dim 512)
   python scripts/fuzz_sweep.py --scale 10           # 10x corpora: docs/
       # events/vectors get 10x rows, tpch mutates the sf0.01 base
       # instead of sf0.001 — the volume axis that stresses percentile
@@ -79,7 +86,8 @@ def write_one(d: str, name: str, schema, rows) -> None:
     )
 
 
-def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1) -> str:
+def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1,
+             dim: int = 64) -> str:
     d = tempfile.mkdtemp(prefix=f"fz_{tier}{seed}_")
     if tier == "docs":
         write_one(d, "documents", DOC_SCHEMA,
@@ -89,7 +97,7 @@ def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1) -> str:
                   make_events(seed, n=400 * scale))
     elif tier == "vectors":
         write_one(d, "embeddings", VEC_SCHEMA,
-                  make_vectors(seed, n=80 * scale))
+                  make_vectors(seed, n=80 * scale, dim=dim))
     elif tier == "tpch":
         # scale>1 mutates the sf0.01 base (10x rows) instead of
         # sf0.001 — resampling already randomizes row COUNT via frac,
@@ -113,6 +121,7 @@ def main() -> int:
     tiers = ["docs", "events", "vectors", "tpch"]
     scale = 1
     doc_len = 1
+    dim = 64
 
     def flag_value(argv, i):
         """Support both --flag=v and --flag v (the usage shows both)."""
@@ -142,6 +151,9 @@ def main() -> int:
         elif is_flag(argv[i], "--doc-len"):
             v, i = flag_value(argv, i)
             doc_len = int(v)
+        elif is_flag(argv[i], "--dim"):
+            v, i = flag_value(argv, i)
+            dim = int(v)
         else:
             raise SystemExit(f"unknown argument: {argv[i]}")
 
@@ -154,7 +166,7 @@ def main() -> int:
     n_fail = 0
     for tier in tiers:
         for seed in seeds:
-            d = make_dir(tier, seed, scale, doc_len)
+            d = make_dir(tier, seed, scale, doc_len, dim)
             con = duck_conn(d)
             ran = 0
             for name, fn in qs.items():

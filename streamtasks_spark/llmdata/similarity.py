@@ -61,6 +61,44 @@ def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def guard_dim(df: DataFrame, vec_col: str, dim: int, op: str) -> DataFrame:
+    """Fail LOUDLY on any vector whose length differs from the
+    configured ``dim``. Hyperplanes and trained codebooks are a
+    function of dim — and every ``oracle_*_sql`` hardcodes it — so a
+    mismatch does not error on its own, it silently degrades: with
+    SHORTER data Spark's zip_with NULL-extends (plane dots go NULL,
+    every bucket collapses to 0) while DuckDB NULL-skips; with LONGER
+    data the oracle's ``range(1, dim+1)`` dot silently truncates to
+    the first dim coords while the data-derived Spark ops use the full
+    vector. Found by the ``--dim`` fuzz axis (r07): 15 silent
+    divergences at dim 3 and one more (ann_ivf_topk's oracle) at
+    dim 512. The guard is one JVM case expression per row — no
+    shuffle, no job, negligible at 100 TB. Data-derived ops
+    (cosine_topk, ivf_topk) are dim-agnostic and stay unguarded;
+    callers coupling them to a fixed-dim oracle apply this guard at
+    the call site."""
+    return df.withColumn(
+        vec_col,
+        F.when(F.size(vec_col) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op}: embedding of dim "),
+                    F.size(vec_col).cast("string"),
+                    F.lit(
+                        f" != configured dim {dim}; planes/codebooks are"
+                        " a function of dim — pass the data's real"
+                        " dimensionality instead of silently degrading"
+                    ),
+                )
+            )
+        ),
+    )
+
+
+def _require_dim(df: DataFrame, dim: int, op: str) -> DataFrame:
+    return guard_dim(df, "__v", dim, op)
+
+
 def _bucket_expr(planes: list[list[int]]) -> str:
     """Spark SQL bucket id: bit p = (plane_p · v) > 0."""
     bits = []
@@ -185,12 +223,20 @@ def lsh_topk(
     planes = hyperplanes(dim, n_planes)
     bucket = _bucket_expr(planes)
     v = (
-        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col)
+        _require_dim(
+            _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+            dim, "lsh_topk",
+        )
         .withColumn("__bkt", F.expr(bucket))
         .select(id_col, "__v", "__nrm", "__bkt")
     )
     q = (
-        _with_norm(queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col)
+        _require_dim(
+            _with_norm(
+                queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
+            ),
+            dim, "lsh_topk",
+        )
         .withColumn("__bkt", F.expr(bucket))
         .select(
             "query_id",
@@ -510,7 +556,10 @@ def embedding_near_dup(
     all-pairs. bands=1 is the original single-set behavior."""
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
-    base = _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col)
+    base = _require_dim(
+        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+        dim, "embedding_near_dup",
+    )
     if bands == 1:
         v = pin(
             base.withColumn(
@@ -846,6 +895,7 @@ def train_centroids(
     vec_col: str = "embedding",
     n_cells: int = 8,
     n_iters: int = 3,
+    expect_dim: int | None = None,
 ) -> DataFrame:
     """Deterministic spherical k-means codebook for the IVF tier:
     fixed-count Lloyd iterations (assign by cosine, recompute centroids
@@ -878,11 +928,14 @@ def train_centroids(
     """
     import math
 
-    v = pin(
-        _with_norm(
-            spread(vectors, id_col).select(id_col, vec_col), vec_col
-        ).select(id_col, "__v", "__nrm")
-    )
+    v = _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col)
+    if expect_dim is not None:
+        # training itself is dim-agnostic (the codebook takes the
+        # data's shape), but a DuckDB oracle built for a specific dim
+        # (oracle_ivf_trained_sql) silently diverges on any other —
+        # callers coupling the two pass the oracle's dim here
+        v = _require_dim(v, expect_dim, "train_centroids")
+    v = pin(v.select(id_col, "__v", "__nrm"))
     seed = (
         v.filter(F.col(id_col) < n_cells)
         .select(F.col(id_col).alias("__cell"), "__v")

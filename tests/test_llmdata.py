@@ -1000,3 +1000,80 @@ def test_banded_near_dup_matches_oracle(spark):
             sdf[["vec_a", "vec_b"]].values == odf[["vec_a", "vec_b"]].values
         ).all(), (bands, planes)
         assert (sdf["cosine"] == odf["cosine"]).all(), (bands, planes)
+
+
+def test_dim_mismatch_raises_instead_of_silently_diverging(spark):
+    """r07 --dim fuzz finding: hyperplanes/codebooks are a function of
+    the configured dim, and a mismatch with the data's real
+    dimensionality used to DIVERGE silently (Spark zip_with
+    NULL-extends → buckets collapse; DuckDB list-indexing NULL-skips →
+    truncated dots) — 15 cross-engine FAILs at dim 3. Every
+    plane/codebook entry point now raises on the first mismatched
+    vector instead."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from streamtasks_spark.llmdata import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = vecs.filter(F.col("vec_id") < 3)
+
+    for build in (
+        lambda: similarity.lsh_topk(vecs, qs, n_planes=4, k=5),  # dim=64
+        lambda: similarity.embedding_near_dup(vecs, n_planes=4),
+        lambda: similarity.train_centroids(vecs, n_cells=4, expect_dim=64),
+        # the data-derived ops are dim-agnostic; guard_dim is the
+        # call-site declaration of a fixed-dim oracle coupling
+        lambda: similarity.cosine_topk(
+            similarity.guard_dim(vecs, "embedding", 64, "t"), qs, k=5
+        ),
+    ):
+        with pytest.raises(SparkRuntimeException, match="configured dim 64"):
+            build().collect()
+
+
+def test_lsh_matches_oracle_at_nondefault_dim(spark):
+    """The dim machinery is general, not a 64 special case: at dim 16,
+    Spark lsh_topk and the dim-16 DuckDB oracle agree bit-for-bit (the
+    guard above only forbids MISMATCHED configs)."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import similarity
+
+    rows = [
+        (i, [round(((i * 37 + j * 11) % 19 - 9) / 9.0, 3) for j in range(16)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = vecs.filter(F.col("vec_id") < 8)
+    sdf = (
+        similarity.lsh_topk(vecs, qs, dim=16, n_planes=4, k=5)
+        .toPandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT "
+        "UNNEST(range(40)) AS vec_id, NULL::FLOAT[] AS embedding"
+    )
+    con.execute("DELETE FROM embeddings")
+    for i, v in rows:
+        con.execute("INSERT INTO embeddings VALUES (?, ?)", [i, v])
+    odf = (
+        con.execute(
+            similarity.oracle_lsh_topk_sql(
+                dim=16, n_planes=4, k=5, query_filter="vec_id < 8"
+            )
+        )
+        .df()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert len(sdf) == len(odf) > 0
+    assert (sdf["query_id"].values == odf["query_id"].values).all()
+    assert (sdf["vec_id"].values == odf["vec_id"].values).all()
+    assert (sdf["cosine"].values == odf["cosine"].values).all()
