@@ -1109,3 +1109,96 @@ def test_streaming_time_buffer_survives_restart(spark, tmp_path):
     assert got == sorted((u, ts, v) for u, ts, v in a_rows), (
         "buffered rows lost or duplicated across restart"
     )
+
+
+def test_streaming_message_detector_survives_restart(spark, tmp_path):
+    """Checkpoint recovery for the other wall-clock twin: a key that
+    went silent BEFORE the query stopped must get its down edge
+    (last_ts + timeout, 0.0) from the RECOVERED processing-time timer
+    in the next incarnation — exactly once, with the deterministic
+    event-time stamp — and its up edge must not re-emit (state says
+    the key is already active). Same stop-while-armed geometry as the
+    time-buffer restart test: processingTime trigger + explicit stop,
+    because availableNow blocks until pending timers fire."""
+    from streamtasks_spark.streaming.stateful import streaming_message_detector
+
+    timeout_ms = 20_000  # must outlast run 1's commit-to-stop latency
+    src_dir, out_dir, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    schema = "user_id long, ts timestamp"
+
+    def write_rows(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src_dir / part)
+        )
+
+    def start_query():
+        s = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        out = streaming_message_detector(
+            s, keys=["user_id"], timeout_ms=timeout_ms
+        )
+        return (
+            out.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    def wait_until(pred, timeout_s, what):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.25)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    def rows_in():
+        try:
+            return spark.read.parquet(str(out_dir)).collect()
+        except Exception:
+            return []
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    k1 = [(1, t0 + datetime.timedelta(seconds=i)) for i in range(3)]
+    write_rows(k1, "p1")
+    q = start_query()
+    wait_until(
+        lambda: any(r["user_id"] == 1 and r["value"] == 1.0 for r in rows_in()),
+        90, "run 1 to emit the key-1 up edge",
+    )
+    t_up = time.time()
+    q.stop()
+    q.awaitTermination(60)
+    edges1 = [(r["user_id"], r["ts"], r["value"]) for r in rows_in()]
+    assert edges1 == [(1, t0, 1.0)], edges1  # up edge only, once
+
+    # the silence elapses while STOPPED; run 2's new key triggers
+    # batches, and key 1's down edge can only come from the recovered
+    # timer (p1 is committed — its rows are never reprocessed)
+    write_rows([(2, t0)], "p2")
+    time.sleep(max(0.0, timeout_ms / 1000 + 1.0 - (time.time() - t_up)))
+    q = start_query()
+    wait_until(
+        lambda: any(r["user_id"] == 1 and r["value"] == 0.0 for r in rows_in()),
+        120, "run 2 to emit the recovered down edge",
+    )
+    q.stop()
+    q.awaitTermination(60)
+
+    k1_edges = sorted(
+        (r["ts"], r["value"]) for r in rows_in() if r["user_id"] == 1
+    )
+    down_ts = k1[-1][1] + datetime.timedelta(milliseconds=timeout_ms)
+    assert k1_edges == [(t0, 1.0), (down_ts, 0.0)], (
+        f"expected one up + one recovered down edge, got {k1_edges}"
+    )
+    assert any(
+        r["user_id"] == 2 and r["value"] == 1.0 for r in rows_in()
+    ), "run 2's own key never produced its up edge"
