@@ -355,6 +355,43 @@ def test_stalled_client_is_dropped_not_wedging_publish():
         srv.close()
 
 
+def test_pinging_stalled_client_is_dropped_not_deadlocked():
+    """Regression: a client that fills the send buffer and then PINGS
+    used to wedge the reader thread forever — the pong reply was a
+    naked sendall with no timeout, taken while holding the connection
+    lock, so the sender thread could never time out either. The pong
+    now rides the timeout-bounded send_raw: the connection must die
+    within ~send_timeout instead of leaking both threads."""
+    srv = TopicWebSocketServer(send_timeout=1.0)
+    try:
+        c = _client_connect(srv.host, srv.port, "pinger")
+        deadline = time.time() + 5
+        while srv.connection_count("pinger") < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        with srv._conn_lock:
+            srv._conns[0].sock.setsockopt(
+                socket.SOL_SOCKET, socket.SO_SNDBUF, 16_384
+            )
+        c.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 16_384)
+
+        # fill the socket's send buffer with data the client never reads
+        big = {"type": "data", "data": {"blob": "z" * 200_000}}
+        for _ in range(8):
+            srv.publish("pinger", big)
+        time.sleep(0.2)  # let the sender thread start blocking
+        _client_send_frame(c, 0x9, b"hello?")  # ping into the wedge
+
+        deadline = time.time() + 10
+        while srv.connection_count("pinger") and time.time() < deadline:
+            time.sleep(0.1)
+        assert srv.connection_count("pinger") == 0, (
+            "pinging stalled client kept alive — pong path wedged"
+        )
+        c.close()
+    finally:
+        srv.close()
+
+
 def test_stalled_client_soak_bounds_driver_memory():
     """Slow-consumer soak: ~1k published batches at a client that never
     reads must neither block publish nor accumulate unbounded driver
