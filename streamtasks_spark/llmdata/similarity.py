@@ -76,10 +76,17 @@ def guard_dim(df: DataFrame, vec_col: str, dim: int, op: str) -> DataFrame:
     shuffle, no job, negligible at 100 TB. Data-derived ops
     (cosine_topk, ivf_topk) are dim-agnostic and stay unguarded;
     callers coupling them to a fixed-dim oracle apply this guard at
-    the call site."""
+    the call site. NULL vectors pass through untouched: they are
+    legitimate input that ``_with_norm`` drops downstream (mirrored by
+    the oracles' ``dot(v,v) > 0`` predicate), and without the explicit
+    pass-through ``F.size(NULL)`` is NULL so the when-condition would
+    misroute them into ``raise_error``."""
     return df.withColumn(
         vec_col,
-        F.when(F.size(vec_col) == dim, F.col(vec_col)).otherwise(
+        F.when(
+            F.col(vec_col).isNull() | (F.size(vec_col) == dim),
+            F.col(vec_col),
+        ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(f"{op}: embedding of dim "),

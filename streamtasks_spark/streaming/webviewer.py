@@ -123,9 +123,6 @@ class _SockReader:
         del self.buf[:n]
         return out
 
-    def read_exact(self, n: int) -> bytes:
-        return self.take(n)
-
 
 def read_frame(reader: "_SockReader | socket.socket") -> tuple[int, bytes]:
     """Read one (client→server, masked) frame; returns (opcode,
@@ -152,6 +149,14 @@ def read_frame(reader: "_SockReader | socket.socket") -> tuple[int, bytes]:
     if length > MAX_INBOUND_FRAME:
         raise ConnectionError(
             f"inbound frame of {length} bytes exceeds cap {MAX_INBOUND_FRAME}"
+        )
+    if opcode >= 0x8 and length > 125:
+        # RFC 6455 §5.5: control frames carry ≤ 125 payload bytes.
+        # Admitting more would make the pong/close echo re-encode an
+        # oversize length into the single control length byte
+        # (corrupt frame at 126-255, struct.error above).
+        raise ConnectionError(
+            f"control frame 0x{opcode:x} with {length}-byte payload"
         )
     if masked:
         mask = reader.peek_at(off, 4)
@@ -360,7 +365,10 @@ class TopicWebSocketServer:
                     # just resume
                     continue
                 if opcode == 0x8:  # close
-                    conn.send_raw(_encode_control_frame(0x8, payload[:2]))
+                    # RFC 6455 §5.5.1: a close payload is 0 or ≥ 2
+                    # bytes (status code); echo empty for a 1-byte one
+                    echo = payload[:2] if len(payload) >= 2 else b""
+                    conn.send_raw(_encode_control_frame(0x8, echo))
                     break
                 if opcode == 0x9:  # ping -> pong
                     if not conn.send_raw(_encode_control_frame(0xA, payload)):

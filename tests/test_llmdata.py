@@ -1034,6 +1034,27 @@ def test_dim_mismatch_raises_instead_of_silently_diverging(spark):
             build().collect()
 
 
+def test_guard_dim_passes_null_vectors_through(spark):
+    """NULL embeddings are legitimate input (dropped by _with_norm,
+    mirrored by the oracles' dot(v,v) > 0 predicate). guard_dim must
+    not misroute them into raise_error — F.size(NULL) is NULL, so
+    without an explicit isNull pass-through the when-condition fails
+    into the error branch and a correctly-dimensioned corpus with one
+    NULL row spuriously ERRs while the DuckDB oracle succeeds."""
+    from streamtasks_spark.llmdata import similarity
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 2.0]), (1, None), (2, [0.5, -1.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    guarded = similarity.guard_dim(vecs, "embedding", 3, "t")
+    assert guarded.count() == 3  # NULL row survives the guard untouched
+    out = similarity.cosine_topk(guarded, guarded.filter("vec_id = 0"), k=2)
+    # downstream _with_norm drops the NULL row (and self is excluded),
+    # so query 0's only neighbor is vector 2 — no raise anywhere
+    assert {r.vec_id for r in out.collect()} == {2}
+
+
 def test_lsh_matches_oracle_at_nondefault_dim(spark):
     """The dim machinery is general, not a 64 special case: at dim 16,
     Spark lsh_topk and the dim-16 DuckDB oracle agree bit-for-bit (the

@@ -163,6 +163,37 @@ def test_read_frame_rejects_oversized_declared_length():
         read_frame(reader)
 
 
+def test_read_frame_rejects_oversized_control_frame():
+    # RFC 6455 §5.5 caps control payloads at 125 bytes; admitting a
+    # longer ping would make the pong echo re-encode the length into
+    # the single control length byte (corrupt frame / struct.error)
+    from streamtasks_spark.streaming.webviewer import _SockReader, read_frame
+
+    reader = _SockReader(_FakeSock([_masked_frame(0x9, b"p" * 200)]))
+    with pytest.raises(ConnectionError, match="control frame"):
+        read_frame(reader)
+    # data frames of the same length stay fine
+    reader = _SockReader(_FakeSock([_masked_frame(0x1, b"d" * 200)]))
+    assert read_frame(reader) == (0x1, b"d" * 200)
+
+
+def test_close_echo_of_one_byte_payload_is_rfc_valid():
+    # §5.5.1: a close payload is 0 or ≥2 bytes; echoing a client's
+    # malformed 1-byte close verbatim would itself be protocol-invalid
+    srv = TopicWebSocketServer()
+    try:
+        c = _client_connect(srv.host, srv.port, "oddclose")
+        deadline = time.time() + 5
+        while srv.connection_count("oddclose") < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        _client_send_frame(c, 0x8, b"\x03")
+        opcode, payload = _client_read_frame(c)
+        assert (opcode, payload) == (0x8, b"")
+        c.close()
+    finally:
+        srv.close()
+
+
 def test_bare_socket_read_frame_is_lossless_across_pipelined_frames():
     """Two frames in one TCP segment, read with two sequential
     bare-socket read_frame calls: exact mode must not over-read frame 2
