@@ -132,10 +132,16 @@ def make_vectors(seed: int, n: int = 80, dim: int = 64) -> list[tuple]:
         if kind == 0:
             vec = [0.0] * dim  # zero vector: no direction, must be dropped
         elif kind == 1 and rows:
-            vec = list(rows[rng.randrange(len(rows))][1])  # exact duplicate
+            prev = rows[rng.randrange(len(rows))][1]  # exact duplicate
+            vec = list(prev) if prev is not None else prev
         elif kind == 2:
             vec = [0.0] * dim
             vec[rng.randrange(dim)] = rng.choice([1e-30, -1e-30, 1e30])
+        elif kind == 3:
+            # NULL embedding: both engines must drop it (Spark via
+            # _with_norm, DuckDB via dot(v,v) > 0) and guard_dim must
+            # pass it through, not raise (the r07 review finding)
+            vec = None
         else:
             vec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
         rows.append((i, vec, rng.randrange(4)))
