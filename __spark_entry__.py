@@ -1254,6 +1254,17 @@ _MUST_VERIFY_R07 = [
     # dot truncates longer vectors to its configured dim (silent FAIL
     # at dim 512).
     "ann_topk", "ann_ivf_topk",
+    # impl changed r07: the NULL-text fuzz axis found tts/text_renderer
+    # synthesizing from the literal string "None" (pandas astype(str))
+    # and the three image stubs crashing on a NULL payload. All five
+    # now NULL-propagate like their oracles; values identical on
+    # oracle data (no NULL text at sf0.01) but the plans changed, so
+    # they re-certify — displacing the five youngest rotation rows
+    # (string_concatenator, fn_task, fn_task_stateful, audio_mixer,
+    # video_activity_meter — untouched code, r05-green, head of the
+    # r08 queue).
+    "tts_synthesize", "text_renderer",
+    "image_decode", "image_resize", "image_features",
 ]
 
 # r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
@@ -1277,11 +1288,13 @@ _ROTATE_R07 = [
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join",
     "switch", "sr_latch", "pause_state", "calculator",
-    "calculator_multivar", "string_concatenator", "fn_task",
-    "fn_task_stateful", "audio_mixer", "video_activity_meter",
+    "calculator_multivar",
     # (media_switch and video_reformatter were the last two rotation
-    # rows; displaced to the head of the r08 queue by the two
-    # dim-guard re-certifications in _MUST_VERIFY_R07)
+    # rows, displaced by the two dim-guard re-certifications; the next
+    # five — string_concatenator, fn_task, fn_task_stateful,
+    # audio_mixer, video_activity_meter — were displaced by the five
+    # NULL-text re-certifications. All seven untouched, r05-green,
+    # head of the r08 queue.)
 ]
 
 
@@ -1346,18 +1359,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pause_state": _q_pause_state,
         "calculator": _q_calculator,
         "calculator_multivar": _q_calculator_multivar,
+        # --- r07 window: dim-guard re-certifications (plans changed
+        # this round; displaced media_switch/video_reformatter)
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dup_classes": _q_embedding_dup_classes,
+        # --- r07 window: NULL-text fixes (the NULL-text fuzz axis
+        # found tts/text_renderer voicing the literal "None" and the
+        # three image stubs crashing on a NULL payload; plans changed,
+        # so all five re-certify — displacing the five youngest
+        # rotation rows below to the head of the r08 queue)
+        "tts_synthesize": _q_tts_synthesize,
+        "text_renderer": _q_text_renderer,
+        "image_decode": _q_image_decode,
+        "image_resize": _q_image_resize,
+        "image_features": _q_image_features,
+        # ------- first entry PAST the driver's 50-query window -------
+        # displaced rotation rows (untouched code, r05-green) — the
+        # head of the r08 queue — then the remaining 16 r05 rows
         "string_concatenator": _q_string_concatenator,
         "fn_task": _q_fn_task,
         "fn_task_stateful": _q_fn_task_stateful,
         "audio_mixer": _q_audio_mixer,
         "video_activity_meter": _q_video_activity_meter,
-        # --- r07 window: dim-guard re-certifications (plans changed
-        # this round; displaced media_switch/video_reformatter)
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_dup_classes": _q_embedding_dup_classes,
-        # ------- first entry PAST the driver's 50-query window -------
-        # displaced rotation rows (untouched code, r05-green) — the
-        # head of the r08 queue — then the remaining 16 r05 rows
         "media_switch": _q_media_switch,
         "video_reformatter": _q_video_reformatter,
         "q3_shipping_priority": rel(rq.q3_shipping_priority),
@@ -1376,13 +1399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": _q_mix_sample,
         "events_quantiles": rel(rq.events_quantiles),
         "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
-        # r06-certified rows, in r06 window order
+        # r06-certified rows, in r06 window order (tts_synthesize,
+        # text_renderer, image_decode/resize/features moved into the
+        # r07 window above — NULL-text fix plan change)
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
-        "tts_synthesize": _q_tts_synthesize,
-        "image_decode": _q_image_decode,
         "frame_sample": _q_frame_sample,
-        "text_renderer": _q_text_renderer,
         "image_renderer": _q_image_renderer,
         "string_matcher": _q_string_matcher,
         "text_format": _q_text_format,
@@ -1394,8 +1416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
         "q20_potential_promotion": rel(rq.q20_potential_promotion),
         "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
-        "image_resize": _q_image_resize,
-        "image_features": _q_image_features,
         "q1_pricing_summary": rel(rq.q1_pricing_summary),
         "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
         "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
@@ -1869,17 +1889,21 @@ FROM h
 _IMAGE_FEATURES_SQL = """
 WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
 b AS (
-  SELECT doc_id,
+  SELECT doc_id, hx,
     list_transform(generate_series(0, 15),
       k -> CAST('0x' || substr(hx, 2 * k + 1, 2) AS INT)) AS bs
   FROM h
 )
 SELECT doc_id,
-  CAST(16 AS INT) AS n_bytes,
+  -- NULL text -> NULL payload -> all-NULL stats (without the guards
+  -- generate_series still yields 16 phantom bytes and list_distinct
+  -- drops NULLs to a 0 count)
+  CAST(CASE WHEN hx IS NULL THEN NULL ELSE 16 END AS INT) AS n_bytes,
   CAST(list_sum(bs) AS BIGINT) AS sum_bytes,
   CAST(list_min(bs) AS INT) AS min_byte,
   CAST(list_max(bs) AS INT) AS max_byte,
-  CAST(len(list_distinct(bs)) AS INT) AS n_distinct
+  CAST(CASE WHEN hx IS NULL THEN NULL
+            ELSE len(list_distinct(bs)) END AS INT) AS n_distinct
 FROM b
 """
 

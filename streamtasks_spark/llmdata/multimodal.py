@@ -79,11 +79,18 @@ def decode_image_stub(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_one(bytes(b)) for b in pdf[bin_col]]
+            # NULL payload → NULL dims, row kept (matches the oracle's
+            # md5(NULL) propagation); a 100 TB corpus WILL have them
+            dims = [
+                _decode_one(bytes(b)) if b is not None else (None, None)
+                for b in pdf[bin_col]
+            ]
             out = pdf[ids].copy()
             out["width"] = [w for w, _ in dims]
             out["height"] = [h for _, h in dims]
-            out["n_pixels"] = [w * h for w, h in dims]
+            out["n_pixels"] = [
+                w * h if w is not None else None for w, h in dims
+            ]
             yield out
 
     return df.select(*ids, bin_col).mapInPandas(decode_batches, out_schema)
@@ -141,6 +148,11 @@ def resize_image_stub(
         for pdf in batches:
             ws, hs, hexes = [], [], []
             for b in pdf[bin_col]:
+                if b is None:  # NULL payload → NULL outputs, row kept
+                    ws.append(None)
+                    hs.append(None)
+                    hexes.append(None)
+                    continue
                 b = bytes(b)
                 w, h = _decode_one(b)
                 ws.append(-(-w // stride))
@@ -174,13 +186,23 @@ def extract_features_stub(
         import numpy as np
 
         for pdf in batches:
-            rows = [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf[bin_col]]
+            # NULL payload → all-NULL stats, row kept
+            rows = [
+                np.frombuffer(bytes(b), dtype=np.uint8) if b is not None else None
+                for b in pdf[bin_col]
+            ]
             out = pdf[ids].copy()
-            out["n_bytes"] = [a.size for a in rows]
-            out["sum_bytes"] = [int(a.sum()) for a in rows]
-            out["min_byte"] = [int(a.min()) if a.size else None for a in rows]
-            out["max_byte"] = [int(a.max()) if a.size else None for a in rows]
-            out["n_distinct"] = [int(np.unique(a).size) for a in rows]
+            out["n_bytes"] = [a.size if a is not None else None for a in rows]
+            out["sum_bytes"] = [int(a.sum()) if a is not None else None for a in rows]
+            out["min_byte"] = [
+                int(a.min()) if a is not None and a.size else None for a in rows
+            ]
+            out["max_byte"] = [
+                int(a.max()) if a is not None and a.size else None for a in rows
+            ]
+            out["n_distinct"] = [
+                int(np.unique(a).size) if a is not None else None for a in rows
+            ]
             yield out
 
     return df.select(*ids, bin_col).mapInPandas(feature_batches, out_schema)

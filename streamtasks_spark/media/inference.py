@@ -203,7 +203,9 @@ def tts_stub(
         for pdf in batches:
             out = pdf[ids].copy()
             samples = []
-            for t in pdf[text_col].astype(str):
+            # NULL text synthesizes silence, same as empty — astype(str)
+            # would turn None into the literal "None" and voice it
+            for t in pdf[text_col].fillna(""):
                 if not t:
                     samples.append([0.0] * n_samples)
                     continue

@@ -72,10 +72,12 @@ def text_renderer(
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[ids].copy()
+            # NULL text renders a blank frame, same as empty —
+            # astype(str) would rasterize the literal "None"
             out["frame"] = [
                 [float(ord(t[i % len(t)]) % 255) / 255.0 if t else 0.0
                  for i in range(n)]
-                for t in pdf[text_col].astype(str)
+                for t in pdf[text_col].fillna("")
             ]
             yield out
 

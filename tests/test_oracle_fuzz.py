@@ -52,9 +52,14 @@ def make_corpus(seed: int, n: int = 60, doc_len: int = 1) -> list[tuple]:
     rng = random.Random(seed)
     rows = []
     for i in range(n):
-        kind = rng.randrange(10)
+        kind = rng.randrange(11)
         if kind == 0:
             text = ""  # empty
+        elif kind == 10:
+            # NULL text: a 100 TB crawl WILL have them; every doc
+            # query must treat NULL like the engines' shared
+            # NULL-propagation (not crash, not diverge from DuckDB)
+            text = None
         elif kind == 1:
             text = " \t\n  " * rng.randrange(1, 4)  # whitespace-only
         elif kind == 2:
@@ -73,10 +78,13 @@ def make_corpus(seed: int, n: int = 60, doc_len: int = 1) -> list[tuple]:
                 # splice a shared sentence from an earlier doc (near-dup);
                 # proportional to doc_len so long docs still form
                 # detectable near-dup geometry, not a vanishing overlap
-                text += " " + rows[rng.randrange(len(rows))][1][:80 * doc_len]
+                prev = rows[rng.randrange(len(rows))][1]
+                if prev is not None:
+                    text += " " + prev[:80 * doc_len]
         rows.append(
             (i, text, rng.choice(["en", "fr", "es", "de"]),
-             rng.choice(["web", "book", "code", "wiki"]), len(text))
+             rng.choice(["web", "book", "code", "wiki"]),
+             len(text) if text is not None else None)
         )
     return rows
 
@@ -121,6 +129,11 @@ DOC_QUERIES = [
     "dedup_components", "dedup_retention", "corpus_prepare",
     "decontaminate", "split_assign", "stratified_sample",
     "dedup_recall",
+    # media-tier queries that read only the documents table — the
+    # NULL-text kind found tts/text_renderer voicing the literal
+    # "None" and the image stubs crashing on a NULL payload (r07)
+    "tts_synthesize", "text_renderer",
+    "image_decode", "image_resize", "image_features",
 ]
 
 
