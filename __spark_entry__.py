@@ -981,6 +981,23 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(vecs, n_planes=4, threshold=0.4)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic k-means clustering
+    (the ann_ivf_trained codebook machinery), then lowest-id-wins
+    within-cluster cosine domination. One keep/drop row per vector."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return similarity.semantic_dedup(
+        vecs, dim=64, n_cells=8, n_iters=2, threshold=0.35
+    )
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by tf-idf (raw-ratio idf variant for
+    bit-exact cross-engine scores; see textstats.tfidf_topk)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.tfidf_topk(docs, k=5)
+
+
 def _q_string_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -1265,6 +1282,13 @@ _MUST_VERIFY_R07 = [
     # r08 queue).
     "tts_synthesize", "text_renderer",
     "image_decode", "image_resize", "image_features",
+    # NEW ops r07: SemDeDup-style semantic dedup (deterministic
+    # k-means + within-cluster cosine domination) and per-doc tf-idf
+    # keywords — new code certifies in-window before it ships,
+    # displacing the two youngest rotation rows (calculator,
+    # calculator_multivar — untouched code, r05-green, queued for r08
+    # behind the seven rows displaced earlier this round).
+    "semantic_dedup", "tfidf_topk",
 ]
 
 # r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
@@ -1287,14 +1311,14 @@ _ROTATE_R07 = [
     "events_funnel", "quality_buckets", "events_session_windows",
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join",
-    "switch", "sr_latch", "pause_state", "calculator",
-    "calculator_multivar",
+    "switch", "sr_latch", "pause_state",
     # (media_switch and video_reformatter were the last two rotation
     # rows, displaced by the two dim-guard re-certifications; the next
     # five — string_concatenator, fn_task, fn_task_stateful,
     # audio_mixer, video_activity_meter — were displaced by the five
-    # NULL-text re-certifications. All seven untouched, r05-green,
-    # head of the r08 queue.)
+    # NULL-text re-certifications; calculator and calculator_multivar
+    # were displaced by the two NEW ops (semantic_dedup, tfidf_topk).
+    # All nine untouched, r05-green, head of the r08 queue.)
 ]
 
 
@@ -1357,8 +1381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "switch": _q_switch,
         "sr_latch": _q_sr_latch,
         "pause_state": _q_pause_state,
-        "calculator": _q_calculator,
-        "calculator_multivar": _q_calculator_multivar,
+        # --- r07 window: NEW ops (semantic_dedup, tfidf_topk) — new
+        # code certifies in-window; displaced calculator and
+        # calculator_multivar (untouched, r05-green) to the r08 queue
+        "semantic_dedup": _q_semantic_dedup,
+        "tfidf_topk": _q_tfidf_topk,
         # --- r07 window: dim-guard re-certifications (plans changed
         # this round; displaced media_switch/video_reformatter)
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1376,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------- first entry PAST the driver's 50-query window -------
         # displaced rotation rows (untouched code, r05-green) — the
         # head of the r08 queue — then the remaining 16 r05 rows
+        "calculator": _q_calculator,
+        "calculator_multivar": _q_calculator_multivar,
         "string_concatenator": _q_string_concatenator,
         "fn_task": _q_fn_task,
         "fn_task_stateful": _q_fn_task_stateful,
@@ -2374,6 +2403,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": similarity.oracle_embedding_near_dup_sql(
             n_planes=4, threshold=0.4
         ),
+        "semantic_dedup": similarity.oracle_semantic_dedup_sql(
+            dim=64, n_cells=8, n_iters=2, threshold=0.35
+        ),
+        "tfidf_topk": textstats.oracle_tfidf_topk_sql(k=5),
         "gate": _GATE_SQL,
         "pause_state": _PAUSE_SQL,
         "switch": _SWITCH_SQL,

@@ -1110,3 +1110,159 @@ def oracle_ivf_trained_sql(
     WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
     QUALIFY rank <= {k}
     """
+
+# ---------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the deterministic
+    k-means of :func:`train_centroids`, then mark as duplicates any
+    vector with a LOWER-id cluster-mate at cosine ≥ ``threshold``.
+    Output: one row per (nonzero-norm) vector — (``vec_id``, ``cell``,
+    ``keep``) — so retention is a single ``keep`` filter downstream.
+
+    Keep rule: a vector is kept iff NO lower-id vector in the SAME
+    cluster has cosine ≥ threshold with it. Lowest-id-wins is the
+    deterministic stand-in for the paper's keep-one-per-group choice
+    (it keeps ≥1 representative of every duplicate group: the group's
+    minimum id has no lower-id mate, so it always survives), and it is
+    exactly expressible in the DuckDB oracle as a NOT EXISTS
+    (:func:`oracle_semantic_dedup_sql` — the full pipeline including
+    the k-means iterations has an exact SQL twin; same micro-unit
+    integer centroid sums, same argmax tie-breaks).
+
+    Scale shape (the reason clustering precedes pairing): the codebook
+    is scalar-sized and inlined as literals, so assignment is one
+    NARROW projection over the corpus — no shuffle, no crossJoin, no
+    window. Candidate pairing then shuffles ONCE on the cell id and is
+    quadratic only within a cell, never across the corpus. At 100 TB
+    ``n_cells`` scales with the corpus (the paper runs 50k clusters on
+    LAION; cell population, not corpus size, bounds per-task work) —
+    the same population-bounding contract as dedup_minhash's bands and
+    lsh_topk's buckets. Unlike pair-listing near-dup
+    (:func:`embedding_near_dup`), output is corpus-sized, not
+    pair-count-sized.
+
+    The reference repo has no semantic dedup; this extends the
+    BASELINE.json LLM-data-pipeline tier alongside the MinHash /
+    SimHash / embedding near-dup family."""
+    import math
+
+    cents_df = train_centroids(
+        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        n_iters=n_iters, expect_dim=dim,
+    )
+    # codebook-sized driver pull (train_centroids materializes the
+    # codebook on the driver anyway; this is the same legitimacy class
+    # as its per-iteration collects)
+    cents = {
+        int(r["__cell"]): (list(r["__cv"]), float(r["__cn"]))
+        for r in cents_df.collect()
+    }
+
+    def lit_arr(xs: list[float]) -> str:
+        return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
+
+    structs = []
+    for cell in sorted(cents):
+        cv, cn = cents[cell]
+        dot = _dot("__v", lit_arr(cv))
+        structs.append(
+            f"named_struct('s', ({dot}) / (__nrm * {cn!r}D), "
+            f"'c', {-cell})"
+        )
+    argmax = f"-array_max(array({', '.join(structs)})).c"
+
+    v = _require_dim(
+        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+        dim, "semantic_dedup",
+    )
+    assigned = pin(
+        v.withColumn("__cell", F.expr(argmax))
+        .select(id_col, "__v", "__nrm", "__cell")
+    )
+    a = assigned.select(
+        "__cell",
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = assigned.select(
+        "__cell",
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    cos = F.expr(_dot("__va", "__vb")) / (F.col("__na") * F.col("__nb"))
+    dropped = (
+        a.join(b, "__cell")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= F.lit(threshold))
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__cell").cast("long").alias("cell"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def oracle_semantic_dedup_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.35,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` — the full pipeline
+    (k-means training, argmax assignment, within-cluster lower-id
+    domination) as one SQL statement."""
+    kmeans, final = _duck_kmeans_ctes(dim, n_cells, n_iters, id_col)
+    cdot = _duck_dot("x.__v", "c.__cv", dim)
+    pdot = _duck_dot("a.__v", "b.__v", dim)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
+    ),
+    {kmeans},
+    assigned AS (
+      SELECT x.{id_col}, x.__v, x.__nrm, c.__cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__cn) DESC, c.__cell ASC) AS cr
+      FROM n x, {final} c
+      QUALIFY cr = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.{id_col}
+      FROM assigned a JOIN assigned b
+        ON a.__cell = b.__cell AND b.{id_col} < a.{id_col}
+      WHERE {pdot} / (a.__nrm * b.__nrm) >= {threshold}
+    )
+    SELECT a.{id_col} AS {id_col}, a.__cell AS cell,
+           d.{id_col} IS NULL AS keep
+    FROM assigned a LEFT JOIN dropped d USING ({id_col})
+    """

@@ -525,3 +525,114 @@ def oracle_quality_buckets_sql(
     GROUP BY bucket
     ORDER BY bucket
     """
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by tf-idf — the standard
+    relevance signal for keyword extraction / topic tagging over a
+    training corpus. Output: (``doc_id``, ``token``, ``tf``, ``df``,
+    ``tfidf``, ``rank``), rank 1..k by (tfidf desc, token asc).
+
+    Scoring uses the RAW-RATIO idf variant — ``tf · (N+1)/(df+1)``
+    with N = total corpus documents — rather than the log-smoothed
+    classic. The choice is cross-engine exactness: tf, df, N are
+    integers, the products stay far below 2^53, and IEEE division is
+    correctly rounded, so Spark and the DuckDB oracle
+    (:func:`oracle_tfidf_topk_sql`) produce bit-identical scores and
+    therefore identical ranks — a transcendental ``ln`` could flip a
+    rank on a last-ulp disagreement between libm builds. Per TERM the
+    two idfs are monotone transforms of each other; across terms the
+    raw ratio weights rarity more aggressively (it is the
+    no-log member of the standard idf family).
+
+    Tokenization = the corpus-wide convention (whitespace-normalize,
+    split on single spaces — :func:`norm_text`, same as vocab_topk and
+    the MinHash shingles).
+
+    100 TB shape: tf is one shuffle on (doc, token) with map-side
+    partial counts; df reuses tf's output (one vocabulary-sized shuffle
+    on the token); the tf⋈df join is token-keyed — stopword-grade hot
+    tokens are exactly the AQE skew-join case, and the join's big side
+    is already partial-aggregated to (doc, token) rows, never raw
+    occurrences. N attaches as a broadcast single-row scalar (the
+    q11/q15/q22 pattern). The final per-doc top-k is a window on the
+    doc id — rank k bounds the output, WindowExec spills on a
+    degenerate doc rather than holding arrays."""
+    toks = spread(docs, id_col).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"split({norm_text(text_col, 'spark')}, ' ')")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("__n")
+    )
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df_, "token")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "__score",
+            F.col("tf") * (F.col("__n") + F.lit(1)).cast("double")
+            / (F.col("df") + F.lit(1)).cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            F.round("__score", 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def oracle_tfidf_topk_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    return f"""
+    WITH src AS ({source_sql}),
+    t AS (
+      SELECT doc_id,
+             unnest(string_split({norm_text(text_col, "duck")}, ' ')) AS token
+      FROM src
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM t WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT count(*) AS __n FROM src),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        tf.tf * CAST(n.__n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)
+          AS __score
+      FROM tf JOIN df USING (token), n
+    )
+    SELECT doc_id, token, tf, df, round(__score, 6) AS tfidf,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM scored
+    WINDOW w AS (PARTITION BY doc_id ORDER BY __score DESC, token ASC)
+    QUALIFY rank <= {k}
+    """

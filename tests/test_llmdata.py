@@ -1098,3 +1098,105 @@ def test_lsh_matches_oracle_at_nondefault_dim(spark):
     assert (sdf["query_id"].values == odf["query_id"].values).all()
     assert (sdf["vec_id"].values == odf["vec_id"].values).all()
     assert (sdf["cosine"].values == odf["cosine"].values).all()
+
+
+def test_semantic_dedup_matches_oracle_across_params(spark):
+    """semantic_dedup (r07): the full pipeline — deterministic k-means,
+    literal-argmax assignment, within-cluster lowest-id domination —
+    must stay bit-exact against its DuckDB twin across several
+    (n_cells, n_iters, threshold) geometries, not just the entry
+    default (a param-hardcoding bug in either twin fails here)."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    )
+    for n_cells, n_iters, thr in ((8, 2, 0.35), (4, 1, 0.45), (6, 3, 0.3)):
+        sdf = (
+            similarity.semantic_dedup(
+                vecs, n_cells=n_cells, n_iters=n_iters, threshold=thr
+            )
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        odf = (
+            con.execute(
+                similarity.oracle_semantic_dedup_sql(
+                    n_cells=n_cells, n_iters=n_iters, threshold=thr
+                )
+            )
+            .df()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf), (n_cells, n_iters, thr)
+        assert (sdf.values == odf.values).all(), (n_cells, n_iters, thr)
+        # the keep rule must actually drop something at these
+        # thresholds on this data, or the equality proves nothing
+        assert (~sdf["keep"]).any(), (n_cells, n_iters, thr)
+
+
+def test_semantic_dedup_keeps_one_representative_per_group(spark):
+    """The lowest-id-wins rule keeps ≥1 member of every duplicate
+    group: a cluster's minimum id has no lower-id mate, so per cell
+    the lowest id always survives; and every dropped vector has a KEPT
+    lower-id cluster-mate at cosine ≥ threshold (dropping a vector
+    because of another DROPPED one would be greedy-chain semantics —
+    not this op's contract)."""
+    from streamtasks_spark.llmdata import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.semantic_dedup(vecs).toPandas()
+    # per-cell minimum id is always kept
+    mins = out.groupby("cell")["vec_id"].min()
+    kept = set(out[out["keep"]]["vec_id"])
+    assert set(mins).issubset(kept)
+    # domination is by ANY lower-id mate, kept or not — so at minimum
+    # every cell with a drop must also keep at least one row
+    cells_with_drop = set(out[~out["keep"]]["cell"])
+    cells_with_keep = set(out[out["keep"]]["cell"])
+    assert cells_with_drop.issubset(cells_with_keep)
+
+
+def test_tfidf_topk_matches_oracle_across_k(spark):
+    """tfidf_topk (r07): bit-exact vs DuckDB at several k — the
+    raw-ratio idf keeps every score an exact small-integer ratio, so
+    rank order (score desc, token asc) cannot diverge cross-engine."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import textstats
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    for k in (1, 5, 12):
+        sdf = (
+            textstats.tfidf_topk(docs, k=k)
+            .toPandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        odf = (
+            con.execute(textstats.oracle_tfidf_topk_sql(k=k))
+            .df()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf), k
+        assert (sdf.values == odf.values).all(), k
+        assert (sdf["rank"] <= k).all()
+        # rank must be dense 1..n per doc
+        g = sdf.groupby("doc_id")["rank"]
+        assert (g.min() == 1).all() and (g.max() == g.count()).all()

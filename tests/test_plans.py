@@ -665,3 +665,40 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         f"{sorted(gone)} no longer plan ObjectHashAggregate — prune them "
         f"from OHA_BOUNDED so the allowlist stays tight"
     )
+
+
+def test_semantic_dedup_assigns_narrow_and_pairs_on_cell(psession):
+    """semantic_dedup's scale contract: the codebook is inlined as
+    literals, so cluster assignment is a NARROW projection — no Window
+    (a row_number-over-codebook-join formulation would put a per-id
+    sort exchange in front of the corpus scan) and no cross join of
+    any kind; candidate pairing is an equi-join on the cell id."""
+    from streamtasks_spark.llmdata import similarity
+
+    vecs = psession.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(similarity.semantic_dedup(vecs))
+    assert "CartesianProduct" not in plan, plan[:900]
+    assert "BroadcastNestedLoop" not in plan, plan[:900]
+    assert "Window" not in plan, plan[:900]
+    join_keys = re.findall(r"(\w+Join)(?: \w+)? \[(\w+)", plan)
+    assert join_keys, plan[:900]
+    for kind, key in join_keys:
+        assert key in ("__cell", "vec_id"), (kind, key, plan[:900])
+
+
+def test_tfidf_topk_partial_aggs_and_broadcasts_only_scalar_n(psession):
+    """tfidf_topk's scale contract: tf plans partial→final counts (the
+    exchange moves (doc, token) partials, not raw token occurrences);
+    the corpus-size N attaches as the q11-style broadcast single-row
+    scalar — the ONLY nested-loop join in the plan; the tf⋈df join is
+    token-keyed, never broadcast (a 100 TB vocabulary has no small
+    side)."""
+    from streamtasks_spark.llmdata import textstats
+
+    docs = psession.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(textstats.tfidf_topk(docs))
+    assert "CartesianProduct" not in plan, plan[:900]
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:900]
+    assert re.search(r"partial_count", plan), plan[:900]
+    tok_join = re.search(r"(\w+Join) \[token", plan)
+    assert tok_join and "Broadcast" not in tok_join.group(1), plan[:900]
