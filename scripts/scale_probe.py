@@ -68,6 +68,7 @@ def probe_ops(spark, docs):
     ), n
     yield "substring_dedup", lambda: dedup.substring_dup_spans(docs), n
     yield "vocab_topk", lambda: textstats.vocab_topk(docs, k=100), n
+    yield "tfidf_topk", lambda: textstats.tfidf_topk(docs, k=5), n
     yield "quality_buckets", lambda: textstats.quality_buckets(docs), n
     ev = docs.filter(F.col("doc_id") % 25 == 7)
     yield "corpus_prepare", lambda: pipeline.corpus_prepare(docs, ev), n
@@ -163,12 +164,38 @@ def probe_vector_ops(spark, vecs, queries, factor: int):
             vecs, n_planes=p, threshold=0.9, bands=4
         )
     ), n
+    # semantic_dedup with n_cells ∝ factor — the knob a deployment
+    # turns (cell population, not corpus size, bounds the quadratic
+    # within-cell pairing; the SemDeDup paper scales clusters with the
+    # corpus the same way). The literal-inlined codebook caps this
+    # probe's range at a few hundred cells (the inlined argmax grows
+    # with n_cells·dim; past ~10^3 cells assignment should move to
+    # IvfIndex's broadcast-join path) — factors ≤ 16 stay well under.
+    if factor <= 16:
+        c = 8 * factor
+        yield "semantic_dedup_scaled_cells", (
+            lambda: similarity.semantic_dedup(
+                vecs, n_cells=c, n_iters=2, threshold=0.9
+            )
+        ), n
+    else:
+        print(json.dumps({
+            "op": "semantic_dedup_scaled_cells", "factor": factor,
+            "skipped": "literal-inlined codebook impractical past a few "
+            "hundred cells; measured through 16x",
+        }), flush=True)
+
+
+ONLY_OPS: set[str] | None = None
 
 
 def time_op(spark, results, name, factor, line_fields, run) -> None:
     """Time one (op, factor) cell with a cold cache; record it in
     ``results`` and print the per-cell JSON line. ``run`` materializes
-    the op and may return extra fields for the line (e.g. n_out)."""
+    the op and may return extra fields for the line (e.g. n_out).
+    Ops outside ``--ops`` (when given) are skipped."""
+    if ONLY_OPS is not None and name not in ONLY_OPS:
+        return
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     extra = run() or {}
@@ -280,6 +307,11 @@ def main() -> int:
             return probe_incremental(get_spark("scale_probe"), n)
         if a.startswith("--factors"):
             factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--ops"):
+            # restrict to named ops — re-measuring one new op must not
+            # re-run the whole tier's multi-minute matrix
+            global ONLY_OPS
+            ONLY_OPS = set(a.split("=", 1)[1].split(","))
     if "--vectors" in sys.argv[1:]:
         return probe_vectors(get_spark("scale_probe"), factors)
     spark = get_spark("scale_probe")
