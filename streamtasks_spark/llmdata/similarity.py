@@ -1113,6 +1113,36 @@ def oracle_ivf_trained_sql(
 
 # ---------------------------------------------------- semantic dedup
 
+def _argmax_cell_expr(cents: dict[int, tuple[list[float], float]]) -> str:
+    """Spark SQL literal-argmax cell assignment over a driver-side
+    codebook {cell: (vector, norm)} — the narrow (no-shuffle, no-join)
+    assignment path shared by :func:`semantic_dedup` and
+    :class:`SemDedupIndex`; same arithmetic and tie-break (max score,
+    then LOWEST cell) as train_centroids' training iterations."""
+    def lit_arr(xs: list[float]) -> str:
+        return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
+
+    structs = []
+    for cell in sorted(cents):
+        cv, cn = cents[cell]
+        dot = _dot("__v", lit_arr(cv))
+        structs.append(
+            f"named_struct('s', ({dot}) / (__nrm * {cn!r}D), "
+            f"'c', {-cell})"
+        )
+    return f"-array_max(array({', '.join(structs)})).c"
+
+
+def _collect_codebook(
+    cents_df: DataFrame,
+) -> dict[int, tuple[list[float], float]]:
+    """Codebook-sized driver pull of a (__cell, __cv, __cn) table."""
+    return {
+        int(r["__cell"]): (list(r["__cv"]), float(r["__cn"]))
+        for r in cents_df.collect()
+    }
+
+
 def semantic_dedup(
     vectors: DataFrame,
     *,
@@ -1122,6 +1152,7 @@ def semantic_dedup(
     n_cells: int = 8,
     n_iters: int = 2,
     threshold: float = 0.35,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1153,35 +1184,26 @@ def semantic_dedup(
     (:func:`embedding_near_dup`), output is corpus-sized, not
     pair-count-sized.
 
+    ``centroids`` (optional, columns ``__cell, __cv, __cn``) skips
+    training and assigns against the given frozen codebook — the hook
+    :class:`SemDedupIndex` uses to compare incremental ingestion
+    against the one-shot result under the SAME quantizer.
+
     The reference repo has no semantic dedup; this extends the
     BASELINE.json LLM-data-pipeline tier alongside the MinHash /
     SimHash / embedding near-dup family."""
-    import math
-
-    cents_df = train_centroids(
-        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        n_iters=n_iters, expect_dim=dim,
+    cents_df = (
+        centroids
+        if centroids is not None
+        else train_centroids(
+            vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            n_iters=n_iters, expect_dim=dim,
+        )
     )
     # codebook-sized driver pull (train_centroids materializes the
     # codebook on the driver anyway; this is the same legitimacy class
     # as its per-iteration collects)
-    cents = {
-        int(r["__cell"]): (list(r["__cv"]), float(r["__cn"]))
-        for r in cents_df.collect()
-    }
-
-    def lit_arr(xs: list[float]) -> str:
-        return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
-
-    structs = []
-    for cell in sorted(cents):
-        cv, cn = cents[cell]
-        dot = _dot("__v", lit_arr(cv))
-        structs.append(
-            f"named_struct('s', ({dot}) / (__nrm * {cn!r}D), "
-            f"'c', {-cell})"
-        )
-    argmax = f"-array_max(array({', '.join(structs)})).c"
+    argmax = _argmax_cell_expr(_collect_codebook(cents_df))
 
     v = _require_dim(
         _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
@@ -1266,3 +1288,174 @@ def oracle_semantic_dedup_sql(
            d.{id_col} IS NULL AS keep
     FROM assigned a LEFT JOIN dropped d USING ({id_col})
     """
+
+
+class SemDedupIndex:
+    """Persistent incremental semantic dedup — the ingestion shape of
+    :func:`semantic_dedup`, the way :class:`~streamtasks_spark.llmdata.
+    dedup.MinHashIndex` is the ingestion shape of ``dedup_minhash``: a
+    frozen codebook plus the KEPT (surviving) vectors on disk, so each
+    arriving batch is deduplicated against all previously-retained
+    history without re-reading, re-assigning, or re-pairing the
+    historical corpus.
+
+    On-disk layout under ``path``:
+
+      ``codebook/`` — (__cell, __cv, __cn): trained by the FIRST ingest
+        (:func:`train_centroids` on that batch), then frozen —
+        production quantizer semantics: train once on a sample, never
+        move the cells under an already-assigned corpus. A pre-trained
+        table drops into the same files.
+      ``kept/`` — ({id_col}, __v, __nrm, __cell) of every vector
+        retained so far. Only SURVIVORS are stored: the index is the
+        deduplicated corpus's embedding view, not a second copy of the
+        raw corpus (storing dropped vectors too would double the
+        corpus-scale footprint for no retrieval value).
+
+    Keep rule per :meth:`ingest` batch B against kept history H:
+    a vector x ∈ B is dropped iff a lower-id cluster-mate at cosine ≥
+    threshold exists in H (all of which are KEPT) or in B itself (kept
+    or not — the one-shot rule within the batch). Relationship to the
+    one-shot :func:`semantic_dedup` over the union, given the SAME
+    codebook and batch-monotone ids (every batch's ids exceed all
+    earlier ids — the natural crawl-increment order):
+
+    - **superset**: every one-shot-kept vector is incrementally kept.
+      One-shot-kept means NO lower-id cluster-mate ≥ threshold exists
+      at all; both incremental domination sources are subsets of "all
+      lower-id mates", so neither can drop it. Per-cell minimum ids
+      are kept under both rules.
+    - at one-vector-per-batch granularity the index computes exactly
+      the greedy sequential scan of the SemDeDup paper (each arrival
+      compared against survivors only); the one-shot any-mate rule is
+      the more aggressive join-expressible variant. Both are pinned
+      against each other in tests/test_llmdata.py.
+
+    Scale shape: assignment of the batch is the same narrow
+    literal-argmax projection as the one-shot op; the only join is
+    batch-vs-(batch ∪ kept-history) keyed on the cell id — at
+    warehouse scale persist ``kept/`` bucketed on ``__cell`` so the
+    history side is co-located and shuffle-free, and scale ``n_cells``
+    with the corpus so cell population (hence per-batch join fan-out)
+    stays bounded. Ids must be unique across ingests (enforce
+    upstream); monotone ids are required only for the one-shot
+    comparison above, not for well-defined output.
+
+    Snapshot discipline: history is read via
+    :func:`~streamtasks_spark.llmdata.dedup.snapshot_read` and the
+    batch verdict is MATERIALIZED before the append (the same
+    self-observation trap MinHashIndex documents — an append-then-
+    compute plan would see the batch's own rows as history and drop
+    everything as its own duplicate)."""
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int = 64,
+        n_cells: int = 8,
+        n_iters: int = 2,
+        threshold: float = 0.35,
+    ) -> None:
+        self.path = str(path)
+        self.codebook_path = f"{self.path}/codebook"
+        self.kept_path = f"{self.path}/kept"
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.dim = dim
+        self.n_cells = n_cells
+        self.n_iters = n_iters
+        self.threshold = threshold
+
+    def codebook(self, spark) -> DataFrame | None:
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        return snapshot_read(spark, self.codebook_path)
+
+    def ingest(self, vectors: DataFrame) -> DataFrame:
+        """Dedup one batch against itself + kept history, append its
+        survivors, and return the batch verdict ({id_col}, cell, keep)
+        — the same row shape as :func:`semantic_dedup`, restricted to
+        this batch's (nonzero-norm) vectors. The returned DataFrame is
+        persisted and already materialized."""
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        spark = vectors.sparkSession
+        idc = self.id_col
+        cb = self.codebook(spark)
+        if cb is None:
+            trained = train_centroids(
+                vectors, id_col=idc, vec_col=self.vec_col,
+                n_cells=self.n_cells, n_iters=self.n_iters,
+                expect_dim=self.dim,
+            )
+            trained.write.mode("errorifexists").parquet(self.codebook_path)
+            cb = snapshot_read(spark, self.codebook_path)
+        argmax = _argmax_cell_expr(_collect_codebook(cb))
+        v = _require_dim(
+            _with_norm(
+                spread(vectors, idc).select(idc, self.vec_col),
+                self.vec_col,
+            ),
+            self.dim, "SemDedupIndex.ingest",
+        )
+        batch = pin(
+            v.withColumn("__cell", F.expr(argmax))
+            .select(idc, "__v", "__nrm", "__cell")
+        )
+        hist = snapshot_read(spark, self.kept_path)
+        dominators = (
+            batch if hist is None
+            else batch.unionByName(hist.select(idc, "__v", "__nrm", "__cell"))
+        )
+        a = batch.select(
+            "__cell",
+            F.col(idc).alias("__ida"),
+            F.col("__v").alias("__va"),
+            F.col("__nrm").alias("__na"),
+        )
+        b = dominators.select(
+            "__cell",
+            F.col(idc).alias("__idb"),
+            F.col("__v").alias("__vb"),
+            F.col("__nrm").alias("__nb"),
+        )
+        cos = F.expr(_dot("__va", "__vb")) / (F.col("__na") * F.col("__nb"))
+        dropped = (
+            a.join(b, "__cell")
+            .filter(F.col("__idb") < F.col("__ida"))
+            .withColumn("__cos", cos)
+            .filter(F.col("__cos") >= F.lit(self.threshold))
+            .select(F.col("__ida").alias(idc))
+            .distinct()
+            .withColumn("__drop", F.lit(True))
+        )
+        verdict = pin(
+            batch.join(dropped, idc, "left")
+            .select(
+                F.col(idc),
+                F.col("__cell").cast("long").alias("cell"),
+                F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+            )
+        )
+        verdict.count()  # materialize BEFORE the append below
+        (
+            batch.join(
+                verdict.filter(F.col("keep")).select(idc), idc, "left_semi"
+            )
+            .write.mode("append")
+            .parquet(self.kept_path)
+        )
+        batch.unpersist()
+        return verdict
+
+    def compact(self, spark, *, files_per_table: int = 8) -> None:
+        """Coalesce the append-accreted ``kept/`` part files (the same
+        small-files hygiene as MinHashIndex.compact; the codebook is
+        written once and never appended). EXCLUSIVE access required —
+        see :func:`~streamtasks_spark.llmdata.dedup.compact_table`."""
+        from streamtasks_spark.llmdata.dedup import compact_table
+
+        compact_table(spark, self.kept_path, files=files_per_table)

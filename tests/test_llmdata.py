@@ -1200,3 +1200,132 @@ def test_tfidf_topk_matches_oracle_across_k(spark):
         # rank must be dense 1..n per doc
         g = sdf.groupby("doc_id")["rank"]
         assert (g.min() == 1).all() and (g.max() == g.count()).all()
+
+
+def _sem_index_cls():
+    from streamtasks_spark.llmdata.similarity import SemDedupIndex
+
+    return SemDedupIndex
+
+
+def test_sem_dedup_index_superset_of_one_shot(spark, tmp_path):
+    """SemDedupIndex (r07): over batch-monotone ids and the SAME
+    frozen codebook, the incremental keep-set must be a SUPERSET of
+    the one-shot semantic_dedup keep-set (greedy domination by
+    survivors can only drop less than any-mate domination), with
+    identical cell assignments, identical id coverage, and the
+    per-cell minimum id kept by both."""
+    from streamtasks_spark.llmdata import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = _sem_index_cls()(str(tmp_path / "semidx"), threshold=0.35)
+    splits = [(0, 166), (166, 333), (333, 10**9)]
+    parts = []
+    for lo, hi in splits:
+        batch = vecs.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        parts.append(idx.ingest(batch).toPandas())
+    import pandas as pd
+
+    inc = (
+        pd.concat(parts).sort_values("vec_id").reset_index(drop=True)
+    )
+    one = (
+        similarity.semantic_dedup(vecs, centroids=idx.codebook(spark))
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(inc["vec_id"]) == list(one["vec_id"])
+    assert (inc["cell"].values == one["cell"].values).all()
+    # superset: anything one-shot keeps, incremental keeps
+    assert bool((inc["keep"] | ~one["keep"]).all())
+    # and the relationship is non-trivial on this data: one-shot drops
+    assert (~one["keep"]).any()
+    # per-cell min kept by both
+    for df in (inc, one):
+        mins = df.groupby("cell")["vec_id"].min()
+        kept = set(df[df["keep"]]["vec_id"])
+        assert set(mins).issubset(kept)
+
+
+def test_sem_dedup_index_single_vector_batches_are_greedy(spark, tmp_path):
+    """One-vector-per-batch ingestion must compute exactly the
+    SemDeDup paper's greedy sequential scan: each arrival is dropped
+    iff a KEPT earlier same-cell vector has cosine >= threshold.
+    Reference implemented with the same left-to-right double fold as
+    the Spark plan (sum_lr), so the comparison is bit-honest."""
+    import math
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.llmdata.similarity import sum_lr
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 32
+    )
+    # pre-trained codebook (documented drop-in): train on the slice so
+    # the 1-vector first batch doesn't degenerate the quantizer.
+    # threshold 0.2: the 32-vector slice has enough >=0.2 same-cell
+    # pairs to exercise BOTH verdicts (at the entry default 0.35 the
+    # slice is drop-free and the greedy comparison proves nothing)
+    idx = _sem_index_cls()(str(tmp_path / "semidx1"), threshold=0.2)
+    similarity.train_centroids(
+        vecs, n_cells=4, n_iters=2, expect_dim=64
+    ).write.parquet(idx.codebook_path)
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in vecs.collect()
+    }
+    verdicts = {}
+    for vid in sorted(rows):
+        out = idx.ingest(vecs.filter(F.col("vec_id") == vid)).collect()
+        assert len(out) == 1
+        verdicts[vid] = (int(out[0]["cell"]), bool(out[0]["keep"]))
+    # greedy reference over the index's own cell assignments
+    kept_by_cell: dict[int, list[int]] = {}
+    for vid in sorted(rows):
+        cell, keep = verdicts[vid]
+        v = rows[vid]
+        nrm = math.sqrt(sum_lr(x * x for x in v))
+        expected = True
+        for prior in kept_by_cell.get(cell, []):
+            u = rows[prior]
+            un = math.sqrt(sum_lr(x * x for x in u))
+            cos = sum_lr(a * b for a, b in zip(u, v)) / (un * nrm)
+            if cos >= 0.2:
+                expected = False
+                break
+        assert keep == expected, (vid, cell, keep, expected)
+        if expected:
+            kept_by_cell.setdefault(cell, []).append(vid)
+    # the slice must exercise both verdicts or the test proves little
+    outcomes = {k for _, k in verdicts.values()}
+    assert outcomes == {True, False}, outcomes
+
+
+def test_sem_dedup_index_restart_resumes_identically(spark, tmp_path):
+    """Reopening an index from disk must continue exactly where a
+    continuous run would be: batch-2 verdicts after a restart equal
+    batch-2 verdicts of an uninterrupted two-batch run (the codebook
+    and kept-history are the on-disk state, not object state)."""
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = vecs.filter(F.col("vec_id") < 250)
+    b2 = vecs.filter(F.col("vec_id") >= 250)
+
+    cont = _sem_index_cls()(str(tmp_path / "cont"), threshold=0.35)
+    cont.ingest(b1)
+    v_cont = cont.ingest(b2).toPandas().sort_values("vec_id")
+
+    rest = _sem_index_cls()(str(tmp_path / "rest"), threshold=0.35)
+    rest.ingest(b1)
+    reopened = _sem_index_cls()(str(tmp_path / "rest"), threshold=0.35)
+    v_rest = reopened.ingest(b2).toPandas().sort_values("vec_id")
+
+    assert (v_cont.values == v_rest.values).all()
+    # and the on-disk kept table matches the union of kept verdicts
+    kept = spark.read.parquet(reopened.kept_path)
+    assert kept.select("vec_id").distinct().count() == kept.count()
