@@ -299,9 +299,73 @@ def probe_incremental(spark, n_batches: int) -> int:
     return 0
 
 
+def probe_incremental_sem(spark, n_batches: int) -> int:
+    """Incremental-ingest probe for SemDedupIndex: ingest ``n_batches``
+    constant-size embedding batches into one persistent index and time
+    each. Batch k re-ids the base vectors and re-directions them with
+    a per-batch component multiplier (1 + sin(i·(1+k·7919))) — the
+    amplitude matters: a multiplicative tilt of amplitude a leaves
+    cosine ≈ 1/√(1+a²/2) against the base REGARDLESS of phase (0.4
+    still reads 0.96, above the 0.9 threshold, and history barely
+    grew), so amplitude 1.0 (cos ≈ 0.82) is the smallest round value
+    that makes batches genuinely novel. Most of each batch then
+    survives and the kept-history side of the cell join grows
+    ~linearly per batch — the honest setup for the flat-per-batch
+    claim (a mostly-duplicate stream keeps history artificially
+    small). Flat per-batch time is the
+    O(batch + cell collisions) claim — a re-run of the one-shot op
+    over the union would grow linearly per batch.
+    ``n_cells`` is sized for the FINAL corpus (8·n_batches), the way a
+    deployment pre-sizes its quantizer for expected volume."""
+    from streamtasks_spark.llmdata import similarity
+
+    base = replicate_vectors(spark, 1)
+    times = []
+    with tempfile.TemporaryDirectory(prefix="sem_inc_") as td:
+        idx = similarity.SemDedupIndex(
+            f"{td}/index", threshold=0.9, n_cells=8 * n_batches,
+        )
+        for k in range(n_batches):
+            batch = base.select(
+                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, (x, i) -> cast("
+                    f"x * (1.0d + 1.0d * sin(i * (1 + {k} * 7919))) "
+                    f"as float))"
+                ).alias("embedding"),
+            )
+            batch.write.mode("overwrite").parquet(f"{td}/batch.parquet")
+            mat = spark.read.parquet(f"{td}/batch.parquet")
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            verdict = idx.ingest(mat)
+            n_kept = verdict.filter(F.col("keep")).count()
+            dt = time.perf_counter() - t0
+            verdict.unpersist()
+            times.append(dt)
+            print(json.dumps({
+                "op": "sem_index_ingest", "batch": k,
+                "history_batches": k, "sec": round(dt, 3),
+                "n_kept": n_kept,
+            }), flush=True)
+    print(json.dumps({
+        "op": "sem_index_ingest",
+        "first_batch_sec": round(times[0], 3),
+        "last_batch_sec": round(times[-1], 3),
+        "steady_ratio_last_over_second": round(times[-1] / times[1], 3)
+        if len(times) > 2 else None,
+        "verdict": "flat" if len(times) > 2 and times[-1] / times[1] <= 1.3
+        else "growing",
+    }), flush=True)
+    return 0
+
+
 def main() -> int:
     factors = [1, 10, 100]
     for a in sys.argv[1:]:
+        if a.startswith("--incremental-sem"):
+            n = int(a.split("=", 1)[1]) if "=" in a else 8
+            return probe_incremental_sem(get_spark("scale_probe"), n)
         if a.startswith("--incremental"):
             n = int(a.split("=", 1)[1]) if "=" in a else 8
             return probe_incremental(get_spark("scale_probe"), n)
