@@ -2,9 +2,11 @@
 """Continuous corpus ingestion at 100 TB shape, demonstrated at
 sf0.001: crawl increments arrive as batches; each is near-deduplicated
 against ALL previously ingested history through the persistent
-MinHashIndex (band postings + hash sketches on disk), and embeddings
-are served from a persistent cell-partitioned IvfIndex with a trained
-codebook — no batch ever re-reads or re-sketches the historical corpus.
+MinHashIndex (band postings + hash sketches on disk), embeddings are
+served from a persistent cell-partitioned IvfIndex with a trained
+codebook, and each embedding increment is semantically deduplicated
+against the kept history through a SemDedupIndex — no batch ever
+re-reads or re-sketches the historical corpus.
 
 Run: python examples/incremental_ingest.py [sf_dir]
 """
@@ -20,7 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from streamtasks_spark.llmdata.dedup import MinHashIndex
-from streamtasks_spark.llmdata.similarity import IvfIndex, train_centroids
+from streamtasks_spark.llmdata.similarity import (
+    IvfIndex,
+    SemDedupIndex,
+    train_centroids,
+)
 from streamtasks_spark.session import get_spark, read_parquet
 
 
@@ -52,6 +58,20 @@ def main() -> None:
         for r in hits.collect():
             print(f"  q={r['query_id']} -> {r['vec_id']} "
                   f"cos={r['cosine']} rank={r['rank']}")
+
+        # --- embeddings: semantic dedup of each increment vs kept
+        # history (id-MONOTONE batches — the crawl-increment order the
+        # one-shot comparison in SemDedupIndex's docstring assumes)
+        sem = SemDedupIndex(f"{td}/sem", threshold=0.35)
+        for lo, hi in ((0, 170), (170, 340), (340, 1 << 40)):
+            batch = vecs.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            )
+            verdict = sem.ingest(batch)
+            kept = verdict.filter(F.col("keep")).count()
+            print(f"semantic increment [{lo}, {hi}): "
+                  f"{verdict.count()} vectors, {kept} kept")
+            verdict.unpersist()
     spark.stop()
 
 
