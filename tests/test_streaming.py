@@ -1202,3 +1202,122 @@ def test_streaming_message_detector_survives_restart(spark, tmp_path):
     assert any(
         r["user_id"] == 2 and r["value"] == 1.0 for r in rows_in()
     ), "run 2's own key never produced its up edge"
+
+
+def test_streaming_semantic_dedup_matches_sequential_ingest(spark, tmp_path):
+    """Streaming semantic dedup over the persistent SemDedupIndex:
+    with id-monotone micro-batches, the streamed verdicts equal the
+    sequential batch ingests of the same splits (one verdict per
+    vector), and the keep-set is a superset of one-shot semantic_dedup
+    under the index's frozen codebook."""
+    from streamtasks_spark.llmdata.similarity import (
+        SemDedupIndex,
+        semantic_dedup,
+    )
+    from streamtasks_spark.streaming.stateful import streaming_semantic_dedup
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    src = tmp_path / "sem_src"
+    lo = vecs.filter(F.col("vec_id") < 250)
+    hi = vecs.filter(F.col("vec_id") >= 250)
+    lo.coalesce(1).write.parquet(str(src / "p1"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    hi.coalesce(1).write.parquet(str(src / "p2"))
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    verdicts_path = str(tmp_path / "verdicts")
+    q = streaming_semantic_dedup(
+        stream,
+        index_path=str(tmp_path / "sem_index"),
+        verdicts_path=verdicts_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.35,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in spark.read.parquet(verdicts_path).collect()
+    }
+    assert len(got) == spark.read.parquet(verdicts_path).count()  # 1/vec
+
+    # sequential batch ingests of the same splits == streamed verdicts
+    ref_idx = SemDedupIndex(str(tmp_path / "ref_index"), threshold=0.35)
+    ref = {}
+    for batch in (lo, hi):
+        for r in ref_idx.ingest(batch).collect():
+            ref[r["vec_id"]] = (r["cell"], r["keep"])
+    assert got == ref
+
+    # superset of one-shot under the streamed index's frozen codebook
+    streamed_idx = SemDedupIndex(str(tmp_path / "sem_index"), threshold=0.35)
+    one = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            vecs, centroids=streamed_idx.codebook(spark)
+        ).collect()
+    }
+    assert set(one) == set(got)
+    assert all(got[v][1] for v, keep in one.items() if keep)
+    assert any(not keep for keep in one.values())  # non-vacuous
+
+
+def test_streaming_semantic_dedup_survives_restart(spark, tmp_path):
+    """Clean stop → new query on the same checkpoint resumes without
+    re-verdicting processed batches; verdicts across the restart equal
+    an uninterrupted sequential ingest of both splits."""
+    from streamtasks_spark.llmdata.similarity import SemDedupIndex
+    from streamtasks_spark.streaming.stateful import streaming_semantic_dedup
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    src = tmp_path / "sem_src"
+    kwargs = dict(
+        index_path=str(tmp_path / "sem_index"),
+        verdicts_path=str(tmp_path / "verdicts"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.35,
+    )
+
+    def make_stream():
+        return (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    lo = vecs.filter(F.col("vec_id") < 250)
+    hi = vecs.filter(F.col("vec_id") >= 250)
+    lo.coalesce(1).write.parquet(str(src / "p1"))
+    q = streaming_semantic_dedup(make_stream(), **kwargs)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    time.sleep(1.1)
+    hi.coalesce(1).write.parquet(str(src / "p2"))
+    q2 = streaming_semantic_dedup(make_stream(), **kwargs)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(kwargs["verdicts_path"]).collect()
+    got = {r["vec_id"]: (r["cell"], r["keep"]) for r in rows}
+    assert len(rows) == len(got)  # no re-verdict across the restart
+
+    ref_idx = SemDedupIndex(str(tmp_path / "ref_index"), threshold=0.35)
+    ref = {}
+    for batch in (lo, hi):
+        for r in ref_idx.ingest(batch).collect():
+            ref[r["vec_id"]] = (r["cell"], r["keep"])
+    assert got == ref

@@ -18,8 +18,9 @@ no sampling or re-generation skew. Excluded by design: the two
 wall-clock twins (streaming_message_detector, streaming_time_buffer
 hold rows for PROCESSING time — no batch oracle exists; their
 semantics + checkpoint recovery are pinned in test_streaming.py) and
-streaming_dedup_minhash (foreachBatch against a persistent index, its
-own batch-equivalence + restart tests).
+streaming_dedup_minhash and streaming_semantic_dedup (foreachBatch
+against persistent indexes; each has its own batch-equivalence +
+restart tests in test_streaming.py).
 """
 
 from __future__ import annotations
