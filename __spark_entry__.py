@@ -998,6 +998,49 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(docs, k=5)
 
 
+def _q_hashed_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed (signed hashing-trick) text embeddings,
+    summarized to scalar integer signatures for the driver's byte-hash
+    compare (nnz / L1 / max-abs / argmin-bucket are each sensitive to
+    any bucket or sign error; no driver-certified query emits raw array
+    columns, so the full array-level equality is pinned in
+    tests/test_llmdata.py instead)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    emb = textstats.hashed_tf_embed(docs, dim=64)
+    return emb.select(
+        "doc_id",
+        F.expr(
+            "cast(size(filter(embedding, x -> x <> 0)) as bigint)"
+        ).alias("nnz"),
+        F.expr(
+            "aggregate(embedding, 0L, (a, x) -> a + abs(x))"
+        ).alias("l1"),
+        F.expr(
+            "aggregate(embedding, 0L, (a, x) -> greatest(a, abs(x)))"
+        ).alias("max_abs"),
+        F.expr(
+            "cast(array_position(embedding, array_min(embedding)) - 1 "
+            "as bigint)"
+        ).alias("min_bucket"),
+    )
+
+
+def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free semantic dedup over raw TEXT: feature-hashed TF
+    embeddings (hashed_tf_embed) piped into the SemDeDup clustering +
+    within-cluster domination of semantic_dedup — the full composition
+    (hashing, k-means training, assignment, domination) has one exact
+    DuckDB twin. Threshold 0.9: raw-TF prose shares stopword mass, so
+    generic documents sit higher on the cosine scale than model
+    embeddings would (production would idf-weight or use model
+    embeddings; this is the dependency-free baseline)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return similarity.semantic_dedup(
+        textstats.hashed_tf_embed(docs, dim=64),
+        id_col="doc_id", dim=64, n_cells=8, n_iters=2, threshold=0.9,
+    )
+
+
 def _q_string_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -1289,6 +1332,13 @@ _MUST_VERIFY_R07 = [
     # calculator_multivar — untouched code, r05-green, queued for r08
     # behind the seven rows displaced earlier this round).
     "semantic_dedup", "tfidf_topk",
+    # NEW ops r07 (second wave): feature-hashed TF embeddings (scalar
+    # signature projection — no driver row has ever carried an array
+    # column, so the raw-array equality is pytest-pinned instead) and
+    # the model-free text semantic dedup composition over them —
+    # displacing sr_latch and pause_state (untouched, r05-green, r08
+    # queue).
+    "hashed_embed", "text_semantic_dedup",
 ]
 
 # r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
@@ -1311,14 +1361,16 @@ _ROTATE_R07 = [
     "events_funnel", "quality_buckets", "events_session_windows",
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join",
-    "switch", "sr_latch", "pause_state",
+    "switch",
     # (media_switch and video_reformatter were the last two rotation
     # rows, displaced by the two dim-guard re-certifications; the next
     # five — string_concatenator, fn_task, fn_task_stateful,
     # audio_mixer, video_activity_meter — were displaced by the five
     # NULL-text re-certifications; calculator and calculator_multivar
-    # were displaced by the two NEW ops (semantic_dedup, tfidf_topk).
-    # All nine untouched, r05-green, head of the r08 queue.)
+    # were displaced by the two NEW ops (semantic_dedup, tfidf_topk);
+    # sr_latch and pause_state by the second new-op wave (hashed_embed,
+    # text_semantic_dedup). All eleven untouched, r05-green, head of
+    # the r08 queue.)
 ]
 
 
@@ -1379,13 +1431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synchronizer": _q_synchronizer,
         "asof_join": _q_asof_join,
         "switch": _q_switch,
-        "sr_latch": _q_sr_latch,
-        "pause_state": _q_pause_state,
-        # --- r07 window: NEW ops (semantic_dedup, tfidf_topk) — new
-        # code certifies in-window; displaced calculator and
-        # calculator_multivar (untouched, r05-green) to the r08 queue
+        # --- r07 window: NEW ops — new code certifies in-window;
+        # displaced calculator, calculator_multivar, sr_latch and
+        # pause_state (untouched, r05-green) to the r08 queue
         "semantic_dedup": _q_semantic_dedup,
         "tfidf_topk": _q_tfidf_topk,
+        "hashed_embed": _q_hashed_embed,
+        "text_semantic_dedup": _q_text_semantic_dedup,
         # --- r07 window: dim-guard re-certifications (plans changed
         # this round; displaced media_switch/video_reformatter)
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1405,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # head of the r08 queue — then the remaining 16 r05 rows
         "calculator": _q_calculator,
         "calculator_multivar": _q_calculator_multivar,
+        "sr_latch": _q_sr_latch,
+        "pause_state": _q_pause_state,
         "string_concatenator": _q_string_concatenator,
         "fn_task": _q_fn_task,
         "fn_task_stateful": _q_fn_task_stateful,
@@ -2407,6 +2461,23 @@ def oracle_sql() -> dict[str, str]:
             dim=64, n_cells=8, n_iters=2, threshold=0.35
         ),
         "tfidf_topk": textstats.oracle_tfidf_topk_sql(k=5),
+        "hashed_embed": f"""
+            SELECT doc_id,
+              CAST(len(list_filter(embedding, x -> x <> 0)) AS BIGINT)
+                AS nnz,
+              CAST(list_sum(list_transform(embedding, x -> abs(x)))
+                AS BIGINT) AS l1,
+              CAST(list_max(list_transform(embedding, x -> abs(x)))
+                AS BIGINT) AS max_abs,
+              CAST(list_position(embedding, list_min(embedding)) - 1
+                AS BIGINT) AS min_bucket
+            FROM ({textstats.oracle_hashed_tf_embed_sql(dim=64)})
+        """,
+        "text_semantic_dedup": similarity.oracle_semantic_dedup_sql(
+            source_sql=textstats.oracle_hashed_tf_embed_sql(dim=64),
+            id_col="doc_id", dim=64, n_cells=8, n_iters=2,
+            threshold=0.9,
+        ),
         "gate": _GATE_SQL,
         "pause_state": _PAUSE_SQL,
         "switch": _SWITCH_SQL,

@@ -636,3 +636,90 @@ def oracle_tfidf_topk_sql(
     WINDOW w AS (PARTITION BY doc_id ORDER BY __score DESC, token ASC)
     QUALIFY rank <= {k}
     """
+
+
+def hashed_tf_embed(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashed (signed hashing-trick) term-frequency embeddings
+    — Weinberger et al. 2009, "Feature Hashing for Large Scale
+    Multitask Learning": each token maps to bucket
+    ``md5(token)[:7] mod dim`` with sign from the md5's 8th nibble, and
+    the document's embedding is the signed bucket count vector. Output:
+    (``doc_id``, ``embedding`` array<bigint> of length ``dim``).
+
+    This is the model-free bridge from the text tier to the embedding
+    tier: its output drops directly into :func:`~streamtasks_spark.
+    llmdata.similarity.semantic_dedup` / ``cosine_topk`` / the ANN
+    family (their ``array<float|bigint>`` → double cast is exact for
+    counts < 2^53), giving text-level semantic grouping with no
+    inference dependency. The md5-prefix hash is the repo's standard
+    cross-engine hash (same family as the MinHash shingles), so
+    :func:`oracle_hashed_tf_embed_sql` reproduces every bucket and sign
+    bit-exactly in DuckDB.
+
+    100 TB shape: ONE narrow projection — tokens fold into the
+    dim-length vector per row via higher-order functions (md5 computed
+    ONCE per token into a (bucket, sign) struct, then an O(dim)
+    integer update per token); no explode, no shuffle, no pivot. An
+    exchange-based explode→groupBy(doc, bucket) pivot only wins when
+    dim is large enough that the O(dim)-per-token update dominates the
+    avoided shuffle — at embedding dims (64–1024) the narrow fold
+    wins."""
+    toks = f"filter(split({norm_text(text_col, 'spark')}, ' '), t -> t <> '')"
+    pairs = (
+        f"transform({toks}, t -> named_struct("
+        f"'b', pmod(cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint),"
+        f" {dim}), "
+        f"'s', if(pmod(cast(conv(substring(md5(t), 8, 1), 16, 10) as bigint),"
+        f" 2) = 0, 1L, -1L)))"
+    )
+    fold = (
+        f"aggregate({pairs}, "
+        f"array_repeat(0L, {dim}), "
+        f"(acc, p) -> transform(acc, (x, i) -> "
+        f"x + if(p.b = i, p.s, 0L)))"
+    )
+    return spread(docs, id_col).select(
+        F.col(id_col), F.expr(fold).alias("embedding")
+    )
+
+
+def oracle_hashed_tf_embed_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    text_col: str = "text",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`hashed_tf_embed` — same md5-prefix bucket,
+    same sign nibble, same signed-count fold."""
+    return f"""
+    WITH src AS ({source_sql}),
+    tok AS (
+      SELECT doc_id,
+        list_filter(string_split({norm_text(text_col, "duck")}, ' '),
+                    t -> t <> '') AS __toks
+      FROM src
+    ),
+    pairs AS (
+      SELECT doc_id,
+        list_transform(__toks, t -> struct_pack(
+          b := cast('0x' || substr(md5(t), 1, 7) AS BIGINT) % {dim},
+          s := CASE WHEN cast('0x' || substr(md5(t), 8, 1) AS BIGINT) % 2 = 0
+               THEN 1 ELSE -1 END)) AS __ps
+      FROM tok
+    )
+    SELECT doc_id,
+      CASE WHEN __ps IS NULL THEN NULL ELSE
+        -- coalesce turns an empty bucket's NULL sum into 0, but must
+        -- not fire for NULL text: Spark's aggregate(NULL, ...) is
+        -- NULL, so the whole embedding stays NULL there (the CASE)
+        list_transform(range(0, {dim}), i ->
+          coalesce(list_sum(list_transform(
+            list_filter(__ps, p -> p.b = i), p -> p.s)), 0)::BIGINT)
+      END AS embedding
+    FROM pairs
+    """

@@ -1329,3 +1329,98 @@ def test_sem_dedup_index_restart_resumes_identically(spark, tmp_path):
     # and the on-disk kept table matches the union of kept verdicts
     kept = spark.read.parquet(reopened.kept_path)
     assert kept.select("vec_id").distinct().count() == kept.count()
+
+
+def test_hashed_tf_embed_matches_oracle_arrays_and_edges(spark):
+    """hashed_tf_embed (r07): full ARRAY-level equality vs the DuckDB
+    twin (the driver row only sees the scalar signature projection —
+    this is where the raw vectors are pinned), across two dims, plus
+    the NULL/whitespace/empty edge rows the fixed corpus lacks: NULL
+    text → NULL embedding on BOTH engines (the oracle's coalesce must
+    not manufacture a zero vector), whitespace/empty → exact zeros."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import textstats
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    for dim in (16, 64):
+        sdf = (
+            textstats.hashed_tf_embed(docs, dim=dim)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        odf = (
+            con.execute(textstats.oracle_hashed_tf_embed_sql(dim=dim))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf) == docs.count()
+        for a, b in zip(sdf["embedding"], odf["embedding"]):
+            assert list(a) == list(b)
+            assert len(a) == dim
+        # non-degenerate: some doc has a nonzero vector
+        assert any(any(x != 0 for x in a) for a in sdf["embedding"])
+
+    edge = spark.createDataFrame(
+        [(0, "hello world hello"), (1, None), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in textstats.hashed_tf_embed(edge, dim=8).collect()
+    }
+    con.execute("CREATE TABLE edge_docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO edge_docs VALUES (?, ?)",
+        [(0, "hello world hello"), (1, None), (2, "   "), (3, "")],
+    )
+    want = {
+        r[0]: (None if r[1] is None else list(r[1]))
+        for r in con.execute(textstats.oracle_hashed_tf_embed_sql(
+            source_sql="SELECT doc_id, text FROM edge_docs", dim=8,
+        )).fetchall()
+    }
+    for k in got:
+        g = None if got[k] is None else list(got[k])
+        assert g == want[k], (k, g, want[k])
+    assert got[1] is None  # NULL text stays NULL
+    assert list(got[2]) == [0] * 8  # whitespace-only → zero vector
+    # repeated token accumulates: 'hello' twice has |weight| 2
+    assert max(abs(x) for x in got[0]) == 2
+
+
+def test_text_semantic_dedup_composition_matches_oracle(spark):
+    """The model-free text semantic dedup composition (hashed TF
+    embeddings → k-means → within-cluster domination) is bit-exact
+    against the single composed DuckDB statement at a non-entry
+    parameterization (param-hardcoding guard)."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import similarity, textstats
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    sdf = (
+        similarity.semantic_dedup(
+            textstats.hashed_tf_embed(docs, dim=32),
+            id_col="doc_id", dim=32, n_cells=4, n_iters=1, threshold=0.85,
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    odf = (
+        con.execute(similarity.oracle_semantic_dedup_sql(
+            source_sql=textstats.oracle_hashed_tf_embed_sql(dim=32),
+            id_col="doc_id", dim=32, n_cells=4, n_iters=1, threshold=0.85,
+        )).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(sdf) == len(odf)
+    assert (sdf.values == odf.values).all()
+    assert (~sdf["keep"]).any() and sdf["keep"].any()

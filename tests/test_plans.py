@@ -702,3 +702,23 @@ def test_tfidf_topk_partial_aggs_and_broadcasts_only_scalar_n(psession):
     assert re.search(r"partial_count", plan), plan[:900]
     tok_join = re.search(r"(\w+Join) \[token", plan)
     assert tok_join and "Broadcast" not in tok_join.group(1), plan[:900]
+
+
+def test_hashed_tf_embed_is_narrow_single_projection(psession):
+    """hashed_tf_embed's scale contract: the hashing-trick fold is ONE
+    narrow projection — no explode, no shuffle, no aggregation (an
+    explode→groupBy(doc, bucket)→pivot formulation would exchange a
+    row per token occurrence; at 100 TB that's the corpus re-shuffled
+    by its token count)."""
+    from streamtasks_spark.llmdata import textstats
+
+    docs = psession.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(textstats.hashed_tf_embed(docs))
+    # the only exchange is spread()'s doc-id repartition (a local
+    # single-file-scan artifact, no-op-sized on a cluster; SCALE.md)
+    # moving ONE fixed-width row per document — never a per-token
+    # exchange (no explode precedes it) and no aggregation at all
+    assert plan.count("Exchange") == 1, plan[:900]
+    assert "REPARTITION_BY_NUM" in plan, plan[:900]
+    assert "Generate" not in plan, plan[:900]  # no explode
+    assert "Aggregate" not in plan, plan[:900]
