@@ -951,6 +951,16 @@ def train_centroids(
     # cell -> component list; repr() round-trips doubles exactly, so the
     # inlined literals are bit-identical to the driver values
     cents: dict[int, list[float]] = {r["__cell"]: list(r["__v"]) for r in seed}
+    if not cents:
+        # every id < n_cells is NULL/zero-norm (possible on adversarial
+        # corpora): an empty codebook would otherwise surface as a
+        # malformed argmax expression (Spark) vs silently-empty output
+        # (a SQL twin) — the worst kind of asymmetry. Fail loudly.
+        raise ValueError(
+            f"train_centroids: no nonzero-norm vectors with {id_col} < "
+            f"{n_cells} to seed the codebook — pass a pre-trained "
+            f"centroids table or re-id the corpus"
+        )
 
     def lit_arr(xs: list[float]) -> str:
         return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
@@ -1119,6 +1129,12 @@ def _argmax_cell_expr(cents: dict[int, tuple[list[float], float]]) -> str:
     assignment path shared by :func:`semantic_dedup` and
     :class:`SemDedupIndex`; same arithmetic and tie-break (max score,
     then LOWEST cell) as train_centroids' training iterations."""
+    if not cents:
+        raise ValueError(
+            "empty codebook: nothing to assign against (see "
+            "train_centroids' seeding contract)"
+        )
+
     def lit_arr(xs: list[float]) -> str:
         return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
 

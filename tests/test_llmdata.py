@@ -1424,3 +1424,23 @@ def test_text_semantic_dedup_composition_matches_oracle(spark):
     assert len(sdf) == len(odf)
     assert (sdf.values == odf.values).all()
     assert (~sdf["keep"]).any() and sdf["keep"].any()
+
+
+def test_train_centroids_empty_seed_raises_loudly(spark):
+    """If every id < n_cells is NULL/zero-norm (adversarial corpora can
+    do this), the codebook would be empty — which must raise a clear
+    ValueError on the DRIVER, not surface as a malformed argmax
+    expression vs a silently-empty SQL twin."""
+    import pytest as _pytest
+
+    from streamtasks_spark.llmdata import similarity
+
+    vecs = spark.createDataFrame(
+        [(0, None), (1, [0.0] * 4), (8, [1.0, 0.0, 0.0, 0.0]),
+         (9, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="seed the codebook"):
+        similarity.train_centroids(vecs, n_cells=2, n_iters=1)
+    with _pytest.raises(ValueError, match="empty codebook"):
+        similarity._argmax_cell_expr({})
