@@ -1033,10 +1033,18 @@ def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin. Threshold 0.9: raw-TF prose shares stopword mass, so
     generic documents sit higher on the cosine scale than model
     embeddings would (production would idf-weight or use model
-    embeddings; this is the dependency-free baseline)."""
+    embeddings; this is the dependency-free baseline).
+
+    The embed is pin()ned before semantic_dedup: k-means training
+    scans its input once per iteration and the pairing scans it twice
+    more — without the pin the whole hashing projection re-runs per
+    scan (Spark has no cross-branch CSE). The pinned table is the
+    derived dim-64 sketch, corpus-row-sized but narrow."""
+    from streamtasks_spark.llmdata.dedup import pin
+
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return similarity.semantic_dedup(
-        textstats.hashed_tf_embed(docs, dim=64),
+        pin(textstats.hashed_tf_embed(docs, dim=64)),
         id_col="doc_id", dim=64, n_cells=8, n_iters=2, threshold=0.9,
     )
 
