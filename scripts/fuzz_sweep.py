@@ -22,6 +22,10 @@ Usage:
       # outcome is 7 ERR lines naming the dim mismatch and ZERO silent
       # FAIL lines (the r07 pre-guard state was 15 silent FAILs at
       # dim 3 and one oracle-truncation FAIL at dim 512)
+  python scripts/fuzz_sweep.py --unicode            # docs tier only:
+      # half the prose tokens drawn from UNI_WORDS (Σ/İ special
+      # casing, CJK, emoji, combining marks, NBSP/ZWSP-in-token —
+      # the UNICODE axis; found the r07 norm_text case-fold bug)
   python scripts/fuzz_sweep.py --scale 10           # 10x corpora: docs/
       # events/vectors get 10x rows, tpch mutates the sf0.01 base
       # instead of sf0.001 — the volume axis that stresses percentile
@@ -87,11 +91,12 @@ def write_one(d: str, name: str, schema, rows) -> None:
 
 
 def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1,
-             dim: int = 64) -> str:
+             dim: int = 64, unicode_frac: float = 0.0) -> str:
     d = tempfile.mkdtemp(prefix=f"fz_{tier}{seed}_")
     if tier == "docs":
         write_one(d, "documents", DOC_SCHEMA,
-                  make_corpus(seed, n=80 * scale, doc_len=doc_len))
+                  make_corpus(seed, n=80 * scale, doc_len=doc_len,
+                              unicode_frac=unicode_frac))
     elif tier == "events":
         write_one(d, "events", EV_SCHEMA,
                   make_events(seed, n=400 * scale))
@@ -122,6 +127,7 @@ def main() -> int:
     scale = 1
     doc_len = 1
     dim = 64
+    unicode_frac = 0.0
 
     def flag_value(argv, i):
         """Support both --flag=v and --flag v (the usage shows both)."""
@@ -154,6 +160,9 @@ def main() -> int:
         elif is_flag(argv[i], "--dim"):
             v, i = flag_value(argv, i)
             dim = int(v)
+        elif argv[i] == "--unicode":
+            unicode_frac = 0.5
+            i += 1
         else:
             raise SystemExit(f"unknown argument: {argv[i]}")
 
@@ -166,7 +175,7 @@ def main() -> int:
     n_fail = 0
     for tier in tiers:
         for seed in seeds:
-            d = make_dir(tier, seed, scale, doc_len, dim)
+            d = make_dir(tier, seed, scale, doc_len, dim, unicode_frac)
             con = duck_conn(d)
             ran = 0
             for name, fn in qs.items():

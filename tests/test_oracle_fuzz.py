@@ -16,8 +16,13 @@ Alphabet notes (deliberate exclusions, documented margins):
 - no ``\\x0b``/``\\x0c``: Java ``\\s`` includes vertical tab, RE2's does
   not — the normalize step would legitimately diverge. Real corpora are
   cleaned of these before ingestion.
-- accented latin (é à ü ß) is included — lower() agrees across engines;
-  full-unicode case folding (İ, Σ) is out of scope for the oracle pair.
+- accented latin (é à ü ß) is included — lower() agrees across engines.
+- full-unicode case folding (İ, Σ), CJK, emoji, combining marks, and
+  exotic whitespace are the UNICODE axis (``unicode_frac``): r07's
+  campaign found Java's SpecialCasing lower (final sigma, İ→i+U+0307)
+  diverging from DuckDB's simple utf8proc mapping on every text query;
+  norm_text now pre-maps both triggers, and one committed fuzz_dirs
+  corpus keeps the axis exercised.
 """
 
 from __future__ import annotations
@@ -42,13 +47,32 @@ WORDS = [
 ]
 PUNCT = list(".,;:!?()[]'\"")
 
+# the unicode axis: Unicode SpecialCasing triggers (Σ final-sigma
+# context, İ U+0130), CJK (no case), emoji (astral plane), cyrillic
+# (1:1 case map), combining vs precomposed accents, and exotic
+# whitespace INSIDE tokens (NBSP / ZWSP / ideographic space — none
+# match \s in either engine, so they must ride through normalization
+# untouched)
+UNI_WORDS = [
+    "ΣΤΟΠ", "ΤΕΛΟΣ", "Σ", "σς", "İstanbul", "DİYARBAKIR", "ııı",
+    "歌詞テキスト", "漢字", "🦑🔥", "ПРАВДА", "русский",
+    "éclair", "éclair", "ÅNGSTRÖM", "ångström", "ẞ", "ß",
+    "nb sp", "zero​width", "ideo　space",
+]
 
-def make_corpus(seed: int, n: int = 60, doc_len: int = 1) -> list[tuple]:
+
+def make_corpus(seed: int, n: int = 60, doc_len: int = 1,
+                unicode_frac: float = 0.0) -> list[tuple]:
     """``doc_len`` multiplies the token-count range of the prose kinds
     (the LENGTH volume axis — shingle-set size, substring-gram count,
     token-histogram mass per doc — orthogonal to the row-count axis
     ``n``). The degenerate kinds (empty/whitespace/punct/single-token)
-    stay short by design: their point is the boundary, not the bulk."""
+    stay short by design: their point is the boundary, not the bulk.
+
+    ``unicode_frac`` draws that fraction of prose tokens from
+    UNI_WORDS (the UNICODE axis). The extra RNG draws are gated behind
+    ``if unicode_frac`` so the default keeps every previously-pinned
+    seed's corpus byte-identical."""
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -70,7 +94,12 @@ def make_corpus(seed: int, n: int = 60, doc_len: int = 1) -> list[tuple]:
             text = "".join(rng.choice(PUNCT) for _ in range(rng.randrange(1, 30)))
         else:
             k = rng.randrange(3, 40 * doc_len)
-            toks = [rng.choice(WORDS) for _ in range(k)]
+            toks = [
+                rng.choice(UNI_WORDS)
+                if unicode_frac and rng.random() < unicode_frac
+                else rng.choice(WORDS)
+                for _ in range(k)
+            ]
             # random whitespace runs between tokens
             seps = [rng.choice([" ", "  ", "\t", "\n", " \t "]) for _ in toks]
             text = "".join(t + s for t, s in zip(toks, seps))
@@ -107,9 +136,12 @@ def fuzz_dirs(tmp_path_factory):
         ]
     )
     dirs = []
-    for seed in (7, 23, 99):
+    # seed 311 runs the UNICODE axis (half the prose tokens from
+    # UNI_WORDS) — the committed leg of the r07 campaign that found
+    # the Σ/İ SpecialCasing divergence in norm_text
+    for seed, ufrac in ((7, 0.0), (23, 0.0), (99, 0.0), (311, 0.5)):
         d = tmp_path_factory.mktemp(f"fuzz{seed}")
-        cols = list(zip(*make_corpus(seed)))
+        cols = list(zip(*make_corpus(seed, unicode_frac=ufrac)))
         table = pa.table(
             {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
         )
