@@ -883,6 +883,21 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.quality_filter(docs)
 
 
+def _q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep):
+    32-token chunks every 24 tokens, last chunk short, zero-token and
+    NULL docs emit nothing."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return pipeline.doc_chunk(docs, window=32, stride=24)
+
+
+def _q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (CCNet-style filter,
+    log-free for cross-engine bit-exactness — see quality.unigram_lm)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return quality.unigram_lm(docs, vocab_size=256)
+
+
 def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return quality.source_stats(docs)
@@ -1357,6 +1372,11 @@ _MUST_VERIFY_R07 = [
     # displacing synchronizer/asof_join/switch (untouched, r05-green,
     # r08 queue).
     "ngram_jaccard", "dedup_components", "dedup_retention",
+    # NEW ops r07 (third wave): overlapping token-window chunking and
+    # the corpus-trained log-free unigram-LM quality score — displacing
+    # orders_without_lineitems and customers_with_orders_semi
+    # (untouched, r05-green, r08 queue).
+    "doc_chunk", "unigram_lm",
 ]
 
 # r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
@@ -1377,8 +1397,7 @@ _ROTATE_R07 = [
     # 24 oldest r05-green rows (r05 window order)
     "stretch_align", "dedup_recall", "ann_ivf_trained",
     "events_funnel", "quality_buckets", "events_session_windows",
-    "set_ops", "top_customers_per_nation", "orders_without_lineitems",
-    "customers_with_orders_semi",
+    "set_ops", "top_customers_per_nation",
     # (media_switch and video_reformatter were the last two rotation
     # rows, displaced by the two dim-guard re-certifications; the next
     # five — string_concatenator, fn_task, fn_task_stateful,
@@ -1387,8 +1406,10 @@ _ROTATE_R07 = [
     # were displaced by the two NEW ops (semantic_dedup, tfidf_topk);
     # sr_latch and pause_state by the second new-op wave (hashed_embed,
     # text_semantic_dedup); synchronizer, asof_join and switch by the
-    # three norm_text unicode-fold re-certifications. All fourteen
-    # untouched, r05-green, head of the r08 queue.)
+    # three norm_text unicode-fold re-certifications;
+    # orders_without_lineitems and customers_with_orders_semi by the
+    # third new-op wave (doc_chunk, unigram_lm). All sixteen untouched,
+    # r05-green, head of the r08 queue.)
 ]
 
 
@@ -1448,8 +1469,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_windows": rel(rq.events_session_windows),
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
-        "orders_without_lineitems": rel(rq.orders_without_lineitems),
-        "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
+        # --- r07 window: third new-op wave — doc_chunk (overlapping
+        # token-window chunking) and unigram_lm (corpus-trained
+        # log-free LM quality score); new code certifies in-window,
+        # displacing orders_without_lineitems and
+        # customers_with_orders_semi (untouched, r05-green, r08 queue)
+        "doc_chunk": _q_doc_chunk,
+        "unigram_lm": _q_unigram_lm,
         # --- r07 window: norm_text unicode-case-fold re-certifications
         # (the r07 unicode fuzz axis found Spark's SpecialCasing lower
         # diverging from DuckDB's simple mapping on Σ/İ; norm_text now
@@ -1483,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------- first entry PAST the driver's 50-query window -------
         # displaced rotation rows (untouched code, r05-green) — the
         # head of the r08 queue — then the remaining 16 r05 rows
+        "orders_without_lineitems": rel(rq.orders_without_lineitems),
+        "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
         "synchronizer": _q_synchronizer,
         "asof_join": _q_asof_join,
         "switch": _q_switch,
@@ -2469,6 +2497,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": quality.oracle_doc_repetition_sql(),
         "quality_filter": quality.oracle_quality_filter_sql(),
         "source_stats": quality.oracle_source_stats_sql(),
+        "unigram_lm": quality.oracle_unigram_lm_sql(vocab_size=256),
+        "doc_chunk": pipeline.oracle_doc_chunk_sql(window=32, stride=24),
         "decontaminate": pipeline.oracle_decontaminate_sql(),
         "stratified_sample": pipeline.oracle_stratified_sample_sql(),
         "split_assign": pipeline.oracle_split_assign_sql(),

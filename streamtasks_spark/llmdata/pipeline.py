@@ -251,6 +251,102 @@ def oracle_pack_sequences_sql(
     """
 
 
+# ----------------------------------------------------------- doc_chunk
+
+def doc_chunk(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the complement of
+    :func:`pack_sequences`: where packing lays documents end-to-end
+    into fixed training sequences, chunking cuts each document into
+    ``window``-token pieces every ``stride`` tokens (overlap =
+    ``window - stride``), the layout RAG indexing and
+    long-document-to-context-window preprocessing use. Output: one row
+    per chunk — (id, ``chunk_id``, ``n_chunk_tokens``, ``chunk_text``)
+    — covering every token; the last chunk may be shorter. Documents
+    with NULL text or zero tokens produce no rows.
+
+    100 TB shape: a single narrow stage — tokenize, compute the chunk
+    count arithmetically, explode a ``sequence`` of chunk ids, and
+    ``slice`` the token array per chunk. No shuffle at all (explode is
+    narrow); output size is the op's own fan-out, ~``n/stride`` rows
+    per document. Chunk membership depends only on the document's own
+    tokens, so the op composes with any upstream filter without
+    re-partitioning."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError(
+            f"need 0 < stride <= window, got window={window} stride={stride}"
+        )
+    toks = f"filter(split({norm_text(text_col)}, ' '), t -> t <> '')"
+    # ceil((n - window) / stride) + 1 in integer math, clamped at 1
+    n_chunks = (
+        f"(greatest(size(__toks) - {window}, 0) + {stride - 1}) "
+        f"div {stride} + 1"
+    )
+    return (
+        spread(docs, id_col)
+        .select(F.col(id_col), F.expr(toks).alias("__toks"))
+        .filter(F.expr("size(__toks) > 0"))  # NULL size is -1 in Spark
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("__c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__c").cast("bigint").alias("chunk_id"),
+            F.expr(f"slice(__toks, __c * {stride} + 1, {window})").alias("__sl"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.expr("cast(size(__sl) as bigint)").alias("n_chunk_tokens"),
+            F.expr("array_join(__sl, ' ')").alias("chunk_text"),
+        )
+    )
+
+
+def oracle_doc_chunk_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> str:
+    """DuckDB twin of :func:`doc_chunk` — same token filter, same
+    ceil-div chunk count, same clamped slice (list_slice clamps the end
+    index past the list length, matching Spark slice's length cap)."""
+    return f"""
+    WITH src AS ({source_sql}),
+    t AS (
+      SELECT {id_col},
+        list_filter(string_split({norm_text(text_col, "duck")}, ' '),
+                    x -> x <> '') AS __toks
+      FROM src
+    ),
+    nz AS (
+      SELECT {id_col}, __toks,
+        (greatest(len(__toks) - {window}, 0) + {stride - 1})
+          // {stride} + 1 AS __nc
+      FROM t WHERE len(__toks) > 0
+    )
+    SELECT {id_col},
+      CAST(c AS BIGINT) AS chunk_id,
+      CAST(len(list_slice(__toks, c * {stride} + 1,
+                          c * {stride} + {window})) AS BIGINT)
+        AS n_chunk_tokens,
+      array_to_string(list_slice(__toks, c * {stride} + 1,
+                                 c * {stride} + {window}), ' ')
+        AS chunk_text
+    FROM nz, unnest(range(0, __nc)) AS u(c)
+    """
+
+
 # ---------------------------------------------------------- mix_sample
 
 def _mix_quotas(

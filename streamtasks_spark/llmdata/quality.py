@@ -301,6 +301,165 @@ def oracle_quality_filter_sql(
     """
 
 
+def unigram_lm(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Corpus-derived unigram language-model quality score — the
+    model-free stand-in for CCNet's KenLM perplexity filter (Wenzek et
+    al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): train a unigram LM on the corpus itself (token →
+    count, vocabulary = top ``vocab_size`` tokens), then score each
+    document by its mean in-vocabulary token probability. Output per
+    document: ``n_tokens``, ``oov_count``, ``oov_ratio``, and ``score``
+    = (Σ count(tok) for in-vocab toks) / (n_tokens · T) where T is the
+    corpus token total — OOV tokens contribute zero mass, so junk text
+    scores near 0 and stopword-dense prose scores high, the same
+    ordering a perplexity filter produces. NULL text → all-NULL row;
+    zero-token docs keep n_tokens = 0 with NULL ratios.
+
+    Bit-exactness note (why no log-probs): ``ln`` is not an
+    exactly-rounded IEEE op and diverges between the JVM and DuckDB on
+    ~13% of inputs (measured), so the score stays in
+    integer-sum-then-two-divisions form — integer sums are
+    order-independent and each double division is correctly rounded,
+    making the whole score bit-reproducible across engines and across
+    partitionings. Monotonicity vs the log formulation differs (this is
+    an arithmetic, not geometric, mean) but the filtering use is the
+    same: threshold the low tail.
+
+    100 TB shape: token counting is one explode + one groupBy(token)
+    shuffle with map-side combine; the vocabulary and the scalar T are
+    a codebook-sized driver pull (the train_centroids legitimacy
+    class, ≤ vocab_size rows); scoring re-joins the exploded corpus to
+    the BROADCAST vocabulary (never a shuffle of the token stream) and
+    re-aggregates per document with partial aggregation — the
+    decontaminate shape. The in-vocab mass accumulates in
+    DECIMAL(38,0): a document's sum of counts is bounded by
+    n_tokens · T ≈ 1e6 · 1e13 at the 100 TB envelope, past int64."""
+    from streamtasks_spark.llmdata.dedup import pin
+
+    toks = f"filter(split({norm_text(text_col)}, ' '), t -> t <> '')"
+    base = pin(
+        spread(docs, id_col).select(F.col(id_col), F.expr(toks).alias("__toks"))
+    )
+    counts = pin(
+        base.select(F.explode("__toks").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    total = counts.agg(
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("t")
+    ).first()["t"]
+    total = int(total) if total is not None else 0
+    vocab_rows = (
+        counts.orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    spark = docs.sparkSession
+    vocab = spark.createDataFrame(
+        [(r["__t"], r["__c"]) for r in vocab_rows] or [(None, None)],
+        "__t string, __c bigint",
+    ).filter(F.col("__t").isNotNull())
+    ex = base.select(
+        F.col(id_col),
+        F.col("__toks").isNull().alias("__nul"),
+        F.explode_outer("__toks").alias("__t"),
+    )
+    per = (
+        ex.join(F.broadcast(vocab), "__t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("__nul").alias("__nul"),
+            F.count("__t").alias("__n"),
+            F.sum(
+                F.coalesce(F.col("__c"), F.lit(0)).cast("decimal(38,0)")
+            ).alias("__s"),
+            F.count(
+                F.when(F.col("__t").isNotNull() & F.col("__c").isNull(), 1)
+            ).alias("__oov"),
+        )
+    )
+    nul = F.col("__nul")
+    nz = nul | (F.col("__n") == 0)
+    return per.select(
+        F.col(id_col),
+        F.when(~nul, F.col("__n")).alias("n_tokens"),
+        F.when(~nul, F.col("__oov")).alias("oov_count"),
+        F.when(
+            ~nz,
+            F.col("__oov").cast("double") / F.col("__n").cast("double"),
+        ).alias("oov_ratio"),
+        F.when(
+            ~nz,
+            (F.col("__s").cast("double") / F.col("__n").cast("double"))
+            / F.lit(float(total) if total else None),
+        ).alias("score"),
+    )
+
+
+def oracle_unigram_lm_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> str:
+    """DuckDB twin of :func:`unigram_lm` — same vocabulary tie-break
+    (count desc, token asc: UTF-8 byte order ≡ codepoint order in both
+    engines), same integer mass sums, same division sequence
+    ``(Σc / n) / T`` so every double op is the identical correctly-
+    rounded operation."""
+    return f"""
+    WITH src AS ({source_sql}),
+    t AS (
+      SELECT {id_col},
+        list_filter(string_split({norm_text(text_col, "duck")}, ' '),
+                    x -> x <> '') AS __toks
+      FROM src
+    ),
+    ex AS (
+      SELECT {id_col}, u.t AS __t
+      FROM t, unnest(__toks) AS u(t)
+    ),
+    counts AS (
+      SELECT __t, CAST(count(*) AS BIGINT) AS __c FROM ex GROUP BY __t
+    ),
+    total AS (
+      SELECT CAST(coalesce(sum(__c), 0) AS DOUBLE) AS __T FROM counts
+    ),
+    vocab AS (
+      SELECT __t, __c FROM counts
+      ORDER BY __c DESC, __t ASC LIMIT {vocab_size}
+    ),
+    scored AS (
+      SELECT ex.{id_col},
+        CAST(count(*) AS BIGINT) AS __n,
+        CAST(sum(coalesce(v.__c, 0)) AS DOUBLE) AS __s,
+        CAST(sum(CASE WHEN v.__t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS __oov
+      FROM ex LEFT JOIN vocab v ON ex.__t = v.__t
+      GROUP BY ex.{id_col}
+    )
+    SELECT t.{id_col},
+      CASE WHEN t.__toks IS NULL THEN NULL
+           ELSE coalesce(s.__n, 0) END AS n_tokens,
+      CASE WHEN t.__toks IS NULL THEN NULL
+           ELSE coalesce(s.__oov, 0) END AS oov_count,
+      CASE WHEN t.__toks IS NULL OR s.__n IS NULL THEN NULL
+           ELSE CAST(s.__oov AS DOUBLE) / CAST(s.__n AS DOUBLE)
+      END AS oov_ratio,
+      CASE WHEN t.__toks IS NULL OR s.__n IS NULL THEN NULL
+           ELSE (s.__s / CAST(s.__n AS DOUBLE))
+                / (SELECT __T FROM total)
+      END AS score
+    FROM t LEFT JOIN scored s USING ({id_col})
+    """
+
+
 def source_stats(
     docs: DataFrame,
     *,

@@ -1444,3 +1444,92 @@ def test_train_centroids_empty_seed_raises_loudly(spark):
         similarity.train_centroids(vecs, n_cells=2, n_iters=1)
     with _pytest.raises(ValueError, match="empty codebook"):
         similarity._argmax_cell_expr({})
+
+
+def test_doc_chunk_covers_every_token_with_exact_overlap(spark):
+    """Property: doc_chunk's windows cover all n tokens in order —
+    chunk c holds tokens [c*stride, min(c*stride+window, n)), the last
+    chunk is never empty, and re-splicing chunk texts at the stride
+    boundary reconstructs the normalized document. Degenerate docs
+    (NULL / empty / whitespace-only) emit nothing."""
+    from streamtasks_spark.llmdata import pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(57))),   # partial tail
+            (1, " ".join(f"t{i}" for i in range(8))),    # single chunk
+            (2, " ".join(f"t{i}" for i in range(48))),   # exact 2 windows
+            (3, None), (4, ""), (5, " \t\n "),
+            (6, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    W, S = 16, 12
+    out = (
+        pipeline.doc_chunk(docs, window=W, stride=S)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    assert not [r for r in out if r["doc_id"] in (3, 4, 5)]
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    lens = {0: 57, 1: 8, 2: 48, 6: 1}
+    for doc_id, rows in by_doc.items():
+        n = lens[doc_id]
+        toks = [f"t{i}" for i in range(n)] if n > 1 else ["one"]
+        expect_chunks = (max(n - W, 0) + S - 1) // S + 1
+        assert len(rows) == expect_chunks, (doc_id, len(rows))
+        for r in rows:
+            c = r["chunk_id"]
+            want = toks[c * S: c * S + W]
+            assert r["chunk_text"].split(" ") == want, (doc_id, c)
+            assert r["n_chunk_tokens"] == len(want) > 0
+        # stride-splice reconstruction: first chunk + tail of each next
+        rebuilt = rows[0]["chunk_text"].split(" ")
+        for r in rows[1:]:
+            rebuilt += r["chunk_text"].split(" ")[len(rebuilt) - r["chunk_id"] * S:]
+        assert rebuilt == toks
+
+
+def test_doc_chunk_rejects_bad_geometry(spark):
+    import pytest as _pytest
+
+    from streamtasks_spark.llmdata import pipeline
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    for w, s in ((4, 5), (0, 1), (4, 0)):
+        with _pytest.raises(ValueError, match="stride"):
+            pipeline.doc_chunk(docs, window=w, stride=s)
+
+
+def test_unigram_lm_edges_and_score_semantics(spark):
+    """NULL text → all-NULL row; zero-token doc → n_tokens 0 with NULL
+    ratios; an all-OOV doc scores exactly 0.0; a doc made purely of the
+    corpus's dominant tokens outscores a rarer-token doc; every score
+    sits in [0, 1] and oov_ratio is exact."""
+    from streamtasks_spark.llmdata import quality
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the the cat"),       # dominant-token heavy
+            (1, "cat sat mat"),                # mid
+            # all OOV at vocab_size 4: the count-1 tie-break is token
+            # ASC, so "mat"/"sat" claim the last two vocab slots and
+            # "yyy"/"zzz" fall outside
+            (2, "zzz yyy"),
+            (3, None), (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in quality.unigram_lm(docs, vocab_size=4).collect()
+    }
+    assert rows[3]["n_tokens"] is None and rows[3]["score"] is None
+    assert rows[4]["n_tokens"] == 0 and rows[4]["score"] is None
+    assert rows[2]["score"] == 0.0 and rows[2]["oov_ratio"] == 1.0
+    assert rows[0]["score"] > rows[1]["score"] > 0.0
+    for r in (rows[0], rows[1], rows[2]):
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["oov_count"] == round(r["oov_ratio"] * r["n_tokens"])

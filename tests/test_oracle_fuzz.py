@@ -166,6 +166,9 @@ DOC_QUERIES = [
     # "None" and the image stubs crashing on a NULL payload (r07)
     "tts_synthesize", "text_renderer",
     "image_decode", "image_resize", "image_features",
+    # r07 third new-op wave: chunking fan-out and the corpus-trained
+    # unigram-LM score (vocabulary ties, OOV mass, zero-token edges)
+    "doc_chunk", "unigram_lm",
 ]
 
 

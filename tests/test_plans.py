@@ -593,6 +593,37 @@ def test_corpus_prepare_broadcasts_only_drop_lists(psession):
     assert plan.count("BroadcastHashJoin") >= 3, plan[:900]
 
 
+def test_doc_chunk_is_narrow_explode_no_shuffle(psession):
+    """doc_chunk's scale contract: tokenize → chunk-count arithmetic →
+    explode → slice is all narrow — the ONLY exchange is spread()'s
+    single-file repartition artifact, and there is no aggregation or
+    join anywhere (chunk membership depends only on the row itself)."""
+    from streamtasks_spark.llmdata import pipeline
+
+    docs = psession.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(pipeline.doc_chunk(docs))
+    assert plan.count("Exchange") == 1, plan[:900]
+    assert "Generate" in plan  # the chunk-id explode IS the op's fan-out
+    assert "Aggregate" not in plan, plan[:900]
+    assert "Join" not in plan, plan[:900]
+
+
+def test_unigram_lm_broadcasts_vocab_never_shuffles_tokens_twice(psession):
+    """unigram_lm's scale contract: the scoring pass joins the exploded
+    token stream to the BROADCAST vocabulary (never a shuffle keyed on
+    token for scoring) and re-aggregates per doc with map-side partial
+    aggregation; no cartesian/nested-loop join, no Python."""
+    from streamtasks_spark.llmdata import quality
+
+    docs = psession.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(quality.unigram_lm(docs, vocab_size=16))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"BroadcastHashJoin \[__t", plan), plan[:900]
+    assert re.search(r"partial_(count|max|sum)", plan), plan[:900]
+
+
 def test_shuffle_shards_window_is_per_shard_not_global(psession):
     """The training-shuffle addressing must window PER SHARD — a global
     row_number (empty partition spec) would funnel the corpus through
