@@ -1430,7 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshness goal (no row older than r05) still holds. The tail
     # stays ordered oldest-first (displaced r05 rows, remaining r05
     # rows, then the r06-certified rows in their r06 window order) so
-    # r08 keeps rotating the same way; all 120 stay covered by the
+    # r08 keeps rotating the same way; all 122 stay covered by the
     # bit-level compare in scripts/check_oracle.py locally.
     q = {
         # --- r07 window: 26 r04-green rows, oldest-first

@@ -72,6 +72,9 @@ def probe_ops(spark, docs):
     yield "quality_buckets", lambda: textstats.quality_buckets(docs), n
     ev = docs.filter(F.col("doc_id") % 25 == 7)
     yield "corpus_prepare", lambda: pipeline.corpus_prepare(docs, ev), n
+    yield "doc_chunk", lambda: pipeline.doc_chunk(docs), n
+    from streamtasks_spark.llmdata import quality
+    yield "unigram_lm", lambda: quality.unigram_lm(docs), n
 
 
 def replicate_vectors(spark, factor: int):
