@@ -1377,6 +1377,13 @@ _MUST_VERIFY_R07 = [
     # orders_without_lineitems and customers_with_orders_semi
     # (untouched, r05-green, r08 queue).
     "doc_chunk", "unigram_lm",
+    # impl+oracle changed r07 (review finding): source_stats
+    # (_words_expr) and pack_sequences (token count) also consume
+    # norm_text, so the unicode fold changed their plans too — the
+    # original "only three affected outside the window" claim missed
+    # them. Displacing set_ops and top_customers_per_nation
+    # (untouched, r05-green, r08 queue).
+    "source_stats", "pack_sequences",
 ]
 
 # r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
@@ -1397,7 +1404,6 @@ _ROTATE_R07 = [
     # 24 oldest r05-green rows (r05 window order)
     "stretch_align", "dedup_recall", "ann_ivf_trained",
     "events_funnel", "quality_buckets", "events_session_windows",
-    "set_ops", "top_customers_per_nation",
     # (media_switch and video_reformatter were the last two rotation
     # rows, displaced by the two dim-guard re-certifications; the next
     # five — string_concatenator, fn_task, fn_task_stateful,
@@ -1408,8 +1414,10 @@ _ROTATE_R07 = [
     # text_semantic_dedup); synchronizer, asof_join and switch by the
     # three norm_text unicode-fold re-certifications;
     # orders_without_lineitems and customers_with_orders_semi by the
-    # third new-op wave (doc_chunk, unigram_lm). All sixteen untouched,
-    # r05-green, head of the r08 queue.)
+    # third new-op wave (doc_chunk, unigram_lm); set_ops and
+    # top_customers_per_nation by the review-found norm_text
+    # re-certifications (source_stats, pack_sequences). All eighteen
+    # untouched, r05-green, head of the r08 queue.)
 ]
 
 
@@ -1467,8 +1475,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": rel(rq.events_funnel),
         "quality_buckets": _q_quality_buckets,
         "events_session_windows": rel(rq.events_session_windows),
-        "set_ops": rel(rq.union_intersect_except),
-        "top_customers_per_nation": rel(rq.top_customers_per_nation),
+        # --- r07 window: the review pass found two MORE norm_text
+        # consumers whose plans+oracles changed with the unicode fold
+        # (source_stats via _words_expr, pack_sequences via its token
+        # count) — certifying in-window, displacing set_ops and
+        # top_customers_per_nation (untouched, r05-green, r08 queue)
+        "source_stats": _q_source_stats,
+        "pack_sequences": _q_pack_sequences,
         # --- r07 window: third new-op wave — doc_chunk (overlapping
         # token-window chunking) and unigram_lm (corpus-trained
         # log-free LM quality score); new code certifies in-window,
@@ -1509,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------- first entry PAST the driver's 50-query window -------
         # displaced rotation rows (untouched code, r05-green) — the
         # head of the r08 queue — then the remaining 16 r05 rows
+        "set_ops": rel(rq.union_intersect_except),
+        "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
         "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
         "synchronizer": _q_synchronizer,
@@ -1571,12 +1586,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_stats": rel(rq.events_sliding_stats),
         "events_rollup": rel(rq.events_rollup),
         "events_anomaly": rel(rq.events_anomaly),
-        "source_stats": _q_source_stats,
         # (embedding_near_dup / embedding_dup_classes moved into the
-        # r07 window above — dim-guard plan change)
+        # r07 window above — dim-guard plan change; source_stats and
+        # pack_sequences moved in too — norm_text unicode-fold plan
+        # change found by the r07 review pass)
         "q12_priority_shipping": rel(rq.q12_priority_shipping),
         "events_json_extract": rel(rq.events_json_extract),
-        "pack_sequences": _q_pack_sequences,
         # (ngram_jaccard, dedup_components, dedup_retention moved into
         # the r07 window above — norm_text unicode-fold plan change)
         "codec_roundtrip": _q_codec_roundtrip,

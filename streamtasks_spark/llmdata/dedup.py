@@ -119,12 +119,16 @@ def norm_text(text_col: str, engine: str = "spark") -> str:
     executor locales could hash the SAME document to different shingles.
     DuckDB's utf8proc ``lower`` is the simple mapping (Σ→σ always,
     İ→i). The Spark fragment pre-maps the only two lowercase
-    SpecialCasing triggers (Σ→σ, İ→I) so both engines land on the
-    simple mapping (found by the r07 unicode fuzz axis; the ASCII
-    testdata never exercises it). Residual caveat, documented not
-    guarded: under a Turkish/Azeri default JVM locale even ASCII
-    ``I``→``ı`` diverges — production clusters must pin
-    ``user.language`` (standard Spark practice).
+    SpecialCasing triggers DIRECTLY TO THEIR LOWERCASE simple forms
+    (Σ→σ, İ→i) so both engines land on the simple mapping and neither
+    pre-mapped character re-enters the locale-sensitive ``lower()``
+    (mapping İ to uppercase ``I`` would route it back through exactly
+    the Turkish-locale hazard this fix neutralizes). Found by the r07
+    unicode fuzz axis; the ASCII testdata never exercises it. Residual
+    caveat, documented not guarded: under a Turkish/Azeri default JVM
+    locale, ASCII ``I`` already present in the text still lowers to
+    ``ı`` — production clusters must pin ``user.language`` (standard
+    Spark practice).
 
     Trim is pinned to ASCII-space-only via DuckDB's explicit
     ``trim(x, ' ')``: its bare ``trim`` strips UNICODE spaces
@@ -136,9 +140,25 @@ def norm_text(text_col: str, engine: str = "spark") -> str:
     if engine == "spark":
         return (
             f"trim(regexp_replace(lower(translate({text_col}, "
-            f"'Σİ', 'σI')), '\\\\s+', ' '))"
+            f"'Σİ', 'σi')), '\\\\s+', ' '))"
         )
     return f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'), ' ')"
+
+
+def tokens_expr(text_col: str, engine: str = "spark") -> str:
+    """Normalized non-empty token list as a SQL fragment — the shared
+    tokenize-and-drop-empties step over :func:`norm_text` (split on the
+    single collapsed space, drop '' artifacts from leading whitespace).
+    One definition so a tokenization fix lands everywhere at once
+    (hashed_tf_embed, unigram_lm, doc_chunk and their oracles all
+    consume it; an r07 review found the fragment copy-pasted six
+    times)."""
+    if engine == "spark":
+        return f"filter(split({norm_text(text_col)}, ' '), t -> t <> '')"
+    return (
+        f"list_filter(string_split({norm_text(text_col, 'duck')}, ' '), "
+        f"t -> t <> '')"
+    )
 
 
 def _shingle_hashes(

@@ -39,7 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _shingle_hashes, norm_text, spread
+from .dedup import _shingle_hashes, norm_text, spread, tokens_expr
 
 # default split weights: the conventional 90/5/5 pretraining split
 DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
@@ -282,7 +282,7 @@ def doc_chunk(
         raise ValueError(
             f"need 0 < stride <= window, got window={window} stride={stride}"
         )
-    toks = f"filter(split({norm_text(text_col)}, ' '), t -> t <> '')"
+    toks = tokens_expr(text_col)
     # ceil((n - window) / stride) + 1 in integer math, clamped at 1
     n_chunks = (
         f"(greatest(size(__toks) - {window}, 0) + {stride - 1}) "
@@ -325,8 +325,7 @@ def oracle_doc_chunk_sql(
     WITH src AS ({source_sql}),
     t AS (
       SELECT {id_col},
-        list_filter(string_split({norm_text(text_col, "duck")}, ' '),
-                    x -> x <> '') AS __toks
+        {tokens_expr(text_col, "duck")} AS __toks
       FROM src
     ),
     nz AS (

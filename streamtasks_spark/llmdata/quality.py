@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from streamtasks_spark.llmdata.dedup import norm_text, spread
+from streamtasks_spark.llmdata.dedup import norm_text, spread, tokens_expr
 from streamtasks_spark.llmdata.textstats import STOPWORDS
 
 # Rule constants (documented C4/Gopher-inspired bounds; tuned for the
@@ -342,7 +342,7 @@ def unigram_lm(
     n_tokens · T ≈ 1e6 · 1e13 at the 100 TB envelope, past int64."""
     from streamtasks_spark.llmdata.dedup import pin
 
-    toks = f"filter(split({norm_text(text_col)}, ' '), t -> t <> '')"
+    toks = tokens_expr(text_col)
     base = pin(
         spread(docs, id_col).select(F.col(id_col), F.expr(toks).alias("__toks"))
     )
@@ -351,15 +351,24 @@ def unigram_lm(
         .groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    total = counts.agg(
-        F.sum(F.col("__c").cast("decimal(38,0)")).alias("t")
-    ).first()["t"]
-    total = int(total) if total is not None else 0
-    vocab_rows = (
-        counts.orderBy(F.col("__c").desc(), F.col("__t").asc())
-        .limit(vocab_size)
-        .collect()
-    )
+    try:
+        total = counts.agg(
+            F.sum(F.col("__c").cast("decimal(38,0)")).alias("t")
+        ).first()["t"]
+        total = int(total) if total is not None else 0
+        vocab_rows = (
+            counts.orderBy(F.col("__c").desc(), F.col("__t").asc())
+            .limit(vocab_size)
+            .collect()
+        )
+    finally:
+        # counts only feeds the two build-step driver pulls above and
+        # is NOT in the returned plan's lineage — unpersist it here or
+        # every call leaks a distinct-token-sized table into the cache
+        # for the session lifetime (the similarity.py train-step rule:
+        # "training is a build step; don't leak the pin"). base stays
+        # pinned: the returned plan scans it twice (ex + scoring).
+        counts.unpersist()
     spark = docs.sparkSession
     vocab = spark.createDataFrame(
         [(r["__t"], r["__c"]) for r in vocab_rows] or [(None, None)],
@@ -417,8 +426,7 @@ def oracle_unigram_lm_sql(
     WITH src AS ({source_sql}),
     t AS (
       SELECT {id_col},
-        list_filter(string_split({norm_text(text_col, "duck")}, ' '),
-                    x -> x <> '') AS __toks
+        {tokens_expr(text_col, "duck")} AS __toks
       FROM src
     ),
     ex AS (
@@ -443,20 +451,29 @@ def oracle_unigram_lm_sql(
           AS __oov
       FROM ex LEFT JOIN vocab v ON ex.__t = v.__t
       GROUP BY ex.{id_col}
+    ),
+    -- one row per DISTINCT id, like Spark's groupBy(id): a duplicated
+    -- id merges its rows' token streams, and any NULL-text row among
+    -- them NULLs the whole output row (bool_or ≡ Spark's max(__nul)).
+    -- Without this the final join emitted one row per SOURCE row and
+    -- diverged from the engine on non-unique ids (r07 review finding).
+    tg AS (
+      SELECT {id_col}, bool_or(__toks IS NULL) AS __nul
+      FROM t GROUP BY {id_col}
     )
-    SELECT t.{id_col},
-      CASE WHEN t.__toks IS NULL THEN NULL
+    SELECT tg.{id_col},
+      CASE WHEN tg.__nul THEN NULL
            ELSE coalesce(s.__n, 0) END AS n_tokens,
-      CASE WHEN t.__toks IS NULL THEN NULL
+      CASE WHEN tg.__nul THEN NULL
            ELSE coalesce(s.__oov, 0) END AS oov_count,
-      CASE WHEN t.__toks IS NULL OR s.__n IS NULL THEN NULL
+      CASE WHEN tg.__nul OR s.__n IS NULL THEN NULL
            ELSE CAST(s.__oov AS DOUBLE) / CAST(s.__n AS DOUBLE)
       END AS oov_ratio,
-      CASE WHEN t.__toks IS NULL OR s.__n IS NULL THEN NULL
+      CASE WHEN tg.__nul OR s.__n IS NULL THEN NULL
            ELSE (s.__s / CAST(s.__n AS DOUBLE))
                 / (SELECT __T FROM total)
       END AS score
-    FROM t LEFT JOIN scored s USING ({id_col})
+    FROM tg LEFT JOIN scored s USING ({id_col})
     """
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streamtasks_spark.llmdata.dedup import norm_text, spread
+from streamtasks_spark.llmdata.dedup import norm_text, spread, tokens_expr
 
 # BPE-ish token regex: word runs OR single non-word-non-space symbols.
 # Explicit classes keep Java regex and RE2 in exact agreement.
@@ -673,7 +673,7 @@ def hashed_tf_embed(
     path), and ~25× faster than an explode→groupBy(doc, bucket)
     re-aggregation, which exchanges a row per token occurrence — at
     100 TB that's the corpus re-shuffled by its token count."""
-    toks = f"filter(split({norm_text(text_col, 'spark')}, ' '), t -> t <> '')"
+    toks = tokens_expr(text_col)
     pairs = (
         f"transform({toks}, t -> named_struct("
         f"'b', pmod(cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint),"
@@ -707,8 +707,7 @@ def oracle_hashed_tf_embed_sql(
     WITH src AS ({source_sql}),
     tok AS (
       SELECT doc_id,
-        list_filter(string_split({norm_text(text_col, "duck")}, ' '),
-                    t -> t <> '') AS __toks
+        {tokens_expr(text_col, "duck")} AS __toks
       FROM src
     ),
     pairs AS (

@@ -1458,7 +1458,7 @@ def test_doc_chunk_covers_every_token_with_exact_overlap(spark):
         [
             (0, " ".join(f"t{i}" for i in range(57))),   # partial tail
             (1, " ".join(f"t{i}" for i in range(8))),    # single chunk
-            (2, " ".join(f"t{i}" for i in range(48))),   # exact 2 windows
+            (2, " ".join(f"t{i}" for i in range(48))),   # 4 chunks at W16/S12; last partial (36+16>48)
             (3, None), (4, ""), (5, " \t\n "),
             (6, "one"),
         ],
@@ -1533,3 +1533,51 @@ def test_unigram_lm_edges_and_score_semantics(spark):
     for r in (rows[0], rows[1], rows[2]):
         assert 0.0 <= r["score"] <= 1.0
         assert r["oov_count"] == round(r["oov_ratio"] * r["n_tokens"])
+
+
+def test_unigram_lm_agrees_with_oracle_on_duplicate_ids(spark):
+    """Non-unique ids: Spark's groupBy(id) merges duplicate rows' token
+    streams into ONE output row (any NULL-text member NULLs it); the
+    oracle must do the same — its pre-fix final join emitted one row
+    per SOURCE row and diverged (r07 review finding)."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import quality
+
+    rows = [
+        (7, "a b"), (7, None),          # dup id with a NULL member
+        (8, "a a b"), (8, "zz yy"),     # dup id, both textual
+        (9, "b"), (10, ""),
+    ]
+    sdf = (
+        quality.unigram_lm(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            vocab_size=2,
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    odf = (
+        con.execute(quality.oracle_unigram_lm_sql(
+            source_sql="SELECT doc_id, text FROM d", vocab_size=2,
+        ))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(sdf["doc_id"]) == [7, 8, 9, 10] == list(odf["doc_id"])
+    import numpy as np
+    for c in sdf.columns:
+        a, b = sdf[c].to_numpy(), odf[c].to_numpy()
+        for x, y in zip(a, b):
+            if x is None or (isinstance(x, float) and np.isnan(x)):
+                assert y is None or (isinstance(y, float) and np.isnan(y)), c
+            else:
+                assert x == y, (c, x, y)
+    # id 7 NULLed by its NULL member; id 8 merged (5 tokens)
+    assert sdf.loc[0, "n_tokens"] is None or np.isnan(sdf.loc[0, "n_tokens"])
+    assert sdf.loc[1, "n_tokens"] == 5

@@ -169,6 +169,10 @@ DOC_QUERIES = [
     # r07 third new-op wave: chunking fan-out and the corpus-trained
     # unigram-LM score (vocabulary ties, OOV mass, zero-token edges)
     "doc_chunk", "unigram_lm",
+    # r07 review finding: pack_sequences reads only documents but was
+    # never in this set — its token-count path consumes norm_text, so
+    # it must ride every text-normalization axis
+    "pack_sequences",
 ]
 
 
