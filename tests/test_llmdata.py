@@ -1009,9 +1009,14 @@ def test_dim_mismatch_raises_instead_of_silently_diverging(spark):
     NULL-extends → buckets collapse; DuckDB list-indexing NULL-skips →
     truncated dots) — 15 cross-engine FAILs at dim 3. Every
     plane/codebook entry point now raises on the first mismatched
-    vector instead."""
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    vector instead.
 
+    The assertion pins the guard MESSAGE, not the wrapper type: when
+    AQE happens to materialize two failing stages concurrently, Spark
+    surfaces STAGE_MATERIALIZATION_MULTIPLE_FAILURES (a plain
+    SparkException) instead of SparkRuntimeException — a scheduling
+    race that made a type-pinned version of this test flaky in
+    full-suite runs while green standalone."""
     from streamtasks_spark.llmdata import similarity
 
     vecs = spark.createDataFrame(
@@ -1030,7 +1035,7 @@ def test_dim_mismatch_raises_instead_of_silently_diverging(spark):
             similarity.guard_dim(vecs, "embedding", 64, "t"), qs, k=5
         ),
     ):
-        with pytest.raises(SparkRuntimeException, match="configured dim 64"):
+        with pytest.raises(Exception, match="configured dim 64"):
             build().collect()
 
 
