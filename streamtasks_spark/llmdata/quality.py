@@ -339,13 +339,33 @@ def unigram_lm(
     re-aggregates per document with partial aggregation — the
     decontaminate shape. The in-vocab mass accumulates in
     DECIMAL(38,0): a document's sum of counts is bounded by
-    n_tokens · T ≈ 1e6 · 1e13 at the 100 TB envelope, past int64."""
+    n_tokens · T ≈ 1e6 · 1e13 at the 100 TB envelope, past int64.
+
+    The train and score stages are also exposed separately
+    (:func:`unigram_lm_train` / :func:`unigram_lm_score`) so a
+    pipeline can freeze the model on a reference corpus and score
+    other corpora — or a STREAM — against it
+    (:func:`~streamtasks_spark.streaming.stateful.
+    streaming_unigram_lm`); this composite trains and scores the same
+    corpus over one pinned tokenization."""
     from streamtasks_spark.llmdata.dedup import pin
 
-    toks = tokens_expr(text_col)
-    base = pin(
-        spread(docs, id_col).select(F.col(id_col), F.expr(toks).alias("__toks"))
+    base = pin(_tokenized(docs, id_col, text_col))
+    vocab_rows, total = _unigram_train_on(base, vocab_size)
+    return _unigram_score_on(base, docs.sparkSession, vocab_rows, total, id_col)
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return spread(docs, id_col).select(
+        F.col(id_col), F.expr(tokens_expr(text_col)).alias("__toks")
     )
+
+
+def _unigram_train_on(
+    base: DataFrame, vocab_size: int
+) -> tuple[list[tuple[str, int]], int]:
+    from streamtasks_spark.llmdata.dedup import pin
+
     counts = pin(
         base.select(F.explode("__toks").alias("__t"))
         .groupBy("__t")
@@ -366,12 +386,57 @@ def unigram_lm(
         # is NOT in the returned plan's lineage — unpersist it here or
         # every call leaks a distinct-token-sized table into the cache
         # for the session lifetime (the similarity.py train-step rule:
-        # "training is a build step; don't leak the pin"). base stays
-        # pinned: the returned plan scans it twice (ex + scoring).
+        # "training is a build step; don't leak the pin"). The caller's
+        # base stays pinned when it also feeds the scoring scan.
         counts.unpersist()
-    spark = docs.sparkSession
+    return [(r["__t"], r["__c"]) for r in vocab_rows], total
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> tuple[list[tuple[str, int]], int]:
+    """Train stage of :func:`unigram_lm` alone: returns the frozen
+    model — ``(vocab, total)`` where ``vocab`` is the top
+    ``vocab_size`` (token, count) list (count desc, token asc) and
+    ``total`` the corpus token count. Driver-small (codebook-sized);
+    feed it to :func:`unigram_lm_score` or the streaming twin."""
+    return _unigram_train_on(_tokenized(docs, id_col, text_col), vocab_size)
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    vocab: list[tuple[str, int]],
+    total: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score stage of :func:`unigram_lm` against a FROZEN model from
+    :func:`unigram_lm_train` — production quantizer semantics (the
+    SemDedupIndex codebook rule): train once on a reference corpus,
+    score any corpus or micro-batch against it without rescanning the
+    reference. Stateless per document, so it applies unchanged inside
+    ``foreachBatch``; same output schema and bit-identical values as
+    the composite on identical rows."""
+    return _unigram_score_on(
+        _tokenized(docs, id_col, text_col),
+        docs.sparkSession, vocab, total, id_col,
+    )
+
+
+def _unigram_score_on(
+    base: DataFrame,
+    spark,
+    vocab_rows: list[tuple[str, int]],
+    total: int,
+    id_col: str,
+) -> DataFrame:
     vocab = spark.createDataFrame(
-        [(r["__t"], r["__c"]) for r in vocab_rows] or [(None, None)],
+        list(vocab_rows) or [(None, None)],
         "__t string, __c bigint",
     ).filter(F.col("__t").isNotNull())
     ex = base.select(

@@ -844,3 +844,53 @@ def streaming_semantic_dedup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_unigram_lm(
+    docs: DataFrame,
+    *,
+    vocab: list[tuple[str, int]],
+    total: int,
+    scores_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming quality scoring against a FROZEN unigram LM: each
+    arriving micro-batch is scored by :func:`~streamtasks_spark.
+    llmdata.quality.unigram_lm_score` under the ``(vocab, total)``
+    model trained once on a reference corpus
+    (:func:`~streamtasks_spark.llmdata.quality.unigram_lm_train`) —
+    the continuous-ingest shape of CCNet-style perplexity filtering,
+    and the same frozen-model semantics as SemDedupIndex's codebook:
+    the quantizer never moves under already-scored documents, so a
+    document's score is a pure function of its own text and the model,
+    independent of arrival batching or order.
+
+    That purity is why ``foreachBatch`` needs no index or state here
+    (unlike streaming_dedup_minhash): the union of per-batch score
+    appends equals the batch :func:`unigram_lm_score` over everything
+    ingested, bit-exactly, one row per arriving document. Restart
+    replays at most one in-flight micro-batch append; consumers
+    needing exactly-once dedup ``scores_path`` on the id — same
+    documented contract as the other foreachBatch twins.
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.llmdata.quality import unigram_lm_score
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = unigram_lm_score(
+            batch.select(id_col, text_col), vocab, total,
+            id_col=id_col, text_col=text_col,
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(scores_path)
+
+    return (
+        docs.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1321,3 +1321,114 @@ def test_streaming_semantic_dedup_survives_restart(spark, tmp_path):
         for r in ref_idx.ingest(batch).collect():
             ref[r["vec_id"]] = (r["cell"], r["keep"])
     assert got == ref
+
+
+def test_streaming_unigram_lm_matches_batch_scoring(spark, tmp_path):
+    """Frozen-model streaming scoring: the union of per-micro-batch
+    score appends equals batch unigram_lm_score over everything
+    ingested, bit-exactly, one row per document — a document's score
+    is a pure function of (text, model), independent of batching."""
+    import numpy as np
+
+    from streamtasks_spark.llmdata.quality import (
+        unigram_lm_score,
+        unigram_lm_train,
+    )
+    from streamtasks_spark.streaming.stateful import streaming_unigram_lm
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vocab, total = unigram_lm_train(docs, vocab_size=64)
+    expect = {
+        r["doc_id"]: (r["n_tokens"], r["oov_count"], r["oov_ratio"], r["score"])
+        for r in unigram_lm_score(docs, vocab, total).collect()
+    }
+
+    src = tmp_path / "ul_src"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    scores_path = str(tmp_path / "scores")
+    q = streaming_unigram_lm(
+        stream,
+        vocab=vocab,
+        total=total,
+        scores_path=scores_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(scores_path).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["oov_count"], r["oov_ratio"], r["score"])
+        for r in rows
+    }
+    assert len(rows) == len(got) == len(expect)  # one row per doc
+    assert {r["batch_id"] for r in rows} == {0, 1}  # really two batches
+    for k in expect:
+        for a, b in zip(expect[k], got[k]):
+            if isinstance(a, float):
+                assert (np.isnan(a) and np.isnan(b)) or a == b, k
+            else:
+                assert a == b, k
+
+
+def test_streaming_doc_chunk_is_a_direct_transformation(spark, tmp_path):
+    """doc_chunk is stateless and narrow, so it composes with
+    readStream DIRECTLY (no foreachBatch): chunks produced through a
+    two-micro-batch stream equal the one-shot batch chunking."""
+    from streamtasks_spark.llmdata.pipeline import doc_chunk
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    expect = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in doc_chunk(docs, window=16, stride=12).collect()
+    }
+    assert expect
+
+    src = tmp_path / "dc_src"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out_path = str(tmp_path / "chunks")
+    q = (
+        doc_chunk(stream, window=16, stride=12)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == expect
