@@ -1384,6 +1384,11 @@ _MUST_VERIFY_R07 = [
     # them. Displacing set_ops and top_customers_per_nation
     # (untouched, r05-green, r08 queue).
     "source_stats", "pack_sequences",
+    # impl+oracle changed r07 (rich-props probe): events_json_extract
+    # now integer-gates the JSON cast — ANSI Spark died on {"k": 3.5}
+    # where the DuckDB oracle silently coerced. Displaces
+    # events_session_windows (untouched, r05-green, r08 queue).
+    "events_json_extract",
 ]
 
 # r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
@@ -1403,7 +1408,7 @@ _ROTATE_R07 = [
     "speech_enhance",
     # 24 oldest r05-green rows (r05 window order)
     "stretch_align", "dedup_recall", "ann_ivf_trained",
-    "events_funnel", "quality_buckets", "events_session_windows",
+    "events_funnel", "quality_buckets",
     # (media_switch and video_reformatter were the last two rotation
     # rows, displaced by the two dim-guard re-certifications; the next
     # five — string_concatenator, fn_task, fn_task_stateful,
@@ -1416,8 +1421,10 @@ _ROTATE_R07 = [
     # orders_without_lineitems and customers_with_orders_semi by the
     # third new-op wave (doc_chunk, unigram_lm); set_ops and
     # top_customers_per_nation by the review-found norm_text
-    # re-certifications (source_stats, pack_sequences). All eighteen
-    # untouched, r05-green, head of the r08 queue.)
+    # re-certifications (source_stats, pack_sequences);
+    # events_session_windows by the rich-props json re-certification
+    # (events_json_extract). All nineteen untouched, r05-green, head
+    # of the r08 queue.)
 ]
 
 
@@ -1474,7 +1481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _q_ann_ivf_trained,
         "events_funnel": rel(rq.events_funnel),
         "quality_buckets": _q_quality_buckets,
-        "events_session_windows": rel(rq.events_session_windows),
+        # --- r07 window: rich-props re-certification — the events
+        # json extraction now gates the cast on an integer-shape regex
+        # (ANSI Spark crashed on {"k": 3.5} where DuckDB coerced);
+        # displaces events_session_windows (untouched, r05-green)
+        "events_json_extract": rel(rq.events_json_extract),
         # --- r07 window: the review pass found two MORE norm_text
         # consumers whose plans+oracles changed with the unicode fold
         # (source_stats via _words_expr, pack_sequences via its token
@@ -1522,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------- first entry PAST the driver's 50-query window -------
         # displaced rotation rows (untouched code, r05-green) — the
         # head of the r08 queue — then the remaining 16 r05 rows
+        "events_session_windows": rel(rq.events_session_windows),
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
@@ -1591,7 +1603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack_sequences moved in too — norm_text unicode-fold plan
         # change found by the r07 review pass)
         "q12_priority_shipping": rel(rq.q12_priority_shipping),
-        "events_json_extract": rel(rq.events_json_extract),
         # (ngram_jaccard, dedup_components, dedup_retention moved into
         # the r07 window above — norm_text unicode-fold plan change)
         "codec_roundtrip": _q_codec_roundtrip,
@@ -3032,8 +3043,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_extract": """
             WITH x AS (
+              -- integer-shape gate BEFORE the cast, mirroring the
+              -- Spark rlike: DuckDB's JSON cast would coerce 3.5 -> 3
+              -- where ANSI Spark crashes (r07 rich-props finding)
               SELECT event_type,
-                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                     CASE WHEN regexp_matches(
+                            json_extract_string(props, '$.k'),
+                            '^-?[0-9]+$')
+                          THEN CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT)
+                     END AS k
               FROM events
             )
             SELECT event_type, k % 10 AS k_mod, count(*) AS n,

@@ -26,6 +26,10 @@ Usage:
       # half the prose tokens drawn from UNI_WORDS (Σ/İ special
       # casing, CJK, emoji, combining marks, NBSP/ZWSP-in-token —
       # the UNICODE axis; found the r07 norm_text case-fold bug)
+  python scripts/fuzz_sweep.py --rich-props         # events tier only:
+      # half the props become valid-JSON-but-non-integer k shapes
+      # (float/string/bool/null/array/object/unicode) — the axis that
+      # found ANSI Spark dying on {"k": 3.5} while the oracle coerced
   python scripts/fuzz_sweep.py --scale 10           # 10x corpora: docs/
       # events/vectors get 10x rows, tpch mutates the sf0.01 base
       # instead of sf0.001 — the volume axis that stresses percentile
@@ -91,7 +95,8 @@ def write_one(d: str, name: str, schema, rows) -> None:
 
 
 def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1,
-             dim: int = 64, unicode_frac: float = 0.0) -> str:
+             dim: int = 64, unicode_frac: float = 0.0,
+             rich_props: bool = False) -> str:
     d = tempfile.mkdtemp(prefix=f"fz_{tier}{seed}_")
     if tier == "docs":
         write_one(d, "documents", DOC_SCHEMA,
@@ -99,7 +104,7 @@ def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1,
                               unicode_frac=unicode_frac))
     elif tier == "events":
         write_one(d, "events", EV_SCHEMA,
-                  make_events(seed, n=400 * scale))
+                  make_events(seed, n=400 * scale, rich_props=rich_props))
     elif tier == "vectors":
         write_one(d, "embeddings", VEC_SCHEMA,
                   make_vectors(seed, n=80 * scale, dim=dim))
@@ -128,6 +133,7 @@ def main() -> int:
     doc_len = 1
     dim = 64
     unicode_frac = 0.0
+    rich_props = False
 
     def flag_value(argv, i):
         """Support both --flag=v and --flag v (the usage shows both)."""
@@ -163,6 +169,9 @@ def main() -> int:
         elif argv[i] == "--unicode":
             unicode_frac = 0.5
             i += 1
+        elif argv[i] == "--rich-props":
+            rich_props = True
+            i += 1
         else:
             raise SystemExit(f"unknown argument: {argv[i]}")
 
@@ -175,7 +184,8 @@ def main() -> int:
     n_fail = 0
     for tier in tiers:
         for seed in seeds:
-            d = make_dir(tier, seed, scale, doc_len, dim, unicode_frac)
+            d = make_dir(tier, seed, scale, doc_len, dim, unicode_frac,
+                         rich_props)
             con = duck_conn(d)
             ran = 0
             for name, fn in qs.items():

@@ -1085,12 +1085,24 @@ def events_json_extract(t: dict[str, DataFrame]) -> DataFrame:
     """Semi-structured column handling: extract a JSON path from the
     events ``props`` payload (``{"k": <int>}``) and aggregate on it.
 
+    The contract is "k counts only when it is a JSON integer": the
+    extracted string must match ``^-?[0-9]+$`` BEFORE the cast. A bare
+    ``cast(... as long)`` fails this two ways on real heterogeneous
+    props (r07 probe): under Spark's ANSI default, ``{"k": 3.5}`` or
+    ``{"k": "x"}`` KILLS the whole job mid-scan (CAST_INVALID_INPUT),
+    while DuckDB's JSON cast coerces 3.5 → 3 — a crash on one side and
+    a silent divergence on the other. Raw extraction itself agrees
+    cross-engine on every probed shape (numbers, quoted strings,
+    bools, arrays, objects, missing keys, JSON null → NULL), so one
+    shared regex pins the semantics.
+
     Scale shape: ``get_json_object`` is a JVM-side codegen'd expression —
     the extraction is a narrow map over the scan (no UDF), and the
     aggregate is one map-side-combined shuffle on low-cardinality keys.
     ReadSchema prunes to (event_type, props)."""
     ev = t["events"]
-    k = F.get_json_object("props", "$.k").cast("long")
+    s = F.get_json_object("props", "$.k")
+    k = F.when(s.rlike("^-?[0-9]+$"), s.cast("long"))
     return (
         ev.select("event_type", k.alias("k"))
         .filter(F.col("k").isNotNull())

@@ -279,7 +279,7 @@ def test_document_tier_matches_oracle_on_adversarial_corpora(spark, fuzz_dirs):
     assert not failures, "\n".join(failures[:40])
 
 
-def make_events(seed: int, n: int = 400) -> list[tuple]:
+def make_events(seed: int, n: int = 400, rich_props: bool = False) -> list[tuple]:
     """Adversarial events: duplicate (user, ts) pairs, cross-type ts
     collisions (a control and a data row in the same instant), hot
     users, single-event users, zero/negative/boundary values (2-decimal
@@ -287,7 +287,14 @@ def make_events(seed: int, n: int = 400) -> list[tuple]:
 
     Deliberate exclusion: malformed-JSON props — Spark's
     get_json_object returns NULL where DuckDB's json_extract raises, so
-    the oracle pair's contract is 'valid JSON or NULL'."""
+    the oracle pair's contract is 'valid JSON or NULL'.
+
+    ``rich_props`` (the r07 RICH-PROPS axis) replaces half the props
+    with valid-JSON-but-non-integer ``k`` shapes (float, quoted string,
+    bool, JSON null, array, nested object, unicode) — the class where
+    a bare ANSI cast killed the Spark query while the DuckDB oracle
+    coerced 3.5 → 3. Extra draws are gated behind ``if rich_props`` so
+    default corpora stay byte-identical for every pinned seed."""
     from datetime import datetime, timedelta
 
     rng = random.Random(seed)
@@ -305,6 +312,14 @@ def make_events(seed: int, n: int = 400) -> list[tuple]:
         props = rng.choice(
             ['{"k": %d}' % rng.randrange(0, 100), "{}", '{"x": 1}', None]
         )
+        if rich_props and rng.random() < 0.5:
+            props = rng.choice([
+                '{"k": 3.5}', '{"k": -0.25}', '{"k": 1e3}',
+                '{"k": "12"}', '{"k": "x"}', '{"k": true}',
+                '{"k": null}', '{"k": [1, 2]}', '{"k": {"a": 1}}',
+                '{"k": "h\u00e9llo"}', '{"k": %d}' % rng.randrange(0, 100),
+                '{"k": -%d}' % rng.randrange(1, 100),
+            ])
         rows.append((i, ts, uid, typ, value, props))
     return rows
 
@@ -328,10 +343,13 @@ def fuzz_event_dirs(tmp_path_factory):
     # 523 is load-bearing: it generates two same-type control events at
     # identical (user, ts) — the tie geometry that exposed the r05
     # sr_latch order-indeterminacy (fixed by seq_col in the query +
-    # event_id ordering in the oracle); 13/77 never produce it
-    for seed in (13, 77, 523):
+    # event_id ordering in the oracle); 13/77 never produce it.
+    # Seed 41 runs the RICH-PROPS axis (half the props valid JSON with
+    # non-integer k) — the r07 leg that pins the integer-gated JSON
+    # cast in events_json_extract (bare ANSI cast died on {"k": 3.5})
+    for seed, rich in ((13, False), (77, False), (523, False), (41, True)):
         d = tmp_path_factory.mktemp(f"fuzzev{seed}")
-        cols = list(zip(*make_events(seed)))
+        cols = list(zip(*make_events(seed, rich_props=rich)))
         table = pa.table(
             {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
         )
