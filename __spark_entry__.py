@@ -3045,11 +3045,15 @@ def oracle_sql() -> dict[str, str]:
             WITH x AS (
               -- integer-shape gate BEFORE the cast, mirroring the
               -- Spark rlike: DuckDB's JSON cast would coerce 3.5 -> 3
-              -- where ANSI Spark crashes (r07 rich-props finding)
+              -- where ANSI Spark crashes (r07 rich-props finding).
+              -- \z anchor + 18-digit bound match the Spark side: $
+              -- differs across Java/RE2 on trailing newlines, and an
+              -- unbounded digit run would reach the cast with a
+              -- 20-digit integer (overflow error in BOTH engines)
               SELECT event_type,
                      CASE WHEN regexp_matches(
                             json_extract_string(props, '$.k'),
-                            '^-?[0-9]+$')
+                            '^-?[0-9]{1,18}\\z')
                           THEN CAST(json_extract_string(props, '$.k')
                                     AS BIGINT)
                      END AS k

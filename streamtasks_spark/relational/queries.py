@@ -1085,16 +1085,27 @@ def events_json_extract(t: dict[str, DataFrame]) -> DataFrame:
     """Semi-structured column handling: extract a JSON path from the
     events ``props`` payload (``{"k": <int>}``) and aggregate on it.
 
-    The contract is "k counts only when it is a JSON integer": the
-    extracted string must match ``^-?[0-9]+$`` BEFORE the cast. A bare
-    ``cast(... as long)`` fails this two ways on real heterogeneous
-    props (r07 probe): under Spark's ANSI default, ``{"k": 3.5}`` or
-    ``{"k": "x"}`` KILLS the whole job mid-scan (CAST_INVALID_INPUT),
-    while DuckDB's JSON cast coerces 3.5 → 3 — a crash on one side and
-    a silent divergence on the other. Raw extraction itself agrees
-    cross-engine on every probed shape (numbers, quoted strings,
-    bools, arrays, objects, missing keys, JSON null → NULL), so one
-    shared regex pins the semantics.
+    The contract: k counts only when the EXTRACTED token is
+    integer-shaped with ≤ 18 digits — both engines strip quotes during
+    extraction, so a quoted digit string ``{"k": "12"}`` counts as 12
+    (deliberate; documented, since the regex runs on the unquoted
+    text). A bare ``cast(... as long)`` fails this two ways on real
+    heterogeneous props (r07 probe): under Spark's ANSI default,
+    ``{"k": 3.5}`` or ``{"k": "x"}`` KILLS the whole job mid-scan
+    (CAST_INVALID_INPUT), while DuckDB's JSON cast coerces 3.5 → 3 —
+    a crash on one side and a silent divergence on the other. Raw
+    extraction itself agrees cross-engine on every probed shape
+    (numbers, quoted strings, bools, arrays, objects, missing keys,
+    JSON null → NULL), so one shared regex pins the semantics.
+
+    Regex anatomy (r07 review findings): the end anchor is ``\\z``
+    (end of INPUT) because Java's ``$`` matches before a trailing
+    newline where RE2's does not — ``{"k": "12\\n"}`` would count 12
+    in Spark and drop in DuckDB under a ``$`` anchor; and the digit
+    count is bounded at 18 because an unbounded ``[0-9]+`` lets a
+    valid 20-digit JSON integer through to the ANSI cast, which is
+    the exact job-killing crash the gate exists to prevent (18 digits
+    ≤ 999_999_999_999_999_999 always fits int64).
 
     Scale shape: ``get_json_object`` is a JVM-side codegen'd expression —
     the extraction is a narrow map over the scan (no UDF), and the
@@ -1102,7 +1113,7 @@ def events_json_extract(t: dict[str, DataFrame]) -> DataFrame:
     ReadSchema prunes to (event_type, props)."""
     ev = t["events"]
     s = F.get_json_object("props", "$.k")
-    k = F.when(s.rlike("^-?[0-9]+$"), s.cast("long"))
+    k = F.when(s.rlike(r"^-?[0-9]{1,18}\z"), s.cast("long"))
     return (
         ev.select("event_type", k.alias("k"))
         .filter(F.col("k").isNotNull())

@@ -319,6 +319,12 @@ def make_events(seed: int, n: int = 400, rich_props: bool = False) -> list[tuple
                 '{"k": null}', '{"k": [1, 2]}', '{"k": {"a": 1}}',
                 '{"k": "h\u00e9llo"}', '{"k": %d}' % rng.randrange(0, 100),
                 '{"k": -%d}' % rng.randrange(1, 100),
+                # r07 review shapes: a 20-digit VALID JSON integer (an
+                # unbounded digit gate would pass it to the ANSI cast
+                # -> job death) and a digits-plus-trailing-newline
+                # string (Java $ matches before it, RE2 $ does not --
+                # the \z anchor keeps the engines agreeing)
+                '{"k": 99999999999999999999}', '{"k": "12\\n"}',
             ])
         rows.append((i, ts, uid, typ, value, props))
     return rows

@@ -694,6 +694,9 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         # asserts a parquet scan (bit the hashed_tf_embed exchange-count
         # pin after text_semantic_dedup gained its embed pin in r07)
         spark.catalog.clearCache()
+    # (the r07 try/finally restructure briefly dropped this line — a
+    # builder that THROWS would then pass the lint unlinted)
+    assert not errors, "\n".join(errors[:10])
     assert not forbidden_hits, "\n".join(forbidden_hits)
     new = oha_hits - set(OHA_BOUNDED)
     gone = set(OHA_BOUNDED) - oha_hits
