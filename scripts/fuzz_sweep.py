@@ -26,6 +26,10 @@ Usage:
       # half the prose tokens drawn from UNI_WORDS (Σ/İ special
       # casing, CJK, emoji, combining marks, NBSP/ZWSP-in-token —
       # the UNICODE axis; found the r07 norm_text case-fold bug)
+  python scripts/fuzz_sweep.py --nonfinite          # vectors tier only:
+      # ~1/8 of the embeddings carry NaN/+-Inf components — the axis
+      # behind the r07 finite-positive norm gate (NaN poisoned the
+      # k-means codebook into an unparseable `nanD` literal)
   python scripts/fuzz_sweep.py --rich-props         # events tier only:
       # half the props become valid-JSON-but-non-integer k shapes
       # (float/string/bool/null/array/object/unicode) — the axis that
@@ -96,7 +100,7 @@ def write_one(d: str, name: str, schema, rows) -> None:
 
 def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1,
              dim: int = 64, unicode_frac: float = 0.0,
-             rich_props: bool = False) -> str:
+             rich_props: bool = False, nonfinite: bool = False) -> str:
     d = tempfile.mkdtemp(prefix=f"fz_{tier}{seed}_")
     if tier == "docs":
         write_one(d, "documents", DOC_SCHEMA,
@@ -107,7 +111,8 @@ def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1,
                   make_events(seed, n=400 * scale, rich_props=rich_props))
     elif tier == "vectors":
         write_one(d, "embeddings", VEC_SCHEMA,
-                  make_vectors(seed, n=80 * scale, dim=dim))
+                  make_vectors(seed, n=80 * scale, dim=dim,
+                               nonfinite=nonfinite))
     elif tier == "tpch":
         # scale>1 mutates the sf0.01 base (10x rows) instead of
         # sf0.001 — resampling already randomizes row COUNT via frac,
@@ -134,6 +139,7 @@ def main() -> int:
     dim = 64
     unicode_frac = 0.0
     rich_props = False
+    nonfinite = False
 
     def flag_value(argv, i):
         """Support both --flag=v and --flag v (the usage shows both)."""
@@ -172,6 +178,9 @@ def main() -> int:
         elif argv[i] == "--rich-props":
             rich_props = True
             i += 1
+        elif argv[i] == "--nonfinite":
+            nonfinite = True
+            i += 1
         else:
             raise SystemExit(f"unknown argument: {argv[i]}")
 
@@ -185,7 +194,7 @@ def main() -> int:
     for tier in tiers:
         for seed in seeds:
             d = make_dir(tier, seed, scale, doc_len, dim, unicode_frac,
-                         rich_props)
+                         rich_props, nonfinite)
             con = duck_conn(d)
             ran = 0
             for name, fn in qs.items():

@@ -47,18 +47,33 @@ def _dot(a: str, b: str) -> str:
 
 
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
-    """Attach the double-cast vector and its L2 norm, DROPPING zero-norm
-    (and NULL) vectors: a zero vector has no direction, and under ANSI
-    mode the cosine division would raise DIVIDE_BY_ZERO the moment one
-    appears in a 100 TB corpus. The exclusion is mirrored with a
-    ``dot(v,v) > 0`` predicate in every DuckDB oracle (found by the
-    embedding fuzz tier in tests/test_oracle_fuzz.py)."""
+    """Attach the double-cast vector and its L2 norm, DROPPING vectors
+    whose norm is not FINITE-POSITIVE — zero-norm, NULL, and (late-r07
+    nonfinite probe) NaN/±Inf components: a zero vector has no
+    direction, ANSI cosine division would raise DIVIDE_BY_ZERO, and a
+    NaN/Inf vector both carries no usable direction and POISONS k-means
+    centroid sums — the trained codebook then inlines ``nan`` into the
+    argmax literal, which Spark parses as an unresolvable column
+    (`nanD`), killing the query. The exclusion is mirrored by the
+    ``_duck_norm_pred`` predicate in every DuckDB oracle. The
+    ``< inf`` comparison also rejects NaN in BOTH engines (each treats
+    NaN as greater than every value, probed r07)."""
     v = f"cast({vec_col} as array<double>)"
     return (
         df.withColumn("__v", F.expr(v))
         .withColumn("__nrm", F.expr(f"sqrt({_dot('__v', '__v')})"))
-        .filter(F.col("__nrm") > 0)
+        .filter(
+            (F.col("__nrm") > 0)
+            & (F.col("__nrm") < F.lit(float("inf")))
+        )
     )
+
+
+def _duck_norm_pred(v: str, dim: int) -> str:
+    """DuckDB twin of :func:`_with_norm`'s gate: finite-positive
+    self-dot (rejects zero, NULL, NaN and ±Inf vectors identically)."""
+    d = _duck_dot(v, v, dim)
+    return f"({d} > 0 AND {d} < 'inf'::DOUBLE)"
 
 
 def guard_dim(df: DataFrame, vec_col: str, dim: int, op: str) -> DataFrame:
@@ -196,7 +211,7 @@ def oracle_cosine_topk_sql(
     n AS (
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
-      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
     ),
     q AS (SELECT * FROM n WHERE {query_filter}),
     scored AS (
@@ -291,7 +306,7 @@ def oracle_lsh_topk_sql(
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm,
              {_duck_bucket(planes, "__v", dim)} AS __bkt
-      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
     ),
     q AS (SELECT * FROM n WHERE {query_filter}),
     scored AS (
@@ -417,7 +432,7 @@ def oracle_ivf_topk_sql(
     n AS (
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
-      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
     ),
     cents AS (SELECT * FROM n WHERE {id_col} < {n_cells}),
     assigned AS (
@@ -683,7 +698,7 @@ def oracle_embedding_near_dup_sql(
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm,
              {bkt_cols}
-      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
     )
     SELECT DISTINCT vec_a, vec_b, cosine FROM (
     {branches}
@@ -1090,7 +1105,7 @@ def oracle_ivf_trained_sql(
     n AS (
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
-      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
     ),
     {kmeans},
     assigned AS (
@@ -1284,7 +1299,7 @@ def oracle_semantic_dedup_sql(
     n AS (
       SELECT {id_col}, __v,
              sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
-      FROM base WHERE {_duck_dot("__v", "__v", dim)} > 0
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
     ),
     {kmeans},
     assigned AS (

@@ -176,7 +176,16 @@ DOC_QUERIES = [
 ]
 
 
-def make_vectors(seed: int, n: int = 80, dim: int = 64) -> list[tuple]:
+def make_vectors(seed: int, n: int = 80, dim: int = 64,
+                 nonfinite: bool = False) -> list[tuple]:
+    """``nonfinite`` (the r07 NONFINITE axis) replaces ~1/8 of the
+    vectors with NaN/+Inf/-Inf carriers — the class where an
+    unfinished norm gate let NaN poison the k-means centroid sums and
+    the inlined codebook literal became an unresolvable `nanD` column,
+    killing every trained-codebook query on the Spark side only.
+    Extra draws are gated so pinned default seeds stay byte-identical;
+    both engines must now DROP these vectors at the finite-positive
+    norm gate."""
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -196,6 +205,11 @@ def make_vectors(seed: int, n: int = 80, dim: int = 64) -> list[tuple]:
             vec = None
         else:
             vec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        if nonfinite and vec is not None and rng.random() < 0.125:
+            vec = list(vec)
+            vec[rng.randrange(dim)] = rng.choice(
+                [float("nan"), float("inf"), float("-inf")]
+            )
         rows.append((i, vec, rng.randrange(4)))
     return rows
 
@@ -213,9 +227,12 @@ def fuzz_vec_dirs(tmp_path_factory):
         ]
     )
     dirs = []
-    for seed in (5, 41):
+    # seed 424 runs the NONFINITE axis (NaN/Inf carriers) — the
+    # committed leg of the r07 probe that found the codebook `nanD`
+    # crash; the finite-positive norm gate must drop them identically
+    for seed, nonf in ((5, False), (41, False), (424, True)):
         d = tmp_path_factory.mktemp(f"fuzzvec{seed}")
-        cols = list(zip(*make_vectors(seed)))
+        cols = list(zip(*make_vectors(seed, nonfinite=nonf)))
         table = pa.table(
             {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
         )
