@@ -1389,6 +1389,13 @@ _MUST_VERIFY_R07 = [
     # where the DuckDB oracle silently coerced. Displaces
     # events_session_windows (untouched, r05-green, r08 queue).
     "events_json_extract",
+    # oracle changed r07 (empty-input sweep): events_rollup's oracle
+    # pins Spark's empty-rollup behavior (HAVING count(*) > 0 removes
+    # only the SQL-standard empty-input grand-total row DuckDB emits);
+    # ann_recall (already a rotation member) and container_roundtrip
+    # (also a member) re-certify their empty-input fixes in place.
+    # Displaces quality_buckets (untouched, r05-green, r08 queue).
+    "events_rollup",
 ]
 
 # r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
@@ -1408,7 +1415,7 @@ _ROTATE_R07 = [
     "speech_enhance",
     # 24 oldest r05-green rows (r05 window order)
     "stretch_align", "dedup_recall", "ann_ivf_trained",
-    "events_funnel", "quality_buckets",
+    "events_funnel",
     # (media_switch and video_reformatter were the last two rotation
     # rows, displaced by the two dim-guard re-certifications; the next
     # five — string_concatenator, fn_task, fn_task_stateful,
@@ -1423,8 +1430,9 @@ _ROTATE_R07 = [
     # top_customers_per_nation by the review-found norm_text
     # re-certifications (source_stats, pack_sequences);
     # events_session_windows by the rich-props json re-certification
-    # (events_json_extract). All nineteen untouched, r05-green, head
-    # of the r08 queue.)
+    # (events_json_extract); quality_buckets by the empty-input rollup
+    # re-certification (events_rollup). All twenty untouched,
+    # r05-green, head of the r08 queue.)
 ]
 
 
@@ -1480,7 +1488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall": _q_dedup_recall,
         "ann_ivf_trained": _q_ann_ivf_trained,
         "events_funnel": rel(rq.events_funnel),
-        "quality_buckets": _q_quality_buckets,
+        # --- r07 window: empty-input sweep re-certification — the
+        # rollup oracle gained HAVING count(*) > 0 to pin Spark's
+        # no-rows-on-empty behavior against the SQL-standard grand
+        # total; displaces quality_buckets (untouched, r05-green)
+        "events_rollup": rel(rq.events_rollup),
         # --- r07 window: rich-props re-certification — the events
         # json extraction now gates the cast on an integer-shape regex
         # (ANSI Spark crashed on {"k": 3.5} where DuckDB coerced);
@@ -1533,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------- first entry PAST the driver's 50-query window -------
         # displaced rotation rows (untouched code, r05-green) — the
         # head of the r08 queue — then the remaining 16 r05 rows
+        "quality_buckets": _q_quality_buckets,
         "events_session_windows": rel(rq.events_session_windows),
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
@@ -1596,7 +1609,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
         "events_hourly_stats": rel(rq.events_hourly_stats),
         "events_sliding_stats": rel(rq.events_sliding_stats),
-        "events_rollup": rel(rq.events_rollup),
         "events_anomaly": rel(rq.events_anomaly),
         # (embedding_near_dup / embedding_dup_classes moved into the
         # r07 window above — dim-guard plan change; source_stats and
@@ -2952,6 +2964,13 @@ def oracle_sql() -> dict[str, str]:
               count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+            -- engine-behavior pin (r07 empty-input sweep): on an EMPTY
+            -- events table Spark's rollup emits no rows while the SQL
+            -- standard (and DuckDB) still emit the grand-total row
+            -- with n = 0. Only that row can have count(*) = 0 (every
+            -- real group forms from >= 1 row), so the HAVING removes
+            -- exactly the empty-input grand total and nothing else.
+            HAVING count(*) > 0
         """,
         "events_funnel": """
             WITH pu AS (

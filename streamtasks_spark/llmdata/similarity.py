@@ -501,7 +501,18 @@ def recall_probe(
                 F.lit(name).alias("method"),
                 "hits",
                 "possible",
-                F.round(F.col("hits") / F.col("possible"), 6).alias("recall"),
+                # nullif guard (r07 empty-input sweep): a global agg
+                # over ZERO exact rows still emits one row with
+                # possible = 0, and under ANSI the bare division kills
+                # the job (DIVIDE_BY_ZERO) where the oracle returned a
+                # NULL recall — same crash-vs-NULL divergence class as
+                # the JSON cast. NULL recall is the honest answer when
+                # there is nothing to recall.
+                F.round(
+                    F.col("hits")
+                    / F.expr("cast(nullif(possible, 0) as double)"),
+                    6,
+                ).alias("recall"),
             )
         )
 
@@ -537,7 +548,8 @@ def oracle_recall_probe_sql(
     ivf = oracle_ivf_topk_sql(**common, n_cells=n_cells, n_probe=n_probe)
     recall = (
         f"SELECT count(a.query_id) AS hits, count(*) AS possible,\n"
-        f"  round(count(a.query_id)::DOUBLE / count(*), 6) AS recall\n"
+        f"  round(count(a.query_id)::DOUBLE / nullif(count(*), 0), 6)"
+        f" AS recall\n"
         f"FROM exact e LEFT JOIN {{m}} a\n"
         f"  ON e.query_id = a.query_id AND e.{id_col} = a.{id_col}"
     )

@@ -49,8 +49,27 @@ def input_container(
     """Demux a packet table into per-track packet streams. Filters push
     down to the parquet scan, so reading one track of a many-track
     container scans only that track's row groups (when the table is
-    written sorted/partitioned by track, as output_container does)."""
-    df = spark.read.parquet(path)
+    written sorted/partitioned by track, as output_container does).
+
+    An EMPTY container (zero packets → no parquet data files) is
+    demuxed from the header sidecar output_container writes: each
+    requested track resolves to an empty DataFrame with the container's
+    schema instead of an UNABLE_TO_INFER_SCHEMA failure (r07
+    empty-input sweep)."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        import json
+        import os
+
+        from pyspark.sql.types import StructType
+
+        header = os.path.join(path, "_container_header.json")
+        if not os.path.exists(header):
+            raise
+        with open(header) as fh:
+            schema = StructType.fromJson(json.load(fh)["schema"])
+        df = spark.createDataFrame([], schema)
     if tracks is None:
         tracks = [r["track"] for r in df.select("track").distinct().collect()]
     return {t: df.filter(F.col("track") == t) for t in tracks}
@@ -79,14 +98,27 @@ def output_container(
         seq_col=seq_col,
         stream_col="__track_idx",
     )
+    packets = muxed.drop("__track_idx")
     (
-        muxed.drop("__track_idx")
-        .repartition("track")
+        packets.repartition("track")
         .sortWithinPartitions("mux_order")
         .write.mode("overwrite")
         .partitionBy("track")
         .parquet(path)
     )
+    # container HEADER (r07 empty-input sweep): with zero packets the
+    # partitioned write produces no data files and a later
+    # input_container dies on UNABLE_TO_INFER_SCHEMA — a real container
+    # format carries its stream layout in a header exactly so an empty
+    # container stays readable (the reference's OutputContainer writes
+    # codec metadata up front; media/container.py:116-161). The sidecar
+    # is driver-side and tiny.
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_container_header.json"), "w") as fh:
+        json.dump({"schema": packets.schema.jsonValue()}, fh)
 
 
 def demux_file_pyav(

@@ -719,3 +719,62 @@ def test_fresh_seed_rotation(spark, tier):
             # round accretes 20 parquet dirs in /tmp
             shutil.rmtree(sf_dir, ignore_errors=True)
     assert not failures, "\n".join(failures[:40])
+
+
+def test_empty_inputs_agree_or_fail_loudly(spark, tmp_path):
+    """The EMPTY-INPUT axis (r07): every query run over zero-row
+    documents/events/embeddings tables must either match its oracle
+    (usually both empty) or fail LOUDLY with the documented
+    ValueError (train_centroids has nothing to seed a codebook with).
+    First run found three real defects: events_rollup silently
+    diverged (DuckDB emits the SQL-standard grand-total row over empty
+    input, Spark emits none — oracle now pins engine behavior),
+    ann_recall died on ANSI DIVIDE_BY_ZERO where the oracle returned
+    NULL, and an empty container was unreadable (no parquet data files
+    → UNABLE_TO_INFER_SCHEMA; output_container now writes a header
+    sidecar). A 100 TB pipeline hits empty partitions routinely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from fuzz_sweep import ALL_TABLES, DOC_SCHEMA, EV_SCHEMA, VEC_SCHEMA
+
+    import __spark_entry__ as entrymod
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    for name, schema in (("documents", DOC_SCHEMA), ("events", EV_SCHEMA),
+                         ("embeddings", VEC_SCHEMA)):
+        pq.write_table(pa.table({f.name: [] for f in schema}, schema=schema),
+                       f"{d}/{name}.parquet")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_conn(d)
+    # the ONLY queries allowed to raise, and only with the documented
+    # loud codebook error
+    LOUD_OK = {"ann_ivf_trained", "semantic_dedup", "text_semantic_dedup"}
+    problems = []
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, d).toPandas()
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {e}"
+            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                    or (isinstance(e, KeyError) and e.args
+                        and e.args[0] in ALL_TABLES)):
+                continue  # needs tpch tables this dir lacks
+            if name in LOUD_OK and "seed the codebook" in msg:
+                continue  # the documented loud failure
+            problems.append(f"{name}: unexpected error {msg[:160]}")
+            continue
+        if name not in oracles:
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{name}: oracle error {type(e).__name__}: {e}")
+            continue
+        problems.extend(f"{name}: {p}" for p in compare(name, sdf, odf))
+    assert not problems, "\n".join(problems[:20])
