@@ -71,9 +71,17 @@ def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
 
 def _duck_norm_pred(v: str, dim: int) -> str:
     """DuckDB twin of :func:`_with_norm`'s gate: finite-positive
-    self-dot (rejects zero, NULL, NaN and ±Inf vectors identically)."""
+    self-dot, plus an explicit no-NULL-ELEMENT condition — DuckDB's
+    ``list_sum`` SKIPS NULL products where Spark's ``aggregate`` fold
+    propagates NULL, so a vector like ``[NULL, 0.5, ...]`` would gate
+    IN here while Spark drops it (r07 review finding; the len filter
+    makes both engines reject zero, NULL, NaN, ±Inf, and
+    NULL-element vectors identically)."""
     d = _duck_dot(v, v, dim)
-    return f"({d} > 0 AND {d} < 'inf'::DOUBLE)"
+    return (
+        f"({d} > 0 AND {d} < 'inf'::DOUBLE"
+        f" AND len(list_filter({v}, x -> x IS NULL)) = 0)"
+    )
 
 
 def guard_dim(df: DataFrame, vec_col: str, dim: int, op: str) -> DataFrame:

@@ -39,6 +39,49 @@ PACKET_SCHEMA = (
     "data binary, is_keyframe boolean"
 )
 
+# container header sidecar: the stream-layout record that keeps an
+# EMPTY container readable (writer and reader must agree on the name)
+_HEADER_NAME = "_container_header.json"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — works
+    for local, hdfs://, s3a://, any configured scheme, unlike driver
+    os.makedirs/open which would create bogus LOCAL directories for a
+    remote container path."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _write_header(spark: SparkSession, path: str, payload: dict) -> None:
+    import json
+
+    fs, base = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(base, _HEADER_NAME), True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_header(spark: SparkSession, path: str) -> dict | None:
+    import json
+
+    fs, base = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(base, _HEADER_NAME)
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # hadoop's own IOUtils — guaranteed on the classpath (commons-io is
+    # not); closeStreams=True closes BOTH ends
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
 
 def input_container(
     spark: SparkSession,
@@ -55,20 +98,28 @@ def input_container(
     demuxed from the header sidecar output_container writes: each
     requested track resolves to an empty DataFrame with the container's
     schema instead of an UNABLE_TO_INFER_SCHEMA failure (r07
-    empty-input sweep)."""
+    empty-input sweep). ONLY that schema-inference failure takes the
+    header path — any other read error (corrupt footer, permissions,
+    transient FS fault) on a populated container re-raises rather than
+    silently demuxing to zero packets. Fallback schema note: the header
+    stores columns in the partitioned READ layout (track last), but a
+    numeric-looking track name read from a NON-empty container gets
+    partition-column type inference (directory names), which the
+    header cannot reproduce — use string track names (the reference
+    does: "audio0"/"video1")."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        import json
-        import os
-
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
         from pyspark.sql.types import StructType
 
-        header = os.path.join(path, "_container_header.json")
-        if not os.path.exists(header):
+        header = _read_header(spark, path)
+        if header is None:
             raise
-        with open(header) as fh:
-            schema = StructType.fromJson(json.load(fh)["schema"])
+        schema = StructType.fromJson(header["schema"])
         df = spark.createDataFrame([], schema)
     if tracks is None:
         tracks = [r["track"] for r in df.select("track").distinct().collect()]
@@ -111,14 +162,17 @@ def output_container(
     # input_container dies on UNABLE_TO_INFER_SCHEMA — a real container
     # format carries its stream layout in a header exactly so an empty
     # container stays readable (the reference's OutputContainer writes
-    # codec metadata up front; media/container.py:116-161). The sidecar
-    # is driver-side and tiny.
-    import json
-    import os
-
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "_container_header.json"), "w") as fh:
-        json.dump({"schema": packets.schema.jsonValue()}, fh)
+    # codec metadata up front; media/container.py:116-161). Written via
+    # the Hadoop FS API so hdfs://-style container paths get the header
+    # next to their data, not a bogus local directory. The stored
+    # column order mirrors the partitioned READ layout (track last).
+    spark = packets.sparkSession
+    read_layout = packets.select(
+        *[c for c in packets.columns if c != "track"], "track"
+    )
+    _write_header(
+        spark, path, {"schema": read_layout.schema.jsonValue()}
+    )
 
 
 def demux_file_pyav(

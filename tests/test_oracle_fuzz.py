@@ -207,8 +207,12 @@ def make_vectors(seed: int, n: int = 80, dim: int = 64,
             vec = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
         if nonfinite and vec is not None and rng.random() < 0.125:
             vec = list(vec)
+            # None = a NULL ELEMENT inside the list (legal parquet):
+            # DuckDB's list_sum would SKIP it where Spark's fold
+            # propagates NULL — the r07 review finding the oracle
+            # gate's no-NULL-element condition pins
             vec[rng.randrange(dim)] = rng.choice(
-                [float("nan"), float("inf"), float("-inf")]
+                [float("nan"), float("inf"), float("-inf"), None]
             )
         rows.append((i, vec, rng.randrange(4)))
     return rows
@@ -740,7 +744,6 @@ def test_empty_inputs_agree_or_fail_loudly(spark, tmp_path):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scripts"))
     from fuzz_sweep import (
-        ALL_TABLES,
         DOC_SCHEMA,
         EV_SCHEMA,
         TPCH_TABLES,
@@ -774,10 +777,11 @@ def test_empty_inputs_agree_or_fail_loudly(spark, tmp_path):
             sdf = fn(spark, d).toPandas()
         except Exception as e:  # noqa: BLE001
             msg = f"{type(e).__name__}: {e}"
-            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
-                    or (isinstance(e, KeyError) and e.args
-                        and e.args[0] in ALL_TABLES)):
-                continue  # needs tpch tables this dir lacks
+            # no skip branch: EVERY declared table exists (empty) in
+            # this dir, so a path/KeyError here is a real regression,
+            # not a benign missing-tier artifact (r07 review finding —
+            # a blanket skip would silently exempt queries from the
+            # sweep while the test claims full coverage)
             if name in LOUD_OK and "seed the codebook" in msg:
                 continue  # the documented loud failure
             problems.append(f"{name}: unexpected error {msg[:160]}")
