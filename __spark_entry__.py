@@ -1001,8 +1001,14 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ann_ivf_trained codebook machinery), then lowest-id-wins
     within-cluster cosine domination. One keep/drop row per vector."""
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    # max_cell: the hot-cell skew guard (r07 verdict task 6), sized
+    # well above any test-scale cell population (sf0.1 has ~6k vectors
+    # TOTAL) so the capped plan is value-identical to the exact
+    # SemDeDup semantics the oracle computes — the corpus_prepare
+    # dedup_max_bucket precedent.
     return similarity.semantic_dedup(
-        vecs, dim=64, n_cells=8, n_iters=2, threshold=0.35
+        vecs, dim=64, n_cells=8, n_iters=2, threshold=0.35,
+        max_cell=100_000,
     )
 
 
@@ -1058,9 +1064,12 @@ def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamtasks_spark.llmdata.dedup import pin
 
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # max_cell as in _q_semantic_dedup: plumbed skew guard, sized above
+    # any test-scale cell so values match the exact-semantics oracle.
     return similarity.semantic_dedup(
         pin(textstats.hashed_tf_embed(docs, dim=64)),
         id_col="doc_id", dim=64, n_cells=8, n_iters=2, threshold=0.9,
+        max_cell=100_000,
     )
 
 

@@ -347,7 +347,17 @@ def unigram_lm(
     other corpora — or a STREAM — against it
     (:func:`~streamtasks_spark.streaming.stateful.
     streaming_unigram_lm`); this composite trains and scores the same
-    corpus over one pinned tokenization."""
+    corpus over one pinned tokenization.
+
+    Cache note: the pinned tokenization (``base``) IS in the returned
+    plan's lineage (the scoring scan reads it), so unlike the
+    train-step ``counts`` pin it cannot be released here — it stays
+    cached until the caller materializes the result and calls
+    ``spark.catalog.clearCache()`` (or unpersists it via the plan's
+    cached ancestor). Long-lived sessions invoking this repeatedly
+    (the 122-query driver loop) accumulate one corpus-tokenization
+    cache entry per call; the per-round harness clears the cache
+    between query families for exactly this reason."""
     from streamtasks_spark.llmdata.dedup import pin
 
     base = pin(_tokenized(docs, id_col, text_col))
@@ -522,6 +532,11 @@ def oracle_unigram_lm_sql(
     -- them NULLs the whole output row (bool_or ≡ Spark's max(__nul)).
     -- Without this the final join emitted one row per SOURCE row and
     -- diverged from the engine on non-unique ids (r07 review finding).
+    -- The join below is NULL-safe (IS NOT DISTINCT FROM): Spark's
+    -- groupBy treats NULL ids as one ordinary group, but a plain
+    -- equi-join never matches NULL = NULL, so a NULL-id document would
+    -- join-miss its own scored row and emit (NULL, 0, NULL, NULL)
+    -- where the engine emits its real counts (r07 advisor finding).
     tg AS (
       SELECT {id_col}, bool_or(__toks IS NULL) AS __nul
       FROM t GROUP BY {id_col}
@@ -538,7 +553,8 @@ def oracle_unigram_lm_sql(
            ELSE (s.__s / CAST(s.__n AS DOUBLE))
                 / (SELECT __T FROM total)
       END AS score
-    FROM tg LEFT JOIN scored s USING ({id_col})
+    FROM tg LEFT JOIN scored s
+      ON tg.{id_col} IS NOT DISTINCT FROM s.{id_col}
     """
 
 

@@ -1204,6 +1204,7 @@ def semantic_dedup(
     n_iters: int = 2,
     threshold: float = 0.35,
     centroids: DataFrame | None = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1235,6 +1236,22 @@ def semantic_dedup(
     (:func:`embedding_near_dup`), output is corpus-sized, not
     pair-count-sized.
 
+    ``max_cell`` is the skew GUARD for that contract (the
+    ``dedup_minhash`` ``max_bucket`` pattern): a cell holding m
+    vectors emits m·(m−1)/2 pairs, so one degenerate hot cell (an
+    under-sized codebook, a boilerplate embedding mode) turns the
+    pairing quadratic on a single shuffle key no matter how many
+    executors exist. With the cap, vectors in cells larger than
+    ``max_cell`` are excluded from the PAIRING step only (a
+    count-over-window on the cell key — the same shuffle partitioning
+    the pairing join needs anyway); they stay in the output with
+    ``keep = true``, i.e. a hot cell is under-dropped, never
+    mis-dropped, and the fix for recurring hot cells is a bigger
+    codebook. Default ``None`` keeps the exact SemDeDup semantics and
+    the DuckDB oracle unchanged; call sites that feed unbounded
+    corpora (the ``corpus_prepare`` class) should set it the way they
+    set ``dedup_max_bucket``.
+
     ``centroids`` (optional, columns ``__cell, __cv, __cn``) skips
     training and assigns against the given frozen codebook — the hook
     :class:`SemDedupIndex` uses to compare incremental ingestion
@@ -1264,13 +1281,33 @@ def semantic_dedup(
         v.withColumn("__cell", F.expr(argmax))
         .select(id_col, "__v", "__nrm", "__cell")
     )
-    a = assigned.select(
+    pair_src = assigned
+    if max_cell is not None:
+        # hot-cell guard: drop oversized cells from PAIRING only.
+        # NOT a count-over-window on __cell (the _band_pairs pattern):
+        # cells are LOW-cardinality by design (≤ n_cells values), so a
+        # window partitioned by __cell funnels the whole corpus into
+        # n_cells tasks — it materializes the very hot partition the
+        # cap exists to avoid (measured 4.6× slower on the capped
+        # text_semantic_dedup bench). Instead aggregate to a
+        # codebook-sized hot-cell list (map-side combine → ≤ n_cells
+        # rows) and broadcast anti-join it: one narrow pass, pairing
+        # input partitioning untouched, excluded vectors fall through
+        # the left join below as keep = true.
+        hot = (
+            assigned.groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .filter(F.col("__csz") > max_cell)
+            .select("__cell")
+        )
+        pair_src = assigned.join(broadcast(hot), "__cell", "left_anti")
+    a = pair_src.select(
         "__cell",
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),
         F.col("__nrm").alias("__na"),
     )
-    b = assigned.select(
+    b = pair_src.select(
         "__cell",
         F.col(id_col).alias("__idb"),
         F.col("__v").alias("__vb"),

@@ -1171,6 +1171,48 @@ def test_semantic_dedup_keeps_one_representative_per_group(spark):
     assert cells_with_drop.issubset(cells_with_keep)
 
 
+def test_semantic_dedup_max_cell_guard(spark):
+    """max_cell (r08, the dedup_minhash max_bucket pattern): a cap at
+    or above the largest cell population is a no-op (bit-identical to
+    exact semantics), and a cap below a hot cell's population excludes
+    that cell from PAIRING only — its vectors all come back keep=true
+    (under-dropped, never mis-dropped) while cells within the cap keep
+    their exact verdicts."""
+    from streamtasks_spark.llmdata import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = (
+        similarity.semantic_dedup(vecs)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pops = exact.groupby("cell").size()
+    # cap ≥ max population: bit-identical to the uncapped op
+    nop = (
+        similarity.semantic_dedup(vecs, max_cell=int(pops.max()))
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (nop.values == exact.values).all()
+    # cap below the hottest cell: that cell is pairing-excluded
+    hot = pops.idxmax()
+    cap = int(pops.max()) - 1
+    assert cap >= 1 and (~exact[exact["cell"] == hot]["keep"]).any(), (
+        "fixture must actually drop something in the hot cell"
+    )
+    capped = (
+        similarity.semantic_dedup(vecs, max_cell=cap)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert capped[capped["cell"] == hot]["keep"].all()
+    # cells within the cap keep their exact verdicts
+    ok_cells = set(pops[pops <= cap].index)
+    a = exact[exact["cell"].isin(ok_cells)]
+    b = capped[capped["cell"].isin(ok_cells)]
+    assert (a.values == b.values).all()
+    # row universe unchanged: the cap never removes output rows
+    assert list(capped["vec_id"]) == list(exact["vec_id"])
+
+
 def test_tfidf_topk_matches_oracle_across_k(spark):
     """tfidf_topk (r07): bit-exact vs DuckDB at several k — the
     raw-ratio idf keeps every score an exact small-integer ratio, so
@@ -1544,7 +1586,10 @@ def test_unigram_lm_agrees_with_oracle_on_duplicate_ids(spark):
     """Non-unique ids: Spark's groupBy(id) merges duplicate rows' token
     streams into ONE output row (any NULL-text member NULLs it); the
     oracle must do the same — its pre-fix final join emitted one row
-    per SOURCE row and diverged (r07 review finding)."""
+    per SOURCE row and diverged (r07 review finding). A NULL id is one
+    ordinary group too: Spark's groupBy keeps it, but a plain equi-join
+    in the oracle would drop it (NULL never join-matches), so the final
+    join is NULL-safe (r07 advisor finding)."""
     import duckdb
 
     from streamtasks_spark.llmdata import quality
@@ -1553,6 +1598,7 @@ def test_unigram_lm_agrees_with_oracle_on_duplicate_ids(spark):
         (7, "a b"), (7, None),          # dup id with a NULL member
         (8, "a a b"), (8, "zz yy"),     # dup id, both textual
         (9, "b"), (10, ""),
+        (None, "a b zz"),               # NULL id: one real scored group
     ]
     sdf = (
         quality.unigram_lm(
@@ -1574,8 +1620,10 @@ def test_unigram_lm_agrees_with_oracle_on_duplicate_ids(spark):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    assert list(sdf["doc_id"]) == [7, 8, 9, 10] == list(odf["doc_id"])
     import numpy as np
+    # NaN sorts last on both sides: [7, 8, 9, 10, NULL]
+    assert list(sdf["doc_id"][:4]) == [7, 8, 9, 10] == list(odf["doc_id"][:4])
+    assert np.isnan(sdf["doc_id"].iloc[4]) and np.isnan(odf["doc_id"].iloc[4])
     for c in sdf.columns:
         a, b = sdf[c].to_numpy(), odf[c].to_numpy()
         for x, y in zip(a, b):
@@ -1583,6 +1631,9 @@ def test_unigram_lm_agrees_with_oracle_on_duplicate_ids(spark):
                 assert y is None or (isinstance(y, float) and np.isnan(y)), c
             else:
                 assert x == y, (c, x, y)
-    # id 7 NULLed by its NULL member; id 8 merged (5 tokens)
+    # id 7 NULLed by its NULL member; id 8 merged (5 tokens); the
+    # NULL-id group carries its real counts (pre-fix oracle: all NULL)
     assert sdf.loc[0, "n_tokens"] is None or np.isnan(sdf.loc[0, "n_tokens"])
     assert sdf.loc[1, "n_tokens"] == 5
+    assert sdf.loc[4, "n_tokens"] == 3 == odf.loc[4, "n_tokens"]
+    assert odf.loc[4, "score"] > 0.0
