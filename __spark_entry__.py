@@ -1321,127 +1321,59 @@ def _q_synchronizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver hash-checks only the first 50 queries() entries; a changed
 # query outside it ships uncertified). queries() enforces this
 # programmatically — r03 shipped two stale rows because the positions
-# were counted by hand.
-_MUST_VERIFY_R07 = [
-    # impl changed r07: corpus_prepare now passes an explicit
-    # hot-bucket cap to its minhash stage at the call site (r06
-    # verdict task 6) — values identical on oracle data by
-    # construction (cap sized above any sf0.01 bucket), but the plan
-    # changed, so it re-certifies.
-    "corpus_prepare",
-    # impl changed r07: the --dim fuzz axis found the plane/codebook
-    # ANN queries silently diverging when the configured dim mismatches
-    # the data; these five now carry a JVM-side dim guard
-    # (similarity._require_dim / train_centroids expect_dim). Values
-    # identical at the oracle's dim 64 by construction (the guard is a
-    # pass-through when size matches), but the plans changed, so all
-    # five re-certify. embedding_near_dup/_dup_classes displaced the
-    # two youngest rotation rows (media_switch, video_reformatter —
-    # untouched code, r05-green, first in line for r08).
-    "ann_lsh_topk", "ann_recall", "ann_ivf_trained",
-    "embedding_near_dup", "embedding_dup_classes",
-    # impl changed r07 (same finding, longer-data direction): the
-    # data-derived ann_topk/ann_ivf_topk queries now guard_dim their
-    # input to declare the dim-64 oracle coupling — the oracle's SQL
-    # dot truncates longer vectors to its configured dim (silent FAIL
-    # at dim 512).
-    "ann_topk", "ann_ivf_topk",
-    # impl changed r07: the NULL-text fuzz axis found tts/text_renderer
-    # synthesizing from the literal string "None" (pandas astype(str))
-    # and the three image stubs crashing on a NULL payload. All five
-    # now NULL-propagate like their oracles; values identical on
-    # oracle data (no NULL text at sf0.01) but the plans changed, so
-    # they re-certify — displacing the five youngest rotation rows
-    # (string_concatenator, fn_task, fn_task_stateful, audio_mixer,
-    # video_activity_meter — untouched code, r05-green, head of the
-    # r08 queue).
-    "tts_synthesize", "text_renderer",
-    "image_decode", "image_resize", "image_features",
-    # NEW ops r07: SemDeDup-style semantic dedup (deterministic
-    # k-means + within-cluster cosine domination) and per-doc tf-idf
-    # keywords — new code certifies in-window before it ships,
-    # displacing the two youngest rotation rows (calculator,
-    # calculator_multivar — untouched code, r05-green, queued for r08
-    # behind the seven rows displaced earlier this round).
-    "semantic_dedup", "tfidf_topk",
-    # NEW ops r07 (second wave): feature-hashed TF embeddings (scalar
-    # signature projection — no driver row has ever carried an array
-    # column, so the raw-array equality is pytest-pinned instead) and
-    # the model-free text semantic dedup composition over them —
-    # displacing sr_latch and pause_state (untouched, r05-green, r08
-    # queue).
-    "hashed_embed", "text_semantic_dedup",
-    # impl changed r07 (unicode fuzz axis): norm_text now pre-maps the
-    # two Unicode SpecialCasing lowercase triggers (Σ→σ, İ→I) so
-    # Spark's full case mapping and DuckDB's simple utf8proc mapping
-    # agree on non-ASCII text (and shingle hashes stop depending on
-    # the executors' default JVM locale). Values identical on the
-    # ASCII oracle corpus, but every text-tier plan changed; these
-    # three were the only affected queries outside the window —
-    # displacing synchronizer/asof_join/switch (untouched, r05-green,
-    # r08 queue).
-    "ngram_jaccard", "dedup_components", "dedup_retention",
-    # NEW ops r07 (third wave): overlapping token-window chunking and
-    # the corpus-trained log-free unigram-LM quality score — displacing
-    # orders_without_lineitems and customers_with_orders_semi
-    # (untouched, r05-green, r08 queue).
-    "doc_chunk", "unigram_lm",
-    # impl+oracle changed r07 (review finding): source_stats
-    # (_words_expr) and pack_sequences (token count) also consume
-    # norm_text, so the unicode fold changed their plans too — the
-    # original "only three affected outside the window" claim missed
-    # them. Displacing set_ops and top_customers_per_nation
-    # (untouched, r05-green, r08 queue).
-    "source_stats", "pack_sequences",
-    # impl+oracle changed r07 (rich-props probe): events_json_extract
-    # now integer-gates the JSON cast — ANSI Spark died on {"k": 3.5}
-    # where the DuckDB oracle silently coerced. Displaces
-    # events_session_windows (untouched, r05-green, r08 queue).
-    "events_json_extract",
-    # oracle changed r07 (empty-input sweep): events_rollup's oracle
-    # pins Spark's empty-rollup behavior (HAVING count(*) > 0 removes
-    # only the SQL-standard empty-input grand-total row DuckDB emits);
-    # ann_recall (already a rotation member) and container_roundtrip
-    # (also a member) re-certify their empty-input fixes in place.
-    # Displaces quality_buckets (untouched, r05-green, r08 queue).
-    "events_rollup",
+# were counted by hand. Since r08 the enumeration itself is also
+# mechanized: tests/test_oracle_audit.py re-renders every query's
+# oracle SQL + canonical plan against the committed ORACLE_MANIFEST
+# and fails naming any query that drifted without being listed here —
+# the manual blast-radius walk missed indirect helper consumers three
+# times in r07 (source_stats, pack_sequences in review;
+# quality_buckets not at all).
+_MUST_VERIFY_R08 = [
+    # STALE-CERT REPAIR (r07 verdict task 1, certify FIRST): r07's
+    # norm_text unicode fold changed quality_buckets' plan AND oracle
+    # through text_stats, but the round's manual blast-radius walk
+    # missed it — it shipped displaced and mislabeled "untouched"
+    # while actually r07-changed (latest driver row r05). The r07
+    # judge re-ran its oracle bit-green; this row makes it official.
+    "quality_buckets",
+    # oracle changed r08: oracle_unigram_lm_sql's final join is now
+    # NULL-safe (IS NOT DISTINCT FROM) — Spark's groupBy keeps a
+    # NULL-id group, a plain equi-join dropped it (r07 advisor
+    # finding). Values identical on the non-NULL-id oracle corpus,
+    # but the rendered SQL changed, so it re-certifies.
+    "unigram_lm",
+    # impl changed r08: semantic_dedup gained the max_cell hot-cell
+    # guard (r07 verdict task 6) and both entry call sites plumb a cap
+    # sized above any test-scale cell population — value-identical by
+    # construction, but the plans changed, so both re-certify.
+    "semantic_dedup", "text_semantic_dedup",
 ]
 
-# r07 rotation (r06 verdict task 1): the 50 oldest driver rows — the
-# 26 r04-green rows + the 24 oldest r05-green rows, exactly the order
-# the r06 tail already queued them in. After this window no query's
-# latest driver row is older than r05. All 50 re-verified bit-green
-# locally via scripts/check_oracle.py before this rotation.
-_ROTATE_R07 = [
-    # 26 r04-green rows
-    "vocab_topk", "substring_dedup", "token_histogram",
-    "corpus_prepare", "events_retention_cohorts", "text_stats",
-    "lang_id", "doc_fingerprint", "quality_filter", "doc_repetition",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "decontaminate",
-    "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall", "gate",
-    "interleave_mux", "interleave_desync", "container_roundtrip",
-    "audio_smoother", "audio_volume_scaler", "asr_transcribe",
-    "speech_enhance",
-    # 24 oldest r05-green rows (r05 window order)
-    "stretch_align", "dedup_recall", "ann_ivf_trained",
-    "events_funnel",
-    # (media_switch and video_reformatter were the last two rotation
-    # rows, displaced by the two dim-guard re-certifications; the next
-    # five — string_concatenator, fn_task, fn_task_stateful,
-    # audio_mixer, video_activity_meter — were displaced by the five
-    # NULL-text re-certifications; calculator and calculator_multivar
-    # were displaced by the two NEW ops (semantic_dedup, tfidf_topk);
-    # sr_latch and pause_state by the second new-op wave (hashed_embed,
-    # text_semantic_dedup); synchronizer, asof_join and switch by the
-    # three norm_text unicode-fold re-certifications;
-    # orders_without_lineitems and customers_with_orders_semi by the
-    # third new-op wave (doc_chunk, unigram_lm); set_ops and
-    # top_customers_per_nation by the review-found norm_text
-    # re-certifications (source_stats, pack_sequences);
-    # events_session_windows by the rich-props json re-certification
-    # (events_json_extract); quality_buckets by the empty-input rollup
-    # re-certification (events_rollup). All twenty untouched,
-    # r05-green, head of the r08 queue.)
+# r08 rotation (r07 verdict task 3): the 20 rows displaced from the
+# r07 window (r05-green, queued oldest-first — quality_buckets leads
+# via _MUST_VERIFY_R08 above) + the 16 remaining r05-green rows + the
+# 11 oldest r06-green rows that fit the remaining slots. After this
+# window no query's latest driver row is older than r06.
+_ROTATE_R08 = [
+    # the 19 other r07-displaced rows (r05-green)
+    "events_session_windows", "set_ops", "top_customers_per_nation",
+    "orders_without_lineitems", "customers_with_orders_semi",
+    "synchronizer", "asof_join", "switch", "calculator",
+    "calculator_multivar", "sr_latch", "pause_state",
+    "string_concatenator", "fn_task", "fn_task_stateful",
+    "audio_mixer", "video_activity_meter", "media_switch",
+    "video_reformatter",
+    # the 16 remaining r05-green rows (r05 window order)
+    "q3_shipping_priority", "q10_returned_items", "q15_top_supplier",
+    "q17_small_quantity_revenue", "audio_chunker", "padded_chunker",
+    "audio_resampler", "video_mixer", "q22_global_sales_opportunity",
+    "salted_join", "range_join", "stratified_sample", "split_assign",
+    "mix_sample", "events_quantiles", "q2_min_cost_supplier",
+    # the 11 oldest r06-green rows (r06 window order)
+    "time_to_text", "timestamp_update", "frame_sample",
+    "image_renderer", "string_matcher", "text_format",
+    "number_to_text", "video_layout", "q4_order_priority",
+    "q13_customer_distribution", "q16_parts_supplier_relationship",
 ]
 
 
@@ -1451,21 +1383,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # With the rotation debt retired in r06 (every row ≥ r04), r07
-    # planned to rotate the 50 OLDEST rows (26 r04 + 24 oldest r05);
-    # changed/new code then claimed 13 of the r05 slots per the
-    # changed-code-certifies-first rule (_MUST_VERIFY_R07: 7 fuzz-fix
-    # re-certifications + 6 NEW ops — semantic_dedup, tfidf_topk,
-    # hashed_embed, text_semantic_dedup — plus corpus_prepare and the
-    # 5 ANN dim-guard rows that were already rotation members). The 11
-    # displaced rows are all r05-green and head the r08 queue, so the
-    # freshness goal (no row older than r05) still holds. The tail
-    # stays ordered oldest-first (displaced r05 rows, remaining r05
-    # rows, then the r06-certified rows in their r06 window order) so
-    # r08 keeps rotating the same way; all 122 stay covered by the
-    # bit-level compare in scripts/check_oracle.py locally.
+    # r08 window = quality_buckets FIRST (r07's missed indirect
+    # norm_text consumer — stale-cert repair), the 19 other rows r07
+    # displaced, the 16 remaining r05-green rows, the 3 r08-changed
+    # queries (unigram_lm oracle NULL-safe join; semantic_dedup /
+    # text_semantic_dedup max_cell plumbing), and the 11 oldest
+    # r06-green rows. After this round no query's latest driver row is
+    # older than r06. The tail stays ordered oldest-first (remaining
+    # r06 rows in r06 window order, then the r07-certified rows in r07
+    # window order) so r09 keeps rotating the same way; all 122 stay
+    # covered by the bit-level compare in scripts/check_oracle.py
+    # locally, and tests/test_oracle_audit.py mechanically fails any
+    # query whose rendered oracle/plan drifts without a
+    # _MUST_VERIFY_R08 listing.
     q = {
-        # --- r07 window: 26 r04-green rows, oldest-first
+        # --- r08 window: stale-cert repair, certify first
+        "quality_buckets": _q_quality_buckets,
+        # --- r08 window: the 19 other r07-displaced rows (r05-green)
+        "events_session_windows": rel(rq.events_session_windows),
+        "set_ops": rel(rq.union_intersect_except),
+        "top_customers_per_nation": rel(rq.top_customers_per_nation),
+        "orders_without_lineitems": rel(rq.orders_without_lineitems),
+        "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
+        "synchronizer": _q_synchronizer,
+        "asof_join": _q_asof_join,
+        "switch": _q_switch,
+        "calculator": _q_calculator,
+        "calculator_multivar": _q_calculator_multivar,
+        "sr_latch": _q_sr_latch,
+        "pause_state": _q_pause_state,
+        "string_concatenator": _q_string_concatenator,
+        "fn_task": _q_fn_task,
+        "fn_task_stateful": _q_fn_task_stateful,
+        "audio_mixer": _q_audio_mixer,
+        "video_activity_meter": _q_video_activity_meter,
+        "media_switch": _q_media_switch,
+        "video_reformatter": _q_video_reformatter,
+        # --- r08 window: the 16 remaining r05-green rows (r05 order)
+        "q3_shipping_priority": rel(rq.q3_shipping_priority),
+        "q10_returned_items": rel(rq.q10_returned_items),
+        "q15_top_supplier": rel(rq.q15_top_supplier),
+        "q17_small_quantity_revenue": rel(rq.q17_small_quantity_revenue),
+        "audio_chunker": _q_audio_chunker,
+        "padded_chunker": _q_padded_chunker,
+        "audio_resampler": _q_audio_resampler,
+        "video_mixer": _q_video_mixer,
+        "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
+        "salted_join": _q_salted_join,
+        "range_join": _q_range_join,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "mix_sample": _q_mix_sample,
+        "events_quantiles": rel(rq.events_quantiles),
+        "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
+        # --- r08 window: changed-code-certifies-first — the three
+        # queries whose plan or oracle changed this round (see
+        # _MUST_VERIFY_R08)
+        "unigram_lm": _q_unigram_lm,
+        "semantic_dedup": _q_semantic_dedup,
+        "text_semantic_dedup": _q_text_semantic_dedup,
+        # --- r08 window: the 11 oldest r06-green rows (r06 order)
+        "time_to_text": _q_time_to_text,
+        "timestamp_update": _q_timestamp_update,
+        "frame_sample": _q_frame_sample,
+        "image_renderer": _q_image_renderer,
+        "string_matcher": _q_string_matcher,
+        "text_format": _q_text_format,
+        "number_to_text": _q_number_to_text,
+        "video_layout": _q_video_layout,
+        "q4_order_priority": rel(rq.q4_order_priority),
+        "q13_customer_distribution": rel(rq.q13_customer_distribution),
+        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
+        # ------- first entry PAST the driver's 50-query window -------
+        # remaining r06-green rows in r06 window order — the head of
+        # the r09 queue
+        "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
+        "q20_potential_promotion": rel(rq.q20_potential_promotion),
+        "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
+        "q1_pricing_summary": rel(rq.q1_pricing_summary),
+        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
+        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
+        "q7_volume_shipping": rel(rq.q7_volume_shipping),
+        "q8_market_share": rel(rq.q8_market_share),
+        "q9_product_profit": rel(rq.q9_product_profit),
+        "q11_important_stock": rel(rq.q11_important_stock),
+        "q14_promo_effect": rel(rq.q14_promo_effect),
+        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
+        "events_hourly_stats": rel(rq.events_hourly_stats),
+        "events_sliding_stats": rel(rq.events_sliding_stats),
+        "events_anomaly": rel(rq.events_anomaly),
+        "q12_priority_shipping": rel(rq.q12_priority_shipping),
+        "codec_roundtrip": _q_codec_roundtrip,
+        "llm_chat": _q_llm_chat,
+        "pii_scrub": _q_pii_scrub,
+        "time_buffer": _q_time_buffer,
+        "repeater": _q_repeater,
+        "replay_rebase": _q_replay_rebase,
+        "replay_loop": _q_replay_loop,
+        "message_detector": _q_message_detector,
+        "audio_volume_meter": _q_audio_volume_meter,
+        # r07-certified rows in r07 window order (unigram_lm,
+        # semantic_dedup, text_semantic_dedup moved into the r08
+        # window above — r08 plan/oracle changes)
         "vocab_topk": _q_vocab_topk,
         "substring_dedup": _q_substring_dedup,
         "token_histogram": _q_token_histogram,
@@ -1492,152 +1511,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_volume_scaler": _q_audio_volume_scaler,
         "asr_transcribe": _q_asr_transcribe,
         "speech_enhance": _q_speech_enhance,
-        # --- r07 window: the 24 oldest r05-green rows (r05 order)
         "stretch_align": _q_stretch_align,
         "dedup_recall": _q_dedup_recall,
         "ann_ivf_trained": _q_ann_ivf_trained,
         "events_funnel": rel(rq.events_funnel),
-        # --- r07 window: empty-input sweep re-certification — the
-        # rollup oracle gained HAVING count(*) > 0 to pin Spark's
-        # no-rows-on-empty behavior against the SQL-standard grand
-        # total; displaces quality_buckets (untouched, r05-green)
         "events_rollup": rel(rq.events_rollup),
-        # --- r07 window: rich-props re-certification — the events
-        # json extraction now gates the cast on an integer-shape regex
-        # (ANSI Spark crashed on {"k": 3.5} where DuckDB coerced);
-        # displaces events_session_windows (untouched, r05-green)
         "events_json_extract": rel(rq.events_json_extract),
-        # --- r07 window: the review pass found two MORE norm_text
-        # consumers whose plans+oracles changed with the unicode fold
-        # (source_stats via _words_expr, pack_sequences via its token
-        # count) — certifying in-window, displacing set_ops and
-        # top_customers_per_nation (untouched, r05-green, r08 queue)
         "source_stats": _q_source_stats,
         "pack_sequences": _q_pack_sequences,
-        # --- r07 window: third new-op wave — doc_chunk (overlapping
-        # token-window chunking) and unigram_lm (corpus-trained
-        # log-free LM quality score); new code certifies in-window,
-        # displacing orders_without_lineitems and
-        # customers_with_orders_semi (untouched, r05-green, r08 queue)
         "doc_chunk": _q_doc_chunk,
-        "unigram_lm": _q_unigram_lm,
-        # --- r07 window: norm_text unicode-case-fold re-certifications
-        # (the r07 unicode fuzz axis found Spark's SpecialCasing lower
-        # diverging from DuckDB's simple mapping on Σ/İ; norm_text now
-        # pre-maps both, changing every text-tier plan — these three
-        # were the only affected queries outside the window, displacing
-        # synchronizer/asof_join/switch, untouched r05-green, r08 queue)
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
         "dedup_retention": _q_dedup_retention,
-        # --- r07 window: NEW ops — new code certifies in-window;
-        # displaced calculator, calculator_multivar, sr_latch and
-        # pause_state (untouched, r05-green) to the r08 queue
-        "semantic_dedup": _q_semantic_dedup,
         "tfidf_topk": _q_tfidf_topk,
         "hashed_embed": _q_hashed_embed,
-        "text_semantic_dedup": _q_text_semantic_dedup,
-        # --- r07 window: dim-guard re-certifications (plans changed
-        # this round; displaced media_switch/video_reformatter)
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_dup_classes": _q_embedding_dup_classes,
-        # --- r07 window: NULL-text fixes (the NULL-text fuzz axis
-        # found tts/text_renderer voicing the literal "None" and the
-        # three image stubs crashing on a NULL payload; plans changed,
-        # so all five re-certify — displacing the five youngest
-        # rotation rows below to the head of the r08 queue)
         "tts_synthesize": _q_tts_synthesize,
         "text_renderer": _q_text_renderer,
         "image_decode": _q_image_decode,
         "image_resize": _q_image_resize,
         "image_features": _q_image_features,
-        # ------- first entry PAST the driver's 50-query window -------
-        # displaced rotation rows (untouched code, r05-green) — the
-        # head of the r08 queue — then the remaining 16 r05 rows
-        "quality_buckets": _q_quality_buckets,
-        "events_session_windows": rel(rq.events_session_windows),
-        "set_ops": rel(rq.union_intersect_except),
-        "top_customers_per_nation": rel(rq.top_customers_per_nation),
-        "orders_without_lineitems": rel(rq.orders_without_lineitems),
-        "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
-        "synchronizer": _q_synchronizer,
-        "asof_join": _q_asof_join,
-        "switch": _q_switch,
-        "calculator": _q_calculator,
-        "calculator_multivar": _q_calculator_multivar,
-        "sr_latch": _q_sr_latch,
-        "pause_state": _q_pause_state,
-        "string_concatenator": _q_string_concatenator,
-        "fn_task": _q_fn_task,
-        "fn_task_stateful": _q_fn_task_stateful,
-        "audio_mixer": _q_audio_mixer,
-        "video_activity_meter": _q_video_activity_meter,
-        "media_switch": _q_media_switch,
-        "video_reformatter": _q_video_reformatter,
-        "q3_shipping_priority": rel(rq.q3_shipping_priority),
-        "q10_returned_items": rel(rq.q10_returned_items),
-        "q15_top_supplier": rel(rq.q15_top_supplier),
-        "q17_small_quantity_revenue": rel(rq.q17_small_quantity_revenue),
-        "audio_chunker": _q_audio_chunker,
-        "padded_chunker": _q_padded_chunker,
-        "audio_resampler": _q_audio_resampler,
-        "video_mixer": _q_video_mixer,
-        "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
-        "salted_join": _q_salted_join,
-        "range_join": _q_range_join,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "mix_sample": _q_mix_sample,
-        "events_quantiles": rel(rq.events_quantiles),
-        "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
-        # r06-certified rows, in r06 window order (tts_synthesize,
-        # text_renderer, image_decode/resize/features moved into the
-        # r07 window above — NULL-text fix plan change)
-        "time_to_text": _q_time_to_text,
-        "timestamp_update": _q_timestamp_update,
-        "frame_sample": _q_frame_sample,
-        "image_renderer": _q_image_renderer,
-        "string_matcher": _q_string_matcher,
-        "text_format": _q_text_format,
-        "number_to_text": _q_number_to_text,
-        "video_layout": _q_video_layout,
-        "q4_order_priority": rel(rq.q4_order_priority),
-        "q13_customer_distribution": rel(rq.q13_customer_distribution),
-        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
-        "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
-        "q20_potential_promotion": rel(rq.q20_potential_promotion),
-        "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
-        "q1_pricing_summary": rel(rq.q1_pricing_summary),
-        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
-        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
-        "q7_volume_shipping": rel(rq.q7_volume_shipping),
-        "q8_market_share": rel(rq.q8_market_share),
-        "q9_product_profit": rel(rq.q9_product_profit),
-        "q11_important_stock": rel(rq.q11_important_stock),
-        "q14_promo_effect": rel(rq.q14_promo_effect),
-        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
-        "events_hourly_stats": rel(rq.events_hourly_stats),
-        "events_sliding_stats": rel(rq.events_sliding_stats),
-        "events_anomaly": rel(rq.events_anomaly),
-        # (embedding_near_dup / embedding_dup_classes moved into the
-        # r07 window above — dim-guard plan change; source_stats and
-        # pack_sequences moved in too — norm_text unicode-fold plan
-        # change found by the r07 review pass)
-        "q12_priority_shipping": rel(rq.q12_priority_shipping),
-        # (ngram_jaccard, dedup_components, dedup_retention moved into
-        # the r07 window above — norm_text unicode-fold plan change)
-        "codec_roundtrip": _q_codec_roundtrip,
-        "llm_chat": _q_llm_chat,
-        "pii_scrub": _q_pii_scrub,
-        "time_buffer": _q_time_buffer,
-        "repeater": _q_repeater,
-        "replay_rebase": _q_replay_rebase,
-        "replay_loop": _q_replay_loop,
-        "message_detector": _q_message_detector,
-        "audio_volume_meter": _q_audio_volume_meter,
     }
     window = list(q)[:50]
-    missing = [n for n in _MUST_VERIFY_R07 + _ROTATE_R07
+    missing = [n for n in _MUST_VERIFY_R08 + _ROTATE_R08
                if n not in window]
     if missing:
         # explicit raise, not assert — survives python -O (the same

@@ -81,12 +81,52 @@ def test_changed_queries_sit_inside_driver_window():
     qs = list(entrymod.queries())
     assert len(qs) == len(set(qs))
     window = qs[:50]
-    missing = [n for n in entrymod._MUST_VERIFY_R07
-               + entrymod._ROTATE_R07 if n not in window]
+    # resolve the current round's lists by prefix so this test can't
+    # silently pin a stale round after the per-round rename
+    must = max(n for n in vars(entrymod) if n.startswith("_MUST_VERIFY_R"))
+    rot = max(n for n in vars(entrymod) if n.startswith("_ROTATE_R"))
+    missing = [n for n in getattr(entrymod, must)
+               + getattr(entrymod, rot) if n not in window]
     assert missing == []
     # and every query has either an oracle or a documented rows-only path
     oracles = entrymod.oracle_sql()
     assert [q for q in qs if q not in oracles] == []
+
+
+def test_oracle_manifest_blast_radius(spark):
+    """Mechanized indirect-consumer detection (r07 verdict task 2): the
+    committed ORACLE_MANIFEST.json maps every query to
+    sha256(rendered oracle SQL + canonical analyzed plan). Editing a
+    SHARED helper (norm_text, tokens_expr, _duck_dot, ...) changes the
+    rendered SQL/plan of every consuming query — this test re-renders
+    all 122 and fails NAMING any query that drifted from the manifest
+    without being either inside the driver's 50-entry window or listed
+    in the current _MUST_VERIFY_R{N}. This is the gate that would have
+    caught quality_buckets in r07 (changed via text_stats -> norm_text,
+    shipped displaced and mislabeled 'untouched').
+
+    Round workflow: change code -> this test names the blast radius ->
+    add the named queries to _MUST_VERIFY_R{N} (rotating them into the
+    window) -> regenerate the manifest (scripts/oracle_manifest.py
+    --write) and commit it with the change."""
+    entry_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, entry_dir)
+    import __spark_entry__ as entrymod
+    from oracle_manifest import drift, load_manifest, render_manifest
+
+    committed = load_manifest()
+    current = render_manifest(spark)
+    changed, added, removed = drift(current, committed)
+    must = max(n for n in vars(entrymod) if n.startswith("_MUST_VERIFY_R"))
+    declared = set(getattr(entrymod, must)) | set(list(entrymod.queries())[:50])
+    undeclared = [n for n in changed + added if n not in declared]
+    assert undeclared == [], (
+        f"queries whose rendered oracle SQL or plan drifted from "
+        f"ORACLE_MANIFEST.json without a {must} listing or a window "
+        f"slot — rotate them in and regenerate the manifest: {undeclared}"
+    )
+    # a removed query is a coverage regression, never silent
+    assert removed == [], f"queries removed since the manifest: {removed}"
 
 
 @pytest.mark.parametrize("round_fn", ["round(sum(x), 2)"])
