@@ -1386,6 +1386,75 @@ def test_streaming_unigram_lm_matches_batch_scoring(spark, tmp_path):
                 assert a == b, k
 
 
+def test_streaming_unigram_lm_survives_restart(spark, tmp_path):
+    """Clean stop → new query on the same checkpoint resumes without
+    re-scoring processed batches (the last uncovered twin's restart
+    path, r07 verdict task 4): scores across the restart equal batch
+    unigram_lm_score over everything ingested, one row per document."""
+    import numpy as np
+
+    from streamtasks_spark.llmdata.quality import (
+        unigram_lm_score,
+        unigram_lm_train,
+    )
+    from streamtasks_spark.streaming.stateful import streaming_unigram_lm
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vocab, total = unigram_lm_train(docs, vocab_size=64)
+    src = tmp_path / "ul_src"
+    kwargs = dict(
+        vocab=vocab,
+        total=total,
+        scores_path=str(tmp_path / "scores"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    def make_stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+    lo.coalesce(1).write.parquet(str(src / "p1"))
+    q = streaming_unigram_lm(make_stream(), **kwargs)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_first = spark.read.parquet(kwargs["scores_path"]).count()
+    assert n_first == lo.count()  # first run scored exactly split 1
+    time.sleep(1.1)
+    hi.coalesce(1).write.parquet(str(src / "p2"))
+    q2 = streaming_unigram_lm(make_stream(), **kwargs)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(kwargs["scores_path"]).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["oov_count"], r["oov_ratio"], r["score"])
+        for r in rows
+    }
+    assert len(rows) == len(got)  # no re-score across the restart
+    expect = {
+        r["doc_id"]: (r["n_tokens"], r["oov_count"], r["oov_ratio"], r["score"])
+        for r in unigram_lm_score(docs, vocab, total).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        for a, b in zip(expect[k], got[k]):
+            if isinstance(a, float):
+                assert (np.isnan(a) and np.isnan(b)) or a == b, k
+            else:
+                assert a == b, k
+
+
 def test_streaming_doc_chunk_is_a_direct_transformation(spark, tmp_path):
     """doc_chunk is stateless and narrow, so it composes with
     readStream DIRECTLY (no foreachBatch): chunks produced through a
