@@ -41,6 +41,17 @@ Usage:
       # events 10x, vectors 10x, tpch 10x clean; the docs "7.5x" in
       # that run came from a manual row-count override, not this
       # integer knob)
+  python scripts/fuzz_sweep.py --streaming          # the STREAMING-TWIN
+      # axis (r07 verdict task 7): instead of the batch oracle surface,
+      # replay FUZZED events (duplicate ts, hot users, NULL props,
+      # boundary values) through the 14 batch≡streaming equivalence
+      # specs of tests/test_streaming_equivalence.py — fuzzed rows are
+      # globally time-sorted, re-sequenced, and chunked into the same
+      # 125-row time-ordered micro-batch files (+ watermark flush row)
+      # the committed harness uses, then each twin's streamed frame is
+      # compared frame-for-frame against its batch counterpart over
+      # the identical chunked copy. Composes with --seeds; other axes
+      # are ignored in this mode.
 
 Exit 0 = no divergences; 1 = at least one FAIL/ERR line printed.
 """
@@ -131,6 +142,118 @@ def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1,
     return d
 
 
+def make_stream_chunk_dir(spark, events_dir: str) -> str:
+    """Chunk a fuzzed events table into the committed equivalence
+    harness's geometry: rows globally sorted by (ts, event_id) and
+    RE-SEQUENCED (event_id := time rank), split into 125-row files in
+    time order, plus a far-future flush row that pushes the final
+    watermark past every real window. Re-sequencing establishes the
+    per-topic nondecreasing-ts-in-seq contract the harness requires
+    (the reference's topic ordering, SURVEY §1.3) — without it the two
+    sides would legitimately disagree about which fuzzed rows are
+    late. File mtimes are forced strictly increasing (the parquet file
+    stream orders by modification time), no sleeps."""
+    import os as _os
+    import pandas as pd_
+
+    from test_streaming_equivalence import CHUNK_SIZE, FLUSH_TYPE
+
+    pdf = (
+        pq.read_table(f"{events_dir}/events.parquet")
+        .to_pandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pdf["event_id"] = pdf.index.astype("int64")
+    d = tempfile.mkdtemp(prefix="fzs_chunks_")
+    n_chunks = (len(pdf) + CHUNK_SIZE - 1) // CHUNK_SIZE
+    for i in range(n_chunks):
+        part = pdf.iloc[i * CHUNK_SIZE:(i + 1) * CHUNK_SIZE]
+        _os.makedirs(f"{d}/c{i:02d}")
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=EV_SCHEMA,
+                                 preserve_index=False),
+            f"{d}/c{i:02d}/part.parquet",
+        )
+    flush = pd_.DataFrame([{
+        "event_id": 10**9,
+        "ts": pdf["ts"].max() + pd_.Timedelta(days=10),
+        "user_id": -1, "event_type": FLUSH_TYPE,
+        "value": 0.0, "props": None,
+    }])
+    _os.makedirs(f"{d}/c99_flush")
+    pq.write_table(
+        pa.Table.from_pandas(flush, schema=EV_SCHEMA,
+                             preserve_index=False),
+        f"{d}/c99_flush/part.parquet",
+    )
+    t0 = 1_700_000_000
+    for i, sub in enumerate(sorted(_os.listdir(d))):
+        for f in _os.listdir(f"{d}/{sub}"):
+            _os.utime(f"{d}/{sub}/{f}", (t0 + 10 * i, t0 + 10 * i))
+    return d
+
+
+def run_streaming_sweep(seeds: list[int]) -> int:
+    """Fuzzed-input batch≡streaming frame equality over every
+    sweepable twin — the committed harness's specs and comparison,
+    arbitrary fresh events."""
+    import pathlib
+
+    from test_streaming_equivalence import (
+        _batch_mod,
+        _frame,
+        _stream_mod,
+        batch_events,
+        run_stream,
+        stream_events,
+        SPECS,
+    )
+
+    from streamtasks_spark.session import get_spark
+
+    spark = get_spark("fuzz_streaming")
+    BatchMod, StreamMod = _batch_mod(), _stream_mod()
+    n_fail = 0
+    for seed in seeds:
+        src_dir = tempfile.mkdtemp(prefix=f"fzs_ev{seed}_")
+        write_one(src_dir, "events", EV_SCHEMA, make_events(seed, n=400))
+        chunk_dir = pathlib.Path(make_stream_chunk_dir(spark, src_dir))
+        ran = 0
+        for name, spec in sorted(SPECS.items()):
+            try:
+                expect = _frame(
+                    spec(lambda: batch_events(spark, chunk_dir), BatchMod)
+                )
+                ckpt = pathlib.Path(tempfile.mkdtemp(prefix="fzs_ckpt_"))
+                got = _frame(run_stream(
+                    spark,
+                    spec(lambda: stream_events(spark, chunk_dir), StreamMod),
+                    ckpt,
+                ))
+            except Exception as e:  # noqa: BLE001
+                n_fail += 1
+                print(f"ERR  streaming/{seed}/{name}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                continue
+            ran += 1
+            if not expect:
+                print(f"WARN streaming/{seed}/{name}: batch side empty "
+                      f"(equality vacuous)", flush=True)
+            if got != expect:
+                n_fail += 1
+                only_b = [r for r in expect if r not in got][:2]
+                only_s = [r for r in got if r not in expect][:2]
+                print(
+                    f"FAIL streaming/{seed}/{name}: {len(got)} streamed "
+                    f"vs {len(expect)} batch rows; batch-only "
+                    f"{only_b} stream-only {only_s}", flush=True,
+                )
+        print(f"streaming seed {seed}: {ran} twins compared", flush=True)
+    print(f"TOTAL FAILS: {n_fail}", flush=True)
+    return 1 if n_fail else 0
+
+
 def main() -> int:
     seeds = [37, 141, 245]
     tiers = ["docs", "events", "vectors", "tpch"]
@@ -140,6 +263,7 @@ def main() -> int:
     unicode_frac = 0.0
     rich_props = False
     nonfinite = False
+    streaming = False
 
     def flag_value(argv, i):
         """Support both --flag=v and --flag v (the usage shows both)."""
@@ -181,8 +305,14 @@ def main() -> int:
         elif argv[i] == "--nonfinite":
             nonfinite = True
             i += 1
+        elif argv[i] == "--streaming":
+            streaming = True
+            i += 1
         else:
             raise SystemExit(f"unknown argument: {argv[i]}")
+
+    if streaming:
+        return run_streaming_sweep(seeds)
 
     import __spark_entry__ as entrymod
     from streamtasks_spark.session import get_spark
