@@ -358,6 +358,27 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment dedup (NEW r08): ordered pairs
+    where ≥60% of doc_a's 3-gram shingles appear in doc_b — the
+    quote/boilerplate-inclusion class Jaccard under-scores. PPJoin-style
+    asymmetric prefix filter on the contained side only; exact
+    verification (dedup.ngram_containment_pairs)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup.ngram_containment_pairs(docs, block_col="lang", threshold=0.6)
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (NEW r08, Xie et al. 2023):
+    hashed-unigram target-vs-raw likelihood ratio per document, target
+    domain = English rows; arithmetic-mean likelihood with integer
+    mass sums for cross-engine bit-exactness (quality.dsir_weights)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return quality.dsir_weights(
+        docs, target_pred="lang = 'en'", n_buckets=256
+    )
+
+
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style substring dedup, distributed: per-doc fraction
     of 16-char grams shared with any other document (Lee et al. ACL'22
@@ -1347,6 +1368,15 @@ _MUST_VERIFY_R08 = [
     # sized above any test-scale cell population — value-identical by
     # construction, but the plans changed, so both re-certify.
     "semantic_dedup", "text_semantic_dedup",
+    # NEW ops r08: asymmetric n-gram containment dedup (the
+    # quote/boilerplate-inclusion class Jaccard under-scores) and
+    # DSIR-style importance weights (hashed-unigram target-vs-raw
+    # likelihood ratio, arithmetic-mean for bit-exactness) — new code
+    # certifies in-window before it ships, displacing the two youngest
+    # rotation rows (q13_customer_distribution,
+    # q16_parts_supplier_relationship — untouched, r06-green, head of
+    # the r09 queue).
+    "ngram_containment", "dsir_weights",
 ]
 
 # r08 rotation (r07 verdict task 3): the 20 rows displaced from the
@@ -1369,11 +1399,11 @@ _ROTATE_R08 = [
     "audio_resampler", "video_mixer", "q22_global_sales_opportunity",
     "salted_join", "range_join", "stratified_sample", "split_assign",
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
-    # the 11 oldest r06-green rows (r06 window order)
+    # the 9 oldest r06-green rows that fit after the 2 NEW ops took
+    # their slots (r06 window order)
     "time_to_text", "timestamp_update", "frame_sample",
     "image_renderer", "string_matcher", "text_format",
     "number_to_text", "video_layout", "q4_order_priority",
-    "q13_customer_distribution", "q16_parts_supplier_relationship",
 ]
 
 
@@ -1442,7 +1472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": _q_unigram_lm,
         "semantic_dedup": _q_semantic_dedup,
         "text_semantic_dedup": _q_text_semantic_dedup,
-        # --- r08 window: the 11 oldest r06-green rows (r06 order)
+        # --- r08 window: NEW ops — new code certifies in-window,
+        # displacing q13/q16 (untouched, r06-green, r09 queue)
+        "ngram_containment": _q_ngram_containment,
+        "dsir_weights": _q_dsir_weights,
+        # --- r08 window: the 9 oldest r06-green rows (r06 order)
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         "frame_sample": _q_frame_sample,
@@ -1452,11 +1486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "number_to_text": _q_number_to_text,
         "video_layout": _q_video_layout,
         "q4_order_priority": rel(rq.q4_order_priority),
-        "q13_customer_distribution": rel(rq.q13_customer_distribution),
-        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r06-green rows in r06 window order — the head of
-        # the r09 queue
+        # the r09 queue (q13/q16 displaced by the two NEW r08 ops)
+        "q13_customer_distribution": rel(rq.q13_customer_distribution),
+        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
         "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
         "q20_potential_promotion": rel(rq.q20_potential_promotion),
         "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
@@ -2358,6 +2392,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": dedup.oracle_dedup_simhash_sql(max_hamming=3),
         "ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
+        "ngram_containment": dedup.oracle_ngram_containment_sql(
+            threshold=0.6
+        ),
+        "dsir_weights": quality.oracle_dsir_weights_sql(
+            target_pred="lang = 'en'", n_buckets=256
+        ),
         "audio_chunker": _CHUNKER_SQL,
         "padded_chunker": _PADDED_CHUNKER_SQL,
         "audio_smoother": _SMOOTHER_SQL,

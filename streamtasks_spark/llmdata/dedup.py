@@ -645,6 +645,151 @@ def oracle_ngram_jaccard_sql(
     """
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT within a blocking column: ordered pairs
+    (doc_a, doc_b) where C(a→b) = |S_a ∩ S_b| / |S_a| ≥ ``threshold``
+    — "doc_a is t-contained in doc_b". Containment is the ASYMMETRIC
+    companion to :func:`ngram_jaccard_pairs`: Jaccard misses the
+    quote/boilerplate-inclusion class (a paragraph wholly copied into a
+    10× longer page has tiny Jaccard but containment 1.0), which is a
+    first-order duplication mode in web training corpora (the
+    motivation for suffix-based dedup in Lee et al. ACL'22,
+    "Deduplicating Training Data Makes Language Models Better" —
+    :func:`substring_dedup` is the position-exact variant; this is the
+    set-level one, and unlike it, robust to small edits inside the
+    copied span).
+
+    Candidate generation is the asymmetric prefix filter (Xiao et al.
+    WWW'08, §PPJoin for overlap constraints): C(a→b) ≥ t needs overlap
+    ≥ ceil(t·|S_a|), so a qualifying pair must share a shingle within
+    doc_a's first ``|S_a| − ceil(t·|S_a|) + 1`` rarest shingles — ONLY
+    the contained side is prefix-filtered; the containing side posts
+    every shingle (an overlap witness can sit anywhere in b). A size
+    filter ``|S_b| ≥ ceil(t·|S_a|)`` prunes further; survivors verify
+    with an exact array intersection, so the result set is exactly the
+    all-ordered-pairs answer.
+
+    100 TB shape: one shuffle of the exploded shingles keyed by
+    (block, shingle) — document frequency and the rarity prefix reuse
+    the partitioning the candidate join needs. The b side is
+    corpus-shingle-sized, but join fan-out is bounded by the A-PREFIX
+    postings per key: prefixes keep only each doc's globally RAREST
+    shingles, so a hot (stopword) shingle carries many b postings yet
+    almost no prefix postings, and emits almost no candidates. Self
+    pairs are excluded; both directions of a mutual near-dup pair
+    emit (each is evidence; downstream keeps lowest-id via
+    :func:`connected_components` on the undirected projection).
+    Reference parity: the reference repo has no containment op; this
+    extends the BASELINE.json dedup tier (SURVEY §2.7 set-ops family).
+    """
+    hs = _shingle_hashes(docs, id_col, text_col, k, block_col)
+    sizes = pin(
+        hs.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col),
+            F.size("hashes").alias("__n"),
+            F.col("hashes"),
+        )
+    )
+    ex = sizes.select("__blk", id_col, "__n", F.explode("hashes").alias("__h"))
+    w_df = Window.partitionBy("__blk", "__h")
+    w = Window.partitionBy("__blk", id_col).orderBy(
+        F.col("__df").asc(), F.col("__h").asc()
+    )
+    # overlap lower bound ceil(t·n) ⇒ prefix length n − ceil(t·n) + 1
+    need = F.ceil(F.lit(threshold) * F.col("__n"))
+    # pinned ONCE and read by both join sides: the contained side
+    # filters to its rarity prefix, the containing side posts all rows
+    # (df only orders the prefix rank; dropped before the pin)
+    withdf = pin(
+        ex.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .withColumn("__rn", F.row_number().over(w))
+        .select("__blk", "__h", id_col, "__n", "__rn")
+    )
+    a = withdf.filter(
+        F.col("__rn") <= F.col("__n") - need + 1
+    ).select(
+        "__blk", "__h",
+        F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"),
+    )
+    b = withdf.select(
+        "__blk", "__h",
+        F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"),
+    )
+    cand = (
+        a.join(b, ["__blk", "__h"])
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (
+                F.col("__nb").cast("double")
+                >= F.ceil(F.lit(threshold) * F.col("__na")).cast("double")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sizes.select(F.col(id_col).alias("doc_a"), F.col("hashes").alias("__ha"))
+    y = sizes.select(F.col(id_col).alias("doc_b"), F.col("hashes").alias("__hb"))
+    cont = F.expr(
+        "cast(size(array_intersect(__ha, __hb)) as double) / "
+        "cast(size(__ha) as double)"
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("__c", cont)
+        .filter(F.col("__c") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("__c", 6).alias("containment"))
+    )
+
+
+def oracle_ngram_containment_sql(
+    source_sql: str = "SELECT doc_id, text, lang FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment_pairs` — brute-force
+    all ordered pairs per block with the identical md5-prefix shingle
+    hash; the engine's prefix filter is an exact optimization, so the
+    result sets must be identical."""
+    gram = " || ' ' || ".join(f"__toks[i + {d}]" for d in range(k))
+    return f"""
+    WITH src AS ({source_sql}),
+    tok AS (
+      SELECT {id_col}, {block_col},
+             string_split({norm_text(text_col, "duck")}, ' ') AS __toks
+      FROM src
+    ),
+    hs AS (
+      SELECT {id_col}, {block_col},
+        list_distinct(list_transform(
+          list_transform(range(1, len(__toks) - {k - 1} + 1), i -> {gram}),
+          s -> cast('0x' || substr(md5(s), 1, 7) AS BIGINT))) AS hashes
+      FROM tok WHERE len(__toks) >= {k}
+    ),
+    c AS (
+      SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+        CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
+          / CAST(len(a.hashes) AS DOUBLE) AS __c
+      FROM hs a JOIN hs b
+        ON a.{block_col} = b.{block_col} AND a.{id_col} <> b.{id_col}
+    )
+    SELECT doc_a, doc_b, round(__c, 6) AS containment
+    FROM c WHERE __c >= {threshold}
+    """
+
+
 # ---------------------------------------------------- connected components
 
 def connected_components(

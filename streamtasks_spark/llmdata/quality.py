@@ -558,6 +558,198 @@ def oracle_unigram_lm_sql(
     """
 
 
+def dsir_weights(
+    docs: DataFrame,
+    *,
+    target_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights for targeted data selection (Xie
+    et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): split the corpus into a TARGET domain (rows where
+    the SQL predicate ``target_pred`` holds — e.g. ``"lang = 'en'"``,
+    a trusted source, a quality flag) and RAW (the rest), model both
+    with add-one-smoothed hashed unigram distributions over
+    ``n_buckets`` md5-prefix feature buckets (the
+    :func:`~streamtasks_spark.llmdata.textstats.hashed_tf_embed`
+    hashing-trick family), and score every document by how target-like
+    its tokens are. Output per document: ``n_tokens``,
+    ``target_mass`` = Σ_tok (c_t(bucket)+1), ``raw_mass`` = the raw
+    twin, and ``weight`` = (target_mass/(T_t+B)) / (raw_mass/(T_r+B))
+    — a ratio of mean smoothed token probabilities under the two
+    models. weight > 1 reads "more target-like than raw-like";
+    resample ∝ weight (:func:`mix_sample` / :func:`stratified_sample`
+    downstream) to shift a raw corpus toward the target domain, the
+    paper's selection recipe. NULL text → all-NULL row; zero-token
+    docs keep n_tokens = 0 with NULL masses/weight; duplicated ids
+    merge their token streams (one output row per distinct id, the
+    :func:`unigram_lm` contract).
+
+    Bit-exactness (the unigram_lm recipe): the paper scores in
+    log-space, but ``ln`` is not exactly rounded and diverges
+    JVM-vs-DuckDB on ~13% of inputs (measured, SCALE.md), so the
+    weight here is the ARITHMETIC-mean likelihood ratio — integer
+    bucket-count sums in DECIMAL(38,0) (order-independent), then three
+    correctly-rounded double divisions in pinned order. The induced
+    ranking differs from the geometric mean's, but the selection use
+    is the same: threshold or sample on the high tail. Smoothing is
+    add-one per bucket, so raw_mass ≥ n_tokens > 0 and the weight is
+    never NULL/∞ on a tokenized doc.
+
+    100 TB shape: training is ONE explode + groupBy(bucket) shuffle
+    with map-side combine down to ≤ ``n_buckets`` rows, pulled to the
+    driver (the codebook legitimacy class — same as unigram_lm's
+    vocabulary and train_centroids); scoring re-joins the exploded
+    corpus to the BROADCAST bucket table and re-aggregates per
+    document with partial aggregation (the decontaminate shape — the
+    token stream is never shuffled by token). The reference repo has
+    no data-selection op; this extends the LLM-data tier beside
+    unigram_lm (perplexity-style filtering) with the importance-
+    resampling family."""
+    from streamtasks_spark.llmdata.dedup import pin
+
+    base = pin(
+        spread(docs, id_col).select(
+            F.col(id_col),
+            F.coalesce(F.expr(target_pred), F.lit(False)).alias("__tgt"),
+            F.expr(tokens_expr(text_col)).alias("__toks"),
+        )
+    )
+    bucket = (
+        f"pmod(cast(conv(substring(md5(__t), 1, 7), 16, 10) as bigint), "
+        f"{n_buckets})"
+    )
+    counts = pin(
+        base.select("__tgt", F.explode("__toks").alias("__t"))
+        .select("__tgt", F.expr(bucket).alias("__b"))
+        .groupBy("__b")
+        .agg(
+            F.count(F.when(F.col("__tgt"), 1)).alias("__ct"),
+            F.count(F.when(~F.col("__tgt"), 1)).alias("__cr"),
+        )
+    )
+    try:
+        rows = counts.collect()  # ≤ n_buckets rows: codebook-class pull
+    finally:
+        # counts only feeds the driver pull; not in the returned
+        # plan's lineage (the unigram_lm train-step rule)
+        counts.unpersist()
+    t_t = sum(r["__ct"] for r in rows) + n_buckets
+    t_r = sum(r["__cr"] for r in rows) + n_buckets
+    spark = docs.sparkSession
+    bdf = spark.createDataFrame(
+        [(r["__b"], r["__ct"], r["__cr"]) for r in rows] or [(None,) * 3],
+        "__b bigint, __ct bigint, __cr bigint",
+    ).filter(F.col("__b").isNotNull())
+    ex = base.select(
+        F.col(id_col),
+        F.col("__toks").isNull().alias("__nul"),
+        F.explode_outer("__toks").alias("__t"),
+    ).select(
+        id_col, "__nul",
+        F.expr(f"if(__t is null, null, {bucket})").alias("__b"),
+    )
+    per = (
+        ex.join(F.broadcast(bdf), "__b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("__nul").alias("__nul"),
+            F.count("__b").alias("__n"),
+            F.sum(
+                (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1))
+                .cast("decimal(38,0)")
+            ).alias("__st"),
+            F.sum(
+                (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(1))
+                .cast("decimal(38,0)")
+            ).alias("__sr"),
+        )
+    )
+    nul = F.col("__nul")
+    nz = nul | (F.col("__n") == 0)
+    st = F.col("__st").cast("double")
+    sr = F.col("__sr").cast("double")
+    return per.select(
+        F.col(id_col),
+        F.when(~nul, F.col("__n")).alias("n_tokens"),
+        F.when(~nz, st).alias("target_mass"),
+        F.when(~nz, sr).alias("raw_mass"),
+        F.when(
+            ~nz,
+            (st / F.lit(float(t_t))) / (sr / F.lit(float(t_r))),
+        ).alias("weight"),
+    )
+
+
+def oracle_dsir_weights_sql(
+    source_sql: str = "SELECT doc_id, text, lang FROM documents",
+    *,
+    target_pred: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` — identical md5-prefix
+    bucketing, identical smoothed integer mass sums (HUGEINT is exact;
+    the cast to DOUBLE is the same correctly-rounded conversion as
+    Spark's DECIMAL(38,0) → double), identical division order. The
+    final join is NULL-safe: a NULL id is one ordinary group (the
+    oracle_unigram_lm_sql lesson)."""
+    return f"""
+    WITH src AS ({source_sql}),
+    t AS (
+      SELECT {id_col},
+        coalesce(({target_pred}), false) AS __tgt,
+        {tokens_expr(text_col, "duck")} AS __toks
+      FROM src
+    ),
+    ex AS (
+      SELECT {id_col}, __tgt,
+        cast('0x' || substr(md5(u.t), 1, 7) AS BIGINT) % {n_buckets} AS __b
+      FROM t, unnest(__toks) AS u(t)
+    ),
+    counts AS (
+      SELECT __b,
+        CAST(count(*) FILTER (__tgt) AS BIGINT) AS __ct,
+        CAST(count(*) FILTER (NOT __tgt) AS BIGINT) AS __cr
+      FROM ex GROUP BY __b
+    ),
+    tot AS (
+      SELECT
+        CAST(coalesce(sum(__ct), 0) + {n_buckets} AS DOUBLE) AS __tt,
+        CAST(coalesce(sum(__cr), 0) + {n_buckets} AS DOUBLE) AS __tr
+      FROM counts
+    ),
+    scored AS (
+      SELECT ex.{id_col},
+        CAST(count(*) AS BIGINT) AS __n,
+        CAST(sum(c.__ct + 1) AS DOUBLE) AS __st,
+        CAST(sum(c.__cr + 1) AS DOUBLE) AS __sr
+      FROM ex LEFT JOIN counts c USING (__b)
+      GROUP BY ex.{id_col}
+    ),
+    tg AS (
+      SELECT {id_col}, bool_or(__toks IS NULL) AS __nul
+      FROM t GROUP BY {id_col}
+    )
+    SELECT tg.{id_col},
+      CASE WHEN tg.__nul THEN NULL
+           ELSE coalesce(s.__n, 0) END AS n_tokens,
+      CASE WHEN tg.__nul OR s.__n IS NULL THEN NULL
+           ELSE s.__st END AS target_mass,
+      CASE WHEN tg.__nul OR s.__n IS NULL THEN NULL
+           ELSE s.__sr END AS raw_mass,
+      CASE WHEN tg.__nul OR s.__n IS NULL THEN NULL
+           ELSE (s.__st / (SELECT __tt FROM tot))
+                / (s.__sr / (SELECT __tr FROM tot))
+      END AS weight
+    FROM tg LEFT JOIN scored s
+      ON tg.{id_col} IS NOT DISTINCT FROM s.{id_col}
+    """
+
+
 def source_stats(
     docs: DataFrame,
     *,

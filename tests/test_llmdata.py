@@ -141,6 +141,55 @@ def test_ngram_jaccard_matches_python_model(spark, docs):
         assert abs(expected[p] - j) < 1e-6
 
 
+def test_ngram_containment_asymmetry_and_oracle(spark):
+    """Containment semantics (r08): a paragraph wholly embedded in a
+    much longer doc has containment 1.0 in the short→long direction
+    while Jaccard (and the reverse direction) stay below threshold —
+    the quote/boilerplate-inclusion class. Also bit-exact vs the
+    brute-force DuckDB oracle across (k, threshold) geometries on the
+    real corpus."""
+    import duckdb
+
+    para = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, para, "en"),
+        (2, filler + " " + para + " " + filler, "en"),
+        (3, "completely different text about other topics entirely", "en"),
+        (4, para, "de"),  # cross-block: must never pair with 1 or 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert got.get((1, 2)) == 1.0          # short fully inside long
+    assert (2, 1) not in got               # long not contained in short
+    assert all(3 not in p and 4 not in p for p in got)
+    # jaccard at the same threshold misses the inclusion entirely
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert all({r["doc_a"], r["doc_b"]} != {1, 2} for r in jac)
+
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    for k, thr in ((3, 0.6), (2, 0.8), (4, 0.5)):
+        sdf = (
+            dedup.ngram_containment_pairs(corpus, k=k, threshold=thr)
+            .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        odf = (
+            con.execute(dedup.oracle_ngram_containment_sql(k=k, threshold=thr))
+            .df().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf) and len(sdf) > 0, (k, thr)
+        assert (sdf.values == odf.values).all(), (k, thr)
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """LSH top-k is exact within the bucket; assert exact score agreement
     on every returned true-match and a loose recall floor. On random

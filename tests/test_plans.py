@@ -624,6 +624,44 @@ def test_unigram_lm_broadcasts_vocab_never_shuffles_tokens_twice(psession):
     assert re.search(r"partial_(count|max|sum)", plan), plan[:900]
 
 
+def test_dsir_weights_broadcasts_buckets_never_shuffles_tokens_twice(psession):
+    """dsir_weights' scale contract (the unigram_lm shape): scoring
+    joins the exploded token stream to the BROADCAST ≤ n_buckets count
+    table — never a shuffle keyed on bucket for scoring — and
+    re-aggregates per doc with map-side partial aggregation; no
+    cartesian/nested-loop join, no Python."""
+    from streamtasks_spark.llmdata import quality
+
+    docs = psession.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(
+        quality.dsir_weights(docs, target_pred="lang = 'en'", n_buckets=16)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"BroadcastHashJoin \[__b", plan), plan[:900]
+    assert re.search(r"partial_(count|max|sum)", plan), plan[:900]
+
+
+def test_ngram_containment_pairs_on_posting_key_no_cartesian(psession):
+    """ngram_containment_pairs' scale contract (the PPJoin family):
+    candidate generation is an equi-join on the (block, shingle)
+    posting key — never a cartesian or nested-loop pairing — with the
+    prefix rank computed by a window on the SAME partitioning, and the
+    exact verification joins candidates back by doc id; no Python."""
+    from streamtasks_spark.llmdata import dedup
+
+    docs = psession.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dedup.ngram_containment_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # the candidate join is keyed on (block, shingle-hash)
+    assert re.search(r"Join \[__blk", plan) or re.search(
+        r"Join.*__blk.*__h", plan
+    ), plan[:900]
+
+
 def test_shuffle_shards_window_is_per_shard_not_global(psession):
     """The training-shuffle addressing must window PER SHARD — a global
     row_number (empty partition spec) would funnel the corpus through

@@ -141,3 +141,83 @@ def test_quality_tier_is_shuffle_free_and_udf_free(spark):
     # spread() + the single groupBy shuffle; partial agg must be present
     assert plan.count("Exchange") == 2, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_dsir_weights_semantics_and_edges(spark):
+    """DSIR (r08): docs made of target-domain tokens outweigh docs made
+    of raw-domain tokens; a doc mixing both sits between; NULL text →
+    all-NULL row; zero-token doc → n_tokens 0 with NULL masses; and
+    smoothing keeps every tokenized doc's weight finite and positive."""
+    rows = [
+        # target domain: "alpha beta" vocabulary
+        (0, "alpha beta alpha beta alpha", "t"),
+        (1, "beta alpha beta", "t"),
+        # raw domain: "zeta eta" vocabulary
+        (2, "zeta eta zeta eta zeta", "r"),
+        (3, "eta zeta eta", "r"),
+        # score targets: pure-target text, pure-raw text, mixed
+        (4, "alpha beta alpha", "r"),
+        (5, "zeta eta zeta", "r"),
+        (6, "alpha zeta", "r"),
+        (7, None, "r"), (8, "", "r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    out = {
+        r["doc_id"]: r
+        # 256 buckets: the four test tokens hash collision-free there
+        # (beta/zeta collide at 64 — verified; a collision is legal,
+        # it just blurs the separation this test asserts)
+        for r in quality.dsir_weights(
+            docs, target_pred="dom = 't'", n_buckets=256
+        ).collect()
+    }
+    assert out[4]["weight"] > out[6]["weight"] > out[5]["weight"]
+    assert out[4]["weight"] > 1.0 > out[5]["weight"]
+    assert out[7]["n_tokens"] is None and out[7]["weight"] is None
+    assert out[8]["n_tokens"] == 0 and out[8]["weight"] is None
+    for d in (0, 1, 2, 3, 4, 5, 6):
+        assert out[d]["weight"] is not None and out[d]["weight"] > 0.0
+        assert out[d]["raw_mass"] >= out[d]["n_tokens"]  # add-one floor
+
+
+def test_dsir_weights_oracle_on_duplicate_and_null_ids(spark):
+    """The dsir oracle inherits unigram_lm's id contract: duplicated
+    ids merge token streams (NULL member NULLs the row), a NULL id is
+    one real scored group (NULL-safe final join) — bit-equal frames."""
+    import duckdb
+    import numpy as np
+
+    rows = [
+        (7, "alpha beta", "t"), (7, None, "t"),
+        (8, "alpha alpha zeta", "r"), (8, "zeta eta", "r"),
+        (9, "beta", "t"), (10, "", "r"),
+        (None, "alpha zeta eta", "r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    sdf = (
+        quality.dsir_weights(docs, target_pred="dom = 't'", n_buckets=32)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR, dom VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+    odf = (
+        con.execute(quality.oracle_dsir_weights_sql(
+            source_sql="SELECT doc_id, text, dom FROM d",
+            target_pred="dom = 't'", n_buckets=32,
+        ))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(sdf.columns) == list(odf.columns)
+    assert len(sdf) == 5 == len(odf)
+    for c in sdf.columns:
+        a = sdf[c].to_numpy(dtype="float64")
+        b = odf[c].to_numpy(dtype="float64")
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert ((a == b) | both_nan).all(), (c, a, b)
+    # id 7 NULLed by its NULL member; id 8 merged (5 tokens); the
+    # NULL-id group carries real masses
+    m = {(r if r == r else None): t for r, t in zip(sdf["doc_id"], sdf["n_tokens"])}
+    assert np.isnan(m[7.0])
+    assert m[8.0] == 5
+    assert sdf.iloc[-1]["n_tokens"] == 3
