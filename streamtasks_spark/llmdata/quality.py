@@ -607,23 +607,46 @@ def dsir_weights(
     token stream is never shuffled by token). The reference repo has
     no data-selection op; this extends the LLM-data tier beside
     unigram_lm (perplexity-style filtering) with the importance-
-    resampling family."""
+    resampling family. Train and score are also exposed separately
+    (:func:`dsir_train` / :func:`dsir_score`) so a pipeline can freeze
+    the two models on a reference corpus and weigh other corpora — or
+    a STREAM (:func:`~streamtasks_spark.streaming.stateful.
+    streaming_dsir_weights`) — against them; this composite trains and
+    scores the same corpus."""
     from streamtasks_spark.llmdata.dedup import pin
 
-    base = pin(
-        spread(docs, id_col).select(
-            F.col(id_col),
-            F.coalesce(F.expr(target_pred), F.lit(False)).alias("__tgt"),
-            F.expr(tokens_expr(text_col)).alias("__toks"),
-        )
+    base = pin(_dsir_base(docs, target_pred, id_col, text_col))
+    counts, t_t, t_r = _dsir_train_on(base, n_buckets)
+    return _dsir_score_on(
+        base, docs.sparkSession, counts, t_t, t_r, id_col, n_buckets
     )
-    bucket = (
+
+
+def _bucket_expr(n_buckets: int) -> str:
+    return (
         f"pmod(cast(conv(substring(md5(__t), 1, 7), 16, 10) as bigint), "
         f"{n_buckets})"
     )
+
+
+def _dsir_base(
+    docs: DataFrame, target_pred: str, id_col: str, text_col: str
+) -> DataFrame:
+    return spread(docs, id_col).select(
+        F.col(id_col),
+        F.coalesce(F.expr(target_pred), F.lit(False)).alias("__tgt"),
+        F.expr(tokens_expr(text_col)).alias("__toks"),
+    )
+
+
+def _dsir_train_on(
+    base: DataFrame, n_buckets: int
+) -> tuple[list[tuple[int, int, int]], int, int]:
+    from streamtasks_spark.llmdata.dedup import pin
+
     counts = pin(
         base.select("__tgt", F.explode("__toks").alias("__t"))
-        .select("__tgt", F.expr(bucket).alias("__b"))
+        .select("__tgt", F.expr(_bucket_expr(n_buckets)).alias("__b"))
         .groupBy("__b")
         .agg(
             F.count(F.when(F.col("__tgt"), 1)).alias("__ct"),
@@ -638,9 +661,65 @@ def dsir_weights(
         counts.unpersist()
     t_t = sum(r["__ct"] for r in rows) + n_buckets
     t_r = sum(r["__cr"] for r in rows) + n_buckets
-    spark = docs.sparkSession
+    return [(r["__b"], r["__ct"], r["__cr"]) for r in rows], t_t, t_r
+
+
+def dsir_train(
+    docs: DataFrame,
+    *,
+    target_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> tuple[list[tuple[int, int, int]], int, int]:
+    """Train stage of :func:`dsir_weights` alone: returns the frozen
+    model — ``(counts, t_t, t_r)`` where ``counts`` is the
+    (bucket, target_count, raw_count) list and ``t_x`` the smoothed
+    totals (token total + n_buckets). Driver-small (≤ n_buckets
+    rows); feed it to :func:`dsir_score` or the streaming twin with
+    the SAME ``n_buckets``."""
+    return _dsir_train_on(
+        _dsir_base(docs, target_pred, id_col, text_col), n_buckets
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    counts: list[tuple[int, int, int]],
+    t_t: int,
+    t_r: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score stage of :func:`dsir_weights` against a FROZEN model from
+    :func:`dsir_train` — production selection semantics: model target
+    and raw once on reference corpora, weigh any corpus or micro-batch
+    without rescanning them. Stateless per document (applies unchanged
+    inside ``foreachBatch``); same schema and bit-identical values as
+    the composite on identical rows. The scored docs need no
+    ``target_pred`` column — a document's weight never depends on its
+    own domain label."""
+    return _dsir_score_on(
+        spread(docs, id_col).select(
+            F.col(id_col), F.expr(tokens_expr(text_col)).alias("__toks")
+        ),
+        docs.sparkSession, counts, t_t, t_r, id_col, n_buckets,
+    )
+
+
+def _dsir_score_on(
+    base: DataFrame,
+    spark,
+    counts: list[tuple[int, int, int]],
+    t_t: int,
+    t_r: int,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
     bdf = spark.createDataFrame(
-        [(r["__b"], r["__ct"], r["__cr"]) for r in rows] or [(None,) * 3],
+        list(counts) or [(None,) * 3],
         "__b bigint, __ct bigint, __cr bigint",
     ).filter(F.col("__b").isNotNull())
     ex = base.select(
@@ -649,7 +728,9 @@ def dsir_weights(
         F.explode_outer("__toks").alias("__t"),
     ).select(
         id_col, "__nul",
-        F.expr(f"if(__t is null, null, {bucket})").alias("__b"),
+        F.expr(
+            f"if(__t is null, null, {_bucket_expr(n_buckets)})"
+        ).alias("__b"),
     )
     per = (
         ex.join(F.broadcast(bdf), "__b", "left")

@@ -894,3 +894,55 @@ def streaming_unigram_lm(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_dsir_weights(
+    docs: DataFrame,
+    *,
+    counts: list[tuple[int, int, int]],
+    t_t: int,
+    t_r: int,
+    weights_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+):
+    """Streaming importance weighting against FROZEN DSIR models: each
+    arriving micro-batch is weighed by :func:`~streamtasks_spark.
+    llmdata.quality.dsir_score` under the ``(counts, t_t, t_r)``
+    target/raw models trained once on reference corpora
+    (:func:`~streamtasks_spark.llmdata.quality.dsir_train`) — the
+    continuous-ingest shape of importance-resampling data selection
+    (Xie et al. 2023), and the same frozen-model contract as
+    :func:`streaming_unigram_lm`: the models never move under
+    already-weighed documents, so a document's weight is a pure
+    function of its own text and the models, independent of arrival
+    batching or order.
+
+    That purity is why ``foreachBatch`` needs no index or state: the
+    union of per-batch weight appends equals the batch
+    :func:`dsir_score` over everything ingested, bit-exactly, one row
+    per arriving document. Restart replays at most one in-flight
+    micro-batch append; consumers needing exactly-once dedup
+    ``weights_path`` on the id — the documented foreachBatch contract.
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.llmdata.quality import dsir_score
+
+    def _weigh(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = dsir_score(
+            batch.select(id_col, text_col), counts, t_t, t_r,
+            id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(weights_path)
+
+    return (
+        docs.writeStream.foreachBatch(_weigh)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

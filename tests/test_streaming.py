@@ -1455,6 +1455,135 @@ def test_streaming_unigram_lm_survives_restart(spark, tmp_path):
                 assert a == b, k
 
 
+def _assert_score_frames_equal(expect, got):
+    import numpy as np
+
+    assert set(got) == set(expect)
+    for k in expect:
+        for a, b in zip(expect[k], got[k]):
+            if isinstance(a, float):
+                assert (np.isnan(a) and np.isnan(b)) or a == b, k
+            else:
+                assert a == b, k
+
+
+def test_streaming_dsir_weights_matches_batch_scoring(spark, tmp_path):
+    """Frozen-model streaming importance weighting (r08 twin): the
+    union of per-micro-batch weight appends equals batch dsir_score
+    over everything ingested, bit-exactly, one row per document."""
+    from streamtasks_spark.llmdata.quality import dsir_score, dsir_train
+    from streamtasks_spark.streaming.stateful import streaming_dsir_weights
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    counts, t_t, t_r = dsir_train(
+        docs, target_pred="lang = 'en'", n_buckets=128
+    )
+    expect = {
+        r["doc_id"]: (r["n_tokens"], r["target_mass"], r["raw_mass"],
+                      r["weight"])
+        for r in dsir_score(docs, counts, t_t, t_r, n_buckets=128).collect()
+    }
+
+    src = tmp_path / "dw_src"
+    stream_docs = docs.select("doc_id", "text")
+    stream_docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    time.sleep(1.1)
+    stream_docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    stream = (
+        spark.readStream.schema(stream_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    weights_path = str(tmp_path / "weights")
+    q = streaming_dsir_weights(
+        stream, counts=counts, t_t=t_t, t_r=t_r,
+        weights_path=weights_path, checkpoint=str(tmp_path / "ckpt"),
+        n_buckets=128,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(weights_path).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["target_mass"], r["raw_mass"],
+                      r["weight"])
+        for r in rows
+    }
+    assert len(rows) == len(got) == len(expect)  # one row per doc
+    assert {r["batch_id"] for r in rows} == {0, 1}  # really two batches
+    _assert_score_frames_equal(expect, got)
+
+
+def test_streaming_dsir_weights_survives_restart(spark, tmp_path):
+    """Clean stop → new query on the same checkpoint weighs only the
+    new split (no re-weigh); union across the restart equals batch
+    dsir_score over everything ingested."""
+    from streamtasks_spark.llmdata.quality import dsir_score, dsir_train
+    from streamtasks_spark.streaming.stateful import streaming_dsir_weights
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    counts, t_t, t_r = dsir_train(
+        docs, target_pred="lang = 'en'", n_buckets=128
+    )
+    src = tmp_path / "dw_src"
+    stream_docs = docs.select("doc_id", "text")
+    kwargs = dict(
+        counts=counts, t_t=t_t, t_r=t_r, n_buckets=128,
+        weights_path=str(tmp_path / "weights"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    def make_stream():
+        return (
+            spark.readStream.schema(stream_docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    lo = stream_docs.filter(F.col("doc_id") % 2 == 0)
+    hi = stream_docs.filter(F.col("doc_id") % 2 == 1)
+    lo.coalesce(1).write.parquet(str(src / "p1"))
+    q = streaming_dsir_weights(make_stream(), **kwargs)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(kwargs["weights_path"]).count() == lo.count()
+    time.sleep(1.1)
+    hi.coalesce(1).write.parquet(str(src / "p2"))
+    q2 = streaming_dsir_weights(make_stream(), **kwargs)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(kwargs["weights_path"]).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["target_mass"], r["raw_mass"],
+                      r["weight"])
+        for r in rows
+    }
+    assert len(rows) == len(got)  # no re-weigh across the restart
+    expect = {
+        r["doc_id"]: (r["n_tokens"], r["target_mass"], r["raw_mass"],
+                      r["weight"])
+        for r in dsir_score(
+            stream_docs, counts, t_t, t_r, n_buckets=128
+        ).collect()
+    }
+    _assert_score_frames_equal(expect, got)
+
+
 def test_streaming_doc_chunk_is_a_direct_transformation(spark, tmp_path):
     """doc_chunk is stateless and narrow, so it composes with
     readStream DIRECTLY (no foreachBatch): chunks produced through a
