@@ -1446,6 +1446,7 @@ class SemDedupIndex:
         n_cells: int = 8,
         n_iters: int = 2,
         threshold: float = 0.35,
+        max_cell: int | None = None,
     ) -> None:
         self.path = str(path)
         self.codebook_path = f"{self.path}/codebook"
@@ -1456,6 +1457,14 @@ class SemDedupIndex:
         self.n_cells = n_cells
         self.n_iters = n_iters
         self.threshold = threshold
+        # hot-cell pairing guard, the semantic_dedup max_cell contract:
+        # cells whose DOMINATOR population (batch ∪ kept history)
+        # exceeds the cap are excluded from pairing for this ingest —
+        # their batch vectors keep=true (under-dropped, never
+        # mis-dropped) and enter history; the per-ingest join fan-out
+        # stays bounded however degenerate one cell grows. None keeps
+        # exact incremental semantics.
+        self.max_cell = max_cell
 
     def codebook(self, spark) -> DataFrame | None:
         from streamtasks_spark.llmdata.dedup import snapshot_read
@@ -1498,7 +1507,22 @@ class SemDedupIndex:
             batch if hist is None
             else batch.unionByName(hist.select(idc, "__v", "__nrm", "__cell"))
         )
-        a = batch.select(
+        pair_batch = batch
+        if self.max_cell is not None:
+            # codebook-sized hot-cell list + broadcast anti-join, the
+            # semantic_dedup shape (NOT a window on the low-cardinality
+            # cell key — that funnels the corpus into n_cells tasks)
+            hot = (
+                dominators.groupBy("__cell")
+                .agg(F.count(F.lit(1)).alias("__csz"))
+                .filter(F.col("__csz") > self.max_cell)
+                .select("__cell")
+            )
+            pair_batch = batch.join(broadcast(hot), "__cell", "left_anti")
+            dominators = dominators.join(
+                broadcast(hot), "__cell", "left_anti"
+            )
+        a = pair_batch.select(
             "__cell",
             F.col(idc).alias("__ida"),
             F.col("__v").alias("__va"),

@@ -1347,6 +1347,49 @@ def test_sem_dedup_index_superset_of_one_shot(spark, tmp_path):
         assert set(mins).issubset(kept)
 
 
+def test_sem_dedup_index_max_cell_guard(spark, tmp_path):
+    """max_cell parity for the incremental index (r08): a cap at or
+    above every dominator-cell population reproduces the uncapped
+    verdicts exactly; a cap below the hottest cell excludes it from
+    pairing — that cell's batch vectors all come back keep=true —
+    while cells within the cap keep their exact verdicts."""
+    import pandas as pd
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = (
+        _sem_index_cls()(str(tmp_path / "ref"), threshold=0.35)
+        .ingest(vecs).toPandas().sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pops = exact.groupby("cell").size()
+    nop = (
+        _sem_index_cls()(
+            str(tmp_path / "nop"), threshold=0.35,
+            max_cell=int(pops.max()),
+        )
+        .ingest(vecs).toPandas().sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (nop.values == exact.values).all()
+    hot = pops.idxmax()
+    cap = int(pops.max()) - 1
+    assert cap >= 1 and (~exact[exact["cell"] == hot]["keep"]).any()
+    capped = (
+        _sem_index_cls()(
+            str(tmp_path / "cap"), threshold=0.35, max_cell=cap,
+        )
+        .ingest(vecs).toPandas().sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert capped[capped["cell"] == hot]["keep"].all()
+    ok_cells = set(pops[pops <= cap].index)
+    a = exact[exact["cell"].isin(ok_cells)]
+    b = capped[capped["cell"].isin(ok_cells)]
+    assert (a.values == b.values).all()
+    assert list(capped["vec_id"]) == list(exact["vec_id"])
+
+
 def test_sem_dedup_index_single_vector_batches_are_greedy(spark, tmp_path):
     """One-vector-per-batch ingestion must compute exactly the
     SemDeDup paper's greedy sequential scan: each arrival is dropped
