@@ -190,6 +190,33 @@ def test_ngram_containment_asymmetry_and_oracle(spark):
         assert (sdf.values == odf.values).all(), (k, thr)
 
 
+def test_sq_topk_recall_and_exactness_vs_brute_force(spark):
+    """int8 scalar-quantized top-k (r08): every returned cosine equals
+    the exact brute-force cosine bit-for-bit (the re-rank is exact —
+    quantization only shapes CANDIDATE selection), the quantized
+    approx score sits within 2e-2 of the true cosine, and recall@5
+    against exact cosine_topk is high (int8 error is far inside top-k
+    margins on this corpus)."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").cache()
+    qs = vecs.filter(F.col("vec_id") < 20)
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(vecs, qs, k=5).collect()
+    }
+    got = similarity.sq_topk(vecs, qs, k=5, rerank=4).collect()
+    assert len(got) == len(brute)
+    for r in got:
+        assert abs(r["approx"] - r["cosine"]) < 2e-2, r
+        if (r["query_id"], r["vec_id"]) in brute:
+            assert r["cosine"] == brute[(r["query_id"], r["vec_id"])]
+    hits = sum((r["query_id"], r["vec_id"]) in brute for r in got)
+    recall = hits / len(brute)
+    assert recall >= 0.9, recall
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """LSH top-k is exact within the bucket; assert exact score agreement
     on every returned true-match and a loose recall floor. On random

@@ -260,6 +260,21 @@ def test_ann_tier_broadcasts_query_side(psession):
     assert "BroadcastExchange" in plan, plan[:900]
     plan = plan_of(similarity.lsh_topk(emb, q, k=5))
     assert re.search(r"BroadcastHashJoin \[__bkt", plan), plan[:900]
+    # sq_topk (r08): same broadcast-query contract as cosine_topk (the
+    # broadcast cross join is the documented query attach), and the
+    # exact float re-rank dot (zip_with over __av/__qv) must sit ABOVE
+    # the candidate filter, never in the all-pairs projection — the
+    # all-pairs stage scores with the int64 code dot (__ac/__qc) only
+    plan = plan_of(similarity.sq_topk(emb, q, k=5))
+    assert "BroadcastExchange" in plan, plan[:900]
+    # physical plans print root-first, so "above the candidate filter"
+    # means an EARLIER string position: exact float re-rank dot
+    # (zip_with on __av) before the __cr candidate filter, int64 code
+    # dot (zip_with on __ac) after it, in the all-pairs stage
+    exact_pos = plan.index("zip_with(__av")
+    cand_pos = plan.index("__cr")
+    int_pos = plan.index("zip_with(__ac")
+    assert exact_pos < cand_pos < int_pos, (exact_pos, cand_pos, int_pos)
 
 
 def test_dedup_tier_never_plans_all_pairs(psession):
