@@ -75,6 +75,14 @@ def probe_ops(spark, docs):
     yield "doc_chunk", lambda: pipeline.doc_chunk(docs), n
     from streamtasks_spark.llmdata import quality
     yield "unigram_lm", lambda: quality.unigram_lm(docs), n
+    # r08 ops: containment shares ngram_jaccard's blocked-candidate
+    # scaling claim; dsir shares unigram_lm's explode+broadcast shape
+    yield "ngram_containment", lambda: dedup.ngram_containment_pairs(
+        docs, threshold=0.6
+    ), n
+    yield "dsir_weights", lambda: quality.dsir_weights(
+        docs, target_pred="lang = 'en'"
+    ), n
 
 
 def replicate_vectors(spark, factor: int):
@@ -122,6 +130,12 @@ def probe_vector_ops(spark, vecs, queries, factor: int):
     ), n
     yield "ivf_topk", lambda: similarity.ivf_topk(
         vecs, queries, n_cells=8, n_probe=2, k=5
+    ), n
+    # r08: sq_topk scans all pairs by design (it is the compressed
+    # BRUTE tier) — expected exponent ~1 in corpus size; the claim is
+    # the constant (int codes), not the asymptote
+    yield "sq_topk", lambda: similarity.sq_topk(
+        vecs, queries, k=5, rerank=4
     ), n
     # threshold 0.9 + the decorrelated tilt bounds each vector's true
     # near-dup neighborhood to a few adjacent copies: output saturates
