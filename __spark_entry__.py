@@ -996,6 +996,20 @@ def _q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x int8 scalar quantization (NEW r08): coarse cells prune
+    WHICH vectors are touched, int8 codes bound what touching costs,
+    exact re-rank on the rerank*k survivors (similarity.ivf_sq_topk —
+    the production IVF_SQ8 shape). guard_dim declares the dim-64
+    oracle coupling."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    vecs = similarity.guard_dim(vecs, "embedding", 64, "ann_ivf_sq_topk")
+    return similarity.ivf_sq_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10),
+        n_cells=8, n_probe=2, k=5, rerank=4,
+    )
+
+
 def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a TRAINED codebook: 3 deterministic spherical
     k-means Lloyd iterations (integer micro-unit sums make the centroid
@@ -1390,10 +1404,11 @@ _MUST_VERIFY_R08 = [
     # q16_parts_supplier_relationship — untouched, r06-green, head of
     # the r09 queue).
     "ngram_containment", "dsir_weights",
-    # NEW op r08 (second wave): int8 scalar-quantized ANN top-k with
-    # exact re-rank — displacing q4_order_priority (untouched,
-    # r06-green, r09 queue).
-    "ann_sq_topk",
+    # NEW ops r08 (second wave): int8 scalar-quantized ANN top-k with
+    # exact re-rank, and its IVF composition (the production IVF_SQ8
+    # shape) — displacing q4_order_priority and video_layout
+    # (untouched, r06-green, r09 queue).
+    "ann_sq_topk", "ann_ivf_sq_topk",
 ]
 
 # r08 rotation (r07 verdict task 3): the 20 rows displaced from the
@@ -1416,11 +1431,11 @@ _ROTATE_R08 = [
     "audio_resampler", "video_mixer", "q22_global_sales_opportunity",
     "salted_join", "range_join", "stratified_sample", "split_assign",
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
-    # the 8 oldest r06-green rows that fit after the 3 NEW ops took
+    # the 7 oldest r06-green rows that fit after the 4 NEW ops took
     # their slots (r06 window order)
     "time_to_text", "timestamp_update", "frame_sample",
     "image_renderer", "string_matcher", "text_format",
-    "number_to_text", "video_layout",
+    "number_to_text",
 ]
 
 
@@ -1494,7 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "dsir_weights": _q_dsir_weights,
         "ann_sq_topk": _q_ann_sq_topk,
-        # --- r08 window: the 8 oldest r06-green rows (r06 order)
+        "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
+        # --- r08 window: the 7 oldest r06-green rows (r06 order)
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         "frame_sample": _q_frame_sample,
@@ -1502,10 +1518,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_matcher": _q_string_matcher,
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
-        "video_layout": _q_video_layout,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r06-green rows in r06 window order — the head of
-        # the r09 queue (q4/q13/q16 displaced by the three NEW r08 ops)
+        # the r09 queue (video_layout/q4/q13/q16 displaced by the four
+        # NEW r08 ops)
+        "video_layout": _q_video_layout,
         "q4_order_priority": rel(rq.q4_order_priority),
         "q13_customer_distribution": rel(rq.q13_customer_distribution),
         "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
@@ -2417,6 +2434,9 @@ def oracle_sql() -> dict[str, str]:
             target_pred="lang = 'en'", n_buckets=256
         ),
         "ann_sq_topk": similarity.oracle_sq_topk_sql(k=5, rerank=4),
+        "ann_ivf_sq_topk": similarity.oracle_ivf_sq_topk_sql(
+            n_cells=8, n_probe=2, k=5, rerank=4
+        ),
         "audio_chunker": _CHUNKER_SQL,
         "padded_chunker": _PADDED_CHUNKER_SQL,
         "audio_smoother": _SMOOTHER_SQL,

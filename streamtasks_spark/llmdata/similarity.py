@@ -244,6 +244,31 @@ def _int_dot(a: str, b: str) -> str:
     )
 
 
+def _sq_encode(df: DataFrame, pfx: str, keys: list[str]) -> DataFrame:
+    """Attach int8 scalar-quantization codes to a ``_with_norm`` frame:
+    per-vector scale ``s = max|v_i| / 127`` and half-up codes
+    ``floor(v_i / s + 0.5)`` (round-half-up in BOTH engines, unlike
+    banker's round()); output columns prefixed so two encoded sides
+    join without collision. Shared by :func:`sq_topk` (brute quantized
+    scan) and :func:`ivf_sq_topk` (cell-pruned quantized scan)."""
+    enc = "transform(__v, x -> cast(floor(x / __s + 0.5d) as bigint))"
+    keep = [c for c in keys if c not in ("__v", "__nrm")]
+    return (
+        df.withColumn(
+            "__s",
+            F.expr("array_max(transform(__v, x -> abs(x))) / 127.0d"),
+        )
+        .withColumn("__c", F.expr(enc))
+        .select(
+            *keep,
+            F.col("__v").alias(f"{pfx}v"),
+            F.col("__nrm").alias(f"{pfx}nrm"),
+            F.col("__s").alias(f"{pfx}s2"),
+            F.col("__c").alias(f"{pfx}c"),
+        )
+    )
+
+
 def sq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -288,35 +313,15 @@ def sq_topk(
     The reference repo has no ANN at all; this extends the
     BASELINE.json ANN tier (brute/LSH/IVF/IVF-trained) with the
     quantized-storage rung."""
-    enc = (
-        "transform(__v, x -> cast(floor(x / __s + 0.5d) as bigint))"
-    )
-
-    def encode(df, pfx, key):
-        return (
-            df.withColumn(
-                "__s",
-                F.expr("array_max(transform(__v, x -> abs(x))) / 127.0d"),
-            )
-            .withColumn("__c", F.expr(enc))
-            .select(
-                key,
-                F.col("__v").alias(f"{pfx}v"),
-                F.col("__nrm").alias(f"{pfx}nrm"),
-                F.col("__s").alias(f"{pfx}s2"),
-                F.col("__c").alias(f"{pfx}c"),
-            )
-        )
-
-    q = encode(
+    q = _sq_encode(
         _with_norm(
             queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
         ),
-        "__q", "query_id",
+        "__q", ["query_id"],
     )
-    v = encode(
+    v = _sq_encode(
         _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
-        "__a", id_col,
+        "__a", [id_col],
     )
     appx = (
         (F.col("__as2") * F.col("__qs2"))
@@ -655,6 +660,196 @@ def oracle_ivf_topk_sql(
     SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
            CAST(row_number() OVER w AS INT) AS rank
     FROM scored
+    WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
+    """
+
+
+def ivf_sq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    rerank: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF × scalar quantization — the production warehouse-ANN shape
+    (Faiss/Milvus ``IVF_SQ8``): the coarse quantizer of
+    :func:`ivf_topk` prunes the search to each query's ``n_probe``
+    nearest cells, and WITHIN the probed cells candidates are ranked
+    by the int8 quantized cosine of :func:`sq_topk` (pure int64 inner
+    sums — candidate order bit-identical in the DuckDB oracle by
+    construction); the top ``rerank·k`` per query are re-ranked by
+    exact cosine. Output (query_id, vec_id, cosine, approx, rank).
+
+    Why this is the composition that matters at 100 TB: IVF bounds
+    WHICH vectors are touched (cell population × probes, never the
+    corpus), SQ bounds what touching one COSTS (4× smaller codes —
+    the postings actually resident per cell — and an integer
+    multiply-add stream instead of float loads); exact math runs only
+    on ``rerank·k`` survivors per query. Both parents' contracts
+    carry over: broadcast codebook + single cell-keyed shuffle from
+    ivf_topk, integer-exact candidate selection from sq_topk.
+
+    ``centroids`` (optional, columns ``__cell, __cv, __cn``) drops a
+    :func:`train_centroids` codebook into the same plan, as in
+    :func:`ivf_topk`."""
+    cents = broadcast(
+        centroids
+        if centroids is not None
+        else _with_norm(
+            vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
+            vec_col,
+        ).select(
+            F.col(id_col).alias("__cell"),
+            F.col("__v").alias("__cv"),
+            F.col("__nrm").alias("__cn"),
+        )
+    )
+    score = F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
+
+    def assign(df: DataFrame, id_out: str, rank_limit: int) -> DataFrame:
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("__score").desc(), F.col("__cell").asc()
+        )
+        return (
+            df.crossJoin(cents)
+            .withColumn("__score", score)
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= rank_limit)
+            .drop("__cv", "__cn", "__score", "__cr")
+        )
+
+    v = _sq_encode(
+        assign(
+            _with_norm(
+                spread(vectors, id_col).select(id_col, vec_col), vec_col
+            ),
+            id_col, 1,
+        ),
+        "__a", [id_col, "__cell"],
+    )
+    q = _sq_encode(
+        assign(
+            _with_norm(
+                queries.select(F.col(id_col).alias("query_id"), vec_col),
+                vec_col,
+            ).select("query_id", "__v", "__nrm"),
+            "query_id", n_probe,
+        ),
+        "__q", ["query_id", "__cell"],
+    )
+    appx = (
+        (F.col("__as2") * F.col("__qs2"))
+        * F.expr(_int_dot("__ac", "__qc")).cast("double")
+    ) / (F.col("__anrm") * F.col("__qnrm"))
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("__appx").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        v.join(q, "__cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__appx", appx)
+        .withColumn("__cr", F.row_number().over(w_cand))
+        .filter(F.col("__cr") <= rerank * k)
+    )
+    cos = F.expr(_dot("__av", "__qv")) / (F.col("__anrm") * F.col("__qnrm"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__cos", cos)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("__cos", 6).alias("cosine"),
+            F.round("__appx", 6).alias("approx"),
+            "rank",
+        )
+    )
+
+
+def oracle_ivf_sq_topk_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_filter: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    rerank: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ivf_sq_topk` — the ivf_topk oracle's
+    coarse assignment composed with the sq_topk oracle's quantized
+    candidate selection and exact re-rank."""
+    cdot = _duck_dot("x.__v", "c.__v", dim)
+    idot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> a.__c[i] * q.__c[i]))"
+    )
+    r = rerank * k
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm,
+             list_max(list_transform(__v, x -> abs(x))) / 127.0 AS __s
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
+    ),
+    e AS (
+      SELECT *, list_transform(__v,
+        x -> CAST(floor(x / __s + 0.5) AS BIGINT)) AS __c
+      FROM n
+    ),
+    cents AS (SELECT {id_col}, __v, __nrm FROM n WHERE {id_col} < {n_cells}),
+    assigned AS (
+      SELECT x.{id_col}, x.__v, x.__nrm, x.__s, x.__c,
+        c.{id_col} AS __cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__nrm) DESC, c.{id_col} ASC) AS cr
+      FROM e x, cents c
+      QUALIFY cr = 1
+    ),
+    probes AS (
+      SELECT x.{id_col} AS query_id, x.__v, x.__nrm, x.__s, x.__c,
+        c.{id_col} AS __cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__nrm) DESC, c.{id_col} ASC) AS cr
+      FROM e x, cents c
+      WHERE {query_filter.replace(id_col, 'x.' + id_col)}
+      QUALIFY cr <= {n_probe}
+    ),
+    cand AS (
+      SELECT q.query_id, a.{id_col},
+        a.__v AS __av, q.__v AS __qv, a.__nrm AS __an, q.__nrm AS __qn,
+        ((a.__s * q.__s) * CAST({idot} AS DOUBLE)) / (a.__nrm * q.__nrm)
+          AS __appx,
+        row_number() OVER (PARTITION BY q.query_id ORDER BY
+          ((a.__s * q.__s) * CAST({idot} AS DOUBLE)) / (a.__nrm * q.__nrm)
+            DESC, a.{id_col} ASC) AS __cr
+      FROM assigned a JOIN probes q ON a.__cell = q.__cell
+      WHERE a.{id_col} <> q.query_id
+      QUALIFY __cr <= {r}
+    ),
+    rer AS (
+      SELECT query_id, {id_col}, __appx,
+        {_duck_dot("__av", "__qv", dim)} / (__an * __qn) AS __cos
+      FROM cand
+    )
+    SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
+           round(__appx, 6) AS approx,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM rer
     WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
     QUALIFY rank <= {k}
     """

@@ -217,6 +217,41 @@ def test_sq_topk_recall_and_exactness_vs_brute_force(spark):
     assert recall >= 0.9, recall
 
 
+def test_ivf_sq_topk_converges_to_ivf_topk_at_full_rerank(spark):
+    """IVF×SQ (r08): when rerank·k covers every probed cell's
+    population, the quantized candidate stage is a no-op filter and the
+    exact re-rank must reproduce plain ivf_topk's (query, vec, cosine,
+    rank) frame EXACTLY; at the production rerank=4 the result stays a
+    high-recall subset ranked by true cosine."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").cache()
+    qs = vecs.filter(F.col("vec_id") < 20)
+    ivf = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in similarity.ivf_topk(
+            vecs, qs, n_cells=8, n_probe=2, k=5
+        ).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in similarity.ivf_sq_topk(
+            vecs, qs, n_cells=8, n_probe=2, k=5, rerank=10**6
+        ).collect()
+    }
+    assert full == ivf
+    prod = similarity.ivf_sq_topk(
+        vecs, qs, n_cells=8, n_probe=2, k=5, rerank=4
+    ).collect()
+    hits = sum((r["query_id"], r["vec_id"]) in ivf for r in prod)
+    assert hits / len(ivf) >= 0.9, hits / len(ivf)
+    for r in prod:  # exact re-rank: returned cosines are true cosines
+        if (r["query_id"], r["vec_id"]) in ivf:
+            assert r["cosine"] == ivf[(r["query_id"], r["vec_id"])][0]
+        assert abs(r["approx"] - r["cosine"]) < 2e-2
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """LSH top-k is exact within the bucket; assert exact score agreement
     on every returned true-match and a loose recall floor. On random

@@ -275,6 +275,15 @@ def test_ann_tier_broadcasts_query_side(psession):
     cand_pos = plan.index("__cr")
     int_pos = plan.index("zip_with(__ac")
     assert exact_pos < cand_pos < int_pos, (exact_pos, cand_pos, int_pos)
+    # ivf_sq_topk (r08): both parents' contracts — broadcast codebook,
+    # cell-keyed candidate join (never all-pairs between v and q), and
+    # the same exact-dot-above-candidate-filter ordering
+    plan = plan_of(similarity.ivf_sq_topk(emb, q, k=5))
+    assert "BroadcastExchange" in plan, plan[:900]
+    assert re.search(r"Join \[__cell", plan) or "__cell" in plan, plan[:900]
+    exact_pos = plan.index("zip_with(__av")
+    int_pos = plan.index("zip_with(__ac")
+    assert exact_pos < int_pos, (exact_pos, int_pos)
 
 
 def test_dedup_tier_never_plans_all_pairs(psession):
