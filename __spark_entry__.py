@@ -1409,6 +1409,12 @@ _MUST_VERIFY_R08 = [
     # shape) — displacing q4_order_priority and video_layout
     # (untouched, r06-green, r09 queue).
     "ann_sq_topk", "ann_ivf_sq_topk",
+    # impl+oracle changed r08: recall_probe now measures all FOUR
+    # approximate tiers (sq and ivf_sq joined lsh/ivf), so
+    # ann_recall's plan and rendered SQL both changed — re-certifies
+    # in-window, displacing number_to_text (untouched, r06-green,
+    # r09 queue).
+    "ann_recall",
 ]
 
 # r08 rotation (r07 verdict task 3): the 20 rows displaced from the
@@ -1431,11 +1437,10 @@ _ROTATE_R08 = [
     "audio_resampler", "video_mixer", "q22_global_sales_opportunity",
     "salted_join", "range_join", "stratified_sample", "split_assign",
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
-    # the 7 oldest r06-green rows that fit after the 4 NEW ops took
-    # their slots (r06 window order)
+    # the 6 oldest r06-green rows that fit after the 4 NEW ops and
+    # the ann_recall re-certification took their slots (r06 order)
     "time_to_text", "timestamp_update", "frame_sample",
     "image_renderer", "string_matcher", "text_format",
-    "number_to_text",
 ]
 
 
@@ -1510,18 +1515,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
-        # --- r08 window: the 7 oldest r06-green rows (r06 order)
+        # --- r08 window: ann_recall re-certification (the probe now
+        # measures all four approximate tiers — plan+oracle changed)
+        "ann_recall": _q_ann_recall,
+        # --- r08 window: the 6 oldest r06-green rows (r06 order)
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         "frame_sample": _q_frame_sample,
         "image_renderer": _q_image_renderer,
         "string_matcher": _q_string_matcher,
         "text_format": _q_text_format,
-        "number_to_text": _q_number_to_text,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r06-green rows in r06 window order — the head of
-        # the r09 queue (video_layout/q4/q13/q16 displaced by the four
-        # NEW r08 ops)
+        # the r09 queue (number_to_text/video_layout/q4/q13/q16
+        # displaced by the four NEW r08 ops + the ann_recall
+        # re-certification)
+        "number_to_text": _q_number_to_text,
         "video_layout": _q_video_layout,
         "q4_order_priority": rel(rq.q4_order_priority),
         "q13_customer_distribution": rel(rq.q13_customer_distribution),
@@ -1571,7 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_recall": _q_ann_recall,
+        # (ann_recall moved into the r08 window above — the probe now
+        # measures all four approximate tiers)
         "gate": _q_gate,
         "interleave_mux": _q_interleave_mux,
         "interleave_desync": _q_interleave_desync,

@@ -866,16 +866,21 @@ def recall_probe(
     n_cells: int = 8,
     n_probe: int = 2,
     k: int = 5,
+    rerank: int = 4,
 ) -> DataFrame:
     """Measured recall@k of the approximate tiers against the exact
     baseline, as a query: for each approximate method, the fraction of
     exact top-k (query, neighbor) pairs it also returns. Output one row
-    per method: (method, hits, possible, recall).
+    per method: (method, hits, possible, recall). Since r08 the probe
+    covers all four approximate tiers — lsh, ivf, sq (int8 scalar
+    quantization), ivf_sq (the IVF_SQ8 composition) — so every rung of
+    the accuracy/cost ladder carries a driver-verified quality number.
 
-    All three inputs are deterministic (fixed hyperplanes / centroid
-    seeding / tie-breaks), so recall itself is deterministic and
-    DuckDB-reproducible — the quality of the approximate tier becomes a
-    driver-verified number instead of an asserted one."""
+    All inputs are deterministic (fixed hyperplanes / centroid
+    seeding / integer-exact quantized ranks / tie-breaks), so recall
+    itself is deterministic and DuckDB-reproducible — the quality of
+    the approximate tier becomes a driver-verified number instead of
+    an asserted one."""
     exact = pin(
         cosine_topk(vectors, queries, id_col=id_col, vec_col=vec_col, k=k)
     ).select("query_id", id_col)
@@ -915,7 +920,20 @@ def recall_probe(
         vectors, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
         n_probe=n_probe, k=k,
     )
-    return one(lsh, "lsh").unionByName(one(ivf, "ivf"))
+    sq = sq_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col, k=k,
+        rerank=rerank,
+    )
+    ivf_sq = ivf_sq_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        n_probe=n_probe, k=k, rerank=rerank,
+    )
+    return (
+        one(lsh, "lsh")
+        .unionByName(one(ivf, "ivf"))
+        .unionByName(one(sq, "sq"))
+        .unionByName(one(ivf_sq, "ivf_sq"))
+    )
 
 
 def oracle_recall_probe_sql(
@@ -929,6 +947,7 @@ def oracle_recall_probe_sql(
     n_cells: int = 8,
     n_probe: int = 2,
     k: int = 5,
+    rerank: int = 4,
 ) -> str:
     common = dict(
         source_sql=source_sql, query_filter=query_filter, id_col=id_col,
@@ -937,6 +956,10 @@ def oracle_recall_probe_sql(
     exact = oracle_cosine_topk_sql(**common)
     lsh = oracle_lsh_topk_sql(**common, n_planes=n_planes)
     ivf = oracle_ivf_topk_sql(**common, n_cells=n_cells, n_probe=n_probe)
+    sq = oracle_sq_topk_sql(**common, rerank=rerank)
+    ivf_sq = oracle_ivf_sq_topk_sql(
+        **common, n_cells=n_cells, n_probe=n_probe, rerank=rerank
+    )
     recall = (
         f"SELECT count(a.query_id) AS hits, count(*) AS possible,\n"
         f"  round(count(a.query_id)::DOUBLE / nullif(count(*), 0), 6)"
@@ -947,10 +970,16 @@ def oracle_recall_probe_sql(
     return f"""
     WITH exact AS ({exact}),
     lsh AS ({lsh}),
-    ivf AS ({ivf})
+    ivf AS ({ivf}),
+    sq AS ({sq}),
+    ivf_sq AS ({ivf_sq})
     SELECT 'lsh' AS method, * FROM ({recall.format(m='lsh')})
     UNION ALL
     SELECT 'ivf' AS method, * FROM ({recall.format(m='ivf')})
+    UNION ALL
+    SELECT 'sq' AS method, * FROM ({recall.format(m='sq')})
+    UNION ALL
+    SELECT 'ivf_sq' AS method, * FROM ({recall.format(m='ivf_sq')})
     """
 
 
