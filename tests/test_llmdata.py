@@ -326,14 +326,27 @@ def test_recall_probe_matches_manual_recall(spark):
             vecs, qs, n_cells=8, n_probe=2, k=5
         ).collect()
     }
+    sq = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.sq_topk(vecs, qs, k=5, rerank=4).collect()
+    }
+    ivf_sq = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_sq_topk(
+            vecs, qs, n_cells=8, n_probe=2, k=5, rerank=4
+        ).collect()
+    }
     got = {
         r["method"]: r
         for r in similarity.recall_probe(
-            vecs, qs, n_planes=4, n_cells=8, n_probe=2, k=5
+            vecs, qs, n_planes=4, n_cells=8, n_probe=2, k=5, rerank=4
         ).collect()
     }
-    assert set(got) == {"lsh", "ivf"}
-    for name, approx in [("lsh", lsh), ("ivf", ivf)]:
+    # all four rungs of the accuracy/cost ladder since r08
+    assert set(got) == {"lsh", "ivf", "sq", "ivf_sq"}
+    for name, approx in [
+        ("lsh", lsh), ("ivf", ivf), ("sq", sq), ("ivf_sq", ivf_sq)
+    ]:
         r = got[name]
         assert r["possible"] == len(exact)
         assert r["hits"] == len(exact & approx)
