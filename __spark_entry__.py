@@ -1030,12 +1030,14 @@ def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall@5 of the LSH and IVF tiers vs the exact baseline —
-    the approximate tier's quality as a driver-verified number."""
+    """Measured recall@5 of all four approximate tiers (lsh, ivf, sq,
+    ivf_sq — r08) vs the exact baseline — the approximate tiers'
+    quality as driver-verified numbers. rerank pinned explicitly to
+    match the oracle rather than relying on shared defaults."""
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.recall_probe(
         vecs, vecs.filter(F.col("vec_id") < 10),
-        n_planes=4, n_cells=8, n_probe=2, k=5,
+        n_planes=4, n_cells=8, n_probe=2, k=5, rerank=4,
     )
 
 
@@ -2541,7 +2543,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": similarity.oracle_cosine_topk_sql(k=5),
         "ann_recall": similarity.oracle_recall_probe_sql(
-            n_planes=4, n_cells=8, n_probe=2, k=5
+            n_planes=4, n_cells=8, n_probe=2, k=5, rerank=4
         ),
         "ann_lsh_topk": similarity.oracle_lsh_topk_sql(n_planes=4, k=5),
         "ann_ivf_topk": similarity.oracle_ivf_topk_sql(
