@@ -404,6 +404,20 @@ def _q_embedding_dup_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, a_col="vec_a", b_col="vec_b")
 
 
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-item contamination audit (NEW r08): for each eval doc
+    (doc_id % 25 == 7, the decontaminate eval split), how many of its
+    8-grams the REST of the corpus contains and how many corpus docs
+    share them (pipeline.contamination_report — the GPT-3 appendix-C
+    dirty-eval analysis as a query; decontaminate is the corpus-side
+    removal list this report justifies)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return pipeline.contamination_report(
+        docs.filter(F.col("doc_id") % 25 != 7),
+        docs.filter(F.col("doc_id") % 25 == 7),
+    )
+
+
 def _q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus preparation: quality rules → minhash-LSH
     canonical keep → eval-set decontamination → hash split assignment,
@@ -1411,6 +1425,10 @@ _MUST_VERIFY_R08 = [
     # shape) — displacing q4_order_priority and video_layout
     # (untouched, r06-green, r09 queue).
     "ann_sq_topk", "ann_ivf_sq_topk",
+    # NEW op r08 (third wave): per-eval-item contamination report (the
+    # decontaminate inverse view) — displacing text_format (untouched,
+    # r06-green, r09 queue).
+    "contamination_report",
     # impl+oracle changed r08: recall_probe now measures all FOUR
     # approximate tiers (sq and ivf_sq joined lsh/ivf), so
     # ann_recall's plan and rendered SQL both changed — re-certifies
@@ -1439,10 +1457,10 @@ _ROTATE_R08 = [
     "audio_resampler", "video_mixer", "q22_global_sales_opportunity",
     "salted_join", "range_join", "stratified_sample", "split_assign",
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
-    # the 6 oldest r06-green rows that fit after the 4 NEW ops and
+    # the 5 oldest r06-green rows that fit after the 5 NEW ops and
     # the ann_recall re-certification took their slots (r06 order)
     "time_to_text", "timestamp_update", "frame_sample",
-    "image_renderer", "string_matcher", "text_format",
+    "image_renderer", "string_matcher",
 ]
 
 
@@ -1517,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
+        "contamination_report": _q_contamination_report,
         # --- r08 window: ann_recall re-certification (the probe now
         # measures all four approximate tiers — plan+oracle changed)
         "ann_recall": _q_ann_recall,
@@ -1526,12 +1545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "image_renderer": _q_image_renderer,
         "string_matcher": _q_string_matcher,
-        "text_format": _q_text_format,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r06-green rows in r06 window order — the head of
-        # the r09 queue (number_to_text/video_layout/q4/q13/q16
-        # displaced by the four NEW r08 ops + the ann_recall
+        # the r09 queue (text_format/number_to_text/video_layout/q4/
+        # q13/q16 displaced by the five NEW r08 ops + the ann_recall
         # re-certification)
+        "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
         "video_layout": _q_video_layout,
         "q4_order_priority": rel(rq.q4_order_priority),
@@ -2446,6 +2465,11 @@ def oracle_sql() -> dict[str, str]:
             target_pred="lang = 'en'", n_buckets=256
         ),
         "ann_sq_topk": similarity.oracle_sq_topk_sql(k=5, rerank=4),
+        "contamination_report": pipeline.oracle_contamination_report_sql(
+            source_sql=(
+                "SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 7"
+            ),
+        ),
         "ann_ivf_sq_topk": similarity.oracle_ivf_sq_topk_sql(
             n_cells=8, n_probe=2, k=5, rerank=4
         ),

@@ -90,6 +90,118 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """The EVAL-side inverse of :func:`decontaminate`: one row per
+    evaluation document reporting how compromised it is by the training
+    corpus — ``n_grams`` (its distinct word ``n``-grams), ``n_hit_grams``
+    (how many of those appear anywhere in the corpus), ``n_corpus_docs``
+    (distinct corpus documents sharing ≥1 gram), and ``contamination``
+    = n_hit_grams / n_grams. This is the per-item audit an eval owner
+    reads (the GPT-3 appendix-C "dirty eval" analysis as a query), where
+    decontaminate is the corpus-side removal list. Eval docs shorter
+    than ``n`` tokens have no n-grams and are excluded (same gate as
+    the removal list — both engines filter ``len ≥ n``).
+
+    100 TB shape: the eval side is benchmark-sized and BROADCASTS (ids
+    + 28-bit gram hashes); the corpus side streams through ONE scan,
+    its exploded grams hash-joined to the broadcast and aggregated per
+    eval id with partial aggregation — the decontaminate shape with
+    the aggregation keyed on the small side's id. Distinct counts are
+    per-eval-id; cardinality is bounded by the eval doc's own gram
+    count and the corpus-doc fan-in, never the corpus gram stream."""
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    ev = _shingle_hashes(eval_docs, eval_id_col, eval_text_col, n)
+    ev_stats = ev.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.size("hashes").alias("n_grams"),
+    )
+    ev_ng = ev.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode("hashes").alias("__ng"),
+    )
+    corpus_ng = _shingle_hashes(docs, id_col, text_col, n).select(
+        F.col(id_col).alias("__cid"), F.explode("hashes").alias("__ng")
+    )
+    hits = (
+        corpus_ng.join(F.broadcast(ev_ng), "__ng")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("__ng").alias("__hit"),
+            F.countDistinct("__cid").alias("__docs"),
+        )
+    )
+    return ev_stats.join(hits, "eval_id", "left").select(
+        F.col("eval_id"),
+        "n_grams",
+        F.coalesce(F.col("__hit"), F.lit(0)).alias("n_hit_grams"),
+        F.coalesce(F.col("__docs"), F.lit(0)).alias("n_corpus_docs"),
+        F.round(
+            F.coalesce(F.col("__hit"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("contamination"),
+    )
+
+
+def oracle_contamination_report_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    eval_sql: str = "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 7",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> str:
+    """DuckDB twin of :func:`contamination_report` — identical gram
+    hashes, identical len ≥ n gate, identical distinct counts."""
+    gram = " || ' ' || ".join(f"__toks[i + {d}]" for d in range(n))
+    ngrams = f"""
+      SELECT {id_col},
+             list_distinct(list_transform(
+               list_transform(range(1, len(__toks) - {n - 1} + 1), i -> {gram}),
+               s -> cast('0x' || substr(md5(s), 1, 7) AS BIGINT))) AS hashes
+      FROM (SELECT {id_col},
+                   string_split({norm_text(text_col, "duck")}, ' ') AS __toks
+            FROM __SRC__)
+      WHERE len(__toks) >= {n}
+    """
+    return f"""
+    WITH corpus AS ({source_sql}),
+    evalset AS ({eval_sql}),
+    ev AS ({ngrams.replace("__SRC__", "evalset")}),
+    doc_ng AS (
+      SELECT {id_col} AS __cid, u.g AS __ng
+      FROM ({ngrams.replace("__SRC__", "corpus")}) t, unnest(hashes) AS u(g)
+    ),
+    ev_ng AS (
+      SELECT {id_col} AS eval_id, u.g AS __ng
+      FROM ev, unnest(hashes) AS u(g)
+    ),
+    hits AS (
+      SELECT e.eval_id,
+        CAST(count(DISTINCT e.__ng) AS BIGINT) AS n_hit_grams,
+        CAST(count(DISTINCT d.__cid) AS BIGINT) AS n_corpus_docs
+      FROM ev_ng e JOIN doc_ng d ON e.__ng = d.__ng
+      GROUP BY e.eval_id
+    )
+    SELECT ev.{id_col} AS eval_id,
+      CAST(len(ev.hashes) AS INT) AS n_grams,
+      coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+      coalesce(h.n_corpus_docs, 0) AS n_corpus_docs,
+      round(CAST(coalesce(h.n_hit_grams, 0) AS DOUBLE)
+            / CAST(len(ev.hashes) AS DOUBLE), 6) AS contamination
+    FROM ev LEFT JOIN hits h ON ev.{id_col} = h.eval_id
+    """
+
+
 def oracle_decontaminate_sql(
     source_sql: str = "SELECT doc_id, text FROM documents",
     eval_sql: str = "SELECT doc_id, text FROM documents WHERE doc_id % 25 = 7",

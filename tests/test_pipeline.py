@@ -575,3 +575,48 @@ def test_examples_import_cleanly():
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         assert callable(getattr(mod, "main", None)), f
+
+
+def test_contamination_report_semantics_and_gate(spark):
+    """Per-eval-item contamination (r08): an eval doc fully embedded in
+    the corpus reads 1.0 with the right corpus-doc fan-in; a disjoint
+    one reads 0.0; a half-overlapping one reads the exact gram
+    fraction; an eval doc shorter than n tokens is excluded (the
+    decontaminate gate)."""
+    from pyspark.sql import functions as F
+
+    from streamtasks_spark.llmdata import pipeline
+
+    w = lambda k, n: " ".join(f"{k}{i}" for i in range(n))  # noqa: E731
+    corpus = spark.createDataFrame(
+        [
+            (1, w("a", 12)),                      # contains eval 10 fully
+            (2, w("a", 12) + " tail x y z"),      # second hit doc
+            (3, w("q", 12)),                      # disjoint filler
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (10, w("a", 12)),                     # fully contained
+            (11, w("z", 12)),                     # disjoint -> 0.0
+            # grams 1-5 of a0..a11 present, rest unique -> partial
+            (12, w("a", 9) + " u1 u2 u3"),
+            (13, "too short"),                    # < 8 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["eval_id"]: r
+        for r in pipeline.contamination_report(corpus, evals, n=4).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10]["contamination"] == 1.0
+    assert out[10]["n_corpus_docs"] == 2
+    assert out[11]["contamination"] == 0.0
+    assert out[11]["n_corpus_docs"] == 0
+    assert 0.0 < out[12]["contamination"] < 1.0
+    # exact fraction: 12 tokens -> 9 grams at n=4; a-run grams a0..a5
+    # start positions 0..5 (6 hit grams)
+    assert out[12]["n_grams"] == 9 and out[12]["n_hit_grams"] == 6
+    assert out[12]["contamination"] == round(6 / 9, 6)

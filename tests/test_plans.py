@@ -686,6 +686,27 @@ def test_ngram_containment_pairs_on_posting_key_no_cartesian(psession):
     ), plan[:900]
 
 
+def test_contamination_report_broadcasts_eval_side(psession):
+    """contamination_report's scale contract (the decontaminate shape):
+    the benchmark-sized eval gram set BROADCASTS; the corpus gram
+    stream is map-side hash-joined to it (never shuffled on the gram
+    key) and aggregated per eval id with partial aggregation; no
+    cartesian, no Python."""
+    from streamtasks_spark.llmdata import pipeline
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(pipeline.contamination_report(
+        docs.filter(F.col("doc_id") % 25 != 7),
+        docs.filter(F.col("doc_id") % 25 == 7),
+    ))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"BroadcastHashJoin \[__ng", plan), plan[:900]
+    assert re.search(r"partial_count", plan), plan[:900]
+
+
 def test_shuffle_shards_window_is_per_shard_not_global(psession):
     """The training-shuffle addressing must window PER SHARD — a global
     row_number (empty partition spec) would funnel the corpus through
