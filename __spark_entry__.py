@@ -1440,8 +1440,9 @@ _MUST_VERIFY_R08 = [
 # r08 rotation (r07 verdict task 3): the 20 rows displaced from the
 # r07 window (r05-green, queued oldest-first — quality_buckets leads
 # via _MUST_VERIFY_R08 above) + the 16 remaining r05-green rows + the
-# 11 oldest r06-green rows that fit the remaining slots. After this
-# window no query's latest driver row is older than r06.
+# 5 oldest r06-green rows that fit the remaining slots (10 must-verify
+# + 40 rotation = 50). After this window no query's latest driver row
+# is older than r06.
 _ROTATE_R08 = [
     # the 19 other r07-displaced rows (r05-green)
     "events_session_windows", "set_ops", "top_customers_per_nation",
@@ -1539,7 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r08 window: ann_recall re-certification (the probe now
         # measures all four approximate tiers — plan+oracle changed)
         "ann_recall": _q_ann_recall,
-        # --- r08 window: the 6 oldest r06-green rows (r06 order)
+        # --- r08 window: the 5 oldest r06-green rows (r06 order)
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         "frame_sample": _q_frame_sample,
@@ -3081,7 +3082,7 @@ def oracle_sql() -> dict[str, str]:
                 + 0.0 AS p99
             FROM events GROUP BY event_type
         """,
-        "events_json_extract": """
+        "events_json_extract": r"""
             WITH x AS (
               -- integer-shape gate BEFORE the cast, mirroring the
               -- Spark rlike: DuckDB's JSON cast would coerce 3.5 -> 3
@@ -3093,7 +3094,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type,
                      CASE WHEN regexp_matches(
                             json_extract_string(props, '$.k'),
-                            '^-?[0-9]{1,18}\\z')
+                            '^-?[0-9]{1,18}\z')
                           THEN CAST(json_extract_string(props, '$.k')
                                     AS BIGINT)
                      END AS k
