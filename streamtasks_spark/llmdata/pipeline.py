@@ -111,6 +111,17 @@ def contamination_report(
     than ``n`` tokens have no n-grams and are excluded (same gate as
     the removal list — both engines filter ``len ≥ n``).
 
+    An eval ITEM is its ``eval_id`` (r09, closing the r08 advisor
+    finding): rows sharing an id merge — ``n_grams`` is the distinct
+    gram count of their UNION, so contamination stays ≤ 1.0 where the
+    r08 shape divided one merged hit-set by each row's own gram count;
+    and a NULL id forms a single reported item, carried through a
+    NULL-safe final join (``eqNullSafe`` here, ``IS NOT DISTINCT
+    FROM`` in the oracle — Spark's groupBy keeps a NULL-id group that
+    a plain equi-join silently zeroed to contamination 0.0 even when
+    contaminated, the exact hazard class the r08 unigram_lm/dsir
+    oracle fix closed).
+
     100 TB shape: the eval side is benchmark-sized and BROADCASTS (ids
     + 28-bit gram hashes); the corpus side streams through ONE scan,
     its exploded grams hash-joined to the broadcast and aggregated per
@@ -120,14 +131,19 @@ def contamination_report(
     count and the corpus-doc fan-in, never the corpus gram stream."""
     eval_id_col = eval_id_col or id_col
     eval_text_col = eval_text_col or text_col
-    ev = _shingle_hashes(eval_docs, eval_id_col, eval_text_col, n)
-    ev_stats = ev.select(
-        F.col(eval_id_col).alias("eval_id"),
-        F.size("hashes").alias("n_grams"),
+    # distinct (id, gram) pairs = the union of a duplicated id's grams;
+    # the eval side is benchmark-sized, so the extra distinct is cheap
+    # and the broadcast stays compact
+    ev_ng = (
+        _shingle_hashes(eval_docs, eval_id_col, eval_text_col, n)
+        .select(
+            F.col(eval_id_col).alias("eval_id"),
+            F.explode("hashes").alias("__ng"),
+        )
+        .distinct()
     )
-    ev_ng = ev.select(
-        F.col(eval_id_col).alias("eval_id"),
-        F.explode("hashes").alias("__ng"),
+    ev_stats = ev_ng.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
     )
     corpus_ng = _shingle_hashes(docs, id_col, text_col, n).select(
         F.col(id_col).alias("__cid"), F.explode("hashes").alias("__ng")
@@ -139,8 +155,11 @@ def contamination_report(
             F.countDistinct("__ng").alias("__hit"),
             F.countDistinct("__cid").alias("__docs"),
         )
+        .withColumnRenamed("eval_id", "__eid")
     )
-    return ev_stats.join(hits, "eval_id", "left").select(
+    return ev_stats.join(
+        hits, F.col("eval_id").eqNullSafe(F.col("__eid")), "left"
+    ).select(
         F.col("eval_id"),
         "n_grams",
         F.coalesce(F.col("__hit"), F.lit(0)).alias("n_hit_grams"),
@@ -161,7 +180,9 @@ def oracle_contamination_report_sql(
     n: int = 8,
 ) -> str:
     """DuckDB twin of :func:`contamination_report` — identical gram
-    hashes, identical len ≥ n gate, identical distinct counts."""
+    hashes, identical len ≥ n gate, identical distinct counts,
+    identical id-keyed merge of duplicated eval ids, and the same
+    NULL-safe final join (``IS NOT DISTINCT FROM`` ↔ ``eqNullSafe``)."""
     gram = " || ' ' || ".join(f"__toks[i + {d}]" for d in range(n))
     ngrams = f"""
       SELECT {id_col},
@@ -182,8 +203,12 @@ def oracle_contamination_report_sql(
       FROM ({ngrams.replace("__SRC__", "corpus")}) t, unnest(hashes) AS u(g)
     ),
     ev_ng AS (
-      SELECT {id_col} AS eval_id, u.g AS __ng
+      SELECT DISTINCT {id_col} AS eval_id, u.g AS __ng
       FROM ev, unnest(hashes) AS u(g)
+    ),
+    evs AS (
+      SELECT eval_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM ev_ng GROUP BY eval_id
     ),
     hits AS (
       SELECT e.eval_id,
@@ -192,13 +217,13 @@ def oracle_contamination_report_sql(
       FROM ev_ng e JOIN doc_ng d ON e.__ng = d.__ng
       GROUP BY e.eval_id
     )
-    SELECT ev.{id_col} AS eval_id,
-      CAST(len(ev.hashes) AS INT) AS n_grams,
+    SELECT evs.eval_id,
+      evs.n_grams,
       coalesce(h.n_hit_grams, 0) AS n_hit_grams,
       coalesce(h.n_corpus_docs, 0) AS n_corpus_docs,
       round(CAST(coalesce(h.n_hit_grams, 0) AS DOUBLE)
-            / CAST(len(ev.hashes) AS DOUBLE), 6) AS contamination
-    FROM ev LEFT JOIN hits h ON ev.{id_col} = h.eval_id
+            / CAST(evs.n_grams AS DOUBLE), 6) AS contamination
+    FROM evs LEFT JOIN hits h ON evs.eval_id IS NOT DISTINCT FROM h.eval_id
     """
 
 

@@ -620,3 +620,51 @@ def test_contamination_report_semantics_and_gate(spark):
     # start positions 0..5 (6 hit grams)
     assert out[12]["n_grams"] == 9 and out[12]["n_hit_grams"] == 6
     assert out[12]["contamination"] == round(6 / 9, 6)
+
+
+def test_contamination_report_null_and_duplicate_eval_ids(spark):
+    """r09 (r08 advisor finding): a NULL-id eval item must survive the
+    final join (the plain equi-join zeroed it to contamination 0.0 even
+    when fully contained), and rows sharing an eval id merge — n_grams
+    is the distinct gram count of their UNION, so contamination stays
+    ≤ 1.0 where the old shape divided one merged hit-set by each row's
+    own gram count."""
+    from streamtasks_spark.llmdata import pipeline
+
+    w = lambda k, n: " ".join(f"{k}{i}" for i in range(n))  # noqa: E731
+    corpus = spark.createDataFrame(
+        [(1, w("a", 12)), (2, w("b", 12))], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        [
+            (None, w("a", 12)),   # NULL id, fully contained
+            (20, w("a", 12)),     # duplicated id, two disjoint halves:
+            (20, w("b", 12)),     #   union = 18 grams, all hit
+            (21, w("a", 12)),     # duplicated id with an uncontained
+            (21, w("z", 12)),     #   half: union 18 grams, 9 hit
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["eval_id"]: r
+        for r in pipeline.contamination_report(corpus, evals, n=4).collect()
+    }
+    assert set(out) == {None, 20, 21}
+    # NULL id reports its true contamination, not a silent 0.0
+    assert out[None]["n_grams"] == 9
+    assert out[None]["contamination"] == 1.0
+    assert out[None]["n_corpus_docs"] == 1
+    # duplicated ids merge; contamination can no longer exceed 1.0
+    assert out[20]["n_grams"] == 18 and out[20]["n_hit_grams"] == 18
+    assert out[20]["contamination"] == 1.0
+    assert out[20]["n_corpus_docs"] == 2
+    assert out[21]["n_grams"] == 18 and out[21]["n_hit_grams"] == 9
+    assert out[21]["contamination"] == 0.5
+    # identical duplicate rows collapse to one item with the row's own
+    # gram count (the union is idempotent)
+    evals2 = spark.createDataFrame(
+        [(30, w("a", 12)), (30, w("a", 12))], "doc_id long, text string"
+    )
+    row = pipeline.contamination_report(corpus, evals2, n=4).collect()
+    assert len(row) == 1 and row[0]["n_grams"] == 9
+    assert row[0]["contamination"] == 1.0
