@@ -363,9 +363,18 @@ def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     where ≥60% of doc_a's 3-gram shingles appear in doc_b — the
     quote/boilerplate-inclusion class Jaccard under-scores. PPJoin-style
     asymmetric prefix filter on the contained side only; exact
-    verification (dedup.ngram_containment_pairs)."""
+    verification (dedup.ngram_containment_pairs). Since r09 the call
+    plumbs the max_df hot-shingle guard (the max_bucket/max_cell
+    pattern): corpus-hot shingles are excluded from candidate
+    generation, bounding per-key fan-out. 1000 is two orders of
+    magnitude above the measured corpus max df at every test scale
+    (≤ 14 at sf0.1), so the guard is inert here — the oracle stays the
+    exact all-pairs answer — while a degenerate all-stopword document
+    at 100 TB can no longer fan out against a full posting list."""
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
-    return dedup.ngram_containment_pairs(docs, block_col="lang", threshold=0.6)
+    return dedup.ngram_containment_pairs(
+        docs, block_col="lang", threshold=0.6, max_df=1000
+    )
 
 
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -653,6 +653,7 @@ def ngram_containment_pairs(
     block_col: str = "lang",
     k: int = 3,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT within a blocking column: ordered pairs
     (doc_a, doc_b) where C(a→b) = |S_a ∩ S_b| / |S_a| ≥ ``threshold``
@@ -687,6 +688,24 @@ def ngram_containment_pairs(
     pairs are excluded; both directions of a mutual near-dup pair
     emit (each is evidence; downstream keeps lowest-id via
     :func:`connected_components` on the undirected projection).
+
+    ``max_df`` (r09) is the family's hot-key guard (the max_bucket /
+    max_cell pattern from :func:`dedup_minhash_pairs` and
+    semantic_dedup): the rarity ordering alone does not bound fan-out
+    for a DEGENERATE document — an all-stopword doc's prefix IS its
+    corpus-hot shingles, and each one joins against the full b-side
+    posting list for that shingle. With ``max_df`` set, shingles whose
+    (block, shingle) document frequency exceeds it are excluded from
+    CANDIDATE GENERATION (both posting sides), bounding per-key join
+    fan-out at prefix_postings × max_df. Verification stays exact on
+    the full shingle arrays, so the contract is under-MERGE, never
+    mis-merge: a qualifying pair is lost only if every a-prefix shingle
+    it shares is corpus-hot — exactly the boilerplate class a
+    containment dedup wants rate-limited, and the same direction of
+    error as max_bucket (drop detections, never invent them). Size it
+    at the posting-list length an executor comfortably joins (1e3-1e5);
+    measured corpus max df at the bench scales is ≤ 14, so the plumbed
+    test-scale cap of 1000 is inert there by two orders of magnitude.
     Reference parity: the reference repo has no containment op; this
     extends the BASELINE.json dedup tier (SURVEY §2.7 set-ops family).
     """
@@ -708,12 +727,16 @@ def ngram_containment_pairs(
     need = F.ceil(F.lit(threshold) * F.col("__n"))
     # pinned ONCE and read by both join sides: the contained side
     # filters to its rarity prefix, the containing side posts all rows
-    # (df only orders the prefix rank; dropped before the pin)
-    withdf = pin(
-        ex.withColumn("__df", F.count(F.lit(1)).over(w_df))
-        .withColumn("__rn", F.row_number().over(w))
-        .select("__blk", "__h", id_col, "__n", "__rn")
-    )
+    # (df only orders the prefix rank; dropped before the pin). The
+    # rank is computed BEFORE the max_df guard so the prefix stays the
+    # doc's true rarity prefix — the guard then removes hot postings
+    # from both sides (under-merge contract above).
+    ranked = ex.withColumn(
+        "__df", F.count(F.lit(1)).over(w_df)
+    ).withColumn("__rn", F.row_number().over(w))
+    if max_df is not None:
+        ranked = ranked.filter(F.col("__df") <= F.lit(int(max_df)))
+    withdf = pin(ranked.select("__blk", "__h", id_col, "__n", "__rn"))
     a = withdf.filter(
         F.col("__rn") <= F.col("__n") - need + 1
     ).select(

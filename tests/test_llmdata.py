@@ -190,6 +190,62 @@ def test_ngram_containment_asymmetry_and_oracle(spark):
         assert (sdf.values == odf.values).all(), (k, thr)
 
 
+def test_ngram_containment_max_df_guard_under_merges_only(spark):
+    """The r09 hot-shingle guard (VERDICT r08 task 5): a degenerate
+    all-stopword document's rarity prefix IS the corpus-hot shingles,
+    fanning out against the full b-side posting list. With max_df set,
+    hot shingles leave candidate generation on both sides. Contract:
+    (1) guarded results ⊆ exact unguarded results — NEVER a mis-merge;
+    (2) pairs witnessed by any rare prefix shingle survive;
+    (3) a pair whose only shared prefix shingles are hot is dropped —
+    the documented under-merge, the same error direction as
+    max_bucket/max_cell; (4) an inert (large) cap is value-identical
+    to no cap."""
+    hot = "the quick fox"                      # one hot 3-gram shingle
+    rare = " ".join(f"r{i}" for i in range(10))
+    rows = (
+        # 10 docs carrying the hot shingle -> its df = 12 incl. 90/91
+        [(i, f"{hot} u{i}a u{i}b u{i}c u{i}d", "en") for i in range(10)]
+        + [
+            # genuine near-dup pair on RARE shingles (plus unique tails)
+            (80, rare + " t80a t80b", "en"),
+            (81, rare + " t81a t81b t81c t81d", "en"),
+            # degenerate stopword docs: every shingle they share is hot
+            (90, hot, "en"),
+            (91, hot + " " + hot, "en"),
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def pairs(**kw):
+        return {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in dedup.ngram_containment_pairs(
+                docs, threshold=0.6, **kw
+            ).collect()
+        }
+
+    exact = pairs()
+    guarded = pairs(max_df=5)
+    # (1) under-merge only: no invented or re-scored pairs
+    assert set(guarded) <= set(exact)
+    assert all(exact[p] == c for p, c in guarded.items())
+    # (2) the rare-shingle near-dup pair survives the guard
+    assert (80, 81) in guarded and (81, 80) in guarded
+    # (3) the hot-witnessed pair existed exactly (doc 90's single
+    # shingle IS the hot one, contained in 91) and is dropped by the
+    # guard; 91→90 was never a pair (91's phrase repetition creates
+    # rare cross-boundary shingles diluting its containment below t)
+    assert exact.get((90, 91)) == 1.0
+    assert (90, 91) not in guarded
+    # hot-anchored asymmetric containments (90 ⊆ each hot-carrier
+    # doc) are likewise rate-limited away
+    assert any(a == 90 and b < 10 for (a, b) in exact)
+    assert not any(a == 90 and b < 10 for (a, b) in guarded)
+    # (4) a cap above every df is byte-inert (the entry call's shape)
+    assert pairs(max_df=1000) == exact
+
+
 def test_sq_topk_recall_and_exactness_vs_brute_force(spark):
     """int8 scalar-quantized top-k (r08): every returned cosine equals
     the exact brute-force cosine bit-for-bit (the re-rank is exact —
