@@ -35,7 +35,9 @@ requirement, built on the same Spark-first vocabulary.
 from __future__ import annotations
 
 import random
-from collections.abc import Sequence
+import threading
+from collections.abc import Iterator, Sequence
+from contextlib import contextmanager
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
@@ -70,6 +72,9 @@ CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
 # --------------------------------------------------------------- helpers
 
+_PIN_SCOPES = threading.local()
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Persist (memory-and-disk) a subplan that feeds MULTIPLE join
     branches. Spark has no common-subexpression elimination across
@@ -77,10 +82,53 @@ def pin(df: DataFrame) -> DataFrame:
     recomputes its whole scan→md5→explode lineage once per branch, which
     profiling shows dominates the dedup operators' wall time. At 100 TB
     the persisted table is the (much smaller) derived sketch, not the
-    corpus, and MEMORY_AND_DISK spills safely."""
+    corpus, and MEMORY_AND_DISK spills safely.
+
+    Inside a :func:`pin_scope`, every pin is also recorded in the
+    scope's registry and unpersisted on scope exit — see there for the
+    long-lived-session story."""
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    for reg in getattr(_PIN_SCOPES, "stack", ()):
+        reg.append(df)
+    return df
+
+
+@contextmanager
+def pin_scope() -> "Iterator[list[DataFrame]]":
+    """Bound the cache lifetime of every :func:`pin` taken inside the
+    block: on exit (including on exception) each recorded pin is
+    unpersisted. This is the unpersist handle for pins that sit in a
+    returned plan's LINEAGE and therefore cannot be released by the
+    operator itself — e.g. :func:`~streamtasks_spark.llmdata.quality.
+    unigram_lm`'s corpus tokenization, which the scoring scan reads; a
+    long-lived serving session invoking such operators repeatedly
+    otherwise accumulates one cache entry per call (the r07→r08 watch
+    item). Usage::
+
+        with pin_scope():
+            unigram_lm(docs).write.parquet(out)   # materialize INSIDE
+
+    Materialize inside the block: after exit the pins are gone and any
+    re-execution of the returned plan recomputes them (correct, just
+    unpinned). Pins an operator already releases internally (the
+    train-step rule) unpersist twice — a documented Spark no-op.
+    Scopes nest (inner pins release with BOTH scopes — unpersist is
+    idempotent) and the registry is thread-local, so concurrent driver
+    threads don't release each other's pins. Yields the registry list
+    for callers that want to inspect or release early."""
+    reg: list[DataFrame] = []
+    stack = getattr(_PIN_SCOPES, "stack", None)
+    if stack is None:
+        stack = _PIN_SCOPES.stack = []
+    stack.append(reg)
+    try:
+        yield reg
+    finally:
+        stack.remove(reg)
+        for df in reg:
+            df.unpersist()
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:

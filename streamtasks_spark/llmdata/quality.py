@@ -351,13 +351,17 @@ def unigram_lm(
 
     Cache note: the pinned tokenization (``base``) IS in the returned
     plan's lineage (the scoring scan reads it), so unlike the
-    train-step ``counts`` pin it cannot be released here — it stays
-    cached until the caller materializes the result and calls
-    ``spark.catalog.clearCache()`` (or unpersists it via the plan's
-    cached ancestor). Long-lived sessions invoking this repeatedly
-    (the 122-query driver loop) accumulate one corpus-tokenization
-    cache entry per call; the per-round harness clears the cache
-    between query families for exactly this reason."""
+    train-step ``counts`` pin it cannot be released here. Long-lived
+    sessions invoking this repeatedly would accumulate one
+    corpus-tokenization cache entry per call — bound the lifetime with
+    :func:`~streamtasks_spark.llmdata.dedup.pin_scope` (r09, closing
+    the r07 watch item)::
+
+        with pin_scope():
+            unigram_lm(docs).write.parquet(out)  # materialize inside
+
+    and the pin is unpersisted on scope exit. The per-round harness
+    additionally clears the cache between query families."""
     from streamtasks_spark.llmdata.dedup import pin
 
     base = pin(_tokenized(docs, id_col, text_col))

@@ -1860,3 +1860,47 @@ def test_unigram_lm_agrees_with_oracle_on_duplicate_ids(spark):
     assert sdf.loc[1, "n_tokens"] == 5
     assert sdf.loc[4, "n_tokens"] == 3 == odf.loc[4, "n_tokens"]
     assert odf.loc[4, "score"] > 0.0
+
+
+def test_pin_scope_bounds_long_session_cache_growth(spark):
+    """The r07→r08 watch item, closed (r08 verdict task 7): unigram_lm's
+    corpus-tokenization pin sits in the returned plan's lineage, so a
+    long-lived session invoking it repeatedly accumulated one cache
+    entry per call. pin_scope() is the unpersist handle: after each
+    scoped invocation the session's cache is EMPTY again, for as many
+    iterations as the session lives — and values are unchanged."""
+    from streamtasks_spark.llmdata import quality
+    from streamtasks_spark.llmdata.dedup import pin_scope
+
+    spark.catalog.clearCache()
+    cache = spark._jsparkSession.sharedState().cacheManager()
+    assert cache.isEmpty()
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} the cat sat on tok{i % 5}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    baseline = quality.unigram_lm(docs, vocab_size=8).collect()
+    spark.catalog.clearCache()
+
+    # the leak shape: unscoped calls accumulate lineage pins
+    quality.unigram_lm(docs, vocab_size=8).count()
+    assert not cache.isEmpty()
+    spark.catalog.clearCache()
+
+    # the handle: a long session of scoped calls stays at zero entries
+    for _ in range(4):
+        with pin_scope():
+            got = quality.unigram_lm(docs, vocab_size=8).collect()
+        assert cache.isEmpty()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, baseline))
+
+    # scope releases on exception too, and nesting is idempotent
+    try:
+        with pin_scope():
+            with pin_scope():
+                quality.unigram_lm(docs, vocab_size=8).count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert cache.isEmpty()
