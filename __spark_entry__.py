@@ -388,6 +388,36 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step (NEW r09): deterministic hash-coin Bernoulli
+    thinning with p_keep = min(1, 0.5·weight) over the dsir_weights
+    output — the Poisson-sampling variant of the paper's Gumbel top-k,
+    chosen because it needs no global sort and its kept SET is
+    bit-reproducible cross-engine (quality.importance_resample)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return quality.importance_resample(
+        docs, target_pred="lang = 'en'", n_buckets=256, rate=0.5
+    )
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage audit (NEW r09): exact n-gram
+    Jaccard pairs (≥0.5, lang-blocked) whose documents land in
+    different hash splits — the within-corpus train/heldout
+    contamination decontaminate can't see. A 50/50 split (the
+    leakage-audit stress configuration; the 90/5/5 default leaves this
+    corpus's handful of near-dup pairs inside train) and the max_df
+    hot-shingle guard plumbed at its inert test-scale value
+    (pipeline.split_leakage)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return pipeline.split_leakage(
+        docs,
+        threshold=0.5,
+        splits=(("train", 0.5), ("heldout", 0.5)),
+        max_df=1000,
+    )
+
+
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style substring dedup, distributed: per-doc fraction
     of 16-char grams shared with any other document (Lee et al. ACL'22
@@ -1393,84 +1423,51 @@ def _q_synchronizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # these MUST sit inside the driver's 50-entry verification window (the
 # driver hash-checks only the first 50 queries() entries; a changed
 # query outside it ships uncertified). queries() enforces this
-# programmatically — r03 shipped two stale rows because the positions
-# were counted by hand. Since r08 the enumeration itself is also
-# mechanized: tests/test_oracle_audit.py re-renders every query's
-# oracle SQL + canonical plan against the committed ORACLE_MANIFEST
-# and fails naming any query that drifted without being listed here —
-# the manual blast-radius walk missed indirect helper consumers three
-# times in r07 (source_stats, pack_sequences in review;
-# quality_buckets not at all).
-_MUST_VERIFY_R08 = [
-    # STALE-CERT REPAIR (r07 verdict task 1, certify FIRST): r07's
-    # norm_text unicode fold changed quality_buckets' plan AND oracle
-    # through text_stats, but the round's manual blast-radius walk
-    # missed it — it shipped displaced and mislabeled "untouched"
-    # while actually r07-changed (latest driver row r05). The r07
-    # judge re-ran its oracle bit-green; this row makes it official.
-    "quality_buckets",
-    # oracle changed r08: oracle_unigram_lm_sql's final join is now
-    # NULL-safe (IS NOT DISTINCT FROM) — Spark's groupBy keeps a
-    # NULL-id group, a plain equi-join dropped it (r07 advisor
-    # finding). Values identical on the non-NULL-id oracle corpus,
-    # but the rendered SQL changed, so it re-certifies.
-    "unigram_lm",
-    # impl changed r08: semantic_dedup gained the max_cell hot-cell
-    # guard (r07 verdict task 6) and both entry call sites plumb a cap
-    # sized above any test-scale cell population — value-identical by
-    # construction, but the plans changed, so both re-certify.
-    "semantic_dedup", "text_semantic_dedup",
-    # NEW ops r08: asymmetric n-gram containment dedup (the
-    # quote/boilerplate-inclusion class Jaccard under-scores) and
-    # DSIR-style importance weights (hashed-unigram target-vs-raw
-    # likelihood ratio, arithmetic-mean for bit-exactness) — new code
-    # certifies in-window before it ships, displacing the two youngest
-    # rotation rows (q13_customer_distribution,
-    # q16_parts_supplier_relationship — untouched, r06-green, head of
-    # the r09 queue).
-    "ngram_containment", "dsir_weights",
-    # NEW ops r08 (second wave): int8 scalar-quantized ANN top-k with
-    # exact re-rank, and its IVF composition (the production IVF_SQ8
-    # shape) — displacing q4_order_priority and video_layout
-    # (untouched, r06-green, r09 queue).
-    "ann_sq_topk", "ann_ivf_sq_topk",
-    # NEW op r08 (third wave): per-eval-item contamination report (the
-    # decontaminate inverse view) — displacing text_format (untouched,
-    # r06-green, r09 queue).
+# programmatically, and tests/test_oracle_audit.py mechanically fails
+# naming any query whose rendered oracle SQL or canonical plan drifted
+# from ORACLE_MANIFEST.json without a listing here.
+_MUST_VERIFY_R09 = [
+    # changed r09 (the r08 advisor finding, certify FIRST): an eval
+    # item is now its eval_id — duplicated ids merge their gram unions
+    # (contamination can no longer exceed 1.0) and a NULL id survives
+    # the final join (eqNullSafe / IS NOT DISTINCT FROM) instead of
+    # silently reporting 0.0. Engine and oracle changed together.
     "contamination_report",
-    # impl+oracle changed r08: recall_probe now measures all FOUR
-    # approximate tiers (sq and ivf_sq joined lsh/ivf), so
-    # ann_recall's plan and rendered SQL both changed — re-certifies
-    # in-window, displacing number_to_text (untouched, r06-green,
-    # r09 queue).
-    "ann_recall",
+    # changed r09 (r08 verdict task 5): the entry call plumbs the new
+    # max_df hot-shingle guard at its inert test-scale value (1000 vs
+    # a measured corpus max df of 14) — values identical by
+    # construction, plan changed, so it re-certifies.
+    "ngram_containment",
+    # NEW ops r09: cross-split near-dup leakage audit (jaccard pairs x
+    # inline split hash — the within-corpus counterpart of
+    # decontaminate) and the DSIR selection step (deterministic
+    # hash-coin Bernoulli thinning over dsir_weights; the kept SET is
+    # bit-reproducible cross-engine). New code certifies in-window.
+    "split_leakage", "importance_resample",
 ]
 
-# r08 rotation (r07 verdict task 3): the 20 rows displaced from the
-# r07 window (r05-green, queued oldest-first — quality_buckets leads
-# via _MUST_VERIFY_R08 above) + the 16 remaining r05-green rows + the
-# 5 oldest r06-green rows that fit the remaining slots (10 must-verify
-# + 40 rotation = 50). After this window no query's latest driver row
-# is older than r06.
-_ROTATE_R08 = [
-    # the 19 other r07-displaced rows (r05-green)
-    "events_session_windows", "set_ops", "top_customers_per_nation",
-    "orders_without_lineitems", "customers_with_orders_semi",
-    "synchronizer", "asof_join", "switch", "calculator",
-    "calculator_multivar", "sr_latch", "pause_state",
-    "string_concatenator", "fn_task", "fn_task_stateful",
-    "audio_mixer", "video_activity_meter", "media_switch",
-    "video_reformatter",
-    # the 16 remaining r05-green rows (r05 window order)
-    "q3_shipping_priority", "q10_returned_items", "q15_top_supplier",
-    "q17_small_quantity_revenue", "audio_chunker", "padded_chunker",
-    "audio_resampler", "video_mixer", "q22_global_sales_opportunity",
-    "salted_join", "range_join", "stratified_sample", "split_assign",
-    "mix_sample", "events_quantiles", "q2_min_cost_supplier",
-    # the 5 oldest r06-green rows that fit after the 5 NEW ops and
-    # the ann_recall re-certification took their slots (r06 order)
-    "time_to_text", "timestamp_update", "frame_sample",
-    "image_renderer", "string_matcher",
+# r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
+# row is r06 (queued oldest-first since r08) + the 15 oldest
+# r07-certified rows that fit the remaining slots (4 must-verify + 46
+# rotation = 50). After this window no query's latest driver row is
+# older than r07.
+_ROTATE_R09 = [
+    # the 31 r06-green rows (r06 window order — the whole r09 queue)
+    "text_format", "number_to_text", "video_layout", "q4_order_priority",
+    "q13_customer_distribution", "q16_parts_supplier_relationship",
+    "q18_large_volume_customers", "q20_potential_promotion",
+    "q21_waiting_supplier", "q1_pricing_summary", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_stock", "q14_promo_effect",
+    "q19_disjunctive_predicates", "events_hourly_stats",
+    "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
+    "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
+    "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
+    # the 15 oldest r07-green rows (r07 window order)
+    "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
+    "events_retention_cohorts", "text_stats", "lang_id", "doc_fingerprint",
+    "quality_filter", "doc_repetition", "dedup_exact", "dedup_minhash",
+    "dedup_simhash", "decontaminate", "ann_topk",
 ]
 
 
@@ -1480,86 +1477,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # r08 window = quality_buckets FIRST (r07's missed indirect
-    # norm_text consumer — stale-cert repair), the 19 other rows r07
-    # displaced, the 16 remaining r05-green rows, the 3 r08-changed
-    # queries (unigram_lm oracle NULL-safe join; semantic_dedup /
-    # text_semantic_dedup max_cell plumbing), and the 11 oldest
-    # r06-green rows. After this round no query's latest driver row is
-    # older than r06. The tail stays ordered oldest-first (remaining
-    # r06 rows in r06 window order, then the r07-certified rows in r07
-    # window order) so r09 keeps rotating the same way; all 122 stay
+    # r09 window = contamination_report first (this round's
+    # advisor-finding repair), the ngram_containment guard
+    # re-certification, the two NEW r09 ops, the 31 rows last certified
+    # in r06 (the whole remaining backlog), and the 15 oldest
+    # r07-certified rows. After this round no query's latest driver row
+    # is older than r07. The tail stays ordered oldest-first (remaining
+    # r07 rows in r07 window order, then the r08-certified rows in r08
+    # window order) so r10 keeps rotating the same way; all 129 stay
     # covered by the bit-level compare in scripts/check_oracle.py
     # locally, and tests/test_oracle_audit.py mechanically fails any
     # query whose rendered oracle/plan drifts without a
-    # _MUST_VERIFY_R08 listing.
+    # _MUST_VERIFY_R09 listing.
     q = {
-        # --- r08 window: stale-cert repair, certify first
-        "quality_buckets": _q_quality_buckets,
-        # --- r08 window: the 19 other r07-displaced rows (r05-green)
-        "events_session_windows": rel(rq.events_session_windows),
-        "set_ops": rel(rq.union_intersect_except),
-        "top_customers_per_nation": rel(rq.top_customers_per_nation),
-        "orders_without_lineitems": rel(rq.orders_without_lineitems),
-        "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
-        "synchronizer": _q_synchronizer,
-        "asof_join": _q_asof_join,
-        "switch": _q_switch,
-        "calculator": _q_calculator,
-        "calculator_multivar": _q_calculator_multivar,
-        "sr_latch": _q_sr_latch,
-        "pause_state": _q_pause_state,
-        "string_concatenator": _q_string_concatenator,
-        "fn_task": _q_fn_task,
-        "fn_task_stateful": _q_fn_task_stateful,
-        "audio_mixer": _q_audio_mixer,
-        "video_activity_meter": _q_video_activity_meter,
-        "media_switch": _q_media_switch,
-        "video_reformatter": _q_video_reformatter,
-        # --- r08 window: the 16 remaining r05-green rows (r05 order)
-        "q3_shipping_priority": rel(rq.q3_shipping_priority),
-        "q10_returned_items": rel(rq.q10_returned_items),
-        "q15_top_supplier": rel(rq.q15_top_supplier),
-        "q17_small_quantity_revenue": rel(rq.q17_small_quantity_revenue),
-        "audio_chunker": _q_audio_chunker,
-        "padded_chunker": _q_padded_chunker,
-        "audio_resampler": _q_audio_resampler,
-        "video_mixer": _q_video_mixer,
-        "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
-        "salted_join": _q_salted_join,
-        "range_join": _q_range_join,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "mix_sample": _q_mix_sample,
-        "events_quantiles": rel(rq.events_quantiles),
-        "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
-        # --- r08 window: changed-code-certifies-first — the three
-        # queries whose plan or oracle changed this round (see
-        # _MUST_VERIFY_R08)
-        "unigram_lm": _q_unigram_lm,
-        "semantic_dedup": _q_semantic_dedup,
-        "text_semantic_dedup": _q_text_semantic_dedup,
-        # --- r08 window: NEW ops — new code certifies in-window,
-        # displacing q13/q16 (untouched, r06-green, r09 queue)
-        "ngram_containment": _q_ngram_containment,
-        "dsir_weights": _q_dsir_weights,
-        "ann_sq_topk": _q_ann_sq_topk,
-        "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
+        # --- r09 window: changed + NEW code certifies first (see
+        # _MUST_VERIFY_R09)
         "contamination_report": _q_contamination_report,
-        # --- r08 window: ann_recall re-certification (the probe now
-        # measures all four approximate tiers — plan+oracle changed)
-        "ann_recall": _q_ann_recall,
-        # --- r08 window: the 5 oldest r06-green rows (r06 order)
-        "time_to_text": _q_time_to_text,
-        "timestamp_update": _q_timestamp_update,
-        "frame_sample": _q_frame_sample,
-        "image_renderer": _q_image_renderer,
-        "string_matcher": _q_string_matcher,
-        # ------- first entry PAST the driver's 50-query window -------
-        # remaining r06-green rows in r06 window order — the head of
-        # the r09 queue (text_format/number_to_text/video_layout/q4/
-        # q13/q16 displaced by the five NEW r08 ops + the ann_recall
-        # re-certification)
+        "ngram_containment": _q_ngram_containment,
+        "split_leakage": _q_split_leakage,
+        "importance_resample": _q_importance_resample,
+        # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
         "video_layout": _q_video_layout,
@@ -1591,9 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replay_loop": _q_replay_loop,
         "message_detector": _q_message_detector,
         "audio_volume_meter": _q_audio_volume_meter,
-        # r07-certified rows in r07 window order (unigram_lm,
-        # semantic_dedup, text_semantic_dedup moved into the r08
-        # window above — r08 plan/oracle changes)
+        # --- r09 window: the 15 oldest r07-green rows (r07 order)
         "vocab_topk": _q_vocab_topk,
         "substring_dedup": _q_substring_dedup,
         "token_histogram": _q_token_histogram,
@@ -1609,10 +1544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "decontaminate": _q_decontaminate,
         "ann_topk": _q_ann_topk,
+        # ------- first entry PAST the driver's 50-query window -------
+        # remaining r07-certified rows in r07 window order — the head
+        # of the r10 queue
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        # (ann_recall moved into the r08 window above — the probe now
-        # measures all four approximate tiers)
         "gate": _q_gate,
         "interleave_mux": _q_interleave_mux,
         "interleave_desync": _q_interleave_desync,
@@ -1642,9 +1578,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": _q_image_decode,
         "image_resize": _q_image_resize,
         "image_features": _q_image_features,
+        # r08-certified rows in r08 window order (ngram_containment and
+        # contamination_report moved into the r09 window above)
+        "quality_buckets": _q_quality_buckets,
+        "events_session_windows": rel(rq.events_session_windows),
+        "set_ops": rel(rq.union_intersect_except),
+        "top_customers_per_nation": rel(rq.top_customers_per_nation),
+        "orders_without_lineitems": rel(rq.orders_without_lineitems),
+        "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
+        "synchronizer": _q_synchronizer,
+        "asof_join": _q_asof_join,
+        "switch": _q_switch,
+        "calculator": _q_calculator,
+        "calculator_multivar": _q_calculator_multivar,
+        "sr_latch": _q_sr_latch,
+        "pause_state": _q_pause_state,
+        "string_concatenator": _q_string_concatenator,
+        "fn_task": _q_fn_task,
+        "fn_task_stateful": _q_fn_task_stateful,
+        "audio_mixer": _q_audio_mixer,
+        "video_activity_meter": _q_video_activity_meter,
+        "media_switch": _q_media_switch,
+        "video_reformatter": _q_video_reformatter,
+        "q3_shipping_priority": rel(rq.q3_shipping_priority),
+        "q10_returned_items": rel(rq.q10_returned_items),
+        "q15_top_supplier": rel(rq.q15_top_supplier),
+        "q17_small_quantity_revenue": rel(rq.q17_small_quantity_revenue),
+        "audio_chunker": _q_audio_chunker,
+        "padded_chunker": _q_padded_chunker,
+        "audio_resampler": _q_audio_resampler,
+        "video_mixer": _q_video_mixer,
+        "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
+        "salted_join": _q_salted_join,
+        "range_join": _q_range_join,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "mix_sample": _q_mix_sample,
+        "events_quantiles": rel(rq.events_quantiles),
+        "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
+        "unigram_lm": _q_unigram_lm,
+        "semantic_dedup": _q_semantic_dedup,
+        "text_semantic_dedup": _q_text_semantic_dedup,
+        "dsir_weights": _q_dsir_weights,
+        "ann_sq_topk": _q_ann_sq_topk,
+        "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
+        "ann_recall": _q_ann_recall,
+        "time_to_text": _q_time_to_text,
+        "timestamp_update": _q_timestamp_update,
+        "frame_sample": _q_frame_sample,
+        "image_renderer": _q_image_renderer,
+        "string_matcher": _q_string_matcher,
     }
     window = list(q)[:50]
-    missing = [n for n in _MUST_VERIFY_R08 + _ROTATE_R08
+    missing = [n for n in _MUST_VERIFY_R09 + _ROTATE_R09
                if n not in window]
     if missing:
         # explicit raise, not assert — survives python -O (the same
@@ -2473,6 +2459,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_weights": quality.oracle_dsir_weights_sql(
             target_pred="lang = 'en'", n_buckets=256
+        ),
+        "importance_resample": quality.oracle_importance_resample_sql(
+            target_pred="lang = 'en'", n_buckets=256, rate=0.5
+        ),
+        "split_leakage": pipeline.oracle_split_leakage_sql(
+            threshold=0.5, splits=(("train", 0.5), ("heldout", 0.5))
         ),
         "ann_sq_topk": similarity.oracle_sq_topk_sql(k=5, rerank=4),
         "contamination_report": pipeline.oracle_contamination_report_sql(

@@ -585,6 +585,7 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard within a blocking column — the exact baseline
     dedup_minhash approximates.
@@ -616,12 +617,19 @@ def ngram_jaccard_pairs(
         F.col("__df").asc(), F.col("__h").asc()
     )
     prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    prefix = pin(
+    ranked = (
         ex.withColumn("__df", F.count(F.lit(1)).over(w_df))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select("__blk", "__h", id_col, "__n")
     )
+    if max_df is not None:
+        # hot-shingle guard (the ngram_containment_pairs max_df
+        # contract, see there): symmetric here — both sides are
+        # prefix-filtered already, so fan-out needs hot shingles in
+        # BOTH prefixes (degenerate stopword docs pairing with each
+        # other); the cap bounds that too. Under-merge only.
+        ranked = ranked.filter(F.col("__df") <= F.lit(int(max_df)))
+    prefix = pin(ranked.select("__blk", "__h", id_col, "__n"))
     a = prefix.select(
         "__blk", "__h",
         F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"),

@@ -563,6 +563,50 @@ def oracle_mix_sample_sql(
 
 # -------------------------------------------------------- split_assign
 
+def _split_bounds(
+    splits: Sequence[tuple[str, float]],
+) -> list[tuple[str, int]]:
+    """Cumulative bucket upper bounds for the named splits — shared by
+    split_assign, its oracle, and split_leakage so the three can never
+    disagree on a boundary."""
+    total = sum(w for _, w in splits)
+    bounds, acc = [], 0.0
+    for name, w in splits:
+        acc += w / total
+        bounds.append((name, int(round(acc * SPLIT_BUCKETS))))
+    return bounds
+
+
+def _split_hash(id_expr: str, engine: str = "spark") -> str:
+    """The split hash-bucket expression over an arbitrary id
+    EXPRESSION (not just a source column — split_leakage applies it to
+    pair columns), rendered for either engine. Byte-identical to the
+    expression split_assign has always generated, so existing split
+    assignments (and split_assign's certified plan) are unchanged."""
+    if engine == "duck":
+        return (
+            f"cast('0x' || substr(md5('split-' || cast({id_expr} AS varchar))"
+            f", 1, 7) AS BIGINT) % {SPLIT_BUCKETS}"
+        )
+    return (
+        f"cast(conv(substring(md5(concat('split-', cast({id_expr} as string))), "
+        f"1, 7), 16, 10) as bigint) % {SPLIT_BUCKETS}"
+    )
+
+
+def _split_case_sql(
+    id_expr: str, bounds: Sequence[tuple[str, int]], engine: str
+) -> str:
+    """Inline CASE mapping an id expression straight to its split name
+    (hash + boundary walk in one expression, for call sites that don't
+    want the intermediate bucket column)."""
+    h = _split_hash(id_expr, engine)
+    whens = " ".join(
+        f"WHEN {h} < {ub} THEN '{name}'" for name, ub in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
 def split_assign(
     docs: DataFrame,
     *,
@@ -574,15 +618,8 @@ def split_assign(
     (id, *carry, bucket, split). Pure projection — the assignment is a
     function of the id alone, so it never shuffles, never drifts as the
     corpus grows, and any engine recomputes it identically."""
-    total = sum(w for _, w in splits)
-    bounds, acc = [], 0.0
-    for name, w in splits:
-        acc += w / total
-        bounds.append((name, int(round(acc * SPLIT_BUCKETS))))
-    h = (
-        f"cast(conv(substring(md5(concat('split-', cast({id_col} as string))), "
-        f"1, 7), 16, 10) as bigint) % {SPLIT_BUCKETS}"
-    )
+    bounds = _split_bounds(splits)
+    h = _split_hash(id_col)
     expr = None
     for name, ub in bounds[:-1]:
         cond = F.col("bucket") < F.lit(ub)
@@ -603,15 +640,8 @@ def oracle_split_assign_sql(
     splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
     carry: Sequence[str] = ("source",),
 ) -> str:
-    total = sum(w for _, w in splits)
-    bounds, acc = [], 0.0
-    for name, w in splits:
-        acc += w / total
-        bounds.append((name, int(round(acc * SPLIT_BUCKETS))))
-    h = (
-        f"cast('0x' || substr(md5('split-' || cast({id_col} AS varchar)), 1, 7) "
-        f"AS BIGINT) % {SPLIT_BUCKETS}"
-    )
+    bounds = _split_bounds(splits)
+    h = _split_hash(id_col, "duck")
     cases = " ".join(
         f"WHEN bucket < {ub} THEN '{name}'" for name, ub in bounds[:-1]
     )
@@ -622,6 +652,97 @@ def oracle_split_assign_sql(
     SELECT {id_col}{cols}, bucket,
            CASE {cases} ELSE '{bounds[-1][0]}' END AS split
     FROM b
+    """
+
+
+# -------------------------------------------------------- split_leakage
+
+def split_leakage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.5,
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-split near-duplicate LEAKAGE report (NEW r09): every
+    near-dup pair (exact n-gram Jaccard ≥ ``threshold`` within
+    ``block_col``, the :func:`~streamtasks_spark.llmdata.dedup.
+    ngram_jaccard_pairs` machinery) whose two documents land in
+    DIFFERENT :func:`split_assign` splits — i.e. a validation/test
+    document that is a near-copy of a training document. Held-out
+    perplexity and eval scores on leaked items measure memorization,
+    not generalization (the within-corpus counterpart of
+    :func:`decontaminate`, which audits against an EXTERNAL eval set);
+    this is the report a data owner reads before trusting a split.
+    Output: (doc_a, doc_b, jaccard, split_a, split_b), unordered pairs
+    doc_a < doc_b, only rows with split_a ≠ split_b.
+
+    100 TB shape: the split names are computed INLINE from the pair's
+    own id columns — :func:`split_assign` is a pure hash function of
+    the id, so there is no join back to the corpus and no shuffle
+    beyond the ones the jaccard pair generation already does (the
+    prefix-filtered posting self-join). ``max_df`` passes through to
+    the pair generator's hot-shingle guard. A leaked pair is dropped
+    by the guard only if under-merged there — same contract, same
+    direction (under-REPORT, never a false leak; the exact verify step
+    guarantees every reported pair truly exceeds the threshold)."""
+    from streamtasks_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    bounds = _split_bounds(splits)
+    pairs = ngram_jaccard_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        block_col=block_col,
+        k=k,
+        threshold=threshold,
+        max_df=max_df,
+    )
+    return (
+        pairs.withColumn(
+            "split_a", F.expr(_split_case_sql("doc_a", bounds, "spark"))
+        )
+        .withColumn(
+            "split_b", F.expr(_split_case_sql("doc_b", bounds, "spark"))
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
+def oracle_split_leakage_sql(
+    source_sql: str = "SELECT doc_id, text, lang FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.5,
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+) -> str:
+    """DuckDB twin of :func:`split_leakage` — the brute-force jaccard
+    oracle composed with the same inline split-hash CASE on the pair
+    columns (the engine's prefix filter is an exact optimization, so
+    the pair sets must be identical)."""
+    from streamtasks_spark.llmdata.dedup import oracle_ngram_jaccard_sql
+
+    bounds = _split_bounds(splits)
+    inner = oracle_ngram_jaccard_sql(
+        source_sql, id_col, text_col, block_col, k, threshold
+    )
+    return f"""
+    WITH p AS ({inner}),
+    s AS (
+      SELECT doc_a, doc_b, jaccard,
+        {_split_case_sql("doc_a", bounds, "duck")} AS split_a,
+        {_split_case_sql("doc_b", bounds, "duck")} AS split_b
+      FROM p
+    )
+    SELECT doc_a, doc_b, jaccard, split_a, split_b
+    FROM s WHERE split_a <> split_b
     """
 
 

@@ -835,6 +835,111 @@ def oracle_dsir_weights_sql(
     """
 
 
+# ----------------------------------------------------- importance_resample
+
+def importance_resample(
+    docs: DataFrame,
+    *,
+    target_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    rate: float = 0.5,
+    salt: str = "resample",
+) -> DataFrame:
+    """The SELECTION step of DSIR (NEW r09): :func:`dsir_weights` ends
+    with a weight per document; this op actually draws the shifted
+    corpus — keep document i with probability
+    ``p_keep = min(1, rate · weight_i)``, so target-like documents
+    survive proportionally more often and ``rate`` tunes the expected
+    kept fraction. The coin is a DETERMINISTIC hash of
+    (``salt``, id): u = md5-28-bit-prefix / 2^28, keep iff
+    ``u < p_keep`` — reproducible across engines, runs, and
+    partitionings (no RNG state), and a re-run with a different salt
+    draws an independent sample. Output: kept rows only, with
+    (``id``, ``n_tokens``, ``weight``, ``p_keep``, ``u``) so the
+    decision is auditable. Unscorable documents (NULL text /
+    zero-token → NULL weight) and NULL ids (no stable coin) are never
+    sampled — both engines drop them identically.
+
+    This is Poisson (independent-coin) importance sampling — the
+    streaming/sharded variant of the paper's Gumbel top-k
+    sample-WITHOUT-replacement (Xie et al. 2023, §3): top-k needs a
+    global sort by a perturbed score, Bernoulli thinning needs NO
+    coordination and yields the same importance-weighted expectation
+    with a random (binomial) sample size; at pipeline scale the fixed
+    budget is usually re-imposed downstream by :func:`mix_sample`
+    quotas anyway. Exactness note: u is a dyadic rational (28-bit
+    integer / 2^28) and p_keep one double multiply of the bit-exact
+    dsir weight, so the comparison — and therefore the SAMPLE ITSELF —
+    is bit-reproducible cross-engine (the integer-sums +
+    correctly-rounded-division recipe carried one step further).
+
+    100 TB shape: a per-row projection + filter ON TOP of dsir scoring
+    — zero shuffles beyond :func:`dsir_weights`' one explode +
+    groupBy(bucket) train shuffle and broadcast-scored re-aggregation;
+    the kept fraction never changes the plan shape."""
+    w = dsir_weights(
+        docs,
+        target_pred=target_pred,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+    )
+    u = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}-', "
+        f"cast({id_col} as string))), 1, 7), 16, 10) as bigint)"
+    ) / F.lit(float(1 << 28))
+    return (
+        w.filter(F.col("weight").isNotNull() & F.col(id_col).isNotNull())
+        .withColumn("u", u)
+        .withColumn(
+            "p_keep",
+            F.least(F.lit(1.0), F.lit(float(rate)) * F.col("weight")),
+        )
+        .filter(F.col("u") < F.col("p_keep"))
+        .select(id_col, "n_tokens", "weight", "p_keep", "u")
+    )
+
+
+def oracle_importance_resample_sql(
+    source_sql: str = "SELECT doc_id, text, lang FROM documents",
+    *,
+    target_pred: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    rate: float = 0.5,
+    salt: str = "resample",
+) -> str:
+    """DuckDB twin of :func:`importance_resample` — the dsir oracle
+    composed with the identical hash coin and one double multiply, so
+    the kept SET (not just its statistics) matches bit-for-bit."""
+    inner = oracle_dsir_weights_sql(
+        source_sql,
+        target_pred=target_pred,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+    )
+    u = (
+        f"cast('0x' || substr(md5('{salt}-' || cast({id_col} AS varchar)), "
+        f"1, 7) AS BIGINT) / {float(1 << 28)!r}"
+    )
+    return f"""
+    WITH w AS ({inner}),
+    s AS (
+      SELECT {id_col}, n_tokens, weight,
+        least(1.0, {float(rate)!r} * weight) AS p_keep,
+        {u} AS u
+      FROM w
+      WHERE weight IS NOT NULL AND {id_col} IS NOT NULL
+    )
+    SELECT {id_col}, n_tokens, weight, p_keep, u
+    FROM s WHERE u < p_keep
+    """
+
+
 def source_stats(
     docs: DataFrame,
     *,

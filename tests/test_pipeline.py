@@ -668,3 +668,49 @@ def test_contamination_report_null_and_duplicate_eval_ids(spark):
     row = pipeline.contamination_report(corpus, evals2, n=4).collect()
     assert len(row) == 1 and row[0]["n_grams"] == 9
     assert row[0]["contamination"] == 1.0
+
+
+def test_split_leakage_semantics(spark):
+    """Cross-split leakage audit (NEW r09): reported rows are exactly
+    the jaccard pairs whose endpoints land in different split_assign
+    splits, with split labels identical to split_assign's own; within-
+    split pairs are excluded; blocking is inherited (cross-lang dups
+    never pair); max_df passes through to the pair generator."""
+    from pyspark.sql import functions as F
+
+    from streamtasks_spark.llmdata import dedup, pipeline
+
+    # 40 base docs + 12 exact-dup partners (ids chosen densely so both
+    # splits are hit) + one cross-lang dup that must never pair
+    base = [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}", "en")
+            for i in range(40)]
+    dups = [(100 + i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}",
+             "en") for i in range(12)]
+    rows = base + dups + [(300, "alpha0 beta0 gamma0 delta0 eps0 zeta0", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    splits = (("train", 0.5), ("heldout", 0.5))
+
+    leaks = pipeline.split_leakage(
+        docs, threshold=0.5, splits=splits, max_df=1000
+    ).collect()
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df=1000
+        ).collect()
+    }
+    asg = {
+        r["doc_id"]: r["split"]
+        for r in pipeline.split_assign(docs, splits=splits).collect()
+    }
+    expected = {
+        (a, b) for (a, b) in pairs if asg[a] != asg[b]
+    }
+    got = {(r["doc_a"], r["doc_b"]) for r in leaks}
+    assert got == expected and expected, (got, expected)
+    for r in leaks:
+        assert r["split_a"] == asg[r["doc_a"]] != asg[r["doc_b"]] == r["split_b"]
+        assert r["jaccard"] == pairs[(r["doc_a"], r["doc_b"])]
+    assert all(300 not in p for p in pairs)  # blocking inherited
+    # and there ARE within-split dups that were rightly excluded
+    assert len(expected) < len(pairs)

@@ -707,6 +707,51 @@ def test_contamination_report_broadcasts_eval_side(psession):
     assert re.search(r"partial_count", plan), plan[:900]
 
 
+def test_split_leakage_computes_splits_inline_no_join_back(psession):
+    """split_leakage's scale contract: the split names are pure hash
+    functions of the pair's own id columns — the plan must contain
+    EXACTLY the joins and exchanges of the underlying jaccard pair
+    generation, no join back to the corpus for split assignment."""
+    from streamtasks_spark.llmdata import dedup, pipeline
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    kw = dict(threshold=0.5, max_df=1000)
+    base = plan_of(dedup.ngram_jaccard_pairs(docs, **kw))
+    plan = plan_of(
+        pipeline.split_leakage(
+            docs, splits=(("train", 0.5), ("heldout", 0.5)), **kw
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == base.count("Exchange")
+    assert len(re.findall(r"\w+Join", plan)) == len(
+        re.findall(r"\w+Join", base)
+    )
+
+
+def test_importance_resample_adds_no_shuffle_over_dsir(psession):
+    """importance_resample's scale contract: the selection step is a
+    per-row projection + filter on top of dsir scoring — zero
+    additional exchanges, no Python, no joins beyond dsir's broadcast
+    codebook attach."""
+    from streamtasks_spark.llmdata import quality
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    base = plan_of(quality.dsir_weights(docs, target_pred="lang = 'en'"))
+    plan = plan_of(
+        quality.importance_resample(docs, target_pred="lang = 'en'")
+    )
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == base.count("Exchange")
+    assert len(re.findall(r"\w+Join", plan)) == len(
+        re.findall(r"\w+Join", base)
+    )
+
+
 def test_shuffle_shards_window_is_per_shard_not_global(psession):
     """The training-shuffle addressing must window PER SHARD — a global
     row_number (empty partition spec) would funnel the corpus through

@@ -221,3 +221,64 @@ def test_dsir_weights_oracle_on_duplicate_and_null_ids(spark):
     assert np.isnan(m[7.0])
     assert m[8.0] == 5
     assert sdf.iloc[-1]["n_tokens"] == 3
+
+
+def test_importance_resample_coin_and_edges(spark):
+    """The DSIR selection step (NEW r09): the kept set is exactly
+    {i : u_i < min(1, rate·w_i)} with u_i the md5-28-bit coin —
+    recomputed here independently with hashlib; unscorable docs (NULL
+    text, zero tokens) and NULL ids are never sampled; rate is
+    monotone (kept sets nest); a huge rate keeps every scorable doc;
+    a different salt draws a different (here: provably independent
+    membership) sample while keeping weights identical."""
+    import hashlib
+
+    from streamtasks_spark.llmdata import quality
+
+    docs = spark.createDataFrame(
+        [(i, ("en " if i % 3 else "de ") + f"tok{i % 11} w{i % 5} cat",
+          "en" if i % 3 else "de")
+         for i in range(120)]
+        + [(200, None, "en"), (201, "", "en"), (None, "en en cat", "en")],
+        "doc_id long, text string, lang string",
+    )
+
+    def kept(rate, salt="resample"):
+        return {
+            r["doc_id"]: r
+            for r in quality.importance_resample(
+                docs, target_pred="lang = 'en'", n_buckets=64,
+                rate=rate, salt=salt,
+            ).collect()
+        }
+
+    w = {
+        r["doc_id"]: r["weight"]
+        for r in quality.dsir_weights(
+            docs, target_pred="lang = 'en'", n_buckets=64
+        ).collect()
+        if r["weight"] is not None and r["doc_id"] is not None
+    }
+    got = kept(0.5)
+    expected = set()
+    for i, wi in w.items():
+        u = int(
+            hashlib.md5(f"resample-{i}".encode()).hexdigest()[:7], 16
+        ) / float(1 << 28)
+        if u < min(1.0, 0.5 * wi):
+            expected.add(i)
+    assert set(got) == expected and expected
+    # the audit columns let the decision be replayed
+    for i, r in got.items():
+        assert r["u"] < r["p_keep"] <= 1.0
+        assert r["weight"] == w[i]
+    # edges: NULL text / empty text / NULL id never sampled
+    assert kept(1e9).keys() == set(w)
+    assert not {200, 201, None} & set(kept(1e9))
+    # monotone in rate
+    assert set(kept(0.25)) <= set(kept(0.5)) <= set(kept(1.0))
+    # salt independence: same weights, different membership
+    other = kept(0.5, salt="resample-b")
+    assert set(other) != set(got)
+    both = set(other) & set(got)
+    assert all(other[i]["weight"] == got[i]["weight"] for i in both)
