@@ -83,6 +83,22 @@ def probe_ops(spark, docs):
     yield "dsir_weights", lambda: quality.dsir_weights(
         docs, target_pred="lang = 'en'"
     ), n
+    # r09: contamination_report streams the corpus grams once against a
+    # broadcast eval set (eval side grows with the corpus here — the
+    # harsher-than-production case, production eval sets are fixed);
+    # split_leakage shares ngram_jaccard's blocked scaling claim plus a
+    # zero-join split projection; importance_resample shares
+    # dsir_weights' shape plus a per-row coin
+    yield "contamination_report", lambda: pipeline.contamination_report(
+        docs.filter(F.col("doc_id") % 25 != 7), ev
+    ), n
+    yield "split_leakage", lambda: pipeline.split_leakage(
+        docs, threshold=0.5, splits=(("train", 0.5), ("heldout", 0.5)),
+        max_df=1000,
+    ), n
+    yield "importance_resample", lambda: quality.importance_resample(
+        docs, target_pred="lang = 'en'"
+    ), n
 
 
 def replicate_vectors(spark, factor: int):
