@@ -886,6 +886,17 @@ def importance_resample(
         text_col=text_col,
         n_buckets=n_buckets,
     )
+    return _resample_filter(w, id_col, rate, salt)
+
+
+def _resample_filter(
+    w: DataFrame, id_col: str, rate: float, salt: str
+) -> DataFrame:
+    """The deterministic coin + keep filter over a weights frame (any
+    frame with a ``weight`` column — the composite's dsir_weights
+    output or a frozen-model dsir_score batch). Pure per-row: this is
+    what makes the kept set independent of batching, and the streaming
+    twin a one-liner."""
     u = F.expr(
         f"cast(conv(substring(md5(concat('{salt}-', "
         f"cast({id_col} as string))), 1, 7), 16, 10) as bigint)"
@@ -900,6 +911,34 @@ def importance_resample(
         .filter(F.col("u") < F.col("p_keep"))
         .select(id_col, "n_tokens", "weight", "p_keep", "u")
     )
+
+
+def importance_resample_score(
+    docs: DataFrame,
+    counts: list[tuple[int, int, int]],
+    t_t: int,
+    t_r: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    rate: float = 0.5,
+    salt: str = "resample",
+) -> DataFrame:
+    """Frozen-model variant of :func:`importance_resample` — score
+    against a model from :func:`dsir_train` (production selection
+    semantics: the models never move under already-drawn documents)
+    and apply the same deterministic coin. This is the per-micro-batch
+    body of :func:`~streamtasks_spark.streaming.stateful.
+    streaming_importance_resample`; because both the weight and the
+    coin are pure functions of the document and the frozen model, the
+    union of per-batch kept sets equals this batch call over the same
+    rows, bit-exactly."""
+    w = dsir_score(
+        docs, counts, t_t, t_r,
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+    )
+    return _resample_filter(w, id_col, rate, salt)
 
 
 def oracle_importance_resample_sql(

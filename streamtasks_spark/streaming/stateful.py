@@ -946,3 +946,58 @@ def streaming_dsir_weights(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_importance_resample(
+    docs: DataFrame,
+    *,
+    counts: list[tuple[int, int, int]],
+    t_t: int,
+    t_r: int,
+    kept_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    rate: float = 0.5,
+    salt: str = "resample",
+):
+    """Streaming DSIR SELECTION against frozen models: each arriving
+    micro-batch is weighed by :func:`~streamtasks_spark.llmdata.
+    quality.dsir_score` under the frozen ``(counts, t_t, t_r)`` models
+    and thinned by the deterministic hash coin
+    (u = md5-28-bit(salt, id)/2^28 < min(1, rate·weight)) — the
+    continuous-ingest shape of the selection step itself, one tier past
+    :func:`streaming_dsir_weights` (which reports weights and leaves
+    the draw to a batch pass).
+
+    Both the weight and the coin are pure functions of the document
+    and the frozen models — independent of arrival batching and order
+    — so the union of per-batch kept appends equals the batch
+    :func:`~streamtasks_spark.llmdata.quality.importance_resample_score`
+    over everything ingested, bit-exactly (the streaming_dsir_weights
+    purity argument carried through the filter: a filter of a pure
+    projection is itself pure). Restart replays at most one in-flight
+    micro-batch append; consumers needing exactly-once dedup
+    ``kept_path`` on the id — the documented foreachBatch contract.
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.llmdata.quality import importance_resample_score
+
+    def _draw(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = importance_resample_score(
+            batch.select(id_col, text_col), counts, t_t, t_r,
+            id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+            rate=rate, salt=salt,
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(kept_path)
+
+    return (
+        docs.writeStream.foreachBatch(_draw)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1630,3 +1630,77 @@ def test_streaming_doc_chunk_is_a_direct_transformation(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     }
     assert got == expect
+
+
+def test_streaming_importance_resample_matches_batch_draw(spark, tmp_path):
+    """Frozen-model streaming DSIR SELECTION (r09 twin): the union of
+    per-micro-batch kept appends equals batch importance_resample_score
+    over everything ingested, bit-exactly — the weight AND the hash
+    coin are pure per-document functions of the frozen models, so
+    batching can't move the draw. Restart on the same checkpoint draws
+    only the new split (no re-draw, no double-keep)."""
+    from streamtasks_spark.llmdata.quality import (
+        dsir_train,
+        importance_resample_score,
+    )
+    from streamtasks_spark.streaming.stateful import (
+        streaming_importance_resample,
+    )
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    counts, t_t, t_r = dsir_train(
+        docs, target_pred="lang = 'en'", n_buckets=128
+    )
+    expect = {
+        r["doc_id"]: (r["n_tokens"], r["weight"], r["p_keep"], r["u"])
+        for r in importance_resample_score(
+            docs, counts, t_t, t_r, n_buckets=128, rate=0.5
+        ).collect()
+    }
+    assert expect  # the draw must actually keep documents
+
+    src = tmp_path / "ir_src"
+    stream_docs = docs.select("doc_id", "text")
+    kwargs = dict(
+        counts=counts, t_t=t_t, t_r=t_r, n_buckets=128, rate=0.5,
+        kept_path=str(tmp_path / "kept"),
+        checkpoint=str(tmp_path / "ckpt_ir"),
+    )
+
+    def make_stream():
+        return (
+            spark.readStream.schema(stream_docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    lo = stream_docs.filter(F.col("doc_id") % 2 == 0)
+    hi = stream_docs.filter(F.col("doc_id") % 2 == 1)
+    lo.coalesce(1).write.parquet(str(src / "p1"))
+    q = streaming_importance_resample(make_stream(), **kwargs)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = spark.read.parquet(kwargs["kept_path"]).count()
+    # only lo-split keeps so far, and exactly the batch draw over lo
+    assert first == len(
+        {i for i in expect if i % 2 == 0}
+    )
+    time.sleep(1.1)
+    hi.coalesce(1).write.parquet(str(src / "p2"))
+    q2 = streaming_importance_resample(make_stream(), **kwargs)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(kwargs["kept_path"]).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["weight"], r["p_keep"], r["u"])
+        for r in rows
+    }
+    assert len(rows) == len(got)  # no re-draw across the restart
+    assert got == expect  # bit-exact: same kept SET, same audit values
