@@ -71,6 +71,30 @@ def main() -> int:
         return s
 
     spark = fresh_session()
+
+    def calibrate(s) -> float:
+        """Boot-health constant recorded with every bench record: a
+        FIXED md5-heavy aggregation (1M hashes + distinct), the cost
+        profile of the dedup family whose cross-boot variance reached
+        2-6x on identical code (r04-r08; the r08 driver boot read the
+        family 2.1-2.6x slower than r07 while logging a Python-worker
+        crash, and the same-code builder run was FASTER than r07).
+        Cross-run comparisons can now normalize per-query ratios by
+        the calib ratio first: same code + calib 2x slower = the boot,
+        not the code. One untimed warm-up, then best of 3."""
+        def once() -> float:
+            t0 = time.perf_counter()
+            s.range(1_000_000).selectExpr(
+                "md5(cast(id as string)) AS h"
+            ).selectExpr("count(distinct substring(h, 1, 7)) AS n").write \
+                .format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        once()
+        return min(once() for _ in range(3))
+
+    calib = calibrate(spark)
+    log(f"bench: md5 calibration {calib:.3f}s")
     # SparkContext-level state (broadcast blocks, shuffle metadata in the
     # MapOutputTracker, block-manager entries) accumulates across queries
     # and is only reclaimed by the weak-ref ContextCleaner, which a
@@ -153,6 +177,7 @@ def main() -> int:
         "n_queries": len(results),
         "n_failed": len(results) - len(ok),
         "wall_total": round(time.perf_counter() - t_start, 2),
+        "calib_md5_sec": round(calib, 4),
     }
     # The round driver keeps only the LAST 2,000 chars of stdout; a JSON
     # line longer than that is head-truncated and fails to parse (this
