@@ -418,6 +418,23 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup (NEW r09): the 'new crawl' slice
+    (doc_id % 3 == 0) deduped AGAINST the remaining corpus as the
+    frozen reference — one row per new doc with ≥1 exact-jaccard
+    near-dup in the reference, its match count, and a deterministic
+    champion. The incremental-ingest shape: the reference is never
+    self-joined (dedup.dedup_against); max_df guard at its inert
+    test-scale value."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup.dedup_against(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        threshold=0.5,
+        max_df=1000,
+    )
+
+
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style substring dedup, distributed: per-doc fraction
     of 16-char grams shared with any other document (Lee et al. ACL'22
@@ -1444,6 +1461,12 @@ _MUST_VERIFY_R09 = [
     # hash-coin Bernoulli thinning over dsir_weights; the kept SET is
     # bit-reproducible cross-engine). New code certifies in-window.
     "split_leakage", "importance_resample",
+    # NEW op r09 (second wave): cross-corpus dedup — the new-crawl
+    # slice deduped AGAINST the frozen reference corpus, PPJoin prefix
+    # filter over the unioned shingle stream, reference never
+    # self-joined. Displaces ann_topk (untouched, r07-green, r10
+    # queue head).
+    "dedup_against",
 ]
 
 # r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
@@ -1463,11 +1486,12 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 15 oldest r07-green rows (r07 window order)
+    # the 14 oldest r07-green rows (r07 window order; ann_topk was
+    # displaced by the dedup_against wave and heads the r10 queue)
     "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
     "events_retention_cohorts", "text_stats", "lang_id", "doc_fingerprint",
     "quality_filter", "doc_repetition", "dedup_exact", "dedup_minhash",
-    "dedup_simhash", "decontaminate", "ann_topk",
+    "dedup_simhash", "decontaminate",
 ]
 
 
@@ -1496,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "split_leakage": _q_split_leakage,
         "importance_resample": _q_importance_resample,
+        "dedup_against": _q_dedup_against,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1543,10 +1568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "decontaminate": _q_decontaminate,
-        "ann_topk": _q_ann_topk,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
-        # of the r10 queue
+        # of the r10 queue (ann_topk displaced by dedup_against)
+        "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "gate": _q_gate,
@@ -2466,6 +2491,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": pipeline.oracle_split_leakage_sql(
             threshold=0.5, splits=(("train", 0.5), ("heldout", 0.5))
         ),
+        "dedup_against": dedup.oracle_dedup_against_sql(threshold=0.5),
         "ann_sq_topk": similarity.oracle_sq_topk_sql(k=5, rerank=4),
         "contamination_report": pipeline.oracle_contamination_report_sql(
             source_sql=(

@@ -869,6 +869,180 @@ def oracle_ngram_containment_sql(
     """
 
 
+def dedup_against(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus dedup (NEW r09): one row per NEW document that is
+    an exact n-gram near-duplicate (Jaccard ≥ ``threshold`` within
+    ``block_col``) of ANY REFERENCE document —
+    ``(doc_id, n_ref_matches, best_ref, best_jaccard)`` with a
+    deterministic champion (highest 6-dp jaccard, lowest ref id on
+    ties). This is the incremental-ingest shape every growing corpus
+    needs: dedup the new crawl AGAINST the existing corpus without
+    re-pairing the existing corpus with itself —
+    :func:`ngram_jaccard_pairs` is the within-corpus variant, and
+    MinHashIndex the sketch-based incremental tier. A document present
+    in both frames matches itself at 1.0 by design (it IS already in
+    the reference).
+
+    Candidate generation is the same PPJoin prefix filter as
+    :func:`ngram_jaccard_pairs` — the prefix lemma holds for any
+    global shingle order shared by both sides, so both corpora are
+    UNIONED with a side flag and document frequency + rarity rank are
+    computed over the union in ONE (block, shingle) shuffle; the
+    candidate join then pairs new-side prefix postings with ref-side
+    prefix postings only (never new×new or ref×ref). Exact
+    array-intersect verification on survivors keeps the result
+    identical to brute force. ``max_df`` is the family's hot-shingle
+    guard (under-report, never a false match).
+
+    100 TB shape: one exploded-union shuffle reused by df, rank, and
+    the candidate join; per-new-doc aggregation is bounded by that
+    doc's match fan-in. The asymmetry is the point at scale: the ref
+    corpus contributes only prefix postings and verification arrays —
+    it is never self-joined, so adding a 1% daily increment costs the
+    increment's pairs, not a re-dedup of the whole corpus."""
+    hs = pin(
+        _shingle_hashes(new_docs, id_col, text_col, k, block_col)
+        .withColumn("__side", F.lit(0))
+        .unionByName(
+            _shingle_hashes(ref_docs, id_col, text_col, k, block_col)
+            .withColumn("__side", F.lit(1))
+        )
+        .select(
+            F.col(block_col).alias("__blk"),
+            "__side",
+            F.col(id_col),
+            F.size("hashes").alias("__n"),
+            F.col("hashes"),
+        )
+    )
+    ex = hs.select(
+        "__blk", "__side", id_col, "__n", F.explode("hashes").alias("__h")
+    )
+    w_df = Window.partitionBy("__blk", "__h")
+    w = Window.partitionBy("__blk", "__side", id_col).orderBy(
+        F.col("__df").asc(), F.col("__h").asc()
+    )
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ranked = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+    )
+    if max_df is not None:
+        ranked = ranked.filter(F.col("__df") <= F.lit(int(max_df)))
+    prefix = pin(ranked.select("__blk", "__side", "__h", id_col, "__n"))
+    a = prefix.filter(F.col("__side") == 0).select(
+        "__blk", "__h",
+        F.col(id_col).alias("__new"), F.col("__n").alias("__na"),
+    )
+    b = prefix.filter(F.col("__side") == 1).select(
+        "__blk", "__h",
+        F.col(id_col).alias("__ref"), F.col("__n").alias("__nb"),
+    )
+    cand = (
+        a.join(b, ["__blk", "__h"])
+        .filter(
+            F.least("__na", "__nb").cast("double")
+            >= F.lit(threshold) * F.greatest("__na", "__nb").cast("double")
+        )
+        .select("__new", "__ref")
+        .distinct()
+    )
+    x = hs.filter(F.col("__side") == 0).select(
+        F.col(id_col).alias("__new"), F.col("hashes").alias("__ha")
+    )
+    y = hs.filter(F.col("__side") == 1).select(
+        F.col(id_col).alias("__ref"), F.col("hashes").alias("__hb")
+    )
+    jac = F.expr(
+        "cast(size(array_intersect(__ha, __hb)) as double) / "
+        "cast(size(array_union(__ha, __hb)) as double)"
+    )
+    pairs = (
+        cand.join(x, "__new")
+        .join(y, "__ref")
+        .withColumn("__raw", jac)
+        .filter(F.col("__raw") >= F.lit(threshold))
+        .withColumn("__jac", F.round("__raw", 6))
+    )
+    wmax = Window.partitionBy("__new")
+    return (
+        pairs.withColumn("__mj", F.max("__jac").over(wmax))
+        .groupBy(F.col("__new").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_ref_matches"),
+            F.min(
+                F.when(F.col("__jac") == F.col("__mj"), F.col("__ref"))
+            ).alias("best_ref"),
+            F.max("__jac").alias("best_jaccard"),
+        )
+    )
+
+
+def oracle_dedup_against_sql(
+    new_sql: str = "SELECT doc_id, text, lang FROM documents "
+                   "WHERE doc_id % 3 = 0",
+    ref_sql: str = "SELECT doc_id, text, lang FROM documents "
+                   "WHERE doc_id % 3 <> 0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`dedup_against` — brute-force new×ref per
+    block with the identical shingle hash, raw-jaccard threshold, 6-dp
+    rounding, and champion tie-break; the engine's prefix filter is an
+    exact optimization, so the reports must be identical."""
+    gram = " || ' ' || ".join(f"__toks[i + {d}]" for d in range(k))
+    ngrams = f"""
+      SELECT {id_col}, {block_col},
+        list_distinct(list_transform(
+          list_transform(range(1, len(__toks) - {k - 1} + 1), i -> {gram}),
+          s -> cast('0x' || substr(md5(s), 1, 7) AS BIGINT))) AS hashes
+      FROM (SELECT {id_col}, {block_col},
+                   string_split({norm_text(text_col, "duck")}, ' ') AS __toks
+            FROM __SRC__)
+      WHERE len(__toks) >= {k}
+    """
+    return f"""
+    WITH newsrc AS ({new_sql}),
+    refsrc AS ({ref_sql}),
+    hn AS ({ngrams.replace("__SRC__", "newsrc")}),
+    hr AS ({ngrams.replace("__SRC__", "refsrc")}),
+    j AS (
+      SELECT n.{id_col} AS {id_col}, r.{id_col} AS __ref,
+        CAST(len(list_intersect(n.hashes, r.hashes)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(n.hashes, r.hashes)))
+                 AS DOUBLE) AS __raw
+      FROM hn n JOIN hr r ON n.{block_col} = r.{block_col}
+    ),
+    f AS (
+      SELECT {id_col}, __ref, round(__raw, 6) AS __jac
+      FROM j WHERE __raw >= {threshold}
+    ),
+    m AS (
+      SELECT *, max(__jac) OVER (PARTITION BY {id_col}) AS __mj FROM f
+    )
+    SELECT {id_col},
+      CAST(count(*) AS BIGINT) AS n_ref_matches,
+      CAST(min(CASE WHEN __jac = __mj THEN __ref END) AS BIGINT)
+        AS best_ref,
+      max(__jac) AS best_jaccard
+    FROM m GROUP BY {id_col}
+    """
+
+
 # ---------------------------------------------------- connected components
 
 def connected_components(

@@ -1904,3 +1904,48 @@ def test_pin_scope_bounds_long_session_cache_growth(spark):
     except RuntimeError:
         pass
     assert cache.isEmpty()
+
+
+def test_dedup_against_semantics_and_champion(spark):
+    """Cross-corpus dedup (NEW r09): a new doc embedded in the
+    reference reports every match with the deterministic champion
+    (highest 6-dp jaccard, lowest ref id on ties); clean new docs are
+    absent; ref×ref and new×new pairs are never formed (a duplicate
+    WITHIN the reference must not surface, nor two dup new docs with
+    no ref match); blocking is inherited; a doc present in both frames
+    matches itself at 1.0; max_df under-reports only."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight"
+    rows_new = [
+        (3, text_a, "en"),                 # near-dup of refs 10, 11
+        (6, "totally different words entirely here now", "en"),
+        (9, text_b, "de"),                 # dup of ref 12 but wrong block
+        (12, text_b, "en"),                # dup of new 15 — but new×new
+        (15, text_b, "en"),                #   must not pair them
+        (30, text_a, "en"),                # also in ref verbatim (id 30)
+    ]
+    rows_ref = [
+        (10, text_a, "en"),                # exact dup of new 3
+        (11, text_a + " tail", "en"),      # near-dup of new 3
+        (13, text_b, "fr"),                # wrong block for new 9
+        (20, "unrelated reference content goes here fine", "en"),
+        (21, "unrelated reference content goes here fine", "en"),  # ref dup
+        (30, text_a, "en"),                # same id+text as a new doc
+    ]
+    new = spark.createDataFrame(rows_new, "doc_id long, text string, lang string")
+    ref = spark.createDataFrame(rows_ref, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.dedup_against(new, ref, threshold=0.5).collect()
+    }
+    assert set(got) == {3, 30}
+    # champion: refs 10 and 30 both match new 3 at jaccard 1.0 → lowest id
+    assert got[3]["n_ref_matches"] == 3          # refs 10, 11, 30
+    assert got[3]["best_ref"] == 10 and got[3]["best_jaccard"] == 1.0
+    assert got[30]["best_jaccard"] == 1.0        # present in both frames
+    # max_df guard: cap below the hot shingles' df drops the matches —
+    # under-report, never a false one
+    capped = dedup.dedup_against(new, ref, threshold=0.5, max_df=1).collect()
+    assert {r["doc_id"] for r in capped} <= {3, 30}

@@ -894,3 +894,35 @@ def test_hashed_tf_embed_is_narrow_single_projection(psession):
     assert "REPARTITION_BY_NUM" in plan, plan[:900]
     assert "Generate" not in plan, plan[:900]  # no explode
     assert "Aggregate" not in plan, plan[:900]
+
+
+def test_dedup_against_never_self_joins_the_reference(psession):
+    """dedup_against's scale contract: candidate generation joins
+    new-side prefix postings to ref-side prefix postings over one
+    unioned (block, shingle) stream — no cartesian, no Python, and the
+    incremental claim: the plan carries exactly one posting-key join
+    (new×ref), the same count as the within-corpus pair generator, not
+    a ref×ref re-dedup on top."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from streamtasks_spark.llmdata import dedup
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(
+        dedup.dedup_against(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 != 0),
+            threshold=0.5,
+            max_df=1000,
+        )
+    )
+    base = plan_of(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=1000)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\w+Join", plan)) == len(
+        re.findall(r"\w+Join", base)
+    )
