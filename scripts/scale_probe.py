@@ -99,6 +99,14 @@ def probe_ops(spark, docs):
     yield "importance_resample", lambda: quality.importance_resample(
         docs, target_pred="lang = 'en'"
     ), n
+    # dedup_against: the new-crawl slice grows WITH the corpus here
+    # (1/3 of it), so both sides scale — harsher than production's
+    # fixed-increment shape
+    yield "dedup_against", lambda: dedup.dedup_against(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        threshold=0.5, max_df=1000,
+    ), n
 
 
 def replicate_vectors(spark, factor: int):
