@@ -1099,15 +1099,33 @@ def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-k (NEW r09): per-subspace L2 k-means
+    codebooks over the normalized vectors, candidates ranked by the
+    ADC sum of fixed-grid INT64 table lookups (32x-compressed codes;
+    the open sq_topk design note closed — the integer grid makes the
+    summed-lookup order bit-reproducible cross-engine), exact re-rank
+    on the rerank*k survivors (similarity.pq_topk). guard_dim declares
+    the dim-64 oracle coupling like the other ANN queries."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    vecs = similarity.guard_dim(vecs, "embedding", 64, "ann_pq_topk")
+    return similarity.pq_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10),
+        m_sub=8, n_codes=16, n_iters=2, k=5, rerank=8,
+    )
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall@5 of all four approximate tiers (lsh, ivf, sq,
-    ivf_sq — r08) vs the exact baseline — the approximate tiers'
-    quality as driver-verified numbers. rerank pinned explicitly to
-    match the oracle rather than relying on shared defaults."""
+    """Measured recall@5 of all FIVE approximate tiers (lsh, ivf, sq,
+    ivf_sq — r08; pq — r09) vs the exact baseline — the approximate
+    tiers' quality as driver-verified numbers. All geometry pinned
+    explicitly to match the oracle rather than relying on shared
+    defaults."""
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.recall_probe(
         vecs, vecs.filter(F.col("vec_id") < 10),
         n_planes=4, n_cells=8, n_probe=2, k=5, rerank=4,
+        pq_m_sub=8, pq_codes=16, pq_iters=2, pq_rerank=8,
     )
 
 
@@ -1467,6 +1485,16 @@ _MUST_VERIFY_R09 = [
     # self-joined. Displaces ann_topk (untouched, r07-green, r10
     # queue head).
     "dedup_against",
+    # NEW op r09 (third wave): product-quantized ANN top-k — the
+    # fixed-integer-grid ADC that closes sq_topk's open PQ design
+    # note; codebooks re-derived (never literal-injected) by the
+    # oracle's CTE k-means. Displaces dedup_simhash.
+    "ann_pq_topk",
+    # impl+oracle changed r09: recall_probe now measures all FIVE
+    # approximate tiers (pq joined lsh/ivf/sq/ivf_sq), so ann_recall's
+    # plan and rendered SQL both changed — re-certifies in-window,
+    # displacing decontaminate (untouched, r07-green, r10 queue).
+    "ann_recall",
 ]
 
 # r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
@@ -1486,12 +1514,13 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 14 oldest r07-green rows (r07 window order; ann_topk was
-    # displaced by the dedup_against wave and heads the r10 queue)
+    # the 12 oldest r07-green rows (r07 window order; ann_topk,
+    # dedup_simhash, and decontaminate were displaced by the
+    # dedup_against / ann_pq_topk / ann_recall waves and head the
+    # r10 queue)
     "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
     "events_retention_cohorts", "text_stats", "lang_id", "doc_fingerprint",
     "quality_filter", "doc_repetition", "dedup_exact", "dedup_minhash",
-    "dedup_simhash", "decontaminate",
 ]
 
 
@@ -1521,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         "importance_resample": _q_importance_resample,
         "dedup_against": _q_dedup_against,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_recall": _q_ann_recall,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1566,12 +1597,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "decontaminate": _q_decontaminate,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
         # of the r10 queue (ann_topk displaced by dedup_against)
         "ann_topk": _q_ann_topk,
+        "dedup_simhash": _q_dedup_simhash,
+        "decontaminate": _q_decontaminate,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "gate": _q_gate,
@@ -1647,7 +1678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
-        "ann_recall": _q_ann_recall,
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         "frame_sample": _q_frame_sample,
@@ -2595,7 +2625,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": similarity.oracle_cosine_topk_sql(k=5),
         "ann_recall": similarity.oracle_recall_probe_sql(
-            n_planes=4, n_cells=8, n_probe=2, k=5, rerank=4
+            n_planes=4, n_cells=8, n_probe=2, k=5, rerank=4,
+            pq_m_sub=8, pq_codes=16, pq_iters=2, pq_rerank=8,
+        ),
+        "ann_pq_topk": similarity.oracle_pq_topk_sql(
+            m_sub=8, n_codes=16, n_iters=2, k=5, rerank=8
         ),
         "ann_lsh_topk": similarity.oracle_lsh_topk_sql(n_planes=4, k=5),
         "ann_ivf_topk": similarity.oracle_ivf_topk_sql(

@@ -24,6 +24,7 @@ BASELINE.json LLM-data-pipeline requirement.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -418,6 +419,414 @@ def oracle_sq_topk_sql(
       SELECT query_id, {id_col}, __appx,
         {_duck_dot("__av", "__qv", dim)} / (__an * __qn) AS __cos
       FROM cand a
+    )
+    SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
+           round(__appx, 6) AS approx,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM rer
+    WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
+    """
+
+
+# ---------------------------------------------- product quantization (PQ)
+
+PQ_GRID = 1_048_576  # 2^20: the fixed int grid shared by codes and queries
+
+
+def _pq_lit_arr(xs: list[float]) -> str:
+    return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
+
+
+def _pq_argmin_expr(
+    cents_m: dict[int, list[float]], off: int, sub: int
+) -> str:
+    """Spark expression: the L2-argmin code for subspace slice
+    [off+1, off+sub] of ``__nv`` against literal centroids — min
+    squared distance, ties to the LOWEST code (struct min compares the
+    distance field first, then the code field)."""
+    structs = []
+    for j in sorted(cents_m):
+        dist = (
+            f"aggregate(zip_with(slice(__nv, {off + 1}, {sub}), "
+            f"{_pq_lit_arr(cents_m[j])}, (x, y) -> (x - y) * (x - y)), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+        structs.append(f"named_struct('s', {dist}, 'c', {j})")
+    return f"array_min(array({', '.join(structs)})).c"
+
+
+def _pq_train(
+    v: DataFrame,
+    id_col: str,
+    dim: int,
+    m_sub: int,
+    n_codes: int,
+    n_iters: int,
+) -> dict[int, dict[int, list[float]]]:
+    """Deterministic per-subspace L2 k-means over NORMALIZED vectors —
+    the train_centroids discipline applied M times in ONE pass per
+    iteration: assignment for every subspace rides a single narrow
+    projection, and all M·n_codes·(dim/M) component means come back
+    from one groupBy as exact DECIMAL(38,0) micro-unit integer sums
+    (order-independent, hence bit-identical to the DuckDB CTE twin).
+    Normalized components are bounded to [-1, 1] by ‖v̂‖ = 1, so no
+    magnitude clamp is needed (both engines skip it identically).
+    Seeding = each subspace slice of the ``n_codes`` lowest-id
+    vectors; a code left empty keeps its previous centroid."""
+    sub = dim // m_sub
+    seed = (
+        v.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("__j"), "__nv")
+        .collect()
+    )
+    if not seed:
+        raise ValueError(
+            f"pq_topk: no nonzero-norm vectors with {id_col} < {n_codes} "
+            f"to seed the codebooks — re-id the corpus or lower n_codes"
+        )
+    cents: dict[int, dict[int, list[float]]] = {
+        m: {
+            r["__j"]: list(r["__nv"])[m * sub:(m + 1) * sub] for r in seed
+        }
+        for m in range(m_sub)
+    }
+    for _ in range(n_iters):
+        codes = [
+            F.expr(_pq_argmin_expr(cents[m], m * sub, sub))
+            for m in range(m_sub)
+        ]
+        rows = (
+            v.withColumn("__codes", F.array(*codes))
+            .select("__codes", F.posexplode("__nv").alias("__p", "__x"))
+            .select(
+                F.floor(F.col("__p") / sub).cast("int").alias("__m"),
+                F.element_at(
+                    "__codes",
+                    F.floor(F.col("__p") / sub).cast("int") + 1,
+                ).alias("__j"),
+                (F.col("__p") % sub).alias("__d"),
+                F.expr(
+                    f"cast(floor(__x * {PQ_GRID}) as bigint)"
+                ).alias("__mi"),
+            )
+            .groupBy("__m", "__j", "__d")
+            .agg(
+                F.sum(F.col("__mi").cast("decimal(38,0)")).alias("__s"),
+                F.count(F.lit(1)).alias("__c"),
+            )
+            .collect()  # ≤ m_sub·n_codes·sub rows: codebook-class pull
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            new.setdefault((r["__m"], r["__j"]), {})[r["__d"]] = float(
+                r["__s"]
+            ) / (float(PQ_GRID) * r["__c"])
+        for (m, j), comps in new.items():
+            cents[m][j] = [comps[d] for d in sorted(comps)]
+    return cents
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    k: int = 5,
+    rerank: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via PRODUCT QUANTIZATION with exact
+    re-rank — the highest-compression rung of the ANN family (Jégou,
+    Douze, Schmid TPAMI'11, "Product Quantization for Nearest Neighbor
+    Search"; Faiss ``PQ`` / Milvus ``IVF_PQ`` storage): the NORMALIZED
+    vector is split into ``m_sub`` subspaces, each quantized to one of
+    ``n_codes`` per-subspace centroids (deterministic L2 k-means via
+    :func:`_pq_train`), so a vector stores ``m_sub`` small codes —
+    at (8 subspaces × 1 byte) per 64-dim vector that is 32× smaller
+    than float32 — and the approximate cosine is the ADC sum of
+    ``m_sub`` table lookups. The top ``rerank·k`` candidates per query
+    re-rank by exact cosine; output (query_id, id, cosine, approx,
+    rank), rank 1..k by (exact cosine desc, id asc).
+
+    Bit-exactness — the open challenge in :func:`sq_topk`'s design
+    note ("PQ ranks by summed FLOAT table lookups") — is solved by a
+    FIXED INTEGER GRID: centroid components and query components are
+    both encoded as ``floor(x · 2^20 + 0.5)`` (exact: ‖v̂‖ = 1 bounds
+    every component to [−1, 1], the power-of-two scaling is
+    rounding-free, and half-up floor matches across engines), each
+    lookup-table entry is a pure int64 dot of grid codes, and the ADC
+    score is an int64 SUM of table entries — order-independent, so the
+    whole candidate-selection order is bit-identical in the DuckDB
+    oracle by construction (max |score| ≤ dim · 2^40 = 2^46, well
+    inside int64). ``approx`` = score / 2^40, again exact scaling.
+    Training inherits the integer-mean discipline of
+    :func:`train_centroids`, so the codebooks themselves are
+    bit-identical cross-engine (:func:`oracle_pq_topk_sql` re-derives
+    them with the same CTE chain, never receives them as literals).
+
+    Scale shape: training is ``n_iters`` narrow assignment passes +
+    codebook-sized driver pulls; encoding is one narrow projection (a
+    production table persists ONLY the m_sub codes + the norm — the
+    32× win); scoring broadcasts the query side with its precomputed
+    per-query lookup table (m_sub·n_codes int64s — bytes), and the
+    per-pair hot loop is ``m_sub`` integer table lookups, cheaper than
+    even the int8 dot of :func:`sq_topk`; the exact float dot runs
+    only on rerank·k survivors. Quality: recall@k vs the exact
+    baseline is a measured number in :func:`recall_probe`, not an
+    assertion."""
+    if dim % m_sub:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    nv = "transform(__v, x -> x / __nrm)"
+    v = pin(
+        _require_dim(
+            _with_norm(spread(vectors, id_col).select(id_col, vec_col),
+                       vec_col),
+            dim, "pq_topk",
+        ).withColumn("__nv", F.expr(nv))
+    )
+    cents = _pq_train(v, id_col, dim, m_sub, n_codes, n_iters)
+    # grid-encoded centroids (identical doubles cross-engine -> identical
+    # ints): int(floor(c * 2^20 + 0.5)) inlined as literals
+    cint = {
+        m: {
+            j: [int(math.floor(c * PQ_GRID + 0.5)) for c in cv]
+            for j, cv in cents[m].items()
+        }
+        for m in cents
+    }
+    codes_expr = F.array(*[
+        F.expr(_pq_argmin_expr(cents[m], m * sub, sub))
+        for m in range(m_sub)
+    ])
+    a = v.select(
+        F.col(id_col),
+        F.col("__v").alias("__av"),
+        F.col("__nrm").alias("__anrm"),
+        codes_expr.alias("__codes"),
+    )
+    qi = f"transform(__nv, x -> cast(floor(x * {PQ_GRID}.0d + 0.5d) as bigint))"
+    lut_rows = []
+    for m in range(m_sub):
+        entries = []
+        for j in sorted(cint[m]):
+            arr = "array(" + ", ".join(f"{x}L" for x in cint[m][j]) + ")"
+            entries.append(
+                f"aggregate(zip_with(slice(__qi, {m * sub + 1}, {sub}), "
+                f"{arr}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+            )
+        lut_rows.append(f"array({', '.join(entries)})")
+    q = (
+        _require_dim(
+            _with_norm(
+                queries.select(F.col(id_col).alias("query_id"), vec_col),
+                vec_col,
+            ),
+            dim, "pq_topk",
+        )
+        .withColumn("__nv", F.expr(nv))
+        .withColumn("__qi", F.expr(qi))
+        .select(
+            "query_id",
+            F.col("__v").alias("__qv"),
+            F.col("__nrm").alias("__qnrm"),
+            F.expr(f"array({', '.join(lut_rows)})").alias("__lut"),
+        )
+    )
+    iscore = F.expr(
+        f"aggregate(sequence(0, {m_sub - 1}), 0L, (acc, m) -> "
+        f"acc + element_at(element_at(__lut, m + 1), "
+        f"element_at(__codes, m + 1) + 1))"
+    )
+    scored = (
+        a.crossJoin(broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__is", iscore)
+    )
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("__is").desc(), F.col(id_col).asc()
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("__is").desc(), F.col(id_col).asc()
+    )
+    r = rerank * k
+    cand = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= r)
+        .withColumn("__cr", F.row_number().over(w_cand))
+        .filter(F.col("__cr") <= r)
+    )
+    cos = F.expr(_dot("__av", "__qv")) / (F.col("__anrm") * F.col("__qnrm"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__cos", cos)
+        .withColumn(
+            "__appx",
+            F.col("__is").cast("double") / F.lit(float(PQ_GRID) ** 2),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("__cos", 6).alias("cosine"),
+            F.round("__appx", 6).alias("approx"),
+            "rank",
+        )
+    )
+
+
+def _duck_pq_kmeans_ctes(
+    dim: int, m_sub: int, n_codes: int, n_iters: int, id_col: str
+) -> tuple[str, str]:
+    """DuckDB CTE chain reproducing :func:`_pq_train` exactly (same
+    normalized input, same micro-unit integer means, same L2/lowest-code
+    tie-break). Expects an ``nn`` CTE with ({id_col}, __nv) in scope;
+    returns (fragment, final_cte_name) where the final CTE has one row
+    per (subspace __m, code __j) with the centroid list __cv."""
+    sub = dim // m_sub
+    dist = (
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(x.__nv[c.__m * {sub} + i] - c.__cv[i]) "
+        f"* (x.__nv[c.__m * {sub} + i] - c.__cv[i])))"
+    )
+    parts = [
+        f"""pc0 AS (
+      SELECT s.m AS __m, {id_col} AS __j,
+        list_transform(range(1, {sub + 1}),
+                       i -> __nv[s.m * {sub} + i]) AS __cv
+      FROM nn CROSS JOIN (SELECT unnest(range(0, {m_sub})) AS m) s
+      WHERE {id_col} < {n_codes}
+    )"""
+    ]
+    for t in range(n_iters):
+        parts.append(f"""pa{t} AS (
+      SELECT x.{id_col}, x.__nv, c.__m, c.__j,
+        row_number() OVER (PARTITION BY x.{id_col}, c.__m
+          ORDER BY {dist} ASC, c.__j ASC) AS cr
+      FROM nn x, pc{t} c
+      QUALIFY cr = 1
+    )""")
+        parts.append(f"""ps{t} AS (
+      SELECT __m, __j, d.i AS __d,
+        sum(CAST(floor(a.__nv[__m * {sub} + d.i] * {PQ_GRID})
+                 AS BIGINT)) AS __s,
+        count(*) AS __c
+      FROM pa{t} a CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) d
+      GROUP BY 1, 2, 3
+    )""")
+        parts.append(f"""pm{t} AS (
+      SELECT __m, __j,
+        list(CAST(__s AS DOUBLE) / ({PQ_GRID}.0 * CAST(__c AS DOUBLE))
+             ORDER BY __d) AS __cv
+      FROM ps{t} GROUP BY __m, __j
+    )""")
+        parts.append(f"""pc{t + 1} AS (
+      SELECT p.__m, p.__j, coalesce(m.__cv, p.__cv) AS __cv
+      FROM pc{t} p LEFT JOIN pm{t} m USING (__m, __j)
+    )""")
+    return ",\n    ".join(parts), f"pc{n_iters}"
+
+
+def oracle_pq_topk_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_filter: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    k: int = 5,
+    rerank: int = 4,
+) -> str:
+    """DuckDB twin of :func:`pq_topk` — re-derives the per-subspace
+    codebooks with the full k-means CTE chain (never receives them as
+    literals), grid-encodes centroids and queries identically, ranks
+    candidates by the identical int64 ADC sum, and re-ranks exactly."""
+    sub = dim // m_sub
+    kmeans, final = _duck_pq_kmeans_ctes(dim, m_sub, n_codes, n_iters,
+                                         id_col)
+    dist = (
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(x.__nv[c.__m * {sub} + i] - c.__cv[i]) "
+        f"* (x.__nv[c.__m * {sub} + i] - c.__cv[i])))"
+    )
+    dot = _duck_dot("a.__av", "q.__qv", dim)
+    r = rerank * k
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+        sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
+    ),
+    nn AS (
+      SELECT {id_col}, __v, __nrm,
+        list_transform(__v, x -> x / __nrm) AS __nv
+      FROM n
+    ),
+    {kmeans},
+    ci AS (
+      SELECT __m, __j,
+        list_transform(__cv,
+                       x -> CAST(floor(x * {PQ_GRID}.0 + 0.5) AS BIGINT))
+          AS __ci
+      FROM {final}
+    ),
+    codes AS (
+      SELECT x.{id_col}, c.__m, c.__j,
+        row_number() OVER (PARTITION BY x.{id_col}, c.__m
+          ORDER BY {dist} ASC, c.__j ASC) AS cr
+      FROM nn x, {final} c
+      QUALIFY cr = 1
+    ),
+    qn AS (
+      SELECT {id_col} AS query_id, __v AS __qv, __nrm AS __qn,
+        list_transform(__nv,
+                       x -> CAST(floor(x * {PQ_GRID}.0 + 0.5) AS BIGINT))
+          AS __qi
+      FROM nn WHERE {query_filter}
+    ),
+    lut AS (
+      SELECT q.query_id, c.__m, c.__j,
+        list_sum(list_transform(range(1, {sub + 1}),
+                 i -> q.__qi[c.__m * {sub} + i] * c.__ci[i])) AS __val
+      FROM qn q CROSS JOIN ci c
+    ),
+    scored AS (
+      SELECT a.{id_col}, l.query_id,
+        CAST(sum(l.__val) AS BIGINT) AS __is
+      FROM codes a
+      JOIN lut l ON l.__m = a.__m AND l.__j = a.__j
+      WHERE a.{id_col} <> l.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT s.{id_col}, s.query_id, s.__is,
+        row_number() OVER (
+          PARTITION BY s.query_id ORDER BY s.__is DESC, s.{id_col} ASC
+        ) AS __cr
+      FROM scored s QUALIFY __cr <= {r}
+    ),
+    rer AS (
+      SELECT c.query_id, c.{id_col},
+        CAST(c.__is AS DOUBLE) / {float(PQ_GRID) ** 2!r} AS __appx,
+        {dot} / (a.__nrm * q.__qn) AS __cos
+      FROM cand c
+      JOIN (SELECT {id_col}, __v AS __av, __nrm FROM nn) a USING ({id_col})
+      JOIN qn q ON q.query_id = c.query_id
     )
     SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
            round(__appx, 6) AS approx,
@@ -867,14 +1276,22 @@ def recall_probe(
     n_probe: int = 2,
     k: int = 5,
     rerank: int = 4,
+    pq_m_sub: int = 8,
+    pq_codes: int = 16,
+    pq_iters: int = 2,
+    pq_rerank: int = 8,
 ) -> DataFrame:
     """Measured recall@k of the approximate tiers against the exact
     baseline, as a query: for each approximate method, the fraction of
     exact top-k (query, neighbor) pairs it also returns. Output one row
     per method: (method, hits, possible, recall). Since r08 the probe
-    covers all four approximate tiers — lsh, ivf, sq (int8 scalar
-    quantization), ivf_sq (the IVF_SQ8 composition) — so every rung of
-    the accuracy/cost ladder carries a driver-verified quality number.
+    covers lsh, ivf, sq (int8 scalar quantization), and ivf_sq (the
+    IVF_SQ8 composition); r09 adds the fifth rung, pq (product
+    quantization, 32× compression) — so every rung of the
+    accuracy/cost ladder carries a driver-verified quality number. The
+    synthetic corpus is PQ's worst case (no cluster structure for the
+    per-subspace codebooks to exploit), which is exactly why its
+    recall is probed rather than asserted.
 
     All inputs are deterministic (fixed hyperplanes / centroid
     seeding / integer-exact quantized ranks / tie-breaks), so recall
@@ -928,11 +1345,17 @@ def recall_probe(
         vectors, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
         n_probe=n_probe, k=k, rerank=rerank,
     )
+    pq = pq_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        m_sub=pq_m_sub, n_codes=pq_codes, n_iters=pq_iters, k=k,
+        rerank=pq_rerank,
+    )
     return (
         one(lsh, "lsh")
         .unionByName(one(ivf, "ivf"))
         .unionByName(one(sq, "sq"))
         .unionByName(one(ivf_sq, "ivf_sq"))
+        .unionByName(one(pq, "pq"))
     )
 
 
@@ -948,6 +1371,10 @@ def oracle_recall_probe_sql(
     n_probe: int = 2,
     k: int = 5,
     rerank: int = 4,
+    pq_m_sub: int = 8,
+    pq_codes: int = 16,
+    pq_iters: int = 2,
+    pq_rerank: int = 8,
 ) -> str:
     common = dict(
         source_sql=source_sql, query_filter=query_filter, id_col=id_col,
@@ -959,6 +1386,10 @@ def oracle_recall_probe_sql(
     sq = oracle_sq_topk_sql(**common, rerank=rerank)
     ivf_sq = oracle_ivf_sq_topk_sql(
         **common, n_cells=n_cells, n_probe=n_probe, rerank=rerank
+    )
+    pq = oracle_pq_topk_sql(
+        **common, m_sub=pq_m_sub, n_codes=pq_codes, n_iters=pq_iters,
+        rerank=pq_rerank,
     )
     recall = (
         f"SELECT count(a.query_id) AS hits, count(*) AS possible,\n"
@@ -972,7 +1403,8 @@ def oracle_recall_probe_sql(
     lsh AS ({lsh}),
     ivf AS ({ivf}),
     sq AS ({sq}),
-    ivf_sq AS ({ivf_sq})
+    ivf_sq AS ({ivf_sq}),
+    pq AS ({pq})
     SELECT 'lsh' AS method, * FROM ({recall.format(m='lsh')})
     UNION ALL
     SELECT 'ivf' AS method, * FROM ({recall.format(m='ivf')})
@@ -980,6 +1412,8 @@ def oracle_recall_probe_sql(
     SELECT 'sq' AS method, * FROM ({recall.format(m='sq')})
     UNION ALL
     SELECT 'ivf_sq' AS method, * FROM ({recall.format(m='ivf_sq')})
+    UNION ALL
+    SELECT 'pq' AS method, * FROM ({recall.format(m='pq')})
     """
 
 

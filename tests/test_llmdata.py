@@ -1949,3 +1949,84 @@ def test_dedup_against_semantics_and_champion(spark):
     # under-report, never a false one
     capped = dedup.dedup_against(new, ref, threshold=0.5, max_df=1).collect()
     assert {r["doc_id"] for r in capped} <= {3, 30}
+
+
+def test_pq_topk_exactness_and_convergence(spark):
+    """Product-quantized top-k (NEW r09): every returned cosine equals
+    the exact brute-force cosine bit-for-bit (quantization only shapes
+    CANDIDATE selection; the re-rank is exact); at a rerank covering
+    the whole corpus the candidate stage is a no-op filter and the
+    output reproduces cosine_topk's frame EXACTLY; dim guards raise
+    loudly (indivisible m_sub, mismatched corpus dim)."""
+    import pytest as _pytest
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").cache()
+    qs = vecs.filter(F.col("vec_id") < 20)
+    brute = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in similarity.cosine_topk(vecs, qs, k=5).collect()
+    }
+    got = similarity.pq_topk(vecs, qs, n_codes=16, k=5, rerank=8).collect()
+    assert len(got) == len(brute)
+    for r in got:
+        if (r["query_id"], r["vec_id"]) in brute:
+            assert r["cosine"] == brute[(r["query_id"], r["vec_id"])][0]
+        # the ADC approximation stays a sane cosine surrogate
+        assert -1.5 < r["approx"] < 1.5
+    # full-rerank convergence: candidates cover the corpus
+    n = vecs.count()
+    full = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in similarity.pq_topk(
+            vecs, qs, n_codes=16, k=5, rerank=(n // 5) + 1
+        ).collect()
+    }
+    assert full == brute
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_topk(vecs, qs, m_sub=7)
+    with _pytest.raises(Exception, match="dim"):
+        similarity.pq_topk(vecs, qs, dim=32, m_sub=8).collect()
+
+
+def test_pq_topk_matches_oracle_across_geometries(spark):
+    """pq_topk vs its DuckDB twin — which re-derives the per-subspace
+    codebooks with its own CTE k-means chain (never receives them as
+    literals) — must be bit-exact across (m_sub, n_codes, n_iters,
+    rerank) geometries: codebook training, grid encoding, integer ADC
+    ranking, and exact re-rank all agree or the whole frame hashes
+    differently."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    qs = vecs.filter(F.col("vec_id") < 10)
+    for m_sub, n_codes, n_iters, rerank in (
+        (8, 16, 2, 8), (4, 8, 1, 4), (16, 8, 3, 2),
+    ):
+        sdf = (
+            similarity.pq_topk(
+                vecs, qs, m_sub=m_sub, n_codes=n_codes, n_iters=n_iters,
+                k=5, rerank=rerank,
+            )
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        odf = (
+            con.execute(similarity.oracle_pq_topk_sql(
+                m_sub=m_sub, n_codes=n_codes, n_iters=n_iters,
+                k=5, rerank=rerank,
+            ))
+            .df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert sdf.shape == odf.shape and len(sdf) > 0, (m_sub, n_codes)
+        assert (sdf.values == odf.values).all(), (m_sub, n_codes, n_iters)

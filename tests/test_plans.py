@@ -284,6 +284,16 @@ def test_ann_tier_broadcasts_query_side(psession):
     exact_pos = plan.index("zip_with(__av")
     int_pos = plan.index("zip_with(__ac")
     assert exact_pos < int_pos, (exact_pos, int_pos)
+    # pq_topk (r09): same broadcast-query contract; the all-pairs stage
+    # scores with integer TABLE LOOKUPS only (element_at over the
+    # per-query __lut arrays) — the exact float re-rank dot sits above
+    # the candidate filter, and no float dot appears below it
+    plan = plan_of(similarity.pq_topk(emb, q, n_codes=16, k=5, rerank=8))
+    assert "BroadcastExchange" in plan, plan[:900]
+    exact_pos = plan.index("zip_with(__av")
+    cand_pos = plan.index("__cr")
+    lut_pos = plan.index("element_at(element_at(__lut")
+    assert exact_pos < cand_pos < lut_pos, (exact_pos, cand_pos, lut_pos)
 
 
 def test_dedup_tier_never_plans_all_pairs(psession):
