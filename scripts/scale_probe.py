@@ -161,6 +161,12 @@ def probe_vector_ops(spark, vecs, queries, factor: int):
     yield "sq_topk", lambda: similarity.sq_topk(
         vecs, queries, k=5, rerank=4
     ), n
+    # r09: pq_topk is also a linear-by-design compressed scan — the
+    # claim is the 32x constant (m_sub int lookups per pair) plus the
+    # codebook-sized training pulls, not the asymptote
+    yield "pq_topk", lambda: similarity.pq_topk(
+        vecs, queries, n_codes=16, k=5, rerank=8
+    ), n
     # threshold 0.9 + the decorrelated tilt bounds each vector's true
     # near-dup neighborhood to a few adjacent copies: output saturates
     # per family, so the exponent measures candidate generation.

@@ -591,6 +591,20 @@ def pq_topk(
         ).withColumn("__nv", F.expr(nv))
     )
     cents = _pq_train(v, id_col, dim, m_sub, n_codes, n_iters)
+    # densify code labels: training labels codes by SEED ID (the
+    # train_centroids convention), which is sparse whenever ids below
+    # n_codes are missing or norm-dropped — but the scoring path below
+    # indexes the per-query LUT POSITIONALLY (element_at), so a sparse
+    # label would read past the array (found by the r09 vectors fuzz
+    # pass, seed 9501). Relabel to dense 0..len-1 in sorted-label
+    # order: order-preserving, so the argmin tie-break (lowest code)
+    # matches the oracle's lowest-seed-id tie-break exactly — the
+    # oracle keeps natural labels and joins codes to LUT by label,
+    # never positionally.
+    cents = {
+        m: {pos: cents[m][j] for pos, j in enumerate(sorted(cents[m]))}
+        for m in cents
+    }
     # grid-encoded centroids (identical doubles cross-engine -> identical
     # ints): int(floor(c * 2^20 + 0.5)) inlined as literals
     cint = {

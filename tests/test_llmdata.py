@@ -392,16 +392,24 @@ def test_recall_probe_matches_manual_recall(spark):
             vecs, qs, n_cells=8, n_probe=2, k=5, rerank=4
         ).collect()
     }
+    pq = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.pq_topk(
+            vecs, qs, n_codes=16, k=5, rerank=8
+        ).collect()
+    }
     got = {
         r["method"]: r
         for r in similarity.recall_probe(
-            vecs, qs, n_planes=4, n_cells=8, n_probe=2, k=5, rerank=4
+            vecs, qs, n_planes=4, n_cells=8, n_probe=2, k=5, rerank=4,
+            pq_codes=16, pq_rerank=8,
         ).collect()
     }
-    # all four rungs of the accuracy/cost ladder since r08
-    assert set(got) == {"lsh", "ivf", "sq", "ivf_sq"}
+    # all five rungs of the accuracy/cost ladder since r09
+    assert set(got) == {"lsh", "ivf", "sq", "ivf_sq", "pq"}
     for name, approx in [
-        ("lsh", lsh), ("ivf", ivf), ("sq", sq), ("ivf_sq", ivf_sq)
+        ("lsh", lsh), ("ivf", ivf), ("sq", sq), ("ivf_sq", ivf_sq),
+        ("pq", pq),
     ]:
         r = got[name]
         assert r["possible"] == len(exact)

@@ -233,8 +233,14 @@ def fuzz_vec_dirs(tmp_path_factory):
     dirs = []
     # seed 424 runs the NONFINITE axis (NaN/Inf carriers) — the
     # committed leg of the r07 probe that found the codebook `nanD`
-    # crash; the finite-positive norm gate must drop them identically
-    for seed, nonf in ((5, False), (41, False), (424, True)):
+    # crash; the finite-positive norm gate must drop them identically.
+    # seed 9501 is the r09 promotion: its norm-dropped low ids leave
+    # the PQ seed set SPARSE, the corpus that crashed pq_topk's
+    # positional LUT indexing before the dense relabel fix — it stays
+    # here so seed-id-labeled codebooks never meet positional indexing
+    # again
+    for seed, nonf in ((5, False), (41, False), (424, True),
+                       (9501, False)):
         d = tmp_path_factory.mktemp(f"fuzzvec{seed}")
         cols = list(zip(*make_vectors(seed, nonfinite=nonf)))
         table = pa.table(
@@ -248,6 +254,10 @@ def fuzz_vec_dirs(tmp_path_factory):
 VEC_QUERIES = [
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall",
     "embedding_near_dup", "embedding_dup_classes", "ann_ivf_trained",
+    # the quantized tiers (r08 sq / ivf_sq, r09 pq) — pq's sparse-seed
+    # LUT bug (seed 9501 above) is exactly the class this committed
+    # rotation exists to hold closed
+    "ann_sq_topk", "ann_ivf_sq_topk", "ann_pq_topk",
 ]
 
 
