@@ -1115,12 +1115,29 @@ def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x product quantization (NEW r09): the full production
+    IVF_PQ composite — coarse cells prune WHICH vectors are touched,
+    m_sub-byte PQ codes and integer ADC lookups bound what touching
+    one costs, exact re-rank on the rerank*k survivors
+    (similarity.ivf_pq_topk; non-residual variant, codebooks shared
+    across cells so the oracle re-derives training with one CTE
+    chain)."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    vecs = similarity.guard_dim(vecs, "embedding", 64, "ann_ivf_pq_topk")
+    return similarity.ivf_pq_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10),
+        n_cells=8, n_probe=2, m_sub=8, n_codes=16, n_iters=2,
+        k=5, rerank=8,
+    )
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall@5 of all FIVE approximate tiers (lsh, ivf, sq,
-    ivf_sq — r08; pq — r09) vs the exact baseline — the approximate
-    tiers' quality as driver-verified numbers. All geometry pinned
-    explicitly to match the oracle rather than relying on shared
-    defaults."""
+    """Measured recall@5 of all SIX approximate tiers (lsh, ivf, sq,
+    ivf_sq — r08; pq, ivf_pq — r09) vs the exact baseline — the
+    approximate tiers' quality as driver-verified numbers. All
+    geometry pinned explicitly to match the oracle rather than relying
+    on shared defaults."""
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.recall_probe(
         vecs, vecs.filter(F.col("vec_id") < 10),
@@ -1485,15 +1502,18 @@ _MUST_VERIFY_R09 = [
     # self-joined. Displaces ann_topk (untouched, r07-green, r10
     # queue head).
     "dedup_against",
-    # NEW op r09 (third wave): product-quantized ANN top-k — the
+    # NEW ops r09 (third wave): product-quantized ANN top-k — the
     # fixed-integer-grid ADC that closes sq_topk's open PQ design
     # note; codebooks re-derived (never literal-injected) by the
-    # oracle's CTE k-means. Displaces dedup_simhash.
-    "ann_pq_topk",
-    # impl+oracle changed r09: recall_probe now measures all FIVE
-    # approximate tiers (pq joined lsh/ivf/sq/ivf_sq), so ann_recall's
-    # plan and rendered SQL both changed — re-certifies in-window,
-    # displacing decontaminate (untouched, r07-green, r10 queue).
+    # oracle's CTE k-means — and its IVF composition, the full
+    # production IVF_PQ shape. Displace dedup_simhash and
+    # dedup_minhash.
+    "ann_pq_topk", "ann_ivf_pq_topk",
+    # impl+oracle changed r09: recall_probe now measures all SIX
+    # approximate tiers (pq and ivf_pq joined lsh/ivf/sq/ivf_sq), so
+    # ann_recall's plan and rendered SQL both changed — re-certifies
+    # in-window, displacing decontaminate (untouched, r07-green, r10
+    # queue).
     "ann_recall",
 ]
 
@@ -1514,13 +1534,13 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 12 oldest r07-green rows (r07 window order; ann_topk,
-    # dedup_simhash, and decontaminate were displaced by the
-    # dedup_against / ann_pq_topk / ann_recall waves and head the
-    # r10 queue)
+    # the 11 oldest r07-green rows (r07 window order; ann_topk,
+    # dedup_minhash, dedup_simhash, and decontaminate were displaced
+    # by the dedup_against / ann_pq_topk / ann_ivf_pq_topk /
+    # ann_recall waves and head the r10 queue)
     "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
     "events_retention_cohorts", "text_stats", "lang_id", "doc_fingerprint",
-    "quality_filter", "doc_repetition", "dedup_exact", "dedup_minhash",
+    "quality_filter", "doc_repetition", "dedup_exact",
 ]
 
 
@@ -1551,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_resample": _q_importance_resample,
         "dedup_against": _q_dedup_against,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "ann_recall": _q_ann_recall,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
@@ -1596,11 +1617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "doc_repetition": _q_doc_repetition,
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
         # of the r10 queue (ann_topk displaced by dedup_against)
         "ann_topk": _q_ann_topk,
+        "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "decontaminate": _q_decontaminate,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -2630,6 +2651,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_pq_topk": similarity.oracle_pq_topk_sql(
             m_sub=8, n_codes=16, n_iters=2, k=5, rerank=8
+        ),
+        "ann_ivf_pq_topk": similarity.oracle_ivf_pq_topk_sql(
+            n_cells=8, n_probe=2, m_sub=8, n_codes=16, n_iters=2,
+            k=5, rerank=8,
         ),
         "ann_lsh_topk": similarity.oracle_lsh_topk_sql(n_planes=4, k=5),
         "ann_ivf_topk": similarity.oracle_ivf_topk_sql(

@@ -527,6 +527,74 @@ def _pq_train(
     return cents
 
 
+def _pq_codebooks(
+    v: DataFrame, id_col: str, dim: int, m_sub: int, n_codes: int,
+    n_iters: int,
+) -> tuple[dict, dict]:
+    """Train + densify + grid-encode the PQ codebooks. Densify: training
+    labels codes by SEED ID (the train_centroids convention), which is
+    sparse whenever ids below n_codes are missing or norm-dropped —
+    but the scoring path indexes the per-query LUT POSITIONALLY
+    (element_at), so a sparse label would read past the array (found
+    by the r09 vectors fuzz pass, seed 9501, promoted into the
+    committed fixtures). Relabel to dense 0..len-1 in sorted-label
+    order: order-preserving, so the argmin tie-break (lowest code)
+    matches the oracle's lowest-seed-id tie-break exactly — the oracle
+    keeps natural labels and joins codes to LUT by label, never
+    positionally. Grid encoding int(floor(c·2^20 + 0.5)) is exact on
+    identical cross-engine doubles."""
+    sub = dim // m_sub
+    cents = _pq_train(v, id_col, dim, m_sub, n_codes, n_iters)
+    cents = {
+        m: {pos: cents[m][j] for pos, j in enumerate(sorted(cents[m]))}
+        for m in cents
+    }
+    cint = {
+        m: {
+            j: [int(math.floor(c * PQ_GRID + 0.5)) for c in cv]
+            for j, cv in cents[m].items()
+        }
+        for m in cents
+    }
+    return cents, cint
+
+
+def _pq_codes_col(cents: dict, m_sub: int, sub: int):
+    return F.array(*[
+        F.expr(_pq_argmin_expr(cents[m], m * sub, sub))
+        for m in range(m_sub)
+    ])
+
+
+def _pq_qi_expr() -> str:
+    return (
+        f"transform(__nv, x -> cast(floor(x * {PQ_GRID}.0d + 0.5d) "
+        f"as bigint))"
+    )
+
+
+def _pq_lut_expr(cint: dict, m_sub: int, sub: int) -> str:
+    lut_rows = []
+    for m in range(m_sub):
+        entries = []
+        for j in sorted(cint[m]):
+            arr = "array(" + ", ".join(f"{x}L" for x in cint[m][j]) + ")"
+            entries.append(
+                f"aggregate(zip_with(slice(__qi, {m * sub + 1}, {sub}), "
+                f"{arr}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+            )
+        lut_rows.append(f"array({', '.join(entries)})")
+    return f"array({', '.join(lut_rows)})"
+
+
+def _pq_iscore(m_sub: int):
+    return F.expr(
+        f"aggregate(sequence(0, {m_sub - 1}), 0L, (acc, m) -> "
+        f"acc + element_at(element_at(__lut, m + 1), "
+        f"element_at(__codes, m + 1) + 1))"
+    )
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -590,51 +658,13 @@ def pq_topk(
             dim, "pq_topk",
         ).withColumn("__nv", F.expr(nv))
     )
-    cents = _pq_train(v, id_col, dim, m_sub, n_codes, n_iters)
-    # densify code labels: training labels codes by SEED ID (the
-    # train_centroids convention), which is sparse whenever ids below
-    # n_codes are missing or norm-dropped — but the scoring path below
-    # indexes the per-query LUT POSITIONALLY (element_at), so a sparse
-    # label would read past the array (found by the r09 vectors fuzz
-    # pass, seed 9501). Relabel to dense 0..len-1 in sorted-label
-    # order: order-preserving, so the argmin tie-break (lowest code)
-    # matches the oracle's lowest-seed-id tie-break exactly — the
-    # oracle keeps natural labels and joins codes to LUT by label,
-    # never positionally.
-    cents = {
-        m: {pos: cents[m][j] for pos, j in enumerate(sorted(cents[m]))}
-        for m in cents
-    }
-    # grid-encoded centroids (identical doubles cross-engine -> identical
-    # ints): int(floor(c * 2^20 + 0.5)) inlined as literals
-    cint = {
-        m: {
-            j: [int(math.floor(c * PQ_GRID + 0.5)) for c in cv]
-            for j, cv in cents[m].items()
-        }
-        for m in cents
-    }
-    codes_expr = F.array(*[
-        F.expr(_pq_argmin_expr(cents[m], m * sub, sub))
-        for m in range(m_sub)
-    ])
+    cents, cint = _pq_codebooks(v, id_col, dim, m_sub, n_codes, n_iters)
     a = v.select(
         F.col(id_col),
         F.col("__v").alias("__av"),
         F.col("__nrm").alias("__anrm"),
-        codes_expr.alias("__codes"),
+        _pq_codes_col(cents, m_sub, sub).alias("__codes"),
     )
-    qi = f"transform(__nv, x -> cast(floor(x * {PQ_GRID}.0d + 0.5d) as bigint))"
-    lut_rows = []
-    for m in range(m_sub):
-        entries = []
-        for j in sorted(cint[m]):
-            arr = "array(" + ", ".join(f"{x}L" for x in cint[m][j]) + ")"
-            entries.append(
-                f"aggregate(zip_with(slice(__qi, {m * sub + 1}, {sub}), "
-                f"{arr}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-            )
-        lut_rows.append(f"array({', '.join(entries)})")
     q = (
         _require_dim(
             _with_norm(
@@ -644,19 +674,15 @@ def pq_topk(
             dim, "pq_topk",
         )
         .withColumn("__nv", F.expr(nv))
-        .withColumn("__qi", F.expr(qi))
+        .withColumn("__qi", F.expr(_pq_qi_expr()))
         .select(
             "query_id",
             F.col("__v").alias("__qv"),
             F.col("__nrm").alias("__qnrm"),
-            F.expr(f"array({', '.join(lut_rows)})").alias("__lut"),
+            F.expr(_pq_lut_expr(cint, m_sub, sub)).alias("__lut"),
         )
     )
-    iscore = F.expr(
-        f"aggregate(sequence(0, {m_sub - 1}), 0L, (acc, m) -> "
-        f"acc + element_at(element_at(__lut, m + 1), "
-        f"element_at(__codes, m + 1) + 1))"
-    )
+    iscore = _pq_iscore(m_sub)
     scored = (
         a.crossJoin(broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -1278,6 +1304,266 @@ def oracle_ivf_sq_topk_sql(
     """
 
 
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    k: int = 5,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVF × product quantization — the full production IVF_PQ shape
+    (Faiss ``IVFx,PQy`` / Milvus ``IVF_PQ``): the coarse quantizer of
+    :func:`ivf_topk` prunes each query's search to its ``n_probe``
+    nearest cells, and WITHIN the probed cells candidates are ranked
+    by :func:`pq_topk`'s integer ADC sum (fixed-grid int64 table
+    lookups — candidate order bit-identical in the DuckDB oracle by
+    construction); the top ``rerank·k`` per query re-rank by exact
+    cosine. Output (query_id, vec_id, cosine, approx, rank).
+
+    The non-residual variant: PQ codebooks are trained on the full
+    normalized vectors, not on per-cell residuals (Faiss's default
+    encodes residuals for tighter codes; the non-residual form — what
+    Faiss calls ``IVFPQFastScan``'s layout and many warehouse systems
+    ship — keeps ONE codebook set shared across cells, which is what
+    lets the oracle re-derive training with a single CTE chain and the
+    codes stay valid if a vector migrates cells on retrain).
+
+    At 100 TB this is the endgame composition: IVF bounds WHICH
+    vectors are touched (cell population × probes), PQ bounds what
+    touching one COSTS — ``m_sub`` bytes of codes per vector (32×
+    smaller than float32 at dim 64) and ``m_sub`` integer table
+    lookups per pair, with exact math only on rerank·k survivors.
+    Both parents' contracts carry over: broadcast coarse codebook +
+    single cell-keyed shuffle from ivf_topk, integer-exact candidate
+    selection from pq_topk; converges to :func:`ivf_topk` at full
+    rerank (pinned in tests)."""
+    if dim % m_sub:
+        raise ValueError(
+            f"ivf_pq_topk: dim {dim} not divisible by m_sub {m_sub}"
+        )
+    sub = dim // m_sub
+    cents = broadcast(
+        _with_norm(
+            vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
+            vec_col,
+        ).select(
+            F.col(id_col).alias("__cell"),
+            F.col("__v").alias("__cv"),
+            F.col("__nrm").alias("__cn"),
+        )
+    )
+    score = F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
+
+    def assign(df: DataFrame, id_out: str, rank_limit: int) -> DataFrame:
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("__score").desc(), F.col("__cell").asc()
+        )
+        return (
+            df.crossJoin(cents)
+            .withColumn("__score", score)
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= rank_limit)
+            .drop("__cv", "__cn", "__score", "__cr")
+        )
+
+    nv = "transform(__v, x -> x / __nrm)"
+    base = pin(
+        _require_dim(
+            _with_norm(spread(vectors, id_col).select(id_col, vec_col),
+                       vec_col),
+            dim, "ivf_pq_topk",
+        ).withColumn("__nv", F.expr(nv))
+    )
+    pq_cents, cint = _pq_codebooks(base, id_col, dim, m_sub, n_codes,
+                                   n_iters)
+    a = assign(base, id_col, 1).select(
+        F.col(id_col),
+        F.col("__cell"),
+        F.col("__v").alias("__av"),
+        F.col("__nrm").alias("__anrm"),
+        _pq_codes_col(pq_cents, m_sub, sub).alias("__codes"),
+    )
+    q = assign(
+        _require_dim(
+            _with_norm(
+                queries.select(F.col(id_col).alias("query_id"), vec_col),
+                vec_col,
+            ),
+            dim, "ivf_pq_topk",
+        )
+        .withColumn("__nv", F.expr(nv))
+        .withColumn("__qi", F.expr(_pq_qi_expr()))
+        .select("query_id", "__v", "__nrm", "__qi"),
+        "query_id", n_probe,
+    ).select(
+        "query_id",
+        "__cell",
+        F.col("__v").alias("__qv"),
+        F.col("__nrm").alias("__qnrm"),
+        F.expr(_pq_lut_expr(cint, m_sub, sub)).alias("__lut"),
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("__is").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        a.join(q, "__cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__is", _pq_iscore(m_sub))
+        .withColumn("__cr", F.row_number().over(w_cand))
+        .filter(F.col("__cr") <= rerank * k)
+    )
+    cos = F.expr(_dot("__av", "__qv")) / (F.col("__anrm") * F.col("__qnrm"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__cos", cos)
+        .withColumn(
+            "__appx",
+            F.col("__is").cast("double") / F.lit(float(PQ_GRID) ** 2),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("__cos", 6).alias("cosine"),
+            F.round("__appx", 6).alias("approx"),
+            "rank",
+        )
+    )
+
+
+def oracle_ivf_pq_topk_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_filter: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    k: int = 5,
+    rerank: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk` — the ivf_topk oracle's
+    coarse assignment composed with the pq_topk oracle's re-derived
+    codebooks, integer ADC ranking, and exact re-rank."""
+    sub = dim // m_sub
+    kmeans, final = _duck_pq_kmeans_ctes(dim, m_sub, n_codes, n_iters,
+                                         id_col)
+    cdot = _duck_dot("x.__v", "c.__v", dim)
+    dist = (
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(x.__nv[c.__m * {sub} + i] - c.__cv[i]) "
+        f"* (x.__nv[c.__m * {sub} + i] - c.__cv[i])))"
+    )
+    dot = _duck_dot("a.__av", "q.__qv", dim)
+    r = rerank * k
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+        sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
+    ),
+    nn AS (
+      SELECT {id_col}, __v, __nrm,
+        list_transform(__v, x -> x / __nrm) AS __nv
+      FROM n
+    ),
+    {kmeans},
+    ci AS (
+      SELECT __m, __j,
+        list_transform(__cv,
+                       x -> CAST(floor(x * {PQ_GRID}.0 + 0.5) AS BIGINT))
+          AS __ci
+      FROM {final}
+    ),
+    cents AS (SELECT {id_col}, __v, __nrm FROM n WHERE {id_col} < {n_cells}),
+    cell_a AS (
+      SELECT x.{id_col}, c.{id_col} AS __cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__nrm) DESC, c.{id_col} ASC) AS cr
+      FROM n x, cents c
+      QUALIFY cr = 1
+    ),
+    codes AS (
+      SELECT x.{id_col}, c.__m, c.__j,
+        row_number() OVER (PARTITION BY x.{id_col}, c.__m
+          ORDER BY {dist} ASC, c.__j ASC) AS cr
+      FROM nn x, {final} c
+      QUALIFY cr = 1
+    ),
+    probes AS (
+      SELECT x.{id_col} AS query_id, c.{id_col} AS __cell,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__nrm) DESC, c.{id_col} ASC) AS cr
+      FROM n x, cents c
+      WHERE {query_filter.replace(id_col, 'x.' + id_col)}
+      QUALIFY cr <= {n_probe}
+    ),
+    qn AS (
+      SELECT {id_col} AS query_id, __v AS __qv, __nrm AS __qn,
+        list_transform(__nv,
+                       x -> CAST(floor(x * {PQ_GRID}.0 + 0.5) AS BIGINT))
+          AS __qi
+      FROM nn WHERE {query_filter}
+    ),
+    lut AS (
+      SELECT q.query_id, c.__m, c.__j,
+        list_sum(list_transform(range(1, {sub + 1}),
+                 i -> q.__qi[c.__m * {sub} + i] * c.__ci[i])) AS __val
+      FROM qn q CROSS JOIN ci c
+    ),
+    scored AS (
+      SELECT a.{id_col}, p.query_id,
+        CAST(sum(l.__val) AS BIGINT) AS __is
+      FROM cell_a a
+      JOIN probes p ON p.__cell = a.__cell
+      JOIN codes cd ON cd.{id_col} = a.{id_col}
+      JOIN lut l ON l.query_id = p.query_id
+        AND l.__m = cd.__m AND l.__j = cd.__j
+      WHERE a.{id_col} <> p.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT s.{id_col}, s.query_id, s.__is,
+        row_number() OVER (
+          PARTITION BY s.query_id ORDER BY s.__is DESC, s.{id_col} ASC
+        ) AS __cr
+      FROM scored s QUALIFY __cr <= {r}
+    ),
+    rer AS (
+      SELECT c.query_id, c.{id_col},
+        CAST(c.__is AS DOUBLE) / {float(PQ_GRID) ** 2!r} AS __appx,
+        {dot} / (a.__nrm * q.__qn) AS __cos
+      FROM cand c
+      JOIN (SELECT {id_col}, __v AS __av, __nrm FROM nn) a USING ({id_col})
+      JOIN qn q ON q.query_id = c.query_id
+    )
+    SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
+           round(__appx, 6) AS approx,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM rer
+    WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
+    """
+
+
 def recall_probe(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1300,8 +1586,9 @@ def recall_probe(
     exact top-k (query, neighbor) pairs it also returns. Output one row
     per method: (method, hits, possible, recall). Since r08 the probe
     covers lsh, ivf, sq (int8 scalar quantization), and ivf_sq (the
-    IVF_SQ8 composition); r09 adds the fifth rung, pq (product
-    quantization, 32× compression) — so every rung of the
+    IVF_SQ8 composition); r09 adds pq (product quantization, 32×
+    compression) and ivf_pq (the production IVF_PQ composite) —
+    six rungs, so every step of the
     accuracy/cost ladder carries a driver-verified quality number. The
     synthetic corpus is PQ's worst case (no cluster structure for the
     per-subspace codebooks to exploit), which is exactly why its
@@ -1364,12 +1651,18 @@ def recall_probe(
         m_sub=pq_m_sub, n_codes=pq_codes, n_iters=pq_iters, k=k,
         rerank=pq_rerank,
     )
+    ivf_pq = ivf_pq_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
+        n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank,
+    )
     return (
         one(lsh, "lsh")
         .unionByName(one(ivf, "ivf"))
         .unionByName(one(sq, "sq"))
         .unionByName(one(ivf_sq, "ivf_sq"))
         .unionByName(one(pq, "pq"))
+        .unionByName(one(ivf_pq, "ivf_pq"))
     )
 
 
@@ -1405,6 +1698,10 @@ def oracle_recall_probe_sql(
         **common, m_sub=pq_m_sub, n_codes=pq_codes, n_iters=pq_iters,
         rerank=pq_rerank,
     )
+    ivf_pq = oracle_ivf_pq_topk_sql(
+        **common, n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
+        n_codes=pq_codes, n_iters=pq_iters, rerank=pq_rerank,
+    )
     recall = (
         f"SELECT count(a.query_id) AS hits, count(*) AS possible,\n"
         f"  round(count(a.query_id)::DOUBLE / nullif(count(*), 0), 6)"
@@ -1418,7 +1715,8 @@ def oracle_recall_probe_sql(
     ivf AS ({ivf}),
     sq AS ({sq}),
     ivf_sq AS ({ivf_sq}),
-    pq AS ({pq})
+    pq AS ({pq}),
+    ivf_pq AS ({ivf_pq})
     SELECT 'lsh' AS method, * FROM ({recall.format(m='lsh')})
     UNION ALL
     SELECT 'ivf' AS method, * FROM ({recall.format(m='ivf')})
@@ -1428,6 +1726,8 @@ def oracle_recall_probe_sql(
     SELECT 'ivf_sq' AS method, * FROM ({recall.format(m='ivf_sq')})
     UNION ALL
     SELECT 'pq' AS method, * FROM ({recall.format(m='pq')})
+    UNION ALL
+    SELECT 'ivf_pq' AS method, * FROM ({recall.format(m='ivf_pq')})
     """
 
 

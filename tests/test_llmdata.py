@@ -2038,3 +2038,65 @@ def test_pq_topk_matches_oracle_across_geometries(spark):
         )
         assert sdf.shape == odf.shape and len(sdf) > 0, (m_sub, n_codes)
         assert (sdf.values == odf.values).all(), (m_sub, n_codes, n_iters)
+
+
+def test_ivf_pq_topk_converges_and_matches_oracle(spark):
+    """IVF×PQ (NEW r09): when rerank·k covers every probed cell's
+    population the integer ADC stage is a no-op filter and the exact
+    re-rank must reproduce plain ivf_topk's frame EXACTLY; at the
+    production rerank it stays a high-recall subset ranked by true
+    cosine; and the whole composite — CTE-re-derived codebooks, cell
+    assignment, ADC ranking, re-rank — is bit-exact vs the DuckDB twin
+    across geometries."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").cache()
+    qs = vecs.filter(F.col("vec_id") < 10)
+    n = vecs.count()
+    ivf = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in similarity.ivf_topk(
+            vecs, qs, n_cells=8, n_probe=2, k=5
+        ).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in similarity.ivf_pq_topk(
+            vecs, qs, n_cells=8, n_probe=2, n_codes=16, k=5,
+            rerank=(n // 5) + 1,
+        ).collect()
+    }
+    assert full == ivf
+    prod = similarity.ivf_pq_topk(
+        vecs, qs, n_cells=8, n_probe=2, n_codes=16, k=5, rerank=8
+    ).collect()
+    for r in prod:
+        key = (r["query_id"], r["vec_id"])
+        if key in ivf:
+            assert r["cosine"] == ivf[key][0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    for n_cells, n_probe, n_codes, rerank in ((8, 2, 16, 8), (4, 3, 8, 4)):
+        sdf = (
+            similarity.ivf_pq_topk(
+                vecs, qs, n_cells=n_cells, n_probe=n_probe,
+                n_codes=n_codes, k=5, rerank=rerank,
+            )
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        odf = (
+            con.execute(similarity.oracle_ivf_pq_topk_sql(
+                n_cells=n_cells, n_probe=n_probe, n_codes=n_codes,
+                k=5, rerank=rerank,
+            ))
+            .df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert sdf.shape == odf.shape and len(sdf) > 0, (n_cells, n_codes)
+        assert (sdf.values == odf.values).all(), (n_cells, n_probe, rerank)

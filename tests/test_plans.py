@@ -294,6 +294,17 @@ def test_ann_tier_broadcasts_query_side(psession):
     cand_pos = plan.index("__cr")
     lut_pos = plan.index("element_at(element_at(__lut")
     assert exact_pos < cand_pos < lut_pos, (exact_pos, cand_pos, lut_pos)
+    # ivf_pq_topk (r09): both parents' contracts — broadcast coarse
+    # codebook, cell-keyed candidate join (never all-pairs), integer
+    # table lookups only below the candidate filter
+    plan = plan_of(
+        similarity.ivf_pq_topk(emb, q, n_codes=16, k=5, rerank=8)
+    )
+    assert "BroadcastExchange" in plan, plan[:900]
+    assert re.search(r"Join \[__cell", plan) or "__cell" in plan, plan[:900]
+    exact_pos = plan.index("zip_with(__av")
+    lut_pos = plan.index("element_at(element_at(__lut")
+    assert exact_pos < lut_pos, (exact_pos, lut_pos)
 
 
 def test_dedup_tier_never_plans_all_pairs(psession):
