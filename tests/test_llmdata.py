@@ -398,6 +398,12 @@ def test_recall_probe_matches_manual_recall(spark):
             vecs, qs, n_codes=16, k=5, rerank=8
         ).collect()
     }
+    ivf_pq = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_pq_topk(
+            vecs, qs, n_cells=8, n_probe=2, n_codes=16, k=5, rerank=8
+        ).collect()
+    }
     got = {
         r["method"]: r
         for r in similarity.recall_probe(
@@ -405,11 +411,11 @@ def test_recall_probe_matches_manual_recall(spark):
             pq_codes=16, pq_rerank=8,
         ).collect()
     }
-    # all five rungs of the accuracy/cost ladder since r09
-    assert set(got) == {"lsh", "ivf", "sq", "ivf_sq", "pq"}
+    # all six rungs of the accuracy/cost ladder since r09
+    assert set(got) == {"lsh", "ivf", "sq", "ivf_sq", "pq", "ivf_pq"}
     for name, approx in [
         ("lsh", lsh), ("ivf", ivf), ("sq", sq), ("ivf_sq", ivf_sq),
-        ("pq", pq),
+        ("pq", pq), ("ivf_pq", ivf_pq),
     ]:
         r = got[name]
         assert r["possible"] == len(exact)
