@@ -1174,6 +1174,22 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(docs, k=5)
 
 
+# shared by _q_bm25_topk and its oracle entry — one definition so the
+# engine and oracle can never disagree on the query bag
+_BM25_TERMS = ("spark", "hash", "window", "merge")
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by BM25 relevance to a 4-term query bag (NEW
+    r09) — the per-QUERY retrieval direction complementing tfidf_topk's
+    per-doc keywords. Raw-ratio idf (no transcendental log) and
+    floored-integer scaled per-doc sums for cross-engine bit-exactness;
+    corpus stats (df, N, Σdl) derived from the corpus itself
+    (textstats.bm25_topk)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.bm25_topk(docs, terms=_BM25_TERMS, k=15)
+
+
 def _q_hashed_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed (signed hashing-trick) text embeddings,
     summarized to scalar integer signatures for the driver's byte-hash
@@ -1515,11 +1531,16 @@ _MUST_VERIFY_R09 = [
     # in-window, displacing decontaminate (untouched, r07-green, r10
     # queue).
     "ann_recall",
+    # NEW op r09 (fourth wave): BM25 retrieval top-k — the per-query
+    # ranking direction complementing tfidf_topk; raw-ratio idf and
+    # floored-integer scaled sums for bit-exactness. Displaces
+    # dedup_exact (untouched, r07-green, r10 queue).
+    "bm25_topk",
 ]
 
 # r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
-# row is r06 (queued oldest-first since r08) + the 15 oldest
-# r07-certified rows that fit the remaining slots (4 must-verify + 46
+# row is r06 (queued oldest-first since r08) + the 10 oldest
+# r07-certified rows that fit the remaining slots (9 must-verify + 41
 # rotation = 50). After this window no query's latest driver row is
 # older than r07.
 _ROTATE_R09 = [
@@ -1534,13 +1555,14 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 11 oldest r07-green rows (r07 window order; ann_topk,
-    # dedup_minhash, dedup_simhash, and decontaminate were displaced
-    # by the dedup_against / ann_pq_topk / ann_ivf_pq_topk /
-    # ann_recall waves and head the r10 queue)
+    # the 10 oldest r07-green rows (r07 window order; ann_topk,
+    # dedup_minhash, dedup_simhash, decontaminate, and dedup_exact
+    # were displaced by the dedup_against / ann_pq_topk /
+    # ann_ivf_pq_topk / ann_recall / bm25_topk waves and head the r10
+    # queue)
     "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
     "events_retention_cohorts", "text_stats", "lang_id", "doc_fingerprint",
-    "quality_filter", "doc_repetition", "dedup_exact",
+    "quality_filter", "doc_repetition",
 ]
 
 
@@ -1557,7 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r07-certified rows. After this round no query's latest driver row
     # is older than r07. The tail stays ordered oldest-first (remaining
     # r07 rows in r07 window order, then the r08-certified rows in r08
-    # window order) so r10 keeps rotating the same way; all 129 stay
+    # window order) so r10 keeps rotating the same way; all 133 stay
     # covered by the bit-level compare in scripts/check_oracle.py
     # locally, and tests/test_oracle_audit.py mechanically fails any
     # query whose rendered oracle/plan drifts without a
@@ -1573,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "ann_recall": _q_ann_recall,
+        "bm25_topk": _q_bm25_topk,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1616,10 +1639,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "quality_filter": _q_quality_filter,
         "doc_repetition": _q_doc_repetition,
-        "dedup_exact": _q_dedup_exact,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
-        # of the r10 queue (ann_topk displaced by dedup_against)
+        # of the r10 queue (dedup_exact displaced by bm25_topk,
+        # ann_topk by dedup_against)
+        "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -2551,6 +2575,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_sq_topk": similarity.oracle_ivf_sq_topk_sql(
             n_cells=8, n_probe=2, k=5, rerank=4
+        ),
+        "bm25_topk": textstats.oracle_bm25_topk_sql(
+            terms=_BM25_TERMS, k=15
         ),
         "audio_chunker": _CHUNKER_SQL,
         "padded_chunker": _PADDED_CHUNKER_SQL,

@@ -481,6 +481,15 @@ def _pq_train(
         .collect()
     )
     if not seed:
+        if v.isEmpty():
+            # top-k of an EMPTY corpus is empty, not an error — a
+            # 100 TB pipeline hits empty partitions/slices routinely
+            # and the DuckDB twin's CTE k-means over zero rows also
+            # yields zero rows (r09 empty-input sweep). Only the
+            # non-empty-but-unseedable corpus (every id < n_codes
+            # NULL/zero-norm: a mis-id'd corpus) stays LOUD, matching
+            # train_centroids' contract.
+            return {}
         raise ValueError(
             f"pq_topk: no nonzero-norm vectors with {id_col} < {n_codes} "
             f"to seed the codebooks — re-id the corpus or lower n_codes"
@@ -557,6 +566,21 @@ def _pq_codebooks(
         for m in cents
     }
     return cents, cint
+
+
+def _empty_pq_result(
+    vectors: DataFrame, queries: DataFrame, id_col: str
+) -> DataFrame:
+    """Schema-stable empty result for the PQ family on an EMPTY corpus
+    — the same five columns the scored path emits, id types mirrored
+    from the inputs so downstream unions/joins see no difference."""
+    qt = dict(queries.dtypes).get(id_col, "bigint")
+    vt = dict(vectors.dtypes).get(id_col, "bigint")
+    return vectors.sparkSession.createDataFrame(
+        [],
+        f"query_id {qt}, {id_col} {vt}, cosine double, approx double, "
+        "rank int",
+    )
 
 
 def _pq_codes_col(cents: dict, m_sub: int, sub: int):
@@ -659,6 +683,8 @@ def pq_topk(
         ).withColumn("__nv", F.expr(nv))
     )
     cents, cint = _pq_codebooks(v, id_col, dim, m_sub, n_codes, n_iters)
+    if not cents:
+        return _empty_pq_result(vectors, queries, id_col)
     a = v.select(
         F.col(id_col),
         F.col("__v").alias("__av"),
@@ -1384,6 +1410,8 @@ def ivf_pq_topk(
     )
     pq_cents, cint = _pq_codebooks(base, id_col, dim, m_sub, n_codes,
                                    n_iters)
+    if not pq_cents:
+        return _empty_pq_result(vectors, queries, id_col)
     a = assign(base, id_col, 1).select(
         F.col(id_col),
         F.col("__cell"),

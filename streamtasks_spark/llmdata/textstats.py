@@ -729,3 +729,203 @@ def oracle_hashed_tf_embed_sql(
       END AS embedding
     FROM pairs
     """
+
+
+# --------------------------------------------------------------- BM25
+
+def _bm25_score_expr(k1: float, b: float) -> str:
+    """The per-(doc, term) BM25 score as a SQL fragment shared VERBATIM
+    by the Spark plan and the DuckDB oracle — bit-exactness here comes
+    from both engines evaluating the IDENTICAL IEEE expression tree
+    (every division and multiplication is correctly rounded, so equal
+    trees over equal inputs give equal doubles; a re-parenthesized
+    twin would not). Expects columns ``__tf``, ``__df``, ``__dl``
+    (BIGINT-class) and the broadcast scalars ``__n``, ``__sdl``.
+
+    The idf is the RAW-RATIO variant ``(N+1)/(df+1)`` — the same
+    no-log member of the idf family :func:`tfidf_topk` uses and for
+    the same reason: ``ln`` is not an exactly-rounded IEEE op and
+    diverges between libm builds, so a log idf could flip a rank on a
+    last-ulp disagreement. Per term the two are monotone transforms;
+    across terms the raw ratio weights rarity more aggressively. The
+    saturation term is classic BM25/Okapi (Robertson & Zaragoza 2009):
+    ``tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`` with ``dl/avgdl``
+    expanded to ``dl·N/Σdl`` so it stays a two-integer-input division
+    chain instead of a pre-divided scalar."""
+    k1l = f"CAST({k1!r} AS DOUBLE)"
+    bl = f"CAST({b!r} AS DOUBLE)"
+    return (
+        "(CAST(__n + 1 AS DOUBLE) / CAST(__df + 1 AS DOUBLE)) * "
+        f"((CAST(__tf AS DOUBLE) * ({k1l} + CAST(1 AS DOUBLE))) / "
+        f"(CAST(__tf AS DOUBLE) + {k1l} * "
+        f"((CAST(1 AS DOUBLE) - {bl}) + {bl} * "
+        "((CAST(__dl AS DOUBLE) * CAST(__n AS DOUBLE)) / "
+        "CAST(__sdl AS DOUBLE)))))"
+    )
+
+
+# per-term scores are scaled by 1e6 and floored to an integer before
+# the per-document sum: integer (DECIMAL) sums are order-independent,
+# so the score is bit-reproducible across partitionings and engines —
+# summing raw doubles would depend on Spark's partial-agg combine
+# order. 1e-6 per-term granularity; ranks tie-break on the id anyway.
+# Envelope: floor(score·1e6) must stay exact in both engines' paths
+# (Spark floors to BIGINT, DuckDB to DOUBLE), i.e. below 2^53 —
+# score ≤ idf·(k1+1) ≈ 2.2·(N+1), so N up to ~4e9 documents is safe.
+_BM25_SCALE = "CAST(1000000 AS DOUBLE)"
+
+
+def _bm25_terms(terms) -> list[str]:
+    """Validate + normalize the query terms: lowercase (the corpus
+    tokenization lowercases, so an uppercase query term could never
+    match), drop duplicates, keep sorted for a deterministic plan."""
+    out = sorted({str(t).strip().lower() for t in terms} - {""})
+    if not out:
+        raise ValueError("bm25_topk: terms must contain a non-empty term")
+    return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    *,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 relevance to a bag of query
+    ``terms`` — the retrieval scorer behind corpus search / RAG
+    candidate generation, complementing :func:`tfidf_topk` (per-doc
+    keywords) with the per-QUERY ranking direction. Output:
+    (``doc_id``, ``n_terms_matched``, ``bm25``, ``rank``), rank 1..k
+    by (score desc, id asc); only documents matching ≥1 term appear.
+
+    Corpus statistics (df per term, N, Σdl) are derived from ``docs``
+    itself; tokenization is the corpus-wide convention
+    (:func:`~streamtasks_spark.llmdata.dedup.tokens_expr`). NULL-text
+    documents can never match and are excluded from N / Σdl (both
+    engines agree: ``count(__dl)`` skips NULL).
+
+    100 TB shape: ONE corpus scan; the token work (dl, per-term tf)
+    is NARROW — `size(filter(tokens, x = term))` per (doc, term) row
+    from exploding the literal terms array, never a (doc, token)
+    shuffle (contrast tfidf_topk, which must shuffle because its
+    vocabulary is unbounded — a query's term list is not). Per-term
+    document frequency is a ≤|terms|-row aggregate joined back as a
+    BROADCAST; N and Σdl attach as a broadcast single-row scalar (the
+    q11/q15/q22 pattern). The only wide op is the final per-doc sum
+    (one partial-agg shuffle, ≤|terms| rows per doc) and the global
+    top-k (TakeOrdered; rank attaches post-limit over k rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    tl = _bm25_terms(terms)
+    base = (
+        spread(docs, id_col)
+        .select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col), "__toks",
+            F.expr("size(__toks)").cast("bigint").alias("__dl"),
+        )
+    )
+    tot = base.agg(
+        F.count("__dl").alias("__n"), F.sum("__dl").alias("__sdl")
+    )
+    m = (
+        base.select(
+            F.col(id_col), "__toks", "__dl",
+            F.explode(F.array(*[F.lit(t) for t in tl])).alias("__term"),
+        )
+        .select(
+            F.col(id_col), "__dl", "__term",
+            F.expr("size(filter(__toks, x -> x = __term))")
+            .cast("bigint").alias("__tf"),
+        )
+        .filter(F.col("__tf") > 0)
+    )
+    dfreq = m.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        m.join(broadcast(dfreq), "__term")
+        .crossJoin(broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"CAST(floor(({_bm25_score_expr(k1, b)}) * {_BM25_SCALE}) "
+                "AS DECIMAL(38,0))"
+            ).alias("__sc"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("__sc").alias("__ssum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+    )
+    topk = agg.orderBy(F.col("__ssum").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("__ssum").desc(), F.col(id_col).asc())
+    return topk.select(
+        F.col(id_col),
+        "n_terms_matched",
+        (F.col("__ssum").cast("double") / F.expr(_BM25_SCALE)).alias("bm25"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def oracle_bm25_topk_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    *,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same shared score fragment,
+    same floored-integer scaled sum, df/N/Σdl re-derived in CTEs
+    (never literal-injected)."""
+    tl = _bm25_terms(terms)
+    vals = ", ".join("('" + t.replace("'", "''") + "')" for t in tl)
+    return f"""
+    WITH src AS ({source_sql}),
+    terms(__term) AS (VALUES {vals}),
+    base AS (
+      SELECT {id_col},
+             {tokens_expr(text_col, 'duck')} AS __toks,
+             CAST(len({tokens_expr(text_col, 'duck')}) AS BIGINT) AS __dl
+      FROM src
+    ),
+    tot AS (
+      SELECT CAST(count(__dl) AS BIGINT) AS __n,
+             CAST(sum(__dl) AS BIGINT) AS __sdl
+      FROM base
+    ),
+    m AS (
+      SELECT b.{id_col}, b.__dl, t.__term,
+             CAST(len(list_filter(b.__toks, x -> x = t.__term)) AS BIGINT)
+               AS __tf
+      FROM base b CROSS JOIN terms t
+    ),
+    mm AS (SELECT * FROM m WHERE __tf > 0),
+    dfreq AS (
+      SELECT __term, CAST(count(*) AS BIGINT) AS __df
+      FROM mm GROUP BY __term
+    ),
+    scored AS (
+      SELECT mm.{id_col},
+        CAST(floor(({_bm25_score_expr(k1, b)}) * {_BM25_SCALE})
+             AS DECIMAL(38,0)) AS __sc
+      FROM mm JOIN dfreq USING (__term), tot
+    ),
+    agg AS (
+      SELECT {id_col}, sum(__sc) AS __ssum,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM scored GROUP BY {id_col}
+    )
+    SELECT {id_col}, n_terms_matched,
+           CAST(__ssum AS DOUBLE) / {_BM25_SCALE} AS bm25,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM agg
+    WINDOW w AS (ORDER BY __ssum DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
+    """

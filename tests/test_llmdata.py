@@ -1443,6 +1443,102 @@ def test_tfidf_topk_matches_oracle_across_k(spark):
         assert (g.min() == 1).all() and (g.max() == g.count()).all()
 
 
+def test_bm25_topk_matches_oracle_across_geometries(spark):
+    """bm25_topk (r09): bit-exact vs DuckDB across (terms, k1, b, k)
+    geometries — the shared score fragment plus floored-integer scaled
+    sums make the per-doc score order-independent, so partial-agg
+    combine order cannot flip a rank."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import textstats
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    for terms, k1, b, k in (
+        (("spark", "hash"), 1.2, 0.75, 10),
+        (("spark", "hash", "window", "merge"), 1.2, 0.75, 15),
+        (("table",), 2.0, 0.0, 5),       # b=0: no length normalization
+        (("value", "row", "scan"), 0.9, 1.0, 25),  # b=1: full dl scaling
+    ):
+        sdf = (
+            textstats.bm25_topk(docs, terms=terms, k1=k1, b=b, k=k)
+            .toPandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        odf = (
+            con.execute(
+                textstats.oracle_bm25_topk_sql(terms=terms, k1=k1, b=b, k=k)
+            )
+            .df()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf), (terms, k)
+        assert list(sdf.columns) == list(odf.columns)
+        assert (sdf.values == odf.values).all(), (terms, k1, b, k)
+        assert (sdf["rank"] <= k).all()
+        assert (sdf["n_terms_matched"] >= 1).all()
+
+
+def test_bm25_topk_edges(spark):
+    """bm25_topk edges: unmatched terms → empty result; term
+    normalization lowercases (an uppercase query term still matches
+    the lowercased corpus tokens); empty/blank term bags raise; NULL
+    text neither matches nor contributes to corpus stats."""
+    import pytest as _pytest
+
+    from streamtasks_spark.llmdata import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta"), (3, None)],
+        "doc_id long, text string",
+    )
+    assert textstats.bm25_topk(docs, terms=("zzz",), k=5).count() == 0
+    up = {r["doc_id"]: r["rank"]
+          for r in textstats.bm25_topk(docs, terms=("ALPHA ",), k=5).collect()}
+    # doc 2 has tf=2 of alpha and equal dl → outranks doc 1
+    assert up == {2: 1, 1: 2}
+    with _pytest.raises(ValueError, match="non-empty term"):
+        textstats.bm25_topk(docs, terms=())
+    with _pytest.raises(ValueError, match="non-empty term"):
+        textstats.bm25_topk(docs, terms=("  ",))
+
+
+def test_pq_family_empty_corpus_is_empty_not_loud(spark):
+    """pq_topk/ivf_pq_topk (r09 empty-input sweep): an EMPTY corpus
+    returns an empty, schema-stable result — only the non-empty but
+    unseedable corpus (no usable ids below n_codes) raises the loud
+    codebook error."""
+    import pytest as _pytest
+
+    from streamtasks_spark.llmdata import similarity
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<float>"
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    for fn in (similarity.pq_topk, similarity.ivf_pq_topk):
+        out = fn(empty, q, n_codes=16, k=5)
+        assert out.columns == [
+            "query_id", "vec_id", "cosine", "approx", "rank"
+        ]
+        assert out.count() == 0
+    # non-empty but unseedable (all ids >= n_codes) stays loud
+    high = spark.createDataFrame(
+        [(100, [1.0] * 64)], "vec_id long, embedding array<float>"
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    with _pytest.raises(ValueError, match="seed the codebook"):
+        similarity.pq_topk(high, q, n_codes=16, k=5)
+
+
 def _sem_index_cls():
     from streamtasks_spark.llmdata.similarity import SemDedupIndex
 

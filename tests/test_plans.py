@@ -773,6 +773,34 @@ def test_importance_resample_adds_no_shuffle_over_dsir(psession):
     )
 
 
+def test_bm25_topk_is_narrow_tf_broadcast_stats(psession):
+    """bm25_topk's scale contract: the per-term tf is NARROW
+    (size(filter(tokens, …)) over the literal query bag — never a
+    (doc, token) shuffle like tfidf's unbounded vocabulary forces),
+    corpus stats attach as broadcasts (df per term, the N/Σdl scalar),
+    the final top-k is TakeOrdered (no global sort materialization),
+    and everything stays JVM-side."""
+    from streamtasks_spark.llmdata import textstats
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(
+        textstats.bm25_topk(docs, terms=("spark", "hash"), k=10)
+    )
+    assert "EvalPython" not in plan, plan[:600]
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "SortMergeJoin" not in plan, plan[:600]
+    assert "BroadcastExchange" in plan, plan[:600]
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+    # the narrow tf: a lambda-filter over the token array per (doc,
+    # term) row, visible as size(filter(...)) in the projection
+    assert re.search(r"size\(filter\(", plan), plan[:900]
+    # shuffles: one term-keyed partial-agg (≤|terms| rows per map
+    # task), one doc-keyed sum — never a raw token-stream exchange
+    parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(parts) <= {"__term", "doc_id"}, parts
+
+
 def test_shuffle_shards_window_is_per_shard_not_global(psession):
     """The training-shuffle addressing must window PER SHARD — a global
     row_number (empty partition spec) would funnel the corpus through
