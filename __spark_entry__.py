@@ -435,6 +435,32 @@ def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (NEW r09): the 'new crawl'
+    slice (doc_id % 3 == 0, the dedup_against split) probed against
+    the remaining corpus's bloom bit-set — per new doc, how many of
+    its 5 md5-derived bits are set and whether ALL are (maybe_dup:
+    no false negatives, deterministic false positives). The cheap
+    first gate production ingest stacks in front of dedup_against's
+    exact verification (dedup.bloom_dedup)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return dedup.bloom_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        m_bits=65536,
+        n_hashes=5,
+    )
+
+
+def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score (NEW r09): unigram_lm's integer-mass
+    scoring over word-PAIR units — the contextual-fluency rung of the
+    CCNet-style ladder; word-salad with plausible unigrams scores near
+    zero because its adjacent pairs never recur (quality.ngram_lm)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return quality.ngram_lm(docs, n=2, vocab_size=256)
+
+
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style substring dedup, distributed: per-doc fraction
     of 16-char grams shared with any other document (Lee et al. ACL'22
@@ -1536,11 +1562,19 @@ _MUST_VERIFY_R09 = [
     # floored-integer scaled sums for bit-exactness. Displaces
     # dedup_exact (untouched, r07-green, r10 queue).
     "bm25_topk",
+    # NEW ops r09 (fifth wave): bloom-filter membership pre-filter for
+    # incremental ingest (deterministic md5-derived bit positions, so
+    # even the false positives are bit-reproducible in the oracle) and
+    # the n-gram generalization of the LM quality scorer (bigram
+    # fluency: word-salad with plausible unigrams scores near zero).
+    # Displace quality_filter and doc_repetition (untouched, r07-green,
+    # r10 queue).
+    "bloom_dedup", "ngram_lm",
 ]
 
 # r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
-# row is r06 (queued oldest-first since r08) + the 10 oldest
-# r07-certified rows that fit the remaining slots (9 must-verify + 41
+# row is r06 (queued oldest-first since r08) + the 8 oldest
+# r07-certified rows that fit the remaining slots (11 must-verify + 39
 # rotation = 50). After this window no query's latest driver row is
 # older than r07.
 _ROTATE_R09 = [
@@ -1555,14 +1589,13 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 10 oldest r07-green rows (r07 window order; ann_topk,
-    # dedup_minhash, dedup_simhash, decontaminate, and dedup_exact
-    # were displaced by the dedup_against / ann_pq_topk /
-    # ann_ivf_pq_topk / ann_recall / bm25_topk waves and head the r10
-    # queue)
+    # the 8 oldest r07-green rows (r07 window order; ann_topk,
+    # dedup_minhash, dedup_simhash, decontaminate, dedup_exact,
+    # quality_filter, and doc_repetition were displaced by the
+    # dedup_against / ann_pq_topk / ann_ivf_pq_topk / ann_recall /
+    # bm25_topk / bloom_dedup / ngram_lm waves and head the r10 queue)
     "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
     "events_retention_cohorts", "text_stats", "lang_id", "doc_fingerprint",
-    "quality_filter", "doc_repetition",
 ]
 
 
@@ -1579,7 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r07-certified rows. After this round no query's latest driver row
     # is older than r07. The tail stays ordered oldest-first (remaining
     # r07 rows in r07 window order, then the r08-certified rows in r08
-    # window order) so r10 keeps rotating the same way; all 133 stay
+    # window order) so r10 keeps rotating the same way; all 135 stay
     # covered by the bit-level compare in scripts/check_oracle.py
     # locally, and tests/test_oracle_audit.py mechanically fails any
     # query whose rendered oracle/plan drifts without a
@@ -1596,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "ann_recall": _q_ann_recall,
         "bm25_topk": _q_bm25_topk,
+        "bloom_dedup": _q_bloom_dedup,
+        "ngram_lm": _q_ngram_lm,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1637,12 +1672,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
-        "quality_filter": _q_quality_filter,
-        "doc_repetition": _q_doc_repetition,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
-        # of the r10 queue (dedup_exact displaced by bm25_topk,
-        # ann_topk by dedup_against)
+        # of the r10 queue (quality_filter/doc_repetition displaced by
+        # bloom_dedup/ngram_lm, dedup_exact by bm25_topk, ann_topk by
+        # dedup_against)
+        "quality_filter": _q_quality_filter,
+        "doc_repetition": _q_doc_repetition,
         "dedup_exact": _q_dedup_exact,
         "ann_topk": _q_ann_topk,
         "dedup_minhash": _q_dedup_minhash,
@@ -2579,6 +2615,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": textstats.oracle_bm25_topk_sql(
             terms=_BM25_TERMS, k=15
         ),
+        "bloom_dedup": dedup.oracle_bloom_dedup_sql(
+            m_bits=65536, n_hashes=5
+        ),
+        "ngram_lm": quality.oracle_ngram_lm_sql(n=2, vocab_size=256),
         "audio_chunker": _CHUNKER_SQL,
         "padded_chunker": _PADDED_CHUNKER_SQL,
         "audio_smoother": _SMOOTHER_SQL,

@@ -1043,6 +1043,125 @@ def oracle_dedup_against_sql(
     """
 
 
+# ------------------------------------------------------------ bloom dedup
+
+def _bloom_pos_expr(
+    key: str, n_hashes: int, m_bits: int, engine: str = "spark"
+) -> str:
+    """The ``n_hashes`` bloom bit positions of a key as a SQL array
+    fragment — position j = md5-prefix48("j:" + key) mod ``m_bits``,
+    the repo's standard cross-engine hash (the hashed_tf_embed /
+    MinHash-shingle family; 12 hex chars = 48 bits keeps the value
+    positive, so DuckDB's ``%`` equals Spark's ``pmod``). The index
+    array is the OUTER constructor in both engines, so a NULL key
+    yields ``n_hashes`` NULL elements (never a NULL/empty array) and
+    explode/unnest keep the row count identical cross-engine."""
+    if engine == "spark":
+        return (
+            f"transform(sequence(0, {n_hashes - 1}), j -> "
+            f"pmod(cast(conv(substring(md5(concat(cast(j as string), ':', "
+            f"{key})), 1, 12), 16, 10) as bigint), {m_bits}))"
+        )
+    return (
+        f"list_transform(range(0, {n_hashes}), j -> "
+        f"cast('0x' || substr(md5(concat(cast(j as varchar), ':', "
+        f"{key})), 1, 12) AS BIGINT) % {m_bits})"
+    )
+
+
+def bloom_dedup(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental ingest: flag
+    each NEW document whose exact-dedup key (md5 of normalized text,
+    the :func:`dedup_exact` convention) is *possibly* already in the
+    REFERENCE corpus — ``(doc_id, n_bits_hit, maybe_dup)``, where
+    ``maybe_dup`` means all ``n_hashes`` bloom bits are set. Classic
+    bloom semantics: NO false negatives (a doc whose normalized text
+    is in the reference is always flagged — the property test), a
+    deterministic false-positive rate governed by the fill ratio
+    (≈ (n_ref·n_hashes/m_bits)^n_hashes) — the cheap first gate in
+    front of :func:`dedup_against`'s exact verification, the way
+    production ingest stacks a sketch in front of the pair join.
+
+    Everything is deterministic (md5-derived positions, no SQL
+    ``rand``), so the flags — false positives included — are
+    bit-reproducible in the DuckDB twin (:func:`oracle_bloom_dedup_sql`
+    re-derives the reference bit-set; it is never shipped as a
+    literal).
+
+    100 TB shape: the "filter" materializes as the DISTINCT set bit
+    positions (≤ min(n_ref·n_hashes, m_bits) rows ≈ a bitmap in
+    relational form) — broadcast when ``m_bits`` is bounded (the
+    default 2^20 → ≤1M longs), a position-keyed shuffle join past
+    that; the probe side is one narrow scan + an ``n_hashes``-way
+    explode. On a real cluster the same plan upgrades to Spark 3.5's
+    ``bitmap_construct_agg``/``getbit`` binary bitmaps without
+    changing the query shape — kept relational here so the oracle
+    stays engine-neutral. NULL-text docs can never match (NULL
+    positions join nothing) and report ``n_bits_hit = 0``."""
+    key = f"md5({norm_text(text_col)})"
+    pos = _bloom_pos_expr(key, n_hashes, m_bits, "spark")
+    ref_bits = (
+        spread(ref_docs, id_col)
+        .select(F.explode(F.expr(pos)).alias("__pos"))
+        .filter(F.col("__pos").isNotNull())
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    if m_bits <= (1 << 22):
+        ref_bits = F.broadcast(ref_bits)
+    probe = spread(new_docs, id_col).select(
+        F.col(id_col), F.explode(F.expr(pos)).alias("__pos")
+    )
+    return (
+        probe.join(ref_bits, "__pos", "left")
+        .groupBy(id_col)
+        .agg(F.count("__set").alias("n_bits_hit"))
+        .select(
+            id_col,
+            "n_bits_hit",
+            (F.col("n_bits_hit") == F.lit(n_hashes)).alias("maybe_dup"),
+        )
+    )
+
+
+def oracle_bloom_dedup_sql(
+    new_sql: str = "SELECT doc_id, text FROM documents "
+                   "WHERE doc_id % 3 = 0",
+    ref_sql: str = "SELECT doc_id, text FROM documents "
+                   "WHERE doc_id % 3 <> 0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> str:
+    key = f"md5({norm_text(text_col, 'duck')})"
+    pos = _bloom_pos_expr(key, n_hashes, m_bits, "duck")
+    return f"""
+    WITH refd AS ({ref_sql}),
+    newd AS ({new_sql}),
+    rp AS (
+      SELECT DISTINCT unnest({pos}) AS __pos FROM refd
+    ),
+    rpn AS (SELECT __pos, 1 AS __set FROM rp WHERE __pos IS NOT NULL),
+    np AS (
+      SELECT {id_col}, unnest({pos}) AS __pos FROM newd
+    )
+    SELECT np.{id_col},
+      CAST(count(rpn.__set) AS BIGINT) AS n_bits_hit,
+      CAST(count(rpn.__set) AS BIGINT) = {n_hashes} AS maybe_dup
+    FROM np LEFT JOIN rpn USING (__pos)
+    GROUP BY np.{id_col}
+    """
+
+
 # ---------------------------------------------------- connected components
 
 def connected_components(

@@ -375,6 +375,28 @@ def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _ngram_tokenized(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Like :func:`_tokenized` but the scoring units are space-joined
+    word n-grams: NULL text stays NULL (the all-NULL-row contract),
+    a doc with fewer than ``n`` words yields an EMPTY array (zero
+    scoring units → NULL ratios, the zero-token contract). The guard
+    matters: Spark's ``sequence(0, size-n)`` with size < n would
+    generate a DESCENDING sequence, not an empty one."""
+    grams = (
+        "CASE WHEN __w IS NULL THEN NULL "
+        f"WHEN size(__w) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(__w) - {n}), "
+        f"i -> concat_ws(' ', slice(__w, i + 1, {n}))) END"
+    )
+    return (
+        spread(docs, id_col)
+        .select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("__w"))
+        .select(F.col(id_col), F.expr(grams).alias("__toks"))
+    )
+
+
 def _unigram_train_on(
     base: DataFrame, vocab_size: int
 ) -> tuple[list[tuple[str, int]], int]:
@@ -501,11 +523,25 @@ def oracle_unigram_lm_sql(
     engines), same integer mass sums, same division sequence
     ``(Σc / n) / T`` so every double op is the identical correctly-
     rounded operation."""
+    return _lm_sql_body(
+        source_sql, id_col, tokens_expr(text_col, "duck"), vocab_size
+    )
+
+
+def _lm_sql_body(
+    source_sql: str, id_col: str, toks_sql: str, vocab_size: int
+) -> str:
+    """The LM-scoring oracle body shared by :func:`oracle_unigram_lm_sql`
+    and :func:`oracle_ngram_lm_sql` — the only difference between the
+    twins is the ``__toks`` scoring-unit expression, so sharing the
+    body keeps a NULL-handling or tie-break fix landing in both at
+    once (the r07 copy-pasted-fragment lesson). Renders byte-identical
+    SQL to the pre-refactor unigram oracle."""
     return f"""
     WITH src AS ({source_sql}),
     t AS (
       SELECT {id_col},
-        {tokens_expr(text_col, "duck")} AS __toks
+        {toks_sql} AS __toks
       FROM src
     ),
     ex AS (
@@ -560,6 +596,110 @@ def oracle_unigram_lm_sql(
     FROM tg LEFT JOIN scored s
       ON tg.{id_col} IS NOT DISTINCT FROM s.{id_col}
     """
+
+
+def ngram_lm(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    vocab_size: int = 256,
+) -> DataFrame:
+    """:func:`unigram_lm` generalized to word n-gram scoring units
+    (default bigrams) — the contextual-fluency step of the CCNet-style
+    quality ladder: word-salad whose unigrams are all plausible still
+    scores near zero here, because its ADJACENT PAIRS never recur in
+    the corpus. Train = top ``vocab_size`` n-grams by corpus count;
+    score = mean in-vocabulary n-gram mass, the same
+    integer-sum-then-two-divisions form (and the same no-``ln``
+    bit-exactness rationale) as the unigram scorer. Output schema is
+    identical (``n_tokens`` counts n-gram units); NULL text → all-NULL
+    row, a doc with fewer than ``n`` words has zero units → NULL
+    ratios.
+
+    This is the joint-probability (arithmetic-mean) variant, not a
+    conditional P(w₂|w₁) chain: per-unit CONDITIONAL probabilities
+    are ratios with per-unit denominators, and summing those fractions
+    cross-engine would reintroduce exactly the order-dependent double
+    accumulation the integer-mass design exists to avoid. Monotone for
+    the filtering use (threshold the low tail).
+
+    100 TB shape: identical to unigram_lm — one explode + one
+    groupBy(gram) shuffle with map-side combine for training, a
+    codebook-sized driver pull, broadcast-vocab scoring with partial
+    re-aggregation per doc; the n-gram expansion is NARROW (a
+    transform over the already-split token array). Same pin caveat:
+    bound long-lived sessions with
+    :func:`~streamtasks_spark.llmdata.dedup.pin_scope`."""
+    from streamtasks_spark.llmdata.dedup import pin
+
+    if n < 1:
+        raise ValueError(f"ngram_lm: n must be >= 1, got {n}")
+    base = pin(_ngram_tokenized(docs, id_col, text_col, n))
+    vocab_rows, total = _unigram_train_on(base, vocab_size)
+    return _unigram_score_on(base, docs.sparkSession, vocab_rows, total, id_col)
+
+
+def ngram_lm_train(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    vocab_size: int = 256,
+) -> tuple[list[tuple[str, int]], int]:
+    """Train stage of :func:`ngram_lm` alone — the frozen
+    ``(vocab, total)`` model over n-gram units, driver-small; feed it
+    to :func:`ngram_lm_score` or the streaming twin."""
+    if n < 1:
+        raise ValueError(f"ngram_lm: n must be >= 1, got {n}")
+    return _unigram_train_on(
+        _ngram_tokenized(docs, id_col, text_col, n), vocab_size
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    vocab: list[tuple[str, int]],
+    total: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Score stage of :func:`ngram_lm` against a FROZEN model from
+    :func:`ngram_lm_train` — same frozen-model purity contract as
+    :func:`unigram_lm_score` (a doc's score is a pure function of its
+    text and the model), so it drops into ``foreachBatch`` unchanged."""
+    if n < 1:
+        raise ValueError(f"ngram_lm: n must be >= 1, got {n}")
+    return _unigram_score_on(
+        _ngram_tokenized(docs, id_col, text_col, n),
+        docs.sparkSession, vocab, total, id_col,
+    )
+
+
+def oracle_ngram_lm_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    vocab_size: int = 256,
+) -> str:
+    """DuckDB twin of :func:`ngram_lm` — the shared LM body over the
+    n-gram scoring-unit expression (same <n-words → empty list, NULL →
+    NULL contract; DuckDB's ``range`` is end-exclusive so the
+    empty-vs-descending sequence hazard is Spark-side only, but the
+    CASE guard is kept structurally identical)."""
+    te = tokens_expr(text_col, "duck")
+    grams = (
+        f"CASE WHEN {te} IS NULL THEN NULL "
+        f"WHEN len({te}) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(0, len({te}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({te}, i + 1, i + {n}), ' ')) END"
+    )
+    return _lm_sql_body(source_sql, id_col, grams, vocab_size)
 
 
 def dsir_weights(

@@ -631,6 +631,7 @@ def pq_topk(
     n_iters: int = 2,
     k: int = 5,
     rerank: int = 4,
+    _cb: tuple[dict, dict] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via PRODUCT QUANTIZATION with exact
     re-rank — the highest-compression rung of the ANN family (Jégou,
@@ -682,7 +683,16 @@ def pq_topk(
             dim, "pq_topk",
         ).withColumn("__nv", F.expr(nv))
     )
-    cents, cint = _pq_codebooks(v, id_col, dim, m_sub, n_codes, n_iters)
+    # _cb: pre-trained codebooks from a caller that scores the SAME
+    # corpus under the same (dim, m_sub, n_codes, n_iters) — recall_probe
+    # trains once and shares between the pq and ivf_pq tiers (the
+    # values are bit-identical to a local train by construction, so
+    # results and the analyzed plan are unchanged; only the redundant
+    # training passes are saved)
+    cents, cint = (
+        _cb if _cb is not None
+        else _pq_codebooks(v, id_col, dim, m_sub, n_codes, n_iters)
+    )
     if not cents:
         return _empty_pq_result(vectors, queries, id_col)
     a = v.select(
@@ -1344,6 +1354,7 @@ def ivf_pq_topk(
     n_iters: int = 2,
     k: int = 5,
     rerank: int = 4,
+    _cb: tuple[dict, dict] | None = None,
 ) -> DataFrame:
     """IVF × product quantization — the full production IVF_PQ shape
     (Faiss ``IVFx,PQy`` / Milvus ``IVF_PQ``): the coarse quantizer of
@@ -1408,8 +1419,10 @@ def ivf_pq_topk(
             dim, "ivf_pq_topk",
         ).withColumn("__nv", F.expr(nv))
     )
-    pq_cents, cint = _pq_codebooks(base, id_col, dim, m_sub, n_codes,
-                                   n_iters)
+    pq_cents, cint = (
+        _cb if _cb is not None
+        else _pq_codebooks(base, id_col, dim, m_sub, n_codes, n_iters)
+    )
     if not pq_cents:
         return _empty_pq_result(vectors, queries, id_col)
     a = assign(base, id_col, 1).select(
@@ -1674,15 +1687,37 @@ def recall_probe(
         vectors, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
         n_probe=n_probe, k=k, rerank=rerank,
     )
+    # the pq and ivf_pq tiers train IDENTICAL codebooks (same corpus,
+    # same dim/m_sub/n_codes/n_iters; ivf_pq is the non-residual
+    # variant precisely so codebooks are cell-independent) — train
+    # once here and share, saving a full redundant training pass per
+    # probe (measured ~3 s of the probe's 8 s at sf0.1)
+    nv = "transform(__v, x -> x / __nrm)"
+    pq_base = pin(
+        _require_dim(
+            _with_norm(spread(vectors, id_col).select(id_col, vec_col),
+                       vec_col),
+            dim, "pq_topk",
+        ).withColumn("__nv", F.expr(nv))
+    )
+    try:
+        cb = _pq_codebooks(
+            pq_base, id_col, dim, pq_m_sub, pq_codes, pq_iters
+        )
+    finally:
+        # pq_base feeds only the training collects above, never the
+        # returned plan (each tier builds its own pinned scan) — the
+        # train-step rule: don't leak the pin
+        pq_base.unpersist()
     pq = pq_topk(
         vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         m_sub=pq_m_sub, n_codes=pq_codes, n_iters=pq_iters, k=k,
-        rerank=pq_rerank,
+        rerank=pq_rerank, _cb=cb,
     )
     ivf_pq = ivf_pq_topk(
         vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
-        n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank,
+        n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank, _cb=cb,
     )
     return (
         one(lsh, "lsh")

@@ -896,6 +896,46 @@ def streaming_unigram_lm(
     )
 
 
+def streaming_ngram_lm(
+    docs: DataFrame,
+    *,
+    vocab: list[tuple[str, int]],
+    total: int,
+    scores_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+):
+    """Streaming n-gram fluency scoring against a FROZEN model from
+    :func:`~streamtasks_spark.llmdata.quality.ngram_lm_train` — the
+    bigram rung of the CCNet-style ladder under the exact
+    frozen-model/foreachBatch contract of :func:`streaming_unigram_lm`
+    (a doc's score is a pure function of its own text and the model,
+    so per-batch appends union to the batch result bit-exactly; no
+    state, restart replays at most one in-flight append).
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.llmdata.quality import ngram_lm_score
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = ngram_lm_score(
+            batch.select(id_col, text_col), vocab, total,
+            id_col=id_col, text_col=text_col, n=n,
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(scores_path)
+
+    return (
+        docs.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def streaming_dsir_weights(
     docs: DataFrame,
     *,

@@ -1915,6 +1915,119 @@ def test_unigram_lm_edges_and_score_semantics(spark):
         assert r["oov_count"] == round(r["oov_ratio"] * r["n_tokens"])
 
 
+def test_ngram_lm_matches_oracle_and_degenerates_to_unigram(spark):
+    """ngram_lm (r09): bit-exact vs its DuckDB twin at sf0.001 for
+    n = 2 and n = 3, and at n = 1 exactly equal to unigram_lm (the
+    1-gram units ARE the tokens, so the whole train/score path must
+    coincide row for row)."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import quality
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    for n in (2, 3):
+        sdf = (
+            quality.ngram_lm(docs, n=n, vocab_size=64)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        odf = (
+            con.execute(quality.oracle_ngram_lm_sql(n=n, vocab_size=64))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf) == docs.count(), n
+        assert (sdf.values == odf.values).all(), n
+    uni = (
+        quality.unigram_lm(docs, vocab_size=64)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    one = (
+        quality.ngram_lm(docs, n=1, vocab_size=64)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (uni.values == one.values).all()
+
+
+def test_ngram_lm_edges_and_fluency_semantics(spark):
+    """The bigram scorer's point: word-salad with plausible unigrams
+    scores 0 (its PAIRS never recur) while natural repetition scores
+    high. Short docs (< n words) have zero scoring units → NULL
+    ratios; NULL text → all-NULL row; n < 1 raises."""
+    import pytest as _pytest
+
+    from streamtasks_spark.llmdata import quality
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat the cat sat the cat sat"),  # recurring pairs
+            (1, "sat the cat"),        # same unigrams, one recurring order
+            (2, "cat the sat cat"),    # salad: pairs unseen elsewhere
+            (3, "word"),               # 1 word: zero bigrams
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in quality.ngram_lm(docs, vocab_size=4).collect()
+    }
+    assert rows[4]["n_tokens"] is None and rows[4]["score"] is None
+    assert rows[3]["n_tokens"] == 0 and rows[3]["score"] is None
+    assert rows[0]["score"] > 0.0
+    assert rows[0]["score"] > rows[2]["score"]
+    assert rows[0]["n_tokens"] == 8  # 9 words -> 8 bigram units
+    with _pytest.raises(ValueError, match="n must be"):
+        quality.ngram_lm(docs, n=0)
+
+
+def test_bloom_dedup_membership_and_oracle(spark):
+    """bloom_dedup (r09): NO false negatives — every doc whose
+    normalized text exists in the reference is flagged (probing the
+    reference against itself flags every row with all bits hit);
+    bit-exact vs the DuckDB twin INCLUDING false positives at a
+    deliberately saturated m; NULL text never matches."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # self-membership: ref probed against itself
+    self_probe = dedup.bloom_dedup(docs, docs, m_bits=65536).collect()
+    assert all(r["maybe_dup"] and r["n_bits_hit"] == 5 for r in self_probe)
+    assert len(self_probe) == docs.count()
+    # cross-engine, small m (forces false positives) and default-ish m
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    for m in (512, 65536):
+        sdf = (
+            dedup.bloom_dedup(
+                docs.filter(F.col("doc_id") % 3 == 0),
+                docs.filter(F.col("doc_id") % 3 != 0),
+                m_bits=m,
+            )
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        odf = (
+            con.execute(dedup.oracle_bloom_dedup_sql(m_bits=m))
+            .df().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf), m
+        assert (sdf.values == odf.values).all(), m
+    # NULL text: 0 hits, never flagged
+    nd = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = dedup.bloom_dedup(nd, docs).collect()
+    assert len(r) == 1
+    assert r[0]["n_bits_hit"] == 0 and not r[0]["maybe_dup"]
+
+
 def test_unigram_lm_agrees_with_oracle_on_duplicate_ids(spark):
     """Non-unique ids: Spark's groupBy(id) merges duplicate rows' token
     streams into ONE output row (any NULL-text member NULLs it); the

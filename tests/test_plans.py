@@ -801,6 +801,33 @@ def test_bm25_topk_is_narrow_tf_broadcast_stats(psession):
     assert set(parts) <= {"__term", "doc_id"}, parts
 
 
+def test_bloom_dedup_broadcasts_bitset_at_bounded_m(psession):
+    """bloom_dedup's scale contract: at bounded m_bits the reference
+    bit-set (≤ m_bits distinct positions) attaches as a BROADCAST to
+    the probe scan — one narrow explode per side, no sort-merge join,
+    no cartesian, JVM-side throughout; past the broadcast bound the
+    same plan degrades to a position-keyed shuffle join (also
+    pinned)."""
+    from streamtasks_spark.llmdata import dedup
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    plan = plan_of(dedup.bloom_dedup(new, ref, m_bits=65536))
+    assert "EvalPython" not in plan, plan[:600]
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "BroadcastExchange" in plan, plan[:600]
+    assert "SortMergeJoin" not in plan, plan[:600]
+    # unbounded m: the bit-set is no longer broadcast by the operator
+    # itself (Catalyst may still choose broadcast from size estimates;
+    # what is pinned is that the plan stays a position equi-join with
+    # no cartesian)
+    big = plan_of(dedup.bloom_dedup(new, ref, m_bits=1 << 30))
+    assert "CartesianProduct" not in big, big[:600]
+    assert re.search(r"Join.*__pos", big) or "__pos" in big, big[:600]
+
+
 def test_shuffle_shards_window_is_per_shard_not_global(psession):
     """The training-shuffle addressing must window PER SHARD — a global
     row_number (empty partition spec) would funnel the corpus through

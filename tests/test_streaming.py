@@ -1386,6 +1386,69 @@ def test_streaming_unigram_lm_matches_batch_scoring(spark, tmp_path):
                 assert a == b, k
 
 
+def test_streaming_ngram_lm_matches_batch_scoring(spark, tmp_path):
+    """Frozen-model streaming BIGRAM scoring (r09): same purity
+    contract as the unigram twin — per-batch appends union to the
+    batch ngram_lm_score result bit-exactly, one row per document."""
+    import numpy as np
+
+    from streamtasks_spark.llmdata.quality import (
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+    from streamtasks_spark.streaming.stateful import streaming_ngram_lm
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vocab, total = ngram_lm_train(docs, n=2, vocab_size=64)
+    expect = {
+        r["doc_id"]: (r["n_tokens"], r["oov_count"], r["oov_ratio"], r["score"])
+        for r in ngram_lm_score(docs, vocab, total, n=2).collect()
+    }
+
+    src = tmp_path / "nl_src"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    scores_path = str(tmp_path / "scores")
+    q = streaming_ngram_lm(
+        stream,
+        vocab=vocab,
+        total=total,
+        scores_path=scores_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        n=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(scores_path).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["oov_count"], r["oov_ratio"], r["score"])
+        for r in rows
+    }
+    assert len(rows) == len(got) == len(expect)
+    assert {r["batch_id"] for r in rows} == {0, 1}
+    for k in expect:
+        for a, b in zip(expect[k], got[k]):
+            if isinstance(a, float):
+                assert (np.isnan(a) and np.isnan(b)) or a == b, k
+            else:
+                assert a == b, k
+
+
 def test_streaming_unigram_lm_survives_restart(spark, tmp_path):
     """Clean stop → new query on the same checkpoint resumes without
     re-scoring processed batches (the last uncovered twin's restart
