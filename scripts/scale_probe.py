@@ -107,6 +107,20 @@ def probe_ops(spark, docs):
         docs.filter(F.col("doc_id") % 3 != 0),
         threshold=0.5, max_df=1000,
     ), n
+    # r09 fifth wave: bm25 is one narrow scan + broadcast stats (claim:
+    # linear with tiny constants); bloom's probe side grows with the
+    # corpus AND its reference bit-set fills (worst case: both sides
+    # scale); ngram_lm shares unigram_lm's explode+broadcast shape over
+    # ~1x more units (n-grams of a w-word doc: w-n+1)
+    yield "bm25_topk", lambda: textstats.bm25_topk(
+        docs, terms=("spark", "hash", "window", "merge"), k=15
+    ), n
+    yield "bloom_dedup", lambda: dedup.bloom_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        m_bits=1 << 20,
+    ), n
+    yield "ngram_lm", lambda: quality.ngram_lm(docs, n=2), n
 
 
 def replicate_vectors(spark, factor: int):

@@ -1055,7 +1055,16 @@ def _bloom_pos_expr(
     positive, so DuckDB's ``%`` equals Spark's ``pmod``). The index
     array is the OUTER constructor in both engines, so a NULL key
     yields ``n_hashes`` NULL elements (never a NULL/empty array) and
-    explode/unnest keep the row count identical cross-engine."""
+    explode/unnest keep the row count identical cross-engine.
+
+    The seed-prefix concatenation is ``||`` on the DuckDB side, NOT
+    ``concat``: SQL-standard ``concat`` SKIPS NULL arguments, so
+    ``concat(j, ':', NULL)`` is the real key ``'j:'`` with real
+    positions where Spark's ``concat`` NULL-propagates — with a
+    NULL-text doc on BOTH sides the oracle alone matched all bits
+    (found by the r09 fresh-seed docs fuzz, seed 9317, promoted into
+    the committed fixtures; the fixed testdata has no NULL texts and
+    never exercised it). ``||`` NULL-propagates in both engines."""
     if engine == "spark":
         return (
             f"transform(sequence(0, {n_hashes - 1}), j -> "
@@ -1064,8 +1073,8 @@ def _bloom_pos_expr(
         )
     return (
         f"list_transform(range(0, {n_hashes}), j -> "
-        f"cast('0x' || substr(md5(concat(cast(j as varchar), ':', "
-        f"{key})), 1, 12) AS BIGINT) % {m_bits})"
+        f"cast('0x' || substr(md5(cast(j as varchar) || ':' || "
+        f"{key}), 1, 12) AS BIGINT) % {m_bits})"
     )
 
 

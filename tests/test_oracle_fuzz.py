@@ -138,8 +138,14 @@ def fuzz_dirs(tmp_path_factory):
     dirs = []
     # seed 311 runs the UNICODE axis (half the prose tokens from
     # UNI_WORDS) — the committed leg of the r07 campaign that found
-    # the Σ/İ SpecialCasing divergence in norm_text
-    for seed, ufrac in ((7, 0.0), (23, 0.0), (99, 0.0), (311, 0.5)):
+    # the Σ/İ SpecialCasing divergence in norm_text. Seed 9317 is the
+    # r09 promotion: its corpus puts a NULL-text doc on BOTH sides of
+    # the %3 new/ref split — the corpus on which bloom_dedup's oracle
+    # diverged because DuckDB's concat() SKIPS NULL arguments (the
+    # 'j:' phantom key) where Spark's NULL-propagates; the fix pins
+    # the || form and this seed keeps it pinned
+    for seed, ufrac in ((7, 0.0), (23, 0.0), (99, 0.0), (311, 0.5),
+                        (9317, 0.0)):
         d = tmp_path_factory.mktemp(f"fuzz{seed}")
         cols = list(zip(*make_corpus(seed, unicode_frac=ufrac)))
         table = pa.table(
@@ -173,6 +179,15 @@ DOC_QUERIES = [
     # never in this set — its token-count path consumes norm_text, so
     # it must ride every text-normalization axis
     "pack_sequences",
+    # r09 review: the r08/r09 new-op waves read only the documents
+    # table but rode the fuzz axes only through one-off fuzz_sweep
+    # campaigns — committed here so every future text-normalization /
+    # NULL / unicode axis exercises them automatically (bloom_dedup's
+    # concat-vs-|| NULL divergence, caught by exactly such a sweep,
+    # is the class this prevents)
+    "ngram_containment", "dsir_weights", "dedup_against",
+    "split_leakage", "importance_resample", "contamination_report",
+    "tfidf_topk", "bm25_topk", "bloom_dedup", "ngram_lm",
 ]
 
 
