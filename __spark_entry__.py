@@ -435,6 +435,22 @@ def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination (NEW r09): corpus vectors
+    (vec_id % 10 != 3) exhaustively scored against the broadcast eval
+    slice (vec_id % 10 == 3); one row per corpus vector with any
+    cosine >= 0.35, its hit count, and the deterministic champion
+    (similarity.semantic_decontaminate). The threshold sits at this
+    synthetic corpus's cross-split similarity tail so the report is
+    non-trivially populated at every SF (42/47/650 rows)."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return similarity.semantic_decontaminate(
+        vecs.filter(F.col("vec_id") % 10 != 3),
+        vecs.filter(F.col("vec_id") % 10 == 3),
+        threshold=0.35,
+    )
+
+
 def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership pre-filter (NEW r09): the 'new crawl'
     slice (doc_id % 3 == 0, the dedup_against split) probed against
@@ -1570,11 +1586,17 @@ _MUST_VERIFY_R09 = [
     # Displace quality_filter and doc_repetition (untouched, r07-green,
     # r10 queue).
     "bloom_dedup", "ngram_lm",
+    # NEW op r09 (sixth wave): embedding-space eval decontamination —
+    # the vector-modality complement of decontaminate (paraphrased
+    # leakage has near-identical embeddings but disjoint 8-grams);
+    # exact-by-design against the broadcast benchmark-sized eval side.
+    # Displaces doc_fingerprint (untouched, r07-green, r10 queue).
+    "semantic_decontaminate",
 ]
 
 # r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
-# row is r06 (queued oldest-first since r08) + the 8 oldest
-# r07-certified rows that fit the remaining slots (11 must-verify + 39
+# row is r06 (queued oldest-first since r08) + the 7 oldest
+# r07-certified rows that fit the remaining slots (12 must-verify + 38
 # rotation = 50). After this window no query's latest driver row is
 # older than r07.
 _ROTATE_R09 = [
@@ -1589,13 +1611,14 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 8 oldest r07-green rows (r07 window order; ann_topk,
+    # the 7 oldest r07-green rows (r07 window order; ann_topk,
     # dedup_minhash, dedup_simhash, decontaminate, dedup_exact,
-    # quality_filter, and doc_repetition were displaced by the
-    # dedup_against / ann_pq_topk / ann_ivf_pq_topk / ann_recall /
-    # bm25_topk / bloom_dedup / ngram_lm waves and head the r10 queue)
+    # quality_filter, doc_repetition, and doc_fingerprint were
+    # displaced by the dedup_against / ann_pq_topk / ann_ivf_pq_topk /
+    # ann_recall / bm25_topk / bloom_dedup / ngram_lm /
+    # semantic_decontaminate waves and head the r10 queue)
     "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
-    "events_retention_cohorts", "text_stats", "lang_id", "doc_fingerprint",
+    "events_retention_cohorts", "text_stats", "lang_id",
 ]
 
 
@@ -1612,7 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r07-certified rows. After this round no query's latest driver row
     # is older than r07. The tail stays ordered oldest-first (remaining
     # r07 rows in r07 window order, then the r08-certified rows in r08
-    # window order) so r10 keeps rotating the same way; all 135 stay
+    # window order) so r10 keeps rotating the same way; all 136 stay
     # covered by the bit-level compare in scripts/check_oracle.py
     # locally, and tests/test_oracle_audit.py mechanically fails any
     # query whose rendered oracle/plan drifts without a
@@ -1631,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bloom_dedup": _q_bloom_dedup,
         "ngram_lm": _q_ngram_lm,
+        "semantic_decontaminate": _q_semantic_decontaminate,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1671,12 +1695,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": rel(rq.events_retention_cohorts),
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
-        # of the r10 queue (quality_filter/doc_repetition displaced by
+        # of the r10 queue (doc_fingerprint displaced by
+        # semantic_decontaminate, quality_filter/doc_repetition by
         # bloom_dedup/ngram_lm, dedup_exact by bm25_topk, ann_topk by
         # dedup_against)
+        "doc_fingerprint": _q_doc_fingerprint,
         "quality_filter": _q_quality_filter,
         "doc_repetition": _q_doc_repetition,
         "dedup_exact": _q_dedup_exact,
@@ -2619,6 +2644,9 @@ def oracle_sql() -> dict[str, str]:
             m_bits=65536, n_hashes=5
         ),
         "ngram_lm": quality.oracle_ngram_lm_sql(n=2, vocab_size=256),
+        "semantic_decontaminate": (
+            similarity.oracle_semantic_decontaminate_sql(threshold=0.35)
+        ),
         "audio_chunker": _CHUNKER_SQL,
         "padded_chunker": _PADDED_CHUNKER_SQL,
         "audio_smoother": _SMOOTHER_SQL,

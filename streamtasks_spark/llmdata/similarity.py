@@ -1605,6 +1605,110 @@ def oracle_ivf_pq_topk_sql(
     """
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evals: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination — the vector-modality
+    complement of :func:`~streamtasks_spark.llmdata.pipeline.
+    decontaminate` (which catches shared n-GRAMS): one row per CORPUS
+    vector whose cosine to ANY eval vector reaches ``threshold`` —
+    ``(vec_id, n_eval_hits, best_eval, best_cos)`` with a
+    deterministic champion (highest 6-dp cosine, lowest eval id on
+    ties; the dedup_against output convention). Paraphrased or
+    re-worded eval leakage has near-identical embeddings but disjoint
+    8-grams, so a curation pipeline runs BOTH screens before training.
+
+    Exact by design, not ANN: an eval benchmark is thousands of rows,
+    so exhaustive scoring against it is one broadcast away and misses
+    nothing — approximation budgets belong on corpus×corpus problems
+    (semantic_dedup), not corpus×eval. Zero-norm/NULL/mis-dimensioned
+    vectors drop at the shared norm gate on both sides, both engines.
+
+    100 TB shape: the eval side BROADCASTS (benchmark-sized, the
+    contamination_report rule); the corpus streams ONE scan with a
+    narrow per-pair dot; the only shuffle is the per-corpus-id
+    partial-agg rollup of its (bounded-by-eval-size) hit fan-in. The
+    raw-cosine threshold filter and the identical dot expression make
+    every surviving pair — and therefore the whole report —
+    bit-reproducible in the DuckDB twin."""
+    e = _with_norm(
+        evals.select(F.col(id_col).alias("__eid"), vec_col), vec_col
+    ).select("__eid", F.col("__v").alias("__ev"), F.col("__nrm").alias("__en"))
+    c = _with_norm(
+        spread(corpus, id_col).select(id_col, vec_col), vec_col
+    ).select(id_col, "__v", "__nrm")
+    cos = F.expr(_dot("__v", "__ev")) / (F.col("__nrm") * F.col("__en"))
+    pairs = (
+        c.crossJoin(broadcast(e))
+        .withColumn("__raw", cos)
+        .filter(F.col("__raw") >= F.lit(threshold))
+        .withColumn("__cos", F.round("__raw", 6))
+    )
+    wmax = Window.partitionBy(id_col)
+    return (
+        pairs.withColumn("__mc", F.max("__cos").over(wmax))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.min(
+                F.when(F.col("__cos") == F.col("__mc"), F.col("__eid"))
+            ).alias("best_eval"),
+            F.max("__cos").alias("best_cos"),
+        )
+    )
+
+
+def oracle_semantic_decontaminate_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    corpus_filter: str = "vec_id % 10 <> 3",
+    eval_filter: str = "vec_id % 10 = 3",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`semantic_decontaminate` — same dot/norm
+    fragments as the cosine_topk oracle, same raw-threshold-then-round
+    sequence, same champion tie-break."""
+    dot = _duck_dot("c.__v", "e.__v", dim)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
+    ),
+    c AS (SELECT * FROM n WHERE {corpus_filter}),
+    e AS (SELECT * FROM n WHERE {eval_filter}),
+    scored AS (
+      SELECT c.{id_col}, e.{id_col} AS __eid,
+             {dot} / (c.__nrm * e.__nrm) AS __raw
+      FROM c, e
+    ),
+    hits AS (
+      SELECT {id_col}, __eid, round(__raw, 6) AS __cos
+      FROM scored WHERE __raw >= {threshold!r}
+    ),
+    m AS (
+      SELECT *, max(__cos) OVER (PARTITION BY {id_col}) AS __mc FROM hits
+    )
+    SELECT {id_col},
+      CAST(count(*) AS BIGINT) AS n_eval_hits,
+      CAST(min(CASE WHEN __cos = __mc THEN __eid END) AS BIGINT)
+        AS best_eval,
+      max(__cos) AS best_cos
+    FROM m GROUP BY {id_col}
+    """
+
+
 def recall_probe(
     vectors: DataFrame,
     queries: DataFrame,

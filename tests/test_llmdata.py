@@ -2028,6 +2028,61 @@ def test_bloom_dedup_membership_and_oracle(spark):
     assert r[0]["n_bits_hit"] == 0 and not r[0]["maybe_dup"]
 
 
+def test_semantic_decontaminate_matches_oracle_and_semantics(spark):
+    """semantic_decontaminate (r09): bit-exact vs DuckDB across
+    thresholds at sf0.001; a corpus vector identical to an eval vector
+    reports cosine 1.0 with that eval as champion; zero-norm and NULL
+    vectors drop at the norm gate on both sides."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    )
+    for t in (0.3, 0.35, 0.45):
+        sdf = (
+            similarity.semantic_decontaminate(
+                vecs.filter(F.col("vec_id") % 10 != 3),
+                vecs.filter(F.col("vec_id") % 10 == 3),
+                threshold=t,
+            )
+            .toPandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        odf = (
+            con.execute(
+                similarity.oracle_semantic_decontaminate_sql(threshold=t)
+            )
+            .df().sort_values("vec_id").reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf) > 0, t
+        assert (sdf.values == odf.values).all(), t
+    # identical vector across the split: flagged at exactly 1.0
+    base = [0.5] * 64
+    corpus = spark.createDataFrame(
+        [(100, base), (101, [float(i) for i in range(64)]),
+         (102, [0.0] * 64), (103, None)],
+        "vec_id long, embedding array<float>",
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    ev = spark.createDataFrame(
+        [(7, base)], "vec_id long, embedding array<float>"
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    got = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontaminate(
+            corpus, ev, threshold=0.99
+        ).collect()
+    }
+    assert set(got) == {100}
+    assert got[100]["best_eval"] == 7
+    assert got[100]["best_cos"] == 1.0
+    assert got[100]["n_eval_hits"] == 1
+
+
 def test_unigram_lm_agrees_with_oracle_on_duplicate_ids(spark):
     """Non-unique ids: Spark's groupBy(id) merges duplicate rows' token
     streams into ONE output row (any NULL-text member NULLs it); the

@@ -801,6 +801,30 @@ def test_bm25_topk_is_narrow_tf_broadcast_stats(psession):
     assert set(parts) <= {"__term", "doc_id"}, parts
 
 
+def test_semantic_decontaminate_broadcasts_eval_side(psession):
+    """semantic_decontaminate's scale contract: the benchmark-sized
+    eval side BROADCASTS onto one corpus scan (the
+    contamination_report rule applied to the vector modality) — no
+    sort-merge join, no Python, and the only shuffle is the final
+    per-corpus-id rollup."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(psession, f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(
+        similarity.semantic_decontaminate(
+            vecs.filter(F.col("vec_id") % 10 != 3),
+            vecs.filter(F.col("vec_id") % 10 == 3),
+            threshold=0.35,
+        )
+    )
+    assert "EvalPython" not in plan, plan[:600]
+    assert "BroadcastExchange" in plan, plan[:600]
+    assert "SortMergeJoin" not in plan, plan[:600]
+    parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(parts) <= {"vec_id"}, parts
+
+
 def test_bloom_dedup_broadcasts_bitset_at_bounded_m(psession):
     """bloom_dedup's scale contract: at bounded m_bits the reference
     bit-set (≤ m_bits distinct positions) attaches as a BROADCAST to
