@@ -1115,15 +1115,42 @@ def bloom_dedup(
     changing the query shape — kept relational here so the oracle
     stays engine-neutral. NULL-text docs can never match (NULL
     positions join nothing) and report ``n_bits_hit = 0``."""
-    key = f"md5({norm_text(text_col)})"
-    pos = _bloom_pos_expr(key, n_hashes, m_bits, "spark")
-    ref_bits = (
+    return _bloom_probe(
+        new_docs,
+        _bloom_bits(ref_docs, id_col, text_col, m_bits, n_hashes),
+        id_col, text_col, m_bits, n_hashes,
+    )
+
+
+def _bloom_bits(
+    ref_docs: DataFrame, id_col: str, text_col: str, m_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """The reference corpus's DISTINCT set bit positions — the bloom
+    'filter' in relational form, shared by :func:`bloom_dedup` and
+    :class:`BloomIndex`."""
+    pos = _bloom_pos_expr(
+        f"md5({norm_text(text_col)})", n_hashes, m_bits, "spark"
+    )
+    return (
         spread(ref_docs, id_col)
         .select(F.explode(F.expr(pos)).alias("__pos"))
         .filter(F.col("__pos").isNotNull())
         .distinct()
-        .withColumn("__set", F.lit(1))
     )
+
+
+def _bloom_probe(
+    new_docs: DataFrame, bits: DataFrame, id_col: str, text_col: str,
+    m_bits: int, n_hashes: int,
+) -> DataFrame:
+    """Probe ``new_docs`` against a bit-position set from
+    :func:`_bloom_bits` (freshly derived or read back from a
+    :class:`BloomIndex`)."""
+    pos = _bloom_pos_expr(
+        f"md5({norm_text(text_col)})", n_hashes, m_bits, "spark"
+    )
+    ref_bits = bits.withColumn("__set", F.lit(1))
     if m_bits <= (1 << 22):
         ref_bits = F.broadcast(ref_bits)
     probe = spread(new_docs, id_col).select(
@@ -1169,6 +1196,94 @@ def oracle_bloom_dedup_sql(
     FROM np LEFT JOIN rpn USING (__pos)
     GROUP BY np.{id_col}
     """
+
+
+class BloomIndex:
+    """Persistent incremental bloom membership filter — the
+    :class:`MinHashIndex` pattern applied to the exact-membership
+    pre-gate: the DISTINCT set bit positions of every ingested
+    document's exact-dedup key live in one parquet table (``bits/``),
+    so each new crawl batch probes the ENTIRE ingested history at the
+    cost of one position join, without rereading any historical text.
+
+    Batch-decomposition equivalence (the index contract): the bit set
+    is a pure SET UNION over ingested keys, so after ingesting batches
+    B₁..Bₙ in ANY order/partitioning, ``probe(X)`` equals
+    ``bloom_dedup(X, B₁∪..∪Bₙ)`` exactly — positions carry no counts,
+    nothing can be double-set. Pinned by the batch-equivalence test.
+    Per :meth:`ingest` batch, each doc is probed against HISTORY ONLY
+    (its own batch's bits append after the probe materializes), the
+    incremental-crawl semantics: within-batch duplicates are the
+    batch's own dedup_exact problem.
+
+    Scale shape: the bits table is bounded by ``m_bits`` rows however
+    much history accretes (saturation degrades precision, never
+    correctness — size m_bits to the expected corpus cardinality);
+    each ingest appends at most the batch's new positions. Append-mode
+    parquet cannot dedup across files, so :meth:`probe` re-distincts
+    the read-back set before joining (hit counts must count each bit
+    once) and :meth:`compact` makes that fold durable while curing the
+    small-files accretion. Doc ids need not be unique across ingests
+    (membership is keyed on text, not id)."""
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        m_bits: int = 1 << 20,
+        n_hashes: int = 5,
+    ) -> None:
+        self.path = str(path)
+        self.bits_path = f"{self.path}/bits"
+        self.id_col = id_col
+        self.text_col = text_col
+        self.m_bits = m_bits
+        self.n_hashes = n_hashes
+
+    def _bits_or_none(self, spark) -> DataFrame | None:
+        return snapshot_read(spark, self.bits_path)
+
+    def _history_bits(self, spark) -> DataFrame:
+        old = self._bits_or_none(spark)
+        if old is None:
+            return spark.createDataFrame([], "__pos bigint")
+        # appended part-files can repeat a position (each ingest writes
+        # its batch's distinct positions without reading history);
+        # re-distinct here so n_bits_hit counts each bit once
+        return old.select("__pos").distinct()
+
+    def probe(self, docs: DataFrame) -> DataFrame:
+        """(id, n_bits_hit, maybe_dup) for each doc against everything
+        ingested so far; read-only."""
+        return _bloom_probe(
+            docs, self._history_bits(docs.sparkSession),
+            self.id_col, self.text_col, self.m_bits, self.n_hashes,
+        )
+
+    def ingest(self, docs: DataFrame) -> DataFrame:
+        """Probe the batch against HISTORY, then append the batch's own
+        bit positions; returns the probe result, materialized before
+        the append so its plan cannot observe the batch's own bits
+        (the MinHashIndex snapshot rule)."""
+        spark = docs.sparkSession
+        res = pin(self.probe(docs))
+        res.count()  # materialize before the append below
+        new_bits = _bloom_bits(
+            docs, self.id_col, self.text_col, self.m_bits, self.n_hashes
+        )
+        new_bits.write.mode("append").parquet(self.bits_path)
+        return res
+
+    def compact(self, spark, *, files: int = 4) -> None:
+        """Fold accreted part-files and cross-file duplicate positions
+        back into one distinct set (see :func:`compact_table`;
+        EXCLUSIVE access required, as for MinHashIndex)."""
+        compact_table(
+            spark, self.bits_path, files=files,
+            transform=lambda df: df.select("__pos").distinct(),
+        )
 
 
 # ---------------------------------------------------- connected components
@@ -1775,7 +1890,11 @@ def snapshot_read(spark, path: str, base_path: str | None = None):
         # permissions, transient FS faults — must propagate, or
         # MinHashIndex.ingest / IvfIndex.query would silently treat an
         # unreadable index as empty history and emit wrong results.
-        name = getattr(e, "getErrorClass", lambda: None)() or ""
+        # getCondition is the Spark 4 name; getErrorClass is the
+        # deprecated alias that warns on every call
+        name = getattr(
+            e, "getCondition", getattr(e, "getErrorClass", lambda: None)
+        )() or ""
         msg = str(e)
         if (
             "PATH_NOT_FOUND" in name
@@ -1799,6 +1918,7 @@ def compact_table(
     *,
     files: int = 8,
     partition_by: str | None = None,
+    transform=None,
 ) -> bool:
     """Rewrite a parquet dataset coalesced into ``files`` files (per
     partition directory when ``partition_by`` is set), then swap
@@ -1821,6 +1941,11 @@ def compact_table(
     )
     if cur is None:
         return False
+    if transform is not None:
+        # owner-supplied fold applied during the rewrite — e.g.
+        # BloomIndex re-distincts positions duplicated across appended
+        # part files (append-mode parquet cannot dedup across files)
+        cur = transform(cur)
     tag = uuid.uuid4().hex[:8]
     tmp = f"{path}__compact_{tag}"
     old = f"{path}__old_{tag}"

@@ -2028,6 +2028,43 @@ def test_bloom_dedup_membership_and_oracle(spark):
     assert r[0]["n_bits_hit"] == 0 and not r[0]["maybe_dup"]
 
 
+def test_bloom_index_batch_equivalence_and_compaction(spark, tmp_path):
+    """BloomIndex (r09): probing after ingesting batches B1..Bn equals
+    the one-shot bloom_dedup against their union (the bit set is a
+    pure set union — batching-independent by construction); ingest
+    probes HISTORY only; compaction changes nothing observable."""
+    from streamtasks_spark.llmdata import dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = dedup.BloomIndex(str(tmp_path / "bloomidx"), m_bits=65536)
+    # first ingest: empty history -> nothing can be flagged
+    first = idx.ingest(ref.filter(F.col("doc_id") % 2 == 0)).collect()
+    assert all(r["n_bits_hit"] == 0 for r in first)
+    idx.ingest(ref.filter(F.col("doc_id") % 2 != 0))
+    got = {
+        r["doc_id"]: (r["n_bits_hit"], r["maybe_dup"])
+        for r in idx.probe(new).collect()
+    }
+    expect = {
+        r["doc_id"]: (r["n_bits_hit"], r["maybe_dup"])
+        for r in dedup.bloom_dedup(new, ref, m_bits=65536).collect()
+    }
+    assert got == expect and len(got) > 0
+    # compaction folds duplicates/part-files; observable state unchanged
+    idx.compact(spark)
+    after = {
+        r["doc_id"]: (r["n_bits_hit"], r["maybe_dup"])
+        for r in idx.probe(new).collect()
+    }
+    assert after == expect
+    # re-ingesting already-present text flags everything (history hit)
+    re_in = idx.ingest(ref.limit(20)).collect()
+    assert all(r["maybe_dup"] for r in re_in)
+
+
 def test_semantic_decontaminate_matches_oracle_and_semantics(spark):
     """semantic_decontaminate (r09): bit-exact vs DuckDB across
     thresholds at sf0.001; a corpus vector identical to an eval vector
