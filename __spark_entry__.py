@@ -435,6 +435,16 @@ def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-prune curation view (NEW r09): spherical k-means
+    over the embeddings, one row per cluster with membership,
+    representative, and tightness (mean/min cosine to centroid) —
+    what a D4-style pipeline reads to set per-cluster keep rates
+    (similarity.cluster_profile)."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return similarity.cluster_profile(vecs, n_cells=8, n_iters=3)
+
+
 def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval decontamination (NEW r09): corpus vectors
     (vec_id % 10 != 3) exhaustively scored against the broadcast eval
@@ -1592,11 +1602,17 @@ _MUST_VERIFY_R09 = [
     # exact-by-design against the broadcast benchmark-sized eval side.
     # Displaces doc_fingerprint (untouched, r07-green, r10 queue).
     "semantic_decontaminate",
+    # NEW op r09 (seventh wave): the SemDeDup/D4 cluster-then-prune
+    # curation view — per-cluster membership/tightness profile over
+    # the trained k-means codebook; floored-integer scaled mean so the
+    # per-cluster average is partition-order-free. Displaces lang_id
+    # (untouched, r07-green, r10 queue).
+    "cluster_profile",
 ]
 
 # r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
-# row is r06 (queued oldest-first since r08) + the 7 oldest
-# r07-certified rows that fit the remaining slots (12 must-verify + 38
+# row is r06 (queued oldest-first since r08) + the 6 oldest
+# r07-certified rows that fit the remaining slots (13 must-verify + 37
 # rotation = 50). After this window no query's latest driver row is
 # older than r07.
 _ROTATE_R09 = [
@@ -1611,14 +1627,15 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 7 oldest r07-green rows (r07 window order; ann_topk,
+    # the 6 oldest r07-green rows (r07 window order; ann_topk,
     # dedup_minhash, dedup_simhash, decontaminate, dedup_exact,
-    # quality_filter, doc_repetition, and doc_fingerprint were
-    # displaced by the dedup_against / ann_pq_topk / ann_ivf_pq_topk /
-    # ann_recall / bm25_topk / bloom_dedup / ngram_lm /
-    # semantic_decontaminate waves and head the r10 queue)
+    # quality_filter, doc_repetition, doc_fingerprint, and lang_id
+    # were displaced by the dedup_against / ann_pq_topk /
+    # ann_ivf_pq_topk / ann_recall / bm25_topk / bloom_dedup /
+    # ngram_lm / semantic_decontaminate / cluster_profile waves and
+    # head the r10 queue)
     "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
-    "events_retention_cohorts", "text_stats", "lang_id",
+    "events_retention_cohorts", "text_stats",
 ]
 
 
@@ -1635,7 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r07-certified rows. After this round no query's latest driver row
     # is older than r07. The tail stays ordered oldest-first (remaining
     # r07 rows in r07 window order, then the r08-certified rows in r08
-    # window order) so r10 keeps rotating the same way; all 136 stay
+    # window order) so r10 keeps rotating the same way; all 137 stay
     # covered by the bit-level compare in scripts/check_oracle.py
     # locally, and tests/test_oracle_audit.py mechanically fails any
     # query whose rendered oracle/plan drifts without a
@@ -1655,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": _q_bloom_dedup,
         "ngram_lm": _q_ngram_lm,
         "semantic_decontaminate": _q_semantic_decontaminate,
+        "cluster_profile": _q_cluster_profile,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1694,13 +1712,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": _q_corpus_prepare,
         "events_retention_cohorts": rel(rq.events_retention_cohorts),
         "text_stats": _q_text_stats,
-        "lang_id": _q_lang_id,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
-        # of the r10 queue (doc_fingerprint displaced by
-        # semantic_decontaminate, quality_filter/doc_repetition by
-        # bloom_dedup/ngram_lm, dedup_exact by bm25_topk, ann_topk by
-        # dedup_against)
+        # of the r10 queue (lang_id displaced by cluster_profile,
+        # doc_fingerprint by semantic_decontaminate,
+        # quality_filter/doc_repetition by bloom_dedup/ngram_lm,
+        # dedup_exact by bm25_topk, ann_topk by dedup_against)
+        "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "quality_filter": _q_quality_filter,
         "doc_repetition": _q_doc_repetition,
@@ -2646,6 +2664,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm": quality.oracle_ngram_lm_sql(n=2, vocab_size=256),
         "semantic_decontaminate": (
             similarity.oracle_semantic_decontaminate_sql(threshold=0.35)
+        ),
+        "cluster_profile": similarity.oracle_cluster_profile_sql(
+            n_cells=8, n_iters=3
         ),
         "audio_chunker": _CHUNKER_SQL,
         "padded_chunker": _PADDED_CHUNKER_SQL,

@@ -2491,6 +2491,15 @@ def _argmax_cell_expr(cents: dict[int, tuple[list[float], float]]) -> str:
     assignment path shared by :func:`semantic_dedup` and
     :class:`SemDedupIndex`; same arithmetic and tie-break (max score,
     then LOWEST cell) as train_centroids' training iterations."""
+    return f"-{_argmax_struct_expr(cents)}.c"
+
+
+def _argmax_struct_expr(cents: dict[int, tuple[list[float], float]]) -> str:
+    """The winning (score, -cell) struct behind
+    :func:`_argmax_cell_expr` — exposed so :func:`cluster_profile` can
+    read the winning COSINE alongside the cell from one evaluation
+    (``.s`` is the cosine, ``-.c`` the cell). Renders byte-identical
+    assignment SQL for the cell consumers."""
     if not cents:
         raise ValueError(
             "empty codebook: nothing to assign against (see "
@@ -2508,7 +2517,7 @@ def _argmax_cell_expr(cents: dict[int, tuple[list[float], float]]) -> str:
             f"named_struct('s', ({dot}) / (__nrm * {cn!r}D), "
             f"'c', {-cell})"
         )
-    return f"-array_max(array({', '.join(structs)})).c"
+    return f"array_max(array({', '.join(structs)}))"
 
 
 def _collect_codebook(
@@ -2519,6 +2528,129 @@ def _collect_codebook(
         int(r["__cell"]): (list(r["__cv"]), float(r["__cn"]))
         for r in cents_df.collect()
     }
+
+
+def cluster_profile(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_iters: int = 3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus clustering profile — the curation view behind
+    SemDeDup/D4-style cluster-then-prune data selection (Abbas et al.
+    2023; Tirumala et al. 2023): train the deterministic spherical
+    k-means codebook (or take a frozen ``centroids`` table), assign
+    every vector to its nearest centroid, and report ONE ROW PER
+    CLUSTER — ``(cell, n_members, rep_id, avg_cos, min_cos)`` where
+    ``rep_id`` is the lowest member id, ``avg_cos`` the mean cosine to
+    the centroid (cluster tightness — loose clusters are where D4
+    prunes hardest) and ``min_cos`` its worst member. A curation
+    pipeline reads this table to pick per-cluster keep rates before
+    running :func:`semantic_dedup` inside each cluster.
+
+    Bit-exactness: assignment is the shared literal-argmax fragment
+    (:func:`_argmax_struct_expr` — same arithmetic and lowest-cell
+    tie-break as training); ``avg_cos`` accumulates as
+    floored-1e-6-unit DECIMAL(38,0) integers so the per-cluster mean
+    is partition-order-free (the bm25 discipline), then divides once.
+
+    100 TB shape: training is the train_centroids codebook-sized
+    driver loop; assignment + winning-cosine is ONE narrow projection
+    (no join — the codebook rides as literals); the only shuffle is
+    the ≤ n_cells-key rollup with map-side partial aggregation."""
+    cents_df = (
+        centroids if centroids is not None
+        else train_centroids(
+            vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            n_iters=n_iters,
+        )
+    )
+    cb = _collect_codebook(cents_df)
+    v = _with_norm(
+        spread(vectors, id_col).select(id_col, vec_col), vec_col
+    )
+    best = F.expr(_argmax_struct_expr(cb))
+    assigned = v.withColumn("__best", best).select(
+        F.col(id_col),
+        (-F.col("__best.c")).cast("int").alias("cell"),
+        F.col("__best.s").alias("__cos"),
+    )
+    scale = "CAST(1000000 AS DOUBLE)"
+    return (
+        assigned.withColumn(
+            "__sc",
+            F.expr(f"CAST(floor(__cos * {scale}) AS DECIMAL(38,0))"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(id_col).alias("rep_id"),
+            F.sum("__sc").alias("__ssum"),
+            F.min("__cos").alias("__mn"),
+        )
+        .select(
+            "cell",
+            "n_members",
+            "rep_id",
+            F.expr(
+                f"CAST(__ssum AS DOUBLE) / (CAST(n_members AS DOUBLE) * "
+                f"{scale})"
+            ).alias("avg_cos"),
+            F.round("__mn", 6).alias("min_cos"),
+        )
+    )
+
+
+def oracle_cluster_profile_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 3,
+) -> str:
+    """DuckDB twin of :func:`cluster_profile` — the k-means CTE chain
+    re-derives the codebook (never literal-injected), assignment keeps
+    the winning cosine, and the per-cluster mean uses the same
+    floored-integer scaled sum."""
+    kmeans, final = _duck_kmeans_ctes(dim, n_cells, n_iters, id_col)
+    cdot = _duck_dot("x.__v", "c.__cv", dim)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
+    ),
+    {kmeans},
+    assigned AS (
+      SELECT x.{id_col}, c.__cell AS cell,
+        {cdot} / (x.__nrm * c.__cn) AS __cos,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__cn) DESC, c.__cell ASC) AS cr
+      FROM n x, {final} c
+      QUALIFY cr = 1
+    ),
+    sc AS (
+      SELECT CAST(cell AS INT) AS cell, {id_col}, __cos,
+        CAST(floor(__cos * CAST(1000000 AS DOUBLE)) AS DECIMAL(38,0))
+          AS __sc
+      FROM assigned
+    )
+    SELECT cell,
+      CAST(count(*) AS BIGINT) AS n_members,
+      CAST(min({id_col}) AS BIGINT) AS rep_id,
+      CAST(sum(__sc) AS DOUBLE) / (CAST(count(*) AS DOUBLE) *
+        CAST(1000000 AS DOUBLE)) AS avg_cos,
+      round(min(__cos), 6) AS min_cos
+    FROM sc GROUP BY cell
+    """
 
 
 def semantic_dedup(

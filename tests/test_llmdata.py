@@ -2028,6 +2028,50 @@ def test_bloom_dedup_membership_and_oracle(spark):
     assert r[0]["n_bits_hit"] == 0 and not r[0]["maybe_dup"]
 
 
+def test_cluster_profile_matches_oracle_and_frozen_codebook(spark):
+    """cluster_profile (r09): bit-exact vs the DuckDB CTE k-means twin
+    across (n_cells, n_iters) geometries; a frozen centroids table
+    gives the same profile as in-call training (production quantizer
+    semantics); membership covers every norm-surviving vector."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    )
+    for n_cells, n_iters in ((4, 2), (8, 3)):
+        sdf = (
+            similarity.cluster_profile(
+                vecs, n_cells=n_cells, n_iters=n_iters
+            )
+            .toPandas().sort_values("cell").reset_index(drop=True)
+        )
+        odf = (
+            con.execute(similarity.oracle_cluster_profile_sql(
+                n_cells=n_cells, n_iters=n_iters
+            ))
+            .df().sort_values("cell").reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf) > 0, (n_cells, n_iters)
+        assert (sdf.values == odf.values).all(), (n_cells, n_iters)
+        assert sdf["n_members"].sum() == vecs.count()
+    frozen = similarity.train_centroids(vecs, n_cells=8, n_iters=3)
+    a = (
+        similarity.cluster_profile(vecs, centroids=frozen)
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    b = (
+        similarity.cluster_profile(vecs, n_cells=8, n_iters=3)
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    assert (a.values == b.values).all()
+
+
 def test_bloom_index_batch_equivalence_and_compaction(spark, tmp_path):
     """BloomIndex (r09): probing after ingesting batches B1..Bn equals
     the one-shot bloom_dedup against their union (the bit set is a

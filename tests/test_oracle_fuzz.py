@@ -273,10 +273,10 @@ VEC_QUERIES = [
     # LUT bug (seed 9501 above) is exactly the class this committed
     # rotation exists to hold closed
     "ann_sq_topk", "ann_ivf_sq_topk", "ann_pq_topk",
-    # r09 sixth wave: ivf_pq composes the two guarded tiers;
-    # semantic_decontaminate rides the same zero-norm/NULL/duplicate
-    # axes over its corpus/eval split
-    "ann_ivf_pq_topk", "semantic_decontaminate",
+    # r09 sixth/seventh waves: ivf_pq composes the two guarded tiers;
+    # semantic_decontaminate and cluster_profile ride the same
+    # zero-norm/NULL/duplicate axes
+    "ann_ivf_pq_topk", "semantic_decontaminate", "cluster_profile",
 ]
 
 

@@ -801,6 +801,27 @@ def test_bm25_topk_is_narrow_tf_broadcast_stats(psession):
     assert set(parts) <= {"__term", "doc_id"}, parts
 
 
+def test_cluster_profile_assignment_is_narrow_literal_argmax(psession):
+    """cluster_profile's scale contract: after the codebook-sized
+    training pull, assignment + winning-cosine is ONE narrow
+    projection (the codebook rides as literals — no join, no
+    broadcast needed) and the only shuffle is the ≤ n_cells-key
+    rollup."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(psession, f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(similarity.cluster_profile(vecs, n_cells=4, n_iters=2))
+    assert "EvalPython" not in plan, plan[:600]
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "Join" not in plan, plan[:600]
+    # vec_id is spread()'s single-file local-scan repartition (a no-op
+    # rebalance on a real cluster — SCALE.md "what would change");
+    # cell is the profile rollup. Nothing else may shuffle.
+    parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(parts) <= {"cell", "vec_id"}, parts
+
+
 def test_semantic_decontaminate_broadcasts_eval_side(psession):
     """semantic_decontaminate's scale contract: the benchmark-sized
     eval side BROADCASTS onto one corpus scan (the
