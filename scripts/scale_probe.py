@@ -181,6 +181,18 @@ def probe_vector_ops(spark, vecs, queries, factor: int):
     yield "pq_topk", lambda: similarity.pq_topk(
         vecs, queries, n_codes=16, k=5, rerank=8
     ), n
+    # r09 seventh wave: semantic_decontaminate's eval side stays FIXED
+    # (the production shape — benchmarks don't grow with the corpus),
+    # so the exponent isolates the corpus-side scan; cluster_profile
+    # is training (codebook-sized pulls) + one narrow assignment scan
+    # + an n_cells-key rollup
+    yield "semantic_decontaminate", lambda: similarity.semantic_decontaminate(
+        vecs.filter(F.col("vec_id") >= 10), queries.select("vec_id", "embedding"),
+        threshold=0.35,
+    ), n
+    yield "cluster_profile", lambda: similarity.cluster_profile(
+        vecs, n_cells=8, n_iters=3
+    ), n
     # threshold 0.9 + the decorrelated tilt bounds each vector's true
     # near-dup neighborhood to a few adjacent copies: output saturates
     # per family, so the exponent measures candidate generation.
