@@ -777,6 +777,62 @@ def streaming_dedup_minhash(
     )
 
 
+def streaming_bloom_dedup(
+    docs: DataFrame,
+    *,
+    index_path: str,
+    flags_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+):
+    """Streaming bloom membership pre-filter: continuously ingest a
+    document stream against a persistent
+    :class:`~streamtasks_spark.llmdata.dedup.BloomIndex`, appending
+    each micro-batch's flags (``id, n_bits_hit, maybe_dup``) to
+    ``flags_path`` — the cheap always-on first gate of a crawl-ingest
+    topology, with :func:`streaming_dedup_minhash` as the exact
+    near-dup stage behind it.
+
+    Same foreachBatch-over-incremental-index shape and the same
+    batch-decomposition guarantee as the MinHash twin, with a STRONGER
+    union property: the bit set is a pure set union over keys, so each
+    batch's flags equal ``bloom_dedup(batch, all prior batches)``
+    bit-exactly regardless of batching (BloomIndex pins this).
+    Restart semantics: an in-flight batch's flags append replays and
+    its bits may re-append — bit re-appends are IDEMPOTENT by the set
+    union (probe re-distincts), so only flags_path needs consumer-side
+    dedup on the id, the standard foreachBatch contract.
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.llmdata.dedup import BloomIndex
+
+    index = BloomIndex(
+        index_path,
+        id_col=id_col,
+        text_col=text_col,
+        m_bits=m_bits,
+        n_hashes=n_hashes,
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        flags = index.ingest(batch.select(id_col, text_col))
+        flags.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(flags_path)
+        flags.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def streaming_semantic_dedup(
     vectors: DataFrame,
     *,

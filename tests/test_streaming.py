@@ -883,6 +883,70 @@ def test_streaming_dedup_minhash_matches_batch(spark, tmp_path):
     assert any((a % 2) != (b % 2) for a, b in got)
 
 
+def test_streaming_bloom_dedup_matches_incremental_batches(spark, tmp_path):
+    """Streaming bloom pre-filter over the persistent BloomIndex
+    (r09): each micro-batch's flags equal bloom_dedup(batch, all
+    PRIOR batches) — history-only probing, one flag row per doc,
+    and the second batch's duplicates of first-batch text are
+    flagged while the first batch (empty history) flags nothing."""
+    from streamtasks_spark.llmdata.dedup import bloom_dedup
+    from streamtasks_spark.streaming.stateful import streaming_bloom_dedup
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    # second batch: odd docs PLUS re-texts of 10 even docs under new ids
+    # (guaranteed cross-batch membership hits)
+    dups = b1.limit(10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(dups)
+
+    src = tmp_path / "bl_src"
+    b1.coalesce(1).write.parquet(str(src / "p1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(src / "p2"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    flags_path = str(tmp_path / "flags")
+    q = streaming_bloom_dedup(
+        stream,
+        index_path=str(tmp_path / "bl_index"),
+        flags_path=flags_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        m_bits=65536,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(flags_path).collect()
+    got = {r["doc_id"]: (r["n_bits_hit"], r["maybe_dup"]) for r in rows}
+    assert len(rows) == len(got) == b1.count() + b2.count()
+    # batch 1: empty history, nothing flagged
+    for r in rows:
+        if r["batch_id"] == 0:
+            assert r["n_bits_hit"] == 0 and not r["maybe_dup"]
+    # batch 2 flags equal one-shot bloom_dedup(b2, b1) bit-exactly
+    expect = {
+        r["doc_id"]: (r["n_bits_hit"], r["maybe_dup"])
+        for r in bloom_dedup(b2, b1, m_bits=65536).collect()
+    }
+    got2 = {
+        r["doc_id"]: (r["n_bits_hit"], r["maybe_dup"])
+        for r in rows if r["batch_id"] == 1
+    }
+    assert got2 == expect
+    # the re-texted dups are flagged (no false negatives)
+    assert all(got2[1_000_000 + i][1] for i in
+               [r["doc_id"] for r in b1.limit(10).collect()])
+
+
 def test_streaming_dedup_minhash_survives_restart(spark, tmp_path):
     """Clean stop → new query on the same checkpoint resumes WITHOUT
     re-ingesting processed batches: pair deltas across the restart are
