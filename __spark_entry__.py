@@ -1230,6 +1230,28 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine and oracle can never disagree on the query bag
 _BM25_TERMS = ("spark", "hash", "window", "merge")
 
+# shared by _q_bm25_search and its oracle entry — a multi-query
+# workload of three bags with different lengths (so per-query length
+# normalization and rank windows are exercised independently)
+_BM25_BAGS = {
+    0: ("spark", "hash"),
+    1: ("window", "merge", "sort"),
+    2: ("table", "scan", "value", "row"),
+}
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 retrieval (NEW r09): three query bags scored
+    as a query TABLE — the corpus token stream pruned by a broadcast
+    semi-join against the distinct query-term set before the one
+    (doc, term) shuffle; top-10 per query (textstats.bm25_search)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    qdf = spark.createDataFrame(
+        [(k, list(v)) for k, v in _BM25_BAGS.items()],
+        "query_id long, terms array<string>",
+    )
+    return textstats.bm25_search(docs, qdf, k=10)
+
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 documents by BM25 relevance to a 4-term query bag (NEW
@@ -1608,11 +1630,17 @@ _MUST_VERIFY_R09 = [
     # per-cluster average is partition-order-free. Displaces lang_id
     # (untouched, r07-green, r10 queue).
     "cluster_profile",
+    # NEW op r09 (eighth wave): multi-query BM25 over a query TABLE —
+    # the production retrieval-workload shape; the corpus token stream
+    # is pruned by a broadcast semi-join against the distinct
+    # query-term set BEFORE the one (doc, term) shuffle. Displaces
+    # text_stats (untouched, r07-green, r10 queue).
+    "bm25_search",
 ]
 
 # r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
-# row is r06 (queued oldest-first since r08) + the 6 oldest
-# r07-certified rows that fit the remaining slots (13 must-verify + 37
+# row is r06 (queued oldest-first since r08) + the 5 oldest
+# r07-certified rows that fit the remaining slots (14 must-verify + 36
 # rotation = 50). After this window no query's latest driver row is
 # older than r07.
 _ROTATE_R09 = [
@@ -1627,15 +1655,15 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 6 oldest r07-green rows (r07 window order; ann_topk,
+    # the 5 oldest r07-green rows (r07 window order; ann_topk,
     # dedup_minhash, dedup_simhash, decontaminate, dedup_exact,
-    # quality_filter, doc_repetition, doc_fingerprint, and lang_id
-    # were displaced by the dedup_against / ann_pq_topk /
+    # quality_filter, doc_repetition, doc_fingerprint, lang_id, and
+    # text_stats were displaced by the dedup_against / ann_pq_topk /
     # ann_ivf_pq_topk / ann_recall / bm25_topk / bloom_dedup /
-    # ngram_lm / semantic_decontaminate / cluster_profile waves and
-    # head the r10 queue)
+    # ngram_lm / semantic_decontaminate / cluster_profile /
+    # bm25_search waves and head the r10 queue)
     "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
-    "events_retention_cohorts", "text_stats",
+    "events_retention_cohorts",
 ]
 
 
@@ -1652,7 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r07-certified rows. After this round no query's latest driver row
     # is older than r07. The tail stays ordered oldest-first (remaining
     # r07 rows in r07 window order, then the r08-certified rows in r08
-    # window order) so r10 keeps rotating the same way; all 137 stay
+    # window order) so r10 keeps rotating the same way; all 138 stay
     # covered by the bit-level compare in scripts/check_oracle.py
     # locally, and tests/test_oracle_audit.py mechanically fails any
     # query whose rendered oracle/plan drifts without a
@@ -1673,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm": _q_ngram_lm,
         "semantic_decontaminate": _q_semantic_decontaminate,
         "cluster_profile": _q_cluster_profile,
+        "bm25_search": _q_bm25_search,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1711,13 +1740,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": _q_token_histogram,
         "corpus_prepare": _q_corpus_prepare,
         "events_retention_cohorts": rel(rq.events_retention_cohorts),
-        "text_stats": _q_text_stats,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
-        # of the r10 queue (lang_id displaced by cluster_profile,
-        # doc_fingerprint by semantic_decontaminate,
-        # quality_filter/doc_repetition by bloom_dedup/ngram_lm,
-        # dedup_exact by bm25_topk, ann_topk by dedup_against)
+        # of the r10 queue (text_stats displaced by bm25_search,
+        # lang_id by cluster_profile, doc_fingerprint by
+        # semantic_decontaminate, quality_filter/doc_repetition by
+        # bloom_dedup/ngram_lm, dedup_exact by bm25_topk, ann_topk by
+        # dedup_against)
+        "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "quality_filter": _q_quality_filter,
@@ -2667,6 +2697,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cluster_profile": similarity.oracle_cluster_profile_sql(
             n_cells=8, n_iters=3
+        ),
+        "bm25_search": textstats.oracle_bm25_search_sql(
+            query_bags=_BM25_BAGS, k=10
         ),
         "audio_chunker": _CHUNKER_SQL,
         "padded_chunker": _PADDED_CHUNKER_SQL,

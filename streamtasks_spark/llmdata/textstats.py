@@ -929,3 +929,172 @@ def oracle_bm25_topk_sql(
     WINDOW w AS (ORDER BY __ssum DESC, {id_col} ASC)
     QUALIFY rank <= {k}
     """
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-query BM25 retrieval — :func:`bm25_topk` generalized from
+    one literal term bag to a QUERY TABLE ``(query_id, terms
+    array<string>)``, the production retrieval-workload shape (a RAG
+    batch scores thousands of queries, not one). Output: one row per
+    (query, hit): (``query_id``, ``doc_id``, ``n_terms_matched``,
+    ``bm25``, ``rank``), rank 1..k per query by (score desc, id asc).
+
+    Same scoring and bit-exactness discipline as bm25_topk (shared
+    :func:`_bm25_score_expr`, floored-integer scaled DECIMAL sums);
+    terms are normalized (lower/trim, empties dropped) and deduped per
+    query in both engines; df for a term is its corpus-wide matched
+    document count, identical to the single-bag scorer.
+
+    100 TB shape — where it differs from bm25_topk: the per-term tf
+    can no longer be a literal-bag lambda, so the corpus token stream
+    explodes — but it is PRUNED BY A BROADCAST SEMI-JOIN against the
+    distinct query-term set BEFORE the (doc, term) aggregation, so
+    the one real shuffle carries only query-term occurrences, not the
+    corpus vocabulary (a query workload's term set is small; that is
+    the asymmetry this plan exploits). df re-aggregates the pruned
+    pairs (≤ |terms| rows, broadcast back), the query table attaches
+    term-keyed as a broadcast, N/Σdl as the scalar broadcast, and the
+    per-query top-k is a rank window partitioned on query_id."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    qt = (
+        queries.select(
+            "query_id", F.explode("terms").alias("__raw")
+        )
+        .select("query_id", F.lower(F.trim("__raw")).alias("__term"))
+        .filter(F.col("__term") != "")
+        .distinct()
+    )
+    terms_set = qt.select("__term").distinct()
+    base = (
+        spread(docs, id_col)
+        .select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col), "__toks",
+            F.expr("size(__toks)").cast("bigint").alias("__dl"),
+        )
+    )
+    tot = base.agg(
+        F.count("__dl").alias("__n"), F.sum("__dl").alias("__sdl")
+    )
+    m = (
+        base.select(F.col(id_col), "__dl", F.explode("__toks").alias("__tok"))
+        .join(broadcast(terms_set), F.col("__tok") == F.col("__term"))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tf"))
+    )
+    dfreq = m.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        m.join(broadcast(dfreq), "__term")
+        .join(broadcast(qt), "__term")
+        .crossJoin(broadcast(tot))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.expr(
+                f"CAST(floor(({_bm25_score_expr(k1, b)}) * {_BM25_SCALE}) "
+                "AS DECIMAL(38,0))"
+            ).alias("__sc"),
+        )
+    )
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.sum("__sc").alias("__ssum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__ssum").desc(), F.col(id_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            "n_terms_matched",
+            (F.col("__ssum").cast("double") / F.expr(_BM25_SCALE))
+            .alias("bm25"),
+            "rank",
+        )
+    )
+
+
+def oracle_bm25_search_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    *,
+    query_bags: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`bm25_search` over literal query bags
+    ``{query_id: (terms, ...)}`` — same shared score fragment, same
+    normalization/dedup, df/N/Σdl re-derived in CTEs."""
+    rows = []
+    for qid in sorted(query_bags):
+        for t in query_bags[qid]:
+            esc = str(t).replace("'", "''")
+            rows.append(f"({int(qid)}, '{esc}')")
+    vals = ", ".join(rows)
+    return f"""
+    WITH src AS ({source_sql}),
+    qraw(query_id, __raw) AS (VALUES {vals}),
+    qt AS (
+      SELECT DISTINCT query_id, lower(trim(__raw)) AS __term
+      FROM qraw WHERE lower(trim(__raw)) <> ''
+    ),
+    base AS (
+      SELECT {id_col},
+             {tokens_expr(text_col, 'duck')} AS __toks,
+             CAST(len({tokens_expr(text_col, 'duck')}) AS BIGINT) AS __dl
+      FROM src
+    ),
+    tot AS (
+      SELECT CAST(count(__dl) AS BIGINT) AS __n,
+             CAST(sum(__dl) AS BIGINT) AS __sdl
+      FROM base
+    ),
+    toks AS (
+      SELECT {id_col}, __dl, unnest(__toks) AS __tok FROM base
+    ),
+    m AS (
+      SELECT t.{id_col}, t.__dl, s.__term,
+             CAST(count(*) AS BIGINT) AS __tf
+      FROM toks t JOIN (SELECT DISTINCT __term FROM qt) s
+        ON t.__tok = s.__term
+      GROUP BY t.{id_col}, t.__dl, s.__term
+    ),
+    dfreq AS (
+      SELECT __term, CAST(count(*) AS BIGINT) AS __df
+      FROM m GROUP BY __term
+    ),
+    scored AS (
+      SELECT qt.query_id, m.{id_col},
+        CAST(floor(({_bm25_score_expr(k1, b)}) * {_BM25_SCALE})
+             AS DECIMAL(38,0)) AS __sc
+      FROM m JOIN dfreq USING (__term) JOIN qt USING (__term), tot
+    ),
+    agg AS (
+      SELECT query_id, {id_col}, sum(__sc) AS __ssum,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM scored GROUP BY query_id, {id_col}
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, {id_col},
+           n_terms_matched,
+           CAST(__ssum AS DOUBLE) / {_BM25_SCALE} AS bm25,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM agg
+    WINDOW w AS (PARTITION BY query_id ORDER BY __ssum DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
+    """

@@ -1486,6 +1486,56 @@ def test_bm25_topk_matches_oracle_across_geometries(spark):
         assert (sdf["n_terms_matched"] >= 1).all()
 
 
+def test_bm25_search_matches_oracle_and_single_bag(spark):
+    """bm25_search (r09): bit-exact vs DuckDB for a multi-bag query
+    table; a single-bag query table reproduces bm25_topk's scores
+    exactly (the two plans differ — semi-join-pruned shuffle vs
+    literal-bag lambda — but the scoring math is shared)."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import textstats
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    bags = {0: ("spark", "hash"), 1: ("window", "merge", "sort"),
+            2: ("table", "scan", "value", "row")}
+    qdf = spark.createDataFrame(
+        [(k, list(v)) for k, v in bags.items()],
+        "query_id long, terms array<string>",
+    )
+    sdf = (
+        textstats.bm25_search(docs, qdf, k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    odf = (
+        con.execute(textstats.oracle_bm25_search_sql(query_bags=bags, k=10))
+        .df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(sdf) == len(odf) > 0
+    assert (sdf.values == odf.values).all()
+    # single-bag equivalence with bm25_topk (per-doc scores, same k)
+    one = spark.createDataFrame(
+        [(9, ["spark", "hash", "window", "merge"])],
+        "query_id long, terms array<string>",
+    )
+    via_search = {
+        (r["doc_id"], r["rank"]): (r["n_terms_matched"], r["bm25"])
+        for r in textstats.bm25_search(docs, one, k=15).collect()
+    }
+    via_topk = {
+        (r["doc_id"], r["rank"]): (r["n_terms_matched"], r["bm25"])
+        for r in textstats.bm25_topk(
+            docs, terms=("spark", "hash", "window", "merge"), k=15
+        ).collect()
+    }
+    assert via_search == via_topk
+
+
 def test_bm25_topk_edges(spark):
     """bm25_topk edges: unmatched terms → empty result; term
     normalization lowercases (an uppercase query term still matches

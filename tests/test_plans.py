@@ -873,6 +873,34 @@ def test_bloom_dedup_broadcasts_bitset_at_bounded_m(psession):
     assert re.search(r"Join.*__pos", big) or "__pos" in big, big[:600]
 
 
+def test_bm25_search_prunes_tokens_before_the_shuffle(psession):
+    """bm25_search's scale contract: the corpus token stream is pruned
+    by a BROADCAST join against the distinct query-term set BEFORE the
+    (doc, term) aggregation shuffles — the shuffle carries query-term
+    occurrences, not the corpus vocabulary. No sort-merge joins, no
+    Python."""
+    from streamtasks_spark.llmdata import textstats
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    qdf = psession.createDataFrame(
+        [(0, ["spark", "hash"]), (1, ["merge"])],
+        "query_id long, terms array<string>",
+    )
+    plan = plan_of(textstats.bm25_search(docs, qdf, k=5))
+    assert "EvalPython" not in plan, plan[:600]
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "SortMergeJoin" not in plan, plan[:600]
+    assert "BroadcastExchange" in plan, plan[:600]
+    # physical plans print root-first: the broadcast term-set join
+    # (build side on __term) must sit BELOW (later string position
+    # than) the doc_id/__term hash aggregation exchange feeding it —
+    # i.e. pruning happens before the wide agg
+    agg_pos = plan.index("hashpartitioning(doc_id")
+    join_pos = plan.rindex("BroadcastHashJoin")
+    assert join_pos > agg_pos, (agg_pos, join_pos)
+
+
 def test_shuffle_shards_window_is_per_shard_not_global(psession):
     """The training-shuffle addressing must window PER SHARD — a global
     row_number (empty partition spec) would funnel the corpus through
