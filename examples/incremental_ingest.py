@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Continuous corpus ingestion at 100 TB shape, demonstrated at
-sf0.001: crawl increments arrive as batches; each is near-deduplicated
-against ALL previously ingested history through the persistent
-MinHashIndex (band postings + hash sketches on disk), embeddings are
-served from a persistent cell-partitioned IvfIndex with a trained
-codebook, and each embedding increment is semantically deduplicated
-against the kept history through a SemDedupIndex — no batch ever
-re-reads or re-sketches the historical corpus.
+sf0.001: crawl increments arrive as batches; each first probes the
+persistent BloomIndex (exact-membership bits — the cheap always-on
+first gate, r09), then is near-deduplicated against ALL previously
+ingested history through the persistent MinHashIndex (band postings +
+hash sketches on disk), embeddings are served from a persistent
+cell-partitioned IvfIndex with a trained codebook, and each embedding
+increment is semantically deduplicated against the kept history
+through a SemDedupIndex — no batch ever re-reads or re-sketches the
+historical corpus.
 
 Run: python examples/incremental_ingest.py [sf_dir]
 """
@@ -21,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from streamtasks_spark.llmdata.dedup import MinHashIndex
+from streamtasks_spark.llmdata.dedup import BloomIndex, MinHashIndex
 from streamtasks_spark.llmdata.similarity import (
     IvfIndex,
     SemDedupIndex,
@@ -37,16 +39,34 @@ def main() -> None:
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
     with tempfile.TemporaryDirectory(prefix="ingest_") as td:
-        # --- text: three crawl increments through one dedup index
+        # --- text: three crawl increments through the two-stage gate —
+        # bloom membership first (exact re-crawls, one position join),
+        # then the MinHash index for genuine NEAR-dups among survivors
+        bloom = BloomIndex(f"{td}/bloom", m_bits=1 << 16)
         mh = MinHashIndex(f"{td}/mh", threshold=0.5)
         total = 0
         for part in range(3):
             batch = docs.filter(F.col("doc_id") % 3 == part)
-            pairs = mh.ingest(batch)
+            if part == 2:
+                # a crawler revisits: 10 increment-0 pages reappear
+                # under fresh ids — exactly what the bloom gate exists
+                # to shed before the (costlier) MinHash stage
+                recrawl = (
+                    docs.filter(F.col("doc_id") % 3 == 0).limit(10)
+                    .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                            "text")
+                )
+                batch = batch.select("doc_id", "text").unionByName(recrawl)
+            flags = bloom.ingest(batch)
+            exact = flags.filter(F.col("maybe_dup"))
+            survivors = batch.join(exact, "doc_id", "left_anti")
+            pairs = mh.ingest(survivors)
             n = pairs.count()
             total += n
             print(f"crawl increment {part}: {batch.count()} docs, "
+                  f"{exact.count()} bloom-flagged exact re-crawls, "
                   f"{n} near-dup pairs vs history+self")
+            flags.unpersist()
         print(f"total near-dup pairs across increments: {total}")
 
         # --- embeddings: trained codebook, cell-partitioned serving
