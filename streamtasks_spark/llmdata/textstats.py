@@ -1098,3 +1098,123 @@ def oracle_bm25_search_sql(
     WINDOW w AS (PARTITION BY query_id ORDER BY __ssum DESC, {id_col} ASC)
     QUALIFY rank <= {k}
     """
+
+
+def bm25_stats(
+    docs: DataFrame,
+    *,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[dict, int, int]:
+    """Freeze the corpus statistics BM25 scoring needs — ``(df_map,
+    n_docs, sum_dl)`` with df per normalized query term — from a
+    reference corpus: the unigram_lm_train / dsir_train convention
+    applied to retrieval. Driver-small (≤ |terms| + 2 values); feed it
+    to :func:`bm25_score_frozen` or
+    :func:`~streamtasks_spark.streaming.stateful.streaming_bm25_filter`
+    so a stream is scored under stats that never move beneath it."""
+    tl = _bm25_terms(terms)
+    base = (
+        spread(docs, id_col)
+        .select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            "__toks",
+            F.expr("size(__toks)").cast("bigint").alias("__dl"),
+        )
+    )
+    tot = base.agg(
+        F.count("__dl").alias("__n"), F.sum("__dl").alias("__sdl")
+    ).first()
+    m = (
+        base.select(
+            F.col(id_col), "__toks",
+            F.explode(F.array(*[F.lit(t) for t in tl])).alias("__term"),
+        )
+        .select(
+            "__term",
+            F.expr("size(filter(__toks, x -> x = __term))")
+            .cast("bigint").alias("__tf"),
+        )
+        .filter(F.col("__tf") > 0)
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .collect()  # ≤ |terms| rows: codebook-class pull
+    )
+    df_map = {r["__term"]: int(r["__df"]) for r in m}
+    n = int(tot["__n"]) if tot["__n"] is not None else 0
+    sdl = int(tot["__sdl"]) if tot["__sdl"] is not None else 0
+    return df_map, n, sdl
+
+
+def bm25_score_frozen(
+    docs: DataFrame,
+    stats: tuple,
+    *,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score each document against a FROZEN ``(df_map, n_docs,
+    sum_dl)`` from :func:`bm25_stats` — stateless per document (pure
+    function of text, terms, and the model), so it drops into
+    ``foreachBatch`` unchanged and per-batch appends union to the
+    batch result bit-exactly. Output (id, ``n_terms_matched``,
+    ``bm25``) for documents matching ≥1 term — no rank: a stream has
+    no global order; thresholding/ranking is the consumer's move.
+    Same shared score fragment and floored-integer scaled sums as the
+    corpus-derived scorers, with df/N/Σdl attached as LITERALS —
+    on the frozen stats of the same corpus, scores equal
+    :func:`bm25_topk`'s exactly (pinned)."""
+    tl = _bm25_terms(terms)
+    df_map, n, sdl = stats
+    base = (
+        spread(docs, id_col)
+        .select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col), "__toks",
+            F.expr("size(__toks)").cast("bigint").alias("__dl"),
+        )
+    )
+    df_entries = ", ".join(
+        "'" + t.replace("'", "''") + f"', CAST({int(df_map.get(t, 0))} "
+        "AS BIGINT)" for t in tl
+    )
+    m = (
+        base.select(
+            F.col(id_col), "__toks", "__dl",
+            F.explode(F.array(*[F.lit(t) for t in tl])).alias("__term"),
+        )
+        .select(
+            F.col(id_col), "__dl", "__term",
+            F.expr("size(filter(__toks, x -> x = __term))")
+            .cast("bigint").alias("__tf"),
+        )
+        .filter(F.col("__tf") > 0)
+        .withColumn("__df", F.expr(f"map({df_entries})[__term]"))
+        .withColumn("__n", F.lit(int(n)).cast("bigint"))
+        .withColumn("__sdl", F.lit(int(sdl)).cast("bigint"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"CAST(floor(({_bm25_score_expr(k1, b)}) * {_BM25_SCALE}) "
+                "AS DECIMAL(38,0))"
+            ).alias("__sc"),
+        )
+    )
+    return (
+        m.groupBy(id_col)
+        .agg(
+            F.sum("__sc").alias("__ssum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        )
+        .select(
+            id_col,
+            "n_terms_matched",
+            (F.col("__ssum").cast("double") / F.expr(_BM25_SCALE))
+            .alias("bm25"),
+        )
+    )

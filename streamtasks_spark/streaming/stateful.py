@@ -992,6 +992,51 @@ def streaming_ngram_lm(
     )
 
 
+def streaming_bm25_filter(
+    docs: DataFrame,
+    *,
+    terms,
+    stats: tuple,
+    threshold: float,
+    hits_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Streaming topical-crawl filter: score each arriving document's
+    BM25 relevance to a fixed ``terms`` bag under FROZEN corpus stats
+    from :func:`~streamtasks_spark.llmdata.textstats.bm25_stats`, and
+    append documents scoring ≥ ``threshold`` to ``hits_path`` — the
+    targeted-crawl curation shape (keep the pages relevant to a topic
+    bag as they arrive). Same frozen-model/foreachBatch contract as
+    :func:`streaming_unigram_lm`: a doc's score is a pure function of
+    (text, terms, stats), so per-batch appends union to the batch
+    :func:`bm25_score_frozen` result filtered at the same threshold,
+    bit-exactly, independent of batching.
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.llmdata.textstats import bm25_score_frozen
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = bm25_score_frozen(
+            batch.select(id_col, text_col), stats, terms=terms,
+            id_col=id_col, text_col=text_col, k1=k1, b=b,
+        ).filter(F.col("bm25") >= F.lit(threshold))
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(hits_path)
+
+    return (
+        docs.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def streaming_dsir_weights(
     docs: DataFrame,
     *,

@@ -1536,6 +1536,37 @@ def test_bm25_search_matches_oracle_and_single_bag(spark):
     assert via_search == via_topk
 
 
+def test_bm25_frozen_stats_reproduce_corpus_scores(spark):
+    """bm25_score_frozen over bm25_stats of the SAME corpus equals
+    bm25_topk's (n_terms_matched, bm25) on every top-k row — the
+    frozen split changes where the stats come from (literals vs the
+    plan), never the arithmetic; and a doc unseen by the frozen stats
+    still scores (its terms' df frozen at reference-corpus values,
+    production quantizer semantics)."""
+    from streamtasks_spark.llmdata import textstats
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ("spark", "hash", "window", "merge")
+    stats = textstats.bm25_stats(docs, terms=terms)
+    assert stats[1] == docs.count() and set(stats[0]) <= set(terms)
+    frozen = {
+        r["doc_id"]: (r["n_terms_matched"], r["bm25"])
+        for r in textstats.bm25_score_frozen(
+            docs, stats, terms=terms
+        ).collect()
+    }
+    for r in textstats.bm25_topk(docs, terms=terms, k=15).collect():
+        assert frozen[r["doc_id"]] == (r["n_terms_matched"], r["bm25"]), r
+    # an unseen doc scores under the frozen stats
+    new = spark.createDataFrame(
+        [(10**9, "spark hash spark")], "doc_id long, text string"
+    )
+    out = textstats.bm25_score_frozen(new, stats, terms=terms).collect()
+    assert len(out) == 1 and out[0]["n_terms_matched"] == 2
+    assert out[0]["bm25"] > 0
+
+
 def test_bm25_topk_edges(spark):
     """bm25_topk edges: unmatched terms → empty result; term
     normalization lowercases (an uppercase query term still matches

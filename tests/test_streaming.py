@@ -1513,6 +1513,65 @@ def test_streaming_ngram_lm_matches_batch_scoring(spark, tmp_path):
                 assert a == b, k
 
 
+def test_streaming_bm25_filter_matches_batch_threshold(spark, tmp_path):
+    """Streaming topical-crawl filter (r09): the union of per-batch
+    hit appends equals batch bm25_score_frozen over everything
+    ingested filtered at the same threshold, bit-exactly — and only
+    above-threshold docs are ever written."""
+    from streamtasks_spark.llmdata.textstats import (
+        bm25_score_frozen,
+        bm25_stats,
+    )
+    from streamtasks_spark.streaming.stateful import streaming_bm25_filter
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    terms = ("spark", "hash", "window", "merge")
+    stats = bm25_stats(docs, terms=terms)
+    scored = bm25_score_frozen(docs, stats, terms=terms).toPandas()
+    thr = float(scored["bm25"].median())  # half the matched docs pass
+    expect = {
+        r["doc_id"]: (r["n_terms_matched"], r["bm25"])
+        for r in bm25_score_frozen(docs, stats, terms=terms)
+        .filter(F.col("bm25") >= thr).collect()
+    }
+    assert 0 < len(expect) < len(scored)
+
+    src = tmp_path / "bf_src"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    hits_path = str(tmp_path / "hits")
+    q = streaming_bm25_filter(
+        stream,
+        terms=terms,
+        stats=stats,
+        threshold=thr,
+        hits_path=hits_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(hits_path).collect()
+    got = {r["doc_id"]: (r["n_terms_matched"], r["bm25"]) for r in rows}
+    assert len(rows) == len(got)  # one row per hit doc
+    assert {r["batch_id"] for r in rows} == {0, 1}
+    assert got == expect
+
+
 def test_streaming_unigram_lm_survives_restart(spark, tmp_path):
     """Clean stop → new query on the same checkpoint resumes without
     re-scoring processed batches (the last uncovered twin's restart
