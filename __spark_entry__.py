@@ -1240,6 +1240,18 @@ _BM25_BAGS = {
 }
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters with exact verification (NEW
+    r09): 4×256-cell sketch over the corpus token stream, tokens whose
+    min-counter estimate reaches 0.5% of the token total, each with
+    its exact count and visible collision mass
+    (textstats.heavy_hitters_cms)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.heavy_hitters_cms(
+        docs, width=256, depth=4, phi=0.005
+    )
+
+
 def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query BM25 retrieval (NEW r09): three query bags scored
     as a query TABLE — the corpus token stream pruned by a broadcast
@@ -1636,11 +1648,18 @@ _MUST_VERIFY_R09 = [
     # query-term set BEFORE the one (doc, term) shuffle. Displaces
     # text_stats (untouched, r07-green, r10 queue).
     "bm25_search",
+    # NEW op r09 (ninth wave): Count-Min-sketch heavy hitters with
+    # exact verification — the bounded-memory frequency tier next to
+    # vocab_topk's exact heap; d·w cells regardless of vocabulary,
+    # est >= true always, no false negatives at the phi bar, and the
+    # collision mass is a visible column. Displaces
+    # events_retention_cohorts (untouched, r07-green, r10 queue).
+    "heavy_hitters",
 ]
 
 # r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
-# row is r06 (queued oldest-first since r08) + the 5 oldest
-# r07-certified rows that fit the remaining slots (14 must-verify + 36
+# row is r06 (queued oldest-first since r08) + the 4 oldest
+# r07-certified rows that fit the remaining slots (15 must-verify + 35
 # rotation = 50). After this window no query's latest driver row is
 # older than r07.
 _ROTATE_R09 = [
@@ -1655,15 +1674,15 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 5 oldest r07-green rows (r07 window order; ann_topk,
+    # the 4 oldest r07-green rows (r07 window order; ann_topk,
     # dedup_minhash, dedup_simhash, decontaminate, dedup_exact,
-    # quality_filter, doc_repetition, doc_fingerprint, lang_id, and
-    # text_stats were displaced by the dedup_against / ann_pq_topk /
-    # ann_ivf_pq_topk / ann_recall / bm25_topk / bloom_dedup /
-    # ngram_lm / semantic_decontaminate / cluster_profile /
-    # bm25_search waves and head the r10 queue)
+    # quality_filter, doc_repetition, doc_fingerprint, lang_id,
+    # text_stats, and events_retention_cohorts were displaced by the
+    # dedup_against / ann_pq_topk / ann_ivf_pq_topk / ann_recall /
+    # bm25_topk / bloom_dedup / ngram_lm / semantic_decontaminate /
+    # cluster_profile / bm25_search / heavy_hitters waves and head the
+    # r10 queue)
     "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
-    "events_retention_cohorts",
 ]
 
 
@@ -1680,7 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r07-certified rows. After this round no query's latest driver row
     # is older than r07. The tail stays ordered oldest-first (remaining
     # r07 rows in r07 window order, then the r08-certified rows in r08
-    # window order) so r10 keeps rotating the same way; all 138 stay
+    # window order) so r10 keeps rotating the same way; all 139 stay
     # covered by the bit-level compare in scripts/check_oracle.py
     # locally, and tests/test_oracle_audit.py mechanically fails any
     # query whose rendered oracle/plan drifts without a
@@ -1702,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": _q_semantic_decontaminate,
         "cluster_profile": _q_cluster_profile,
         "bm25_search": _q_bm25_search,
+        "heavy_hitters": _q_heavy_hitters,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1739,14 +1759,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "token_histogram": _q_token_histogram,
         "corpus_prepare": _q_corpus_prepare,
-        "events_retention_cohorts": rel(rq.events_retention_cohorts),
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
-        # of the r10 queue (text_stats displaced by bm25_search,
-        # lang_id by cluster_profile, doc_fingerprint by
-        # semantic_decontaminate, quality_filter/doc_repetition by
-        # bloom_dedup/ngram_lm, dedup_exact by bm25_topk, ann_topk by
-        # dedup_against)
+        # of the r10 queue (events_retention_cohorts displaced by
+        # heavy_hitters, text_stats by bm25_search, lang_id by
+        # cluster_profile, doc_fingerprint by semantic_decontaminate,
+        # quality_filter/doc_repetition by bloom_dedup/ngram_lm,
+        # dedup_exact by bm25_topk, ann_topk by dedup_against)
+        "events_retention_cohorts": rel(rq.events_retention_cohorts),
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2700,6 +2720,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_search": textstats.oracle_bm25_search_sql(
             query_bags=_BM25_BAGS, k=10
+        ),
+        "heavy_hitters": textstats.oracle_heavy_hitters_cms_sql(
+            width=256, depth=4, phi=0.005
         ),
         "audio_chunker": _CHUNKER_SQL,
         "padded_chunker": _PADDED_CHUNKER_SQL,

@@ -1218,3 +1218,162 @@ def bm25_score_frozen(
             .alias("bm25"),
         )
     )
+
+
+def heavy_hitters_cms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 256,
+    depth: int = 4,
+    phi: float = 0.005,
+) -> DataFrame:
+    """Heavy hitters via a COUNT-MIN SKETCH with exact verification
+    (Cormode & Muthukrishnan 2005) — the bounded-memory frequency tier
+    next to :func:`vocab_topk`'s exact heap: the sketch is ``depth``
+    hash rows × ``width`` counters (d·w cells TOTAL, independent of
+    vocabulary size — the reason a 100 TB stream can afford it), a
+    token's estimate is the MIN of its ``depth`` counters, and a token
+    is reported when its estimate reaches ``phi`` of the corpus token
+    count. Output per reported token: (``token``, ``est``,
+    ``true_count``, ``overestimate``), est desc / token asc ordered
+    implicitly by the consumer.
+
+    Two CMS guarantees are made VISIBLE rather than asserted:
+    ``est ≥ true_count`` always (collisions only ever ADD), so
+    ``overestimate`` is the per-token collision mass; and no false
+    negatives — every token with ``true_count ≥ phi·T`` is reported
+    (its min-counter is at least its own count). False positives
+    (est inflated past the bar by collisions) appear with
+    ``true_count < phi·T``, which is exactly what the exact
+    verification column is for.
+
+    Hashing is the repo's standard md5-prefix family (row-seeded:
+    ``md5(j || ':' || token)``), so sketch contents — collisions
+    included — are bit-reproducible in the DuckDB twin.
+
+    100 TB shape: ONE (row, bucket) shuffle with map-side combine
+    builds the sketch (d·w bounded output rows); candidate estimation
+    joins the distinct-token stream against the BROADCAST sketch
+    (d·w ≤ a few thousand cells). The candidate stream here is the
+    corpus's own distinct tokens (exact at any test scale); at true
+    stream scale candidates come from a coarse pre-filter or an
+    external dictionary while the SKETCH stays the only full-stream
+    aggregate — documented, not hidden."""
+    toks = (
+        spread(docs, id_col)
+        .select(F.explode(F.expr(tokens_expr(text_col))).alias("__t"))
+    )
+    counts = toks.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    # unique name: total shares lineage with the estimate chain (both
+    # stem from counts), and Spark's self-join disambiguation would
+    # otherwise see the generic name on both sides
+    total = counts.agg(
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__cms_total")
+    )
+    bucket = (
+        "pmod(cast(conv(substring(md5(concat(cast({j} as string), ':', "
+        "__t)), 1, 12), 16, 10) as bigint), {w})"
+    )
+    rows = [
+        counts.select(
+            F.lit(j).alias("__row"),
+            F.expr(bucket.format(j=j, w=width)).alias("__bucket"),
+            "__c",
+        )
+        for j in range(depth)
+    ]
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionByName(r)
+    sketch = cells.groupBy("__row", "__bucket").agg(
+        F.sum("__c").alias("__cell")
+    )
+    from pyspark.sql.functions import broadcast
+
+    est = counts
+    for j in range(depth):
+        sk = sketch.filter(F.col("__row") == j).select(
+            F.col("__bucket").alias(f"__b{j}"),
+            F.col("__cell").alias(f"__e{j}"),
+        )
+        est = est.withColumn(
+            f"__b{j}", F.expr(bucket.format(j=j, w=width))
+        ).join(broadcast(sk), f"__b{j}")
+    mins = F.least(*[F.col(f"__e{j}") for j in range(depth)])
+    return (
+        est.withColumn("__est", mins)
+        .crossJoin(broadcast(total))
+        .filter(
+            F.col("__est").cast("decimal(38,0)")
+            * F.lit(1000000).cast("decimal(38,0)")
+            >= F.col("__cms_total")
+            * F.lit(int(round(phi * 1000000))).cast("decimal(38,0)")
+        )
+        .select(
+            F.col("__t").alias("token"),
+            F.col("__est").alias("est"),
+            F.col("__c").alias("true_count"),
+            (F.col("__est") - F.col("__c")).alias("overestimate"),
+        )
+    )
+
+
+def oracle_heavy_hitters_cms_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    text_col: str = "text",
+    width: int = 256,
+    depth: int = 4,
+    phi: float = 0.005,
+) -> str:
+    """DuckDB twin of :func:`heavy_hitters_cms` — same row-seeded
+    md5-prefix buckets, same integer threshold comparison (phi scaled
+    to an exact 1e-6-unit integer on both sides, no float compare)."""
+    bucket = (
+        "cast('0x' || substr(md5(cast({j} as varchar) || ':' || __t), "
+        "1, 12) AS BIGINT) % {w}"
+    )
+    row_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT {j} AS __row, {bucket.format(j=j, w=width)} AS __bucket, "
+        "__c FROM counts"
+        for j in range(depth)
+    )
+    est_joins = "\n      ".join(
+        f"JOIN sketch s{j} ON s{j}.__row = {j} AND "
+        f"s{j}.__bucket = {bucket.format(j=j, w=width)}"
+        for j in range(depth)
+    )
+    mins = "least(" + ", ".join(f"s{j}.__cell" for j in range(depth)) + ")"
+    return f"""
+    WITH src AS ({source_sql}),
+    t AS (
+      SELECT unnest({tokens_expr(text_col, 'duck')}) AS __t FROM src
+    ),
+    counts AS (
+      SELECT __t, CAST(count(*) AS BIGINT) AS __c FROM t GROUP BY __t
+    ),
+    total AS (
+      SELECT CAST(coalesce(sum(__c), 0) AS DECIMAL(38,0)) AS __cms_total
+      FROM counts
+    ),
+    cells AS (
+      {row_selects}
+    ),
+    sketch AS (
+      SELECT __row, __bucket, CAST(sum(__c) AS BIGINT) AS __cell
+      FROM cells GROUP BY __row, __bucket
+    ),
+    est AS (
+      SELECT counts.__t, counts.__c, {mins} AS __est
+      FROM counts
+      {est_joins}
+    )
+    SELECT __t AS token, __est AS est, __c AS true_count,
+           __est - __c AS overestimate
+    FROM est, total
+    WHERE CAST(__est AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0))
+          >= __cms_total * CAST({int(round(phi * 1000000))} AS DECIMAL(38,0))
+    """

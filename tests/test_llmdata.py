@@ -1536,6 +1536,55 @@ def test_bm25_search_matches_oracle_and_single_bag(spark):
     assert via_search == via_topk
 
 
+def test_heavy_hitters_cms_matches_oracle_and_guarantees(spark):
+    """heavy_hitters_cms (r09): bit-exact vs DuckDB across sketch
+    geometries INCLUDING a deliberately tiny sketch that forces
+    collisions; the CMS guarantees hold visibly — est >= true always,
+    and every token whose TRUE count reaches the phi bar is reported
+    (no false negatives)."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import textstats
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    saw_overestimate = False
+    for width, depth, phi in ((256, 4, 0.005), (16, 2, 0.005),
+                              (64, 5, 0.01)):
+        sdf = (
+            textstats.heavy_hitters_cms(
+                docs, width=width, depth=depth, phi=phi
+            )
+            .toPandas().sort_values("token").reset_index(drop=True)
+        )
+        odf = (
+            con.execute(textstats.oracle_heavy_hitters_cms_sql(
+                width=width, depth=depth, phi=phi
+            ))
+            .df().sort_values("token").reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf) > 0, (width, depth)
+        assert (sdf.values == odf.values).all(), (width, depth)
+        assert (sdf["overestimate"] >= 0).all()
+        saw_overestimate |= bool((sdf["overestimate"] > 0).any())
+        # no false negatives: every true-heavy token is reported
+        true_counts = con.execute(f"""
+            WITH t AS (SELECT unnest({textstats.tokens_expr('text', 'duck')})
+                       AS __t FROM documents)
+            SELECT __t, count(*) AS c FROM t GROUP BY __t
+        """).fetchall()
+        total = sum(c for _, c in true_counts)
+        heavy = {t for t, c in true_counts if c * 1_000_000
+                 >= total * int(round(phi * 1_000_000))}
+        assert heavy <= set(sdf["token"]), (width, depth)
+    assert saw_overestimate  # the tiny sketch really collided
+
+
 def test_bm25_frozen_stats_reproduce_corpus_scores(spark):
     """bm25_score_frozen over bm25_stats of the SAME corpus equals
     bm25_topk's (n_terms_matched, bm25) on every top-k row — the

@@ -873,6 +873,25 @@ def test_bloom_dedup_broadcasts_bitset_at_bounded_m(psession):
     assert re.search(r"Join.*__pos", big) or "__pos" in big, big[:600]
 
 
+def test_heavy_hitters_cms_sketch_is_bounded_and_broadcast(psession):
+    """heavy_hitters_cms's scale contract: the sketch rows attach to
+    the candidate stream as BROADCASTS (d·w bounded cells), the
+    corpus-total scalar likewise; no sort-merge joins, no Python, and
+    the only unbounded-key shuffle is the token count feeding both
+    sketch and verification."""
+    from streamtasks_spark.llmdata import textstats
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(textstats.heavy_hitters_cms(docs, width=64, depth=3))
+    assert "EvalPython" not in plan, plan[:600]
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "SortMergeJoin" not in plan, plan[:600]
+    assert "BroadcastExchange" in plan, plan[:600]
+    parts = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert parts <= {"__t", "__row", "__bucket", "doc_id"}, parts
+
+
 def test_bm25_search_prunes_tokens_before_the_shuffle(psession):
     """bm25_search's scale contract: the corpus token stream is pruned
     by a BROADCAST join against the distinct query-term set BEFORE the
