@@ -1240,6 +1240,17 @@ _BM25_BAGS = {
 }
 
 
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct 3-gram-type cardinality with exact
+    verification (NEW r09): 256 registers over the corpus's word
+    3-gram stream (16k-27k types across the SFs — the regime where
+    the raw estimator's 1.04/√m ≈ 6.5% standard error shows
+    honestly), the measured relative error a certified column
+    (textstats.approx_distinct_hll)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return textstats.approx_distinct_hll(docs, n=3, p=8)
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-sketch heavy hitters with exact verification (NEW
     r09): 4×256-cell sketch over the corpus token stream, tokens whose
@@ -1655,11 +1666,18 @@ _MUST_VERIFY_R09 = [
     # collision mass is a visible column. Displaces
     # events_retention_cohorts (untouched, r07-green, r10 queue).
     "heavy_hitters",
+    # NEW op r09 (tenth wave): HyperLogLog distinct-unit cardinality
+    # with exact verification — completes the sketch family (CMS =
+    # frequency, bloom = membership, MinHash = similarity, HLL =
+    # cardinality); integer-exact rank path via bin(), DECIMAL
+    # register sums, the measured error a driver-certified column.
+    # Displaces corpus_prepare (untouched, r07-green, r10 queue).
+    "approx_distinct",
 ]
 
 # r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
-# row is r06 (queued oldest-first since r08) + the 4 oldest
-# r07-certified rows that fit the remaining slots (15 must-verify + 35
+# row is r06 (queued oldest-first since r08) + the 3 oldest
+# r07-certified rows that fit the remaining slots (16 must-verify + 34
 # rotation = 50). After this window no query's latest driver row is
 # older than r07.
 _ROTATE_R09 = [
@@ -1674,15 +1692,15 @@ _ROTATE_R09 = [
     "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
     "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
     "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 4 oldest r07-green rows (r07 window order; ann_topk,
+    # the 3 oldest r07-green rows (r07 window order; ann_topk,
     # dedup_minhash, dedup_simhash, decontaminate, dedup_exact,
     # quality_filter, doc_repetition, doc_fingerprint, lang_id,
-    # text_stats, and events_retention_cohorts were displaced by the
-    # dedup_against / ann_pq_topk / ann_ivf_pq_topk / ann_recall /
-    # bm25_topk / bloom_dedup / ngram_lm / semantic_decontaminate /
-    # cluster_profile / bm25_search / heavy_hitters waves and head the
-    # r10 queue)
-    "vocab_topk", "substring_dedup", "token_histogram", "corpus_prepare",
+    # text_stats, events_retention_cohorts, and corpus_prepare were
+    # displaced by the dedup_against / ann_pq_topk / ann_ivf_pq_topk /
+    # ann_recall / bm25_topk / bloom_dedup / ngram_lm /
+    # semantic_decontaminate / cluster_profile / bm25_search /
+    # heavy_hitters / approx_distinct waves and head the r10 queue)
+    "vocab_topk", "substring_dedup", "token_histogram",
 ]
 
 
@@ -1699,7 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r07-certified rows. After this round no query's latest driver row
     # is older than r07. The tail stays ordered oldest-first (remaining
     # r07 rows in r07 window order, then the r08-certified rows in r08
-    # window order) so r10 keeps rotating the same way; all 139 stay
+    # window order) so r10 keeps rotating the same way; all 140 stay
     # covered by the bit-level compare in scripts/check_oracle.py
     # locally, and tests/test_oracle_audit.py mechanically fails any
     # query whose rendered oracle/plan drifts without a
@@ -1722,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_profile": _q_cluster_profile,
         "bm25_search": _q_bm25_search,
         "heavy_hitters": _q_heavy_hitters,
+        "approx_distinct": _q_approx_distinct,
         # --- r09 window: the 31 r06-green rows (r06 window order)
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,
@@ -1758,14 +1777,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "substring_dedup": _q_substring_dedup,
         "token_histogram": _q_token_histogram,
-        "corpus_prepare": _q_corpus_prepare,
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r07-certified rows in r07 window order — the head
-        # of the r10 queue (events_retention_cohorts displaced by
-        # heavy_hitters, text_stats by bm25_search, lang_id by
-        # cluster_profile, doc_fingerprint by semantic_decontaminate,
+        # of the r10 queue (corpus_prepare displaced by
+        # approx_distinct, events_retention_cohorts by heavy_hitters,
+        # text_stats by bm25_search, lang_id by cluster_profile,
+        # doc_fingerprint by semantic_decontaminate,
         # quality_filter/doc_repetition by bloom_dedup/ngram_lm,
         # dedup_exact by bm25_topk, ann_topk by dedup_against)
+        "corpus_prepare": _q_corpus_prepare,
         "events_retention_cohorts": rel(rq.events_retention_cohorts),
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -2723,6 +2743,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "heavy_hitters": textstats.oracle_heavy_hitters_cms_sql(
             width=256, depth=4, phi=0.005
+        ),
+        "approx_distinct": textstats.oracle_approx_distinct_hll_sql(
+            n=3, p=8
         ),
         "audio_chunker": _CHUNKER_SQL,
         "padded_chunker": _PADDED_CHUNKER_SQL,

@@ -1377,3 +1377,197 @@ def oracle_heavy_hitters_cms_sql(
     WHERE CAST(__est AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0))
           >= __cms_total * CAST({int(round(phi * 1000000))} AS DECIMAL(38,0))
     """
+
+
+def _hll_units_expr(text_col: str, n: int, engine: str) -> str:
+    """The HLL counting unit as a SQL array fragment: word n-grams
+    over the corpus tokenization (n = 1 → the tokens themselves) —
+    same <n-words → empty, NULL → NULL contract as ngram_lm's units;
+    explode/unnest then drop the NULLs identically."""
+    te = tokens_expr(text_col, engine)
+    if n == 1:
+        return te
+    if engine == "spark":
+        return (
+            f"CASE WHEN {te} IS NULL THEN NULL "
+            f"WHEN size({te}) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size({te}) - {n}), "
+            f"i -> concat_ws(' ', slice({te}, i + 1, {n}))) END"
+        )
+    return (
+        f"CASE WHEN {te} IS NULL THEN NULL "
+        f"WHEN len({te}) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(0, len({te}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({te}, i + 1, i + {n}), ' ')) END"
+    )
+
+
+def approx_distinct_hll(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    p: int = 5,
+) -> DataFrame:
+    """Approximate distinct-token cardinality via a HYPERLOGLOG
+    register file with exact verification (Flajolet et al. 2007) —
+    the cardinality member of the sketch family (CMS = frequency,
+    bloom = membership, MinHash = similarity): ``m = 2^p`` registers,
+    each holding the max leading-zero rank seen in its substream,
+    estimate = αₘ·m²/Σ2^(−Mⱼ). One row out: (``m``,
+    ``n_buckets_hit``, ``raw_estimate``, ``exact_distinct``,
+    ``rel_error``) — like :func:`heavy_hitters_cms`, the sketch's
+    error is a VISIBLE measured column (the exact side is the
+    verification, not the operator), and the driver certifies the
+    estimate itself, not an assertion about it.
+
+    Bit-exactness without transcendentals: the rank is the
+    integer-exact ``W − length(bin(v)) + 1`` (both engines' ``bin``
+    agree byte-for-byte), the register sum Σ2^(S−Mⱼ) accumulates
+    exact powers of two in DECIMAL(38,0) (2^k is exactly
+    representable; absent registers contribute 2^S), and the single
+    final division is one correctly-rounded double op with αₘ·m²
+    pre-folded to a literal in the plan — no ``ln``-based small-range
+    correction (the raw estimator; its low-cardinality bias is
+    exactly what ``rel_error`` exposes — pick p so the corpus fills
+    the registers).
+
+    100 TB shape: the whole sketch is ONE m-keyed shuffle with
+    map-side partial max over the raw token stream — duplicates never
+    need deduplicating (max is idempotent), which is the entire point
+    vs ``count(distinct)``'s vocabulary-sized exchange; the
+    verification column is the expensive exact path and exists for
+    the oracle's sake."""
+    if not (2 <= p <= 14):
+        raise ValueError(f"approx_distinct_hll: p must be in [2, 14], got {p}")
+    m = 1 << p
+    w = 48 - p          # value width after the bucket split
+    s = w + 1           # max possible rank; exponents S-M land in [0, S]
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709 if m == 64
+        else 0.5  # m < 16: out of the published constant table
+    )
+    am2 = alpha * m * m
+    toks = (
+        spread(docs, id_col)
+        .select(
+            F.explode(F.expr(_hll_units_expr(text_col, n, "spark")))
+            .alias("__t")
+        )
+        .filter(F.col("__t").isNotNull())
+    )
+    h = ("cast(conv(substring(md5(__t), 1, 12), 16, 10) as bigint)")
+    hashed = toks.select(
+        F.expr(f"pmod({h}, {m})").alias("__bucket"),
+        F.expr(f"cast(floor({h} / {m}) as bigint)").alias("__v"),
+    ).select(
+        "__bucket",
+        F.expr(
+            f"CASE WHEN __v = 0 THEN {s} "
+            f"ELSE {w} - length(bin(__v)) + 1 END"
+        ).alias("__rho"),
+    )
+    regs = hashed.groupBy("__bucket").agg(F.max("__rho").alias("__M"))
+    sk = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_hit"),
+        F.sum(
+            F.expr(f"CAST(power(2, {s} - __M) AS DECIMAL(38,0))")
+        ).alias("__sp"),
+    )
+    exact = toks.agg(
+        F.countDistinct("__t").cast("bigint").alias("exact_distinct")
+    )
+    from pyspark.sql.functions import broadcast
+
+    est = (
+        f"CAST({am2!r} AS DOUBLE) * CAST({1 << s} AS DOUBLE) / "
+        f"CAST(__sum AS DOUBLE)"
+    )
+    return (
+        sk.crossJoin(broadcast(exact))
+        .withColumn(
+            "__sum",
+            F.expr(
+                f"__sp + CAST({m} - n_buckets_hit AS DECIMAL(38,0)) * "
+                f"CAST({1 << s} AS DECIMAL(38,0))"
+            ),
+        )
+        .select(
+            F.lit(m).cast("bigint").alias("m"),
+            "n_buckets_hit",
+            F.round(F.expr(est), 6).alias("raw_estimate"),
+            "exact_distinct",
+            F.round(
+                F.expr(est) / F.col("exact_distinct").cast("double")
+                - F.lit(1.0),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+def oracle_approx_distinct_hll_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    text_col: str = "text",
+    n: int = 1,
+    p: int = 5,
+) -> str:
+    """DuckDB twin of :func:`approx_distinct_hll` — same integer rank
+    path (``bin`` agrees byte-for-byte), same DECIMAL register sum,
+    same single-division estimate with the αₘ·m² literal."""
+    m = 1 << p
+    w = 48 - p
+    s = w + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709 if m == 64
+        else 0.5
+    )
+    am2 = alpha * m * m
+    h = "cast('0x' || substr(md5(__t), 1, 12) AS BIGINT)"
+    est = (
+        f"CAST({am2!r} AS DOUBLE) * CAST({1 << s} AS DOUBLE) / "
+        f"CAST(__sum AS DOUBLE)"
+    )
+    return f"""
+    WITH src AS ({source_sql}),
+    t0 AS (
+      SELECT unnest({_hll_units_expr(text_col, n, 'duck')}) AS __t FROM src
+    ),
+    t AS (SELECT __t FROM t0 WHERE __t IS NOT NULL),
+    hashed AS (
+      SELECT {h} % {m} AS __bucket,
+             CAST(floor({h} / {m}) AS BIGINT) AS __v
+      FROM t
+    ),
+    rho AS (
+      SELECT __bucket,
+        CASE WHEN __v = 0 THEN {s}
+             ELSE {w} - length(bin(__v)) + 1 END AS __rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT __bucket, max(__rho) AS __M FROM rho GROUP BY __bucket
+    ),
+    sk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_buckets_hit,
+             sum(CAST(power(2, {s} - __M) AS DECIMAL(38,0))) AS __sp
+      FROM regs
+    ),
+    exact AS (
+      SELECT CAST(count(DISTINCT __t) AS BIGINT) AS exact_distinct FROM t
+    ),
+    c AS (
+      SELECT sk.n_buckets_hit,
+        sk.__sp + CAST({m} - sk.n_buckets_hit AS DECIMAL(38,0)) *
+          CAST({1 << s} AS DECIMAL(38,0)) AS __sum,
+        exact.exact_distinct
+      FROM sk, exact
+    )
+    SELECT CAST({m} AS BIGINT) AS m, n_buckets_hit,
+           round({est}, 6) AS raw_estimate,
+           exact_distinct,
+           round({est} / CAST(exact_distinct AS DOUBLE) - 1.0, 6)
+             AS rel_error
+    FROM c
+    """

@@ -1536,6 +1536,47 @@ def test_bm25_search_matches_oracle_and_single_bag(spark):
     assert via_search == via_topk
 
 
+def test_approx_distinct_hll_matches_oracle_and_error_bound(spark):
+    """approx_distinct_hll (r09): bit-exact vs DuckDB across (n, p)
+    geometries; in the proper regime (universe >> m) the raw
+    estimator's measured error sits within ~3 standard errors of
+    1.04/sqrt(m); duplicates never move the estimate (max is
+    idempotent: doubling the corpus rows changes nothing); p out of
+    range raises."""
+    import duckdb
+
+    import pytest as _pytest
+
+    from streamtasks_spark.llmdata import textstats
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    for n, p in ((3, 8), (2, 7), (1, 4)):
+        sdf = textstats.approx_distinct_hll(docs, n=n, p=p).toPandas()
+        odf = con.execute(
+            textstats.oracle_approx_distinct_hll_sql(n=n, p=p)
+        ).df()
+        assert len(sdf) == len(odf) == 1, (n, p)
+        assert (sdf.values == odf.values).all(), (n, p)
+    r = textstats.approx_distinct_hll(docs, n=3, p=8).collect()[0]
+    m = r["m"]
+    assert r["exact_distinct"] > 20 * m  # proper raw-estimator regime
+    assert abs(r["rel_error"]) < 3 * 1.04 / (m ** 0.5)
+    # duplicate-invariance: the register file is a max, so repeating
+    # every document changes nothing but the exact side's work
+    doubled = docs.unionByName(docs)
+    d = textstats.approx_distinct_hll(doubled, n=3, p=8).collect()[0]
+    assert d["raw_estimate"] == r["raw_estimate"]
+    assert d["exact_distinct"] == r["exact_distinct"]
+    with _pytest.raises(ValueError, match="p must be"):
+        textstats.approx_distinct_hll(docs, p=1)
+
+
 def test_heavy_hitters_cms_matches_oracle_and_guarantees(spark):
     """heavy_hitters_cms (r09): bit-exact vs DuckDB across sketch
     geometries INCLUDING a deliberately tiny sketch that forces

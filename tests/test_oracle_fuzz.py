@@ -188,7 +188,7 @@ DOC_QUERIES = [
     "ngram_containment", "dsir_weights", "dedup_against",
     "split_leakage", "importance_resample", "contamination_report",
     "tfidf_topk", "bm25_topk", "bloom_dedup", "ngram_lm",
-    "bm25_search", "heavy_hitters",
+    "bm25_search", "heavy_hitters", "approx_distinct",
 ]
 
 

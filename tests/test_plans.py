@@ -873,6 +873,27 @@ def test_bloom_dedup_broadcasts_bitset_at_bounded_m(psession):
     assert re.search(r"Join.*__pos", big) or "__pos" in big, big[:600]
 
 
+def test_approx_distinct_hll_is_one_bounded_key_shuffle(psession):
+    """approx_distinct_hll's scale contract: the SKETCH path is one
+    m-keyed shuffle with map-side partial max over the raw unit
+    stream — no distinct before the registers (duplicates are the
+    max's problem, which is the point vs count-distinct's
+    vocabulary-sized exchange). The exact column is the verification
+    path and legitimately aggregates the units."""
+    from streamtasks_spark.llmdata import textstats
+    from streamtasks_spark.session import read_parquet
+
+    docs = read_parquet(psession, f"{SF_DIR}/documents.parquet")
+    plan = plan_of(textstats.approx_distinct_hll(docs, n=3, p=8))
+    assert "EvalPython" not in plan, plan[:600]
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "SortMergeJoin" not in plan, plan[:600]
+    parts = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert parts <= {"__bucket", "__t", "doc_id"}, parts
+    # the register max must partial-aggregate before its exchange
+    assert "partial_max" in plan or "partial" in plan.lower(), plan[:900]
+
+
 def test_heavy_hitters_cms_sketch_is_bounded_and_broadcast(psession):
     """heavy_hitters_cms's scale contract: the sketch rows attach to
     the candidate stream as BROADCASTS (d·w bounded cells), the
