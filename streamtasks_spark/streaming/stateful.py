@@ -1037,6 +1037,105 @@ def streaming_bm25_filter(
     )
 
 
+def streaming_approx_distinct(
+    docs: DataFrame,
+    *,
+    state_path: str,
+    estimates_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    p: int = 5,
+):
+    """Streaming distinct-unit cardinality over a persistent
+    HyperLogLog register file — the MERGEABILITY that makes sketches
+    the streaming-native summary: per micro-batch, compute the batch's
+    registers and max-merge them into the ``state_path`` table (≤ 2^p
+    rows however much history accretes), then append one
+    (batch_id, n_buckets_hit, raw_estimate) row to ``estimates_path``.
+    After any batch decomposition the merged registers — and therefore
+    the estimate — equal the one-shot
+    :func:`~streamtasks_spark.llmdata.textstats.approx_distinct_hll`
+    register state over everything ingested, EXACTLY: max-merge is
+    associative, commutative, and idempotent, which also makes a
+    checkpoint replay of an in-flight batch harmless to the registers
+    (the classic sketch replay-safety argument; the estimates append
+    can duplicate one batch row — consumers dedup on batch_id, the
+    standard foreachBatch contract). The state overwrite is
+    last-writer-wins, not transactional with the checkpoint — run one
+    ingest owner, the MinHashIndex discipline.
+
+    Returns the started StreamingQuery."""
+    import math as _math
+
+    from streamtasks_spark.llmdata.dedup import snapshot_read, spread, tokens_expr
+    from streamtasks_spark.llmdata.textstats import _hll_units_expr
+
+    if not (2 <= p <= 14):
+        raise ValueError(f"streaming_approx_distinct: p in [2, 14], got {p}")
+    m = 1 << p
+    w = 48 - p
+    s = w + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709 if m == 64
+        else 0.5
+    )
+    am2 = alpha * m * m
+    h = "cast(conv(substring(md5(__t), 1, 12), 16, 10) as bigint)"
+
+    def _registers(batch: DataFrame) -> DataFrame:
+        return (
+            spread(batch, id_col)
+            .select(
+                F.explode(F.expr(_hll_units_expr(text_col, n, "spark")))
+                .alias("__t")
+            )
+            .filter(F.col("__t").isNotNull())
+            .select(
+                F.expr(f"pmod({h}, {m})").alias("__bucket"),
+                F.expr(f"cast(floor({h} / {m}) as bigint)").alias("__v"),
+            )
+            .select(
+                "__bucket",
+                F.expr(
+                    f"CASE WHEN __v = 0 THEN {s} "
+                    f"ELSE {w} - length(bin(__v)) + 1 END"
+                ).alias("__M"),
+            )
+            .groupBy("__bucket")
+            .agg(F.max("__M").alias("__M"))
+        )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        new = _registers(batch.select(id_col, text_col))
+        old = snapshot_read(spark, state_path)
+        merged = (
+            new if old is None
+            else new.unionByName(old.select("__bucket", "__M"))
+            .groupBy("__bucket").agg(F.max("__M").alias("__M"))
+        )
+        rows = merged.collect()  # ≤ m rows: register-file-sized pull
+        spark.createDataFrame(rows, "`__bucket` bigint, `__M` int") \
+            .coalesce(1).write.mode("overwrite").parquet(state_path)
+        n_hit = len(rows)
+        ssum = sum(2 ** (s - r["__M"]) for r in rows) + (m - n_hit) * (2 ** s)
+        est = am2 * float(2 ** s) / float(ssum)
+        spark.createDataFrame(
+            [(batch_id, n_hit, round(est, 6))],
+            "batch_id long, n_buckets_hit long, raw_estimate double",
+        ).write.mode("append").parquet(estimates_path)
+
+    return (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def streaming_dsir_weights(
     docs: DataFrame,
     *,

@@ -1572,6 +1572,61 @@ def test_streaming_bm25_filter_matches_batch_threshold(spark, tmp_path):
     assert got == expect
 
 
+def test_streaming_approx_distinct_merges_to_one_shot(spark, tmp_path):
+    """Streaming HLL (r09): after two micro-batches the max-merged
+    register file — and therefore the estimate — equals the one-shot
+    batch approx_distinct_hll over everything ingested (merge is
+    associative/commutative/idempotent); the state table stays
+    register-file-sized; per-batch estimates are monotone
+    non-decreasing (registers only ever grow)."""
+    from streamtasks_spark.llmdata.textstats import approx_distinct_hll
+    from streamtasks_spark.streaming.stateful import (
+        streaming_approx_distinct,
+    )
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    expect = approx_distinct_hll(docs, n=3, p=8).collect()[0]
+
+    src = tmp_path / "hll_src"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    ests = str(tmp_path / "ests")
+    q = streaming_approx_distinct(
+        stream,
+        state_path=state,
+        estimates_path=ests,
+        checkpoint=str(tmp_path / "ckpt"),
+        n=3,
+        p=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        spark.read.parquet(ests).collect(), key=lambda r: r["batch_id"]
+    )
+    assert [r["batch_id"] for r in rows] == [0, 1]
+    assert rows[0]["raw_estimate"] <= rows[1]["raw_estimate"]
+    assert rows[1]["raw_estimate"] == expect["raw_estimate"]
+    assert rows[1]["n_buckets_hit"] == expect["n_buckets_hit"]
+    assert spark.read.parquet(state).count() <= 256
+
+
 def test_streaming_unigram_lm_survives_restart(spark, tmp_path):
     """Clean stop → new query on the same checkpoint resumes without
     re-scoring processed batches (the last uncovered twin's restart
