@@ -121,6 +121,26 @@ def probe_ops(spark, docs):
         m_bits=1 << 20,
     ), n
     yield "ngram_lm", lambda: quality.ngram_lm(docs, n=2), n
+    # r09 eighth-tenth waves: bm25_search's shuffle carries only
+    # query-term occurrences (broadcast semi-prune first); the two
+    # sketches aggregate to FIXED-size states (d·w cells / 2^p
+    # registers) — their heavy side is the exact-verification column,
+    # which is the oracle's burden, not the sketch's
+    yield "bm25_search", lambda: textstats.bm25_search(
+        docs,
+        docs.sparkSession.createDataFrame(
+            [(0, ["spark", "hash"]), (1, ["window", "merge", "sort"]),
+             (2, ["table", "scan", "value", "row"])],
+            "query_id long, terms array<string>",
+        ),
+        k=10,
+    ), n
+    yield "heavy_hitters", lambda: textstats.heavy_hitters_cms(
+        docs, width=256, depth=4, phi=0.005
+    ), n
+    yield "approx_distinct", lambda: textstats.approx_distinct_hll(
+        docs, n=3, p=8
+    ), n
 
 
 def replicate_vectors(spark, factor: int):
