@@ -1136,6 +1136,112 @@ def streaming_approx_distinct(
     )
 
 
+def streaming_heavy_hitters(
+    docs: DataFrame,
+    *,
+    state_path: str,
+    reports_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 256,
+    depth: int = 4,
+    phi: float = 0.005,
+):
+    """Streaming heavy hitters over a persistent Count-Min sketch —
+    the SUM-mergeable sibling of :func:`streaming_approx_distinct`'s
+    max-merge: per micro-batch, the batch's d×w cell counts ADD into
+    the ``state_path`` sketch (counter merge is associative and
+    commutative, so the merged sketch equals the one-shot sketch over
+    everything ingested for ANY batch decomposition), the corpus
+    token total accumulates alongside, and one report row per batch
+    appends to ``reports_path`` with the current heavy set size and
+    token total. Unlike max-merge, counter ADDS are NOT idempotent: a
+    checkpoint replay of an in-flight batch double-counts it — the
+    estimate stays an upper bound (the CMS guarantee direction is
+    preserved: est can only grow), but exactness vs the one-shot then
+    needs the batch-id fencing a production deployment gets from
+    writing state transactionally; documented honestly, run one
+    ingest owner and treat post-crash sketches as upper bounds.
+
+    The heavy SET itself (with exact verification) remains the batch
+    op's job — this twin maintains the mergeable state the way a
+    production pipeline would, then the batch
+    :func:`~streamtasks_spark.llmdata.textstats.heavy_hitters_cms`
+    runs over the full corpus when the exact column is wanted.
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.llmdata.dedup import (
+        snapshot_read,
+        spread,
+        tokens_expr,
+    )
+
+    def _cells(batch: DataFrame) -> DataFrame:
+        toks = (
+            spread(batch, id_col)
+            .select(
+                F.explode(F.expr(tokens_expr(text_col))).alias("__t")
+            )
+        )
+        counts = toks.groupBy("__t").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+        bucket = (
+            "pmod(cast(conv(substring(md5(concat(cast({j} as string), "
+            "':', __t)), 1, 12), 16, 10) as bigint), {w})"
+        )
+        parts = [
+            counts.select(
+                F.lit(j).alias("__row"),
+                F.expr(bucket.format(j=j, w=width)).alias("__bucket"),
+                "__c",
+            )
+            for j in range(depth)
+        ]
+        out = parts[0]
+        for piece in parts[1:]:
+            out = out.unionByName(piece)
+        return out.groupBy("__row", "__bucket").agg(
+            F.sum("__c").alias("__cell")
+        )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        new = _cells(batch.select(id_col, text_col))
+        old = snapshot_read(spark, state_path)
+        merged = (
+            new if old is None
+            else new.unionByName(old.select("__row", "__bucket", "__cell"))
+            .groupBy("__row", "__bucket")
+            .agg(F.sum("__cell").alias("__cell"))
+        )
+        rows = merged.collect()  # ≤ depth·width rows: sketch-sized pull
+        spark.createDataFrame(
+            rows, "`__row` int, `__bucket` bigint, `__cell` bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(state_path)
+        total = sum(r["__cell"] for r in rows if r["__row"] == 0)
+        bar = total * int(round(phi * 1_000_000))
+        # heavy-cell count per the min-row bound: a cheap sketch-side
+        # report; the token-level heavy SET is the batch op's job
+        n_heavy_cells = sum(
+            1 for r in rows
+            if r["__row"] == 0 and r["__cell"] * 1_000_000 >= bar
+        )
+        spark.createDataFrame(
+            [(batch_id, total, n_heavy_cells)],
+            "batch_id long, token_total long, n_heavy_cells long",
+        ).write.mode("append").parquet(reports_path)
+
+    return (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def streaming_dsir_weights(
     docs: DataFrame,
     *,

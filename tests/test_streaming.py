@@ -1627,6 +1627,87 @@ def test_streaming_approx_distinct_merges_to_one_shot(spark, tmp_path):
     assert spark.read.parquet(state).count() <= 256
 
 
+def test_streaming_heavy_hitters_sums_to_one_shot_sketch(spark, tmp_path):
+    """Streaming CMS (r09): after two micro-batches the sum-merged
+    sketch equals the one-shot sketch over everything ingested, cell
+    for cell (counter merge is associative/commutative), and the
+    accumulated token total matches the corpus."""
+    from streamtasks_spark.llmdata.dedup import spread, tokens_expr
+    from streamtasks_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    # the one-shot sketch, built the same way the twin builds batches
+    toks = spread(docs, "doc_id").select(
+        F.explode(F.expr(tokens_expr("text"))).alias("__t")
+    )
+    counts = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    width, depth = 64, 3
+    bucket = (
+        "pmod(cast(conv(substring(md5(concat(cast({j} as string), ':', "
+        "__t)), 1, 12), 16, 10) as bigint), {w})"
+    )
+    parts = [
+        counts.select(
+            F.lit(j).alias("__row"),
+            F.expr(bucket.format(j=j, w=width)).alias("__bucket"),
+            "__c",
+        )
+        for j in range(depth)
+    ]
+    allc = parts[0]
+    for piece in parts[1:]:
+        allc = allc.unionByName(piece)
+    expect = {
+        (r["__row"], r["__bucket"]): r["s"]
+        for r in allc.groupBy("__row", "__bucket")
+        .agg(F.sum("__c").alias("s")).collect()
+    }
+
+    src = tmp_path / "cms_src"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    reports = str(tmp_path / "reports")
+    q = streaming_heavy_hitters(
+        stream,
+        state_path=state,
+        reports_path=reports,
+        checkpoint=str(tmp_path / "ckpt"),
+        width=width,
+        depth=depth,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["__row"], r["__bucket"]): r["__cell"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == expect
+    reps = sorted(
+        spark.read.parquet(reports).collect(), key=lambda r: r["batch_id"]
+    )
+    assert [r["batch_id"] for r in reps] == [0, 1]
+    assert reps[1]["token_total"] == toks.count()
+
+
 def test_streaming_unigram_lm_survives_restart(spark, tmp_path):
     """Clean stop → new query on the same checkpoint resumes without
     re-scoring processed batches (the last uncovered twin's restart
