@@ -2,7 +2,10 @@
 """Continuous corpus ingestion at 100 TB shape, demonstrated at
 sf0.001: crawl increments arrive as batches; each first probes the
 persistent BloomIndex (exact-membership bits — the cheap always-on
-first gate, r09), then is near-deduplicated against ALL previously
+first gate, r09), bloom hits are confirmed against the exact-key
+store before anything is dropped (a bloom "maybe" alone never
+discards a document), then survivors are near-deduplicated against
+ALL previously
 ingested history through the persistent MinHashIndex (band postings +
 hash sketches on disk), embeddings are served from a persistent
 cell-partitioned IvfIndex with a trained codebook, and each embedding
@@ -23,7 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from streamtasks_spark.llmdata.dedup import BloomIndex, MinHashIndex
+from streamtasks_spark.llmdata.dedup import (
+    BloomIndex,
+    MinHashIndex,
+    norm_text,
+    pin,
+    snapshot_read,
+)
 from streamtasks_spark.llmdata.similarity import (
     IvfIndex,
     SemDedupIndex,
@@ -40,10 +49,16 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory(prefix="ingest_") as td:
         # --- text: three crawl increments through the two-stage gate —
-        # bloom membership first (exact re-crawls, one position join),
-        # then the MinHash index for genuine NEAR-dups among survivors
+        # bloom membership first (cheap, may false-positive), then
+        # EXACT verification of the flagged subset against the
+        # exact-key store (a bloom hit is "maybe"; only a confirmed
+        # key match may drop a document — a false positive must never
+        # discard a unique page), then the MinHash index for genuine
+        # NEAR-dups among the survivors
         bloom = BloomIndex(f"{td}/bloom", m_bits=1 << 16)
         mh = MinHashIndex(f"{td}/mh", threshold=0.5)
+        keys_path = f"{td}/keys"
+        key = F.expr(f"md5({norm_text('text')})").alias("__key")
         total = 0
         for part in range(3):
             batch = docs.filter(F.col("doc_id") % 3 == part)
@@ -58,15 +73,37 @@ def main() -> None:
                 )
                 batch = batch.select("doc_id", "text").unionByName(recrawl)
             flags = bloom.ingest(batch)
-            exact = flags.filter(F.col("maybe_dup"))
-            survivors = batch.join(exact, "doc_id", "left_anti")
+            flagged = flags.filter(F.col("maybe_dup")).select("doc_id")
+            # stage 2: exact-key lookup bounded by the FLAGGED subset
+            # (broadcast — the whole point of the bloom gate is that
+            # this set is small), against the accreted key store; the
+            # batch's own keys append only after the probe
+            batch_keys = batch.select("doc_id", key)
+            seen = snapshot_read(spark, keys_path)
+            if seen is None:
+                confirmed = flagged.limit(0)
+            else:
+                confirmed = (
+                    batch_keys.join(F.broadcast(flagged), "doc_id")
+                    .join(seen.select("__key").distinct(), "__key",
+                          "left_semi")
+                    .select("doc_id")
+                )
+            confirmed = pin(confirmed)
+            n_confirmed = confirmed.count()  # materialize pre-append
+            batch_keys.select("__key").distinct().write.mode(
+                "append"
+            ).parquet(keys_path)
+            survivors = batch.join(confirmed, "doc_id", "left_anti")
             pairs = mh.ingest(survivors)
             n = pairs.count()
             total += n
             print(f"crawl increment {part}: {batch.count()} docs, "
-                  f"{exact.count()} bloom-flagged exact re-crawls, "
+                  f"{flagged.count()} bloom-flagged, "
+                  f"{n_confirmed} confirmed exact re-crawls dropped, "
                   f"{n} near-dup pairs vs history+self")
             flags.unpersist()
+            confirmed.unpersist()
         print(f"total near-dup pairs across increments: {total}")
 
         # --- embeddings: trained codebook, cell-partitioned serving

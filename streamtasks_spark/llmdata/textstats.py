@@ -774,6 +774,14 @@ def _bm25_score_expr(k1: float, b: float) -> str:
 # score ≤ idf·(k1+1) ≈ 2.2·(N+1), so N up to ~4e9 documents is safe.
 _BM25_SCALE = "CAST(1000000 AS DOUBLE)"
 
+# doc length with an EXPLICIT NULL guard: NULL-text docs must yield
+# NULL __dl so count(__dl)/sum(__dl) exclude them from N and Σdl
+# (matching DuckDB, where len(NULL) IS NULL). Bare size(NULL) only
+# returns NULL under ANSI mode (the Spark 4 default) — on an ANSI-off
+# session it returns -1, which would silently pollute N and Σdl, so
+# the guard is written out rather than relying on session posture.
+_BM25_DL_EXPR = "CASE WHEN __toks IS NULL THEN NULL ELSE size(__toks) END"
+
 
 def _bm25_terms(terms) -> list[str]:
     """Validate + normalize the query terms: lowercase (the corpus
@@ -827,7 +835,7 @@ def bm25_topk(
         .select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("__toks"))
         .select(
             F.col(id_col), "__toks",
-            F.expr("size(__toks)").cast("bigint").alias("__dl"),
+            F.expr(_BM25_DL_EXPR).cast("bigint").alias("__dl"),
         )
     )
     tot = base.agg(
@@ -981,7 +989,7 @@ def bm25_search(
         .select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("__toks"))
         .select(
             F.col(id_col), "__toks",
-            F.expr("size(__toks)").cast("bigint").alias("__dl"),
+            F.expr(_BM25_DL_EXPR).cast("bigint").alias("__dl"),
         )
     )
     tot = base.agg(
@@ -1121,7 +1129,7 @@ def bm25_stats(
         .select(
             F.col(id_col),
             "__toks",
-            F.expr("size(__toks)").cast("bigint").alias("__dl"),
+            F.expr(_BM25_DL_EXPR).cast("bigint").alias("__dl"),
         )
     )
     tot = base.agg(
@@ -1176,7 +1184,7 @@ def bm25_score_frozen(
         .select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("__toks"))
         .select(
             F.col(id_col), "__toks",
-            F.expr("size(__toks)").cast("bigint").alias("__dl"),
+            F.expr(_BM25_DL_EXPR).cast("bigint").alias("__dl"),
         )
     )
     df_entries = ", ".join(
@@ -1402,6 +1410,40 @@ def _hll_units_expr(text_col: str, n: int, engine: str) -> str:
     )
 
 
+def _hll_corrected_expr(est: str, nhit: str, m: int) -> str:
+    """HLL range corrections (Flajolet et al. 2007 §4) as a SQL
+    fragment over the raw estimate ``est`` and register-hit count
+    ``nhit`` — SHARED between the batch op, its DuckDB oracle twin,
+    and the streaming twin so the branch conditions and expressions
+    cannot drift:
+
+    - small range: while empty registers remain (V = m − n_hit > 0)
+      and E ≤ 2.5·m, linear counting m·ln(m/V) beats the raw
+      harmonic-mean estimator (whose low-cardinality bias the raw
+      column exposes);
+    - large range: with our 48-bit hash space, hash collisions bias E
+      downward once E approaches 2^48; past E > 2^48/30 the standard
+      correction −2^48·ln(1 − E/2^48) applies (unreachable at test
+      scale, included for the estimator's published envelope);
+    - otherwise the raw estimate stands.
+
+    ``ln`` is the one transcendental in the sketch family (everything
+    else is integer-exact or a single correctly-rounded division);
+    Spark and DuckDB both spell it ``ln`` and their libms agree at the
+    6-decimal rounding the ops apply (swept input-exhaustively in
+    tests/test_llmdata.py::test_hll_corrected_expr_engines_agree)."""
+    two48 = 1 << 48
+    return (
+        f"CASE WHEN {m} - {nhit} > 0 AND {est} <= 2.5 * {m} "
+        f"THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / "
+        f"CAST({m} - {nhit} AS DOUBLE)) "
+        f"WHEN {est} > CAST({two48} AS DOUBLE) / 30.0 "
+        f"THEN -CAST({two48} AS DOUBLE) * "
+        f"ln(1.0 - {est} / CAST({two48} AS DOUBLE)) "
+        f"ELSE {est} END"
+    )
+
+
 def approx_distinct_hll(
     docs: DataFrame,
     *,
@@ -1416,11 +1458,16 @@ def approx_distinct_hll(
     bloom = membership, MinHash = similarity): ``m = 2^p`` registers,
     each holding the max leading-zero rank seen in its substream,
     estimate = αₘ·m²/Σ2^(−Mⱼ). One row out: (``m``,
-    ``n_buckets_hit``, ``raw_estimate``, ``exact_distinct``,
-    ``rel_error``) — like :func:`heavy_hitters_cms`, the sketch's
-    error is a VISIBLE measured column (the exact side is the
-    verification, not the operator), and the driver certifies the
-    estimate itself, not an assertion about it.
+    ``n_buckets_hit``, ``raw_estimate``, ``corrected_estimate``,
+    ``exact_distinct``, ``rel_error``, ``corrected_rel_error``) —
+    like :func:`heavy_hitters_cms`, the sketch's error is a VISIBLE
+    measured column (the exact side is the verification, not the
+    operator), and the driver certifies the estimates themselves, not
+    an assertion about them. ``corrected_estimate`` applies the
+    published range corrections (:func:`_hll_corrected_expr`:
+    linear counting below 2.5·m with empty registers, 48-bit-hash
+    large-range past 2^48/30); ``raw_estimate`` stays for continuity
+    and to keep the raw estimator's bias visible.
 
     Bit-exactness without transcendentals: the rank is the
     integer-exact ``W − length(bin(v)) + 1`` (both engines' ``bin``
@@ -1428,10 +1475,10 @@ def approx_distinct_hll(
     exact powers of two in DECIMAL(38,0) (2^k is exactly
     representable; absent registers contribute 2^S), and the single
     final division is one correctly-rounded double op with αₘ·m²
-    pre-folded to a literal in the plan — no ``ln``-based small-range
-    correction (the raw estimator; its low-cardinality bias is
-    exactly what ``rel_error`` exposes — pick p so the corpus fills
-    the registers).
+    pre-folded to a literal in the plan. The raw estimator stays
+    ``ln``-free; the corrections column is the one place a
+    transcendental enters, through the shared
+    :func:`_hll_corrected_expr` fragment both engines render.
 
     100 TB shape: the whole sketch is ONE m-keyed shuffle with
     map-side partial max over the raw token stream — duplicates never
@@ -1493,16 +1540,27 @@ def approx_distinct_hll(
                 f"CAST({1 << s} AS DECIMAL(38,0))"
             ),
         )
+        .withColumn("__est", F.expr(est))
+        .withColumn(
+            "__corr",
+            F.expr(_hll_corrected_expr("__est", "n_buckets_hit", m)),
+        )
         .select(
             F.lit(m).cast("bigint").alias("m"),
             "n_buckets_hit",
-            F.round(F.expr(est), 6).alias("raw_estimate"),
+            F.round(F.col("__est"), 6).alias("raw_estimate"),
+            F.round(F.col("__corr"), 6).alias("corrected_estimate"),
             "exact_distinct",
             F.round(
-                F.expr(est) / F.col("exact_distinct").cast("double")
+                F.col("__est") / F.col("exact_distinct").cast("double")
                 - F.lit(1.0),
                 6,
             ).alias("rel_error"),
+            F.round(
+                F.col("__corr") / F.col("exact_distinct").cast("double")
+                - F.lit(1.0),
+                6,
+            ).alias("corrected_rel_error"),
         )
     )
 
@@ -1563,11 +1621,22 @@ def oracle_approx_distinct_hll_sql(
           CAST({1 << s} AS DECIMAL(38,0)) AS __sum,
         exact.exact_distinct
       FROM sk, exact
+    ),
+    e AS (
+      SELECT n_buckets_hit, exact_distinct, {est} AS __est FROM c
+    ),
+    cc AS (
+      SELECT n_buckets_hit, exact_distinct, __est,
+        {_hll_corrected_expr('__est', 'n_buckets_hit', m)} AS __corr
+      FROM e
     )
     SELECT CAST({m} AS BIGINT) AS m, n_buckets_hit,
-           round({est}, 6) AS raw_estimate,
+           round(__est, 6) AS raw_estimate,
+           round(__corr, 6) AS corrected_estimate,
            exact_distinct,
-           round({est} / CAST(exact_distinct AS DOUBLE) - 1.0, 6)
-             AS rel_error
-    FROM c
+           round(__est / CAST(exact_distinct AS DOUBLE) - 1.0, 6)
+             AS rel_error,
+           round(__corr / CAST(exact_distinct AS DOUBLE) - 1.0, 6)
+             AS corrected_rel_error
+    FROM cc
     """

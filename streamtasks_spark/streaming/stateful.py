@@ -43,6 +43,54 @@ def _schema_of(df: DataFrame, cols: Sequence[str]) -> StructType:
     return StructType([df.schema[c] for c in cols])
 
 
+def _atomic_state_write(spark, rows, schema: str, path: str) -> None:
+    """Replace a (small) persistent state table atomically: land the
+    replacement in a sibling tmp directory, rename the live directory
+    aside, rename tmp in, delete the old — the
+    :func:`~streamtasks_spark.llmdata.dedup.compact_table` swap
+    pattern. ``write.mode('overwrite')`` deletes the target BEFORE the
+    replacement commits, so a crash mid-rewrite would lose ALL accreted
+    state (registers / counters), and a restart would replay only the
+    in-flight batch against EMPTY state — a silent under-estimate. With
+    the swap, a crash leaves the old state intact (the rewrite lands in
+    tmp first); the only residual window is the instant between the two
+    renames, where the previous state survives at the ``__old_`` path
+    for manual recovery instead of being destroyed. Orphaned
+    ``__swap_``/``__old_`` siblings from a crash are inert — they are
+    siblings of ``path``, never read by :func:`snapshot_read`."""
+    import os
+    import shutil
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{path}__swap_{tag}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+    if os.path.exists(path):
+        old = f"{path}__old_{tag}"
+        shutil.move(path, old)
+        shutil.move(tmp, path)
+        shutil.rmtree(old)
+    else:
+        shutil.move(tmp, path)
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Driver-side twin of Spark's ``F.round`` (HALF_UP over the
+    shortest decimal repr of the double, i.e. BigDecimal.valueOf).
+    Python's built-in ``round`` is banker's (half-to-even), which can
+    disagree with the batch op on an exact-half final digit — estimates
+    recorded by the streaming sketch twins must round exactly like
+    their batch ops so the documented bit-equality holds."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            q, rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def streaming_last_value_join(
     data: DataFrame,
     controls: dict[str, DataFrame],
@@ -1062,15 +1110,19 @@ def streaming_approx_distinct(
     checkpoint replay of an in-flight batch harmless to the registers
     (the classic sketch replay-safety argument; the estimates append
     can duplicate one batch row — consumers dedup on batch_id, the
-    standard foreachBatch contract). The state overwrite is
-    last-writer-wins, not transactional with the checkpoint — run one
-    ingest owner, the MinHashIndex discipline.
+    standard foreachBatch contract). The state rewrite is ATOMIC
+    (:func:`_atomic_state_write`: tmp-dir + rename swap, never
+    ``mode('overwrite')``'s delete-then-write), so a crash mid-rewrite
+    cannot lose the accreted registers; it is still last-writer-wins,
+    not transactional with the checkpoint — run one ingest owner, the
+    MinHashIndex discipline.
 
     Returns the started StreamingQuery."""
-    import math as _math
-
     from streamtasks_spark.llmdata.dedup import snapshot_read, spread, tokens_expr
-    from streamtasks_spark.llmdata.textstats import _hll_units_expr
+    from streamtasks_spark.llmdata.textstats import (
+        _hll_corrected_expr,
+        _hll_units_expr,
+    )
 
     if not (2 <= p <= 14):
         raise ValueError(f"streaming_approx_distinct: p in [2, 14], got {p}")
@@ -1119,14 +1171,30 @@ def streaming_approx_distinct(
             .groupBy("__bucket").agg(F.max("__M").alias("__M"))
         )
         rows = merged.collect()  # ≤ m rows: register-file-sized pull
-        spark.createDataFrame(rows, "`__bucket` bigint, `__M` int") \
-            .coalesce(1).write.mode("overwrite").parquet(state_path)
+        _atomic_state_write(
+            spark, rows, "`__bucket` bigint, `__M` int", state_path
+        )
         n_hit = len(rows)
         ssum = sum(2 ** (s - r["__M"]) for r in rows) + (m - n_hit) * (2 ** s)
         est = am2 * float(2 ** s) / float(ssum)
+        # est is one correctly-rounded double division over exact
+        # integers — bit-identical in Python and the JVM. The ROUNDING
+        # and the linear-counting ln, however, go through the same JVM
+        # expressions the batch op uses (F.round is HALF_UP; Python's
+        # round() is banker's and could disagree on an exact-half 7th
+        # decimal; ln must come from the same libm as approx_distinct_
+        # hll's corrected_estimate), so the documented bit-equality to
+        # the one-shot batch estimate holds by construction.
         spark.createDataFrame(
-            [(batch_id, n_hit, round(est, 6))],
-            "batch_id long, n_buckets_hit long, raw_estimate double",
+            [(batch_id, n_hit, est)],
+            "batch_id long, n_buckets_hit long, __est double",
+        ).select(
+            "batch_id",
+            "n_buckets_hit",
+            F.round(F.col("__est"), 6).alias("raw_estimate"),
+            F.round(
+                F.expr(_hll_corrected_expr("__est", "n_buckets_hit", m)), 6
+            ).alias("corrected_estimate"),
         ).write.mode("append").parquet(estimates_path)
 
     return (
@@ -1162,7 +1230,10 @@ def streaming_heavy_hitters(
     preserved: est can only grow), but exactness vs the one-shot then
     needs the batch-id fencing a production deployment gets from
     writing state transactionally; documented honestly, run one
-    ingest owner and treat post-crash sketches as upper bounds.
+    ingest owner and treat post-crash sketches as upper bounds. The
+    state rewrite itself is ATOMIC (:func:`_atomic_state_write`), so
+    a crash can at worst double-count the in-flight batch — never
+    lose the accreted counters.
 
     The heavy SET itself (with exact verification) remains the batch
     op's job — this twin maintains the mergeable state the way a
@@ -1219,16 +1290,24 @@ def streaming_heavy_hitters(
             .agg(F.sum("__cell").alias("__cell"))
         )
         rows = merged.collect()  # ≤ depth·width rows: sketch-sized pull
-        spark.createDataFrame(
-            rows, "`__row` int, `__bucket` bigint, `__cell` bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(state_path)
+        _atomic_state_write(
+            spark, rows, "`__row` int, `__bucket` bigint, `__cell` bigint",
+            state_path,
+        )
         total = sum(r["__cell"] for r in rows if r["__row"] == 0)
         bar = total * int(round(phi * 1_000_000))
-        # heavy-cell count per the min-row bound: a cheap sketch-side
-        # report; the token-level heavy SET is the batch op's job
-        n_heavy_cells = sum(
-            1 for r in rows
-            if r["__row"] == 0 and r["__cell"] * 1_000_000 >= bar
+        # heavy-cell count per the min-row bound: every truly heavy
+        # token's cell clears the bar in EVERY row (CMS never
+        # under-counts), so the per-row heavy-cell counts are each an
+        # upper bound on the heavy-token count and their minimum is the
+        # tightest one — a cheap sketch-side report; the token-level
+        # heavy SET is the batch op's job
+        n_heavy_cells = min(
+            sum(
+                1 for r in rows
+                if r["__row"] == j and r["__cell"] * 1_000_000 >= bar
+            )
+            for j in range(depth)
         )
         spark.createDataFrame(
             [(batch_id, total, n_heavy_cells)],

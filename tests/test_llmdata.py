@@ -1536,6 +1536,53 @@ def test_bm25_search_matches_oracle_and_single_bag(spark):
     assert via_search == via_topk
 
 
+def test_hll_corrected_expr_engines_agree(spark):
+    """The HLL range-correction fragment (r10) is the one place a
+    transcendental (ln) enters the sketch family. Sweep EVERY
+    reachable small-range input — for each geometry, all m possible
+    empty-register counts V — plus branch-boundary and large-range
+    probes, and assert Spark (JVM Math.log) and DuckDB (C libm)
+    agree at the 6-decimal rounding the ops apply."""
+    import duckdb
+
+    from streamtasks_spark.llmdata.textstats import _hll_corrected_expr
+
+    con = duckdb.connect()
+    for p in (4, 5, 7, 8):
+        m = 1 << p
+        # est below 2.5m -> the linear-counting branch fires for every
+        # V in 1..m; then the 2.5m boundary from both sides, the
+        # zeros=0 raw path, and the 48-bit large-range branch
+        rows = [(float(m), m - v) for v in range(1, m + 1)]
+        rows += [
+            (2.5 * m, m - 1),
+            (2.5 * m + 1e-6, m - 1),
+            (3.0 * float(m), m),
+            ((1 << 48) / 30.0 + 1.0, m),
+            (0.9 * float(1 << 48), m),
+        ]
+        idx = [(i, e, v) for i, (e, v) in enumerate(rows)]
+        sdf = spark.createDataFrame(
+            idx, "__i int, __est double, n_buckets_hit int"
+        )
+        expr = _hll_corrected_expr("__est", "n_buckets_hit", m)
+        got = [
+            r["c"]
+            for r in sdf.select(
+                "__i", F.round(F.expr(expr), 6).alias("c")
+            ).orderBy("__i").collect()
+        ]
+        want = [
+            con.execute(
+                f"SELECT round({expr}, 6) FROM "
+                "(SELECT ? AS __est, ? AS n_buckets_hit)",
+                [e, v],
+            ).fetchone()[0]
+            for e, v in rows
+        ]
+        assert got == want, p
+
+
 def test_approx_distinct_hll_matches_oracle_and_error_bound(spark):
     """approx_distinct_hll (r09): bit-exact vs DuckDB across (n, p)
     geometries; in the proper regime (universe >> m) the raw
