@@ -35,8 +35,10 @@ from streamtasks_spark.llmdata.dedup import (
 )
 from streamtasks_spark.llmdata.similarity import (
     IvfIndex,
+    IvfPqIndex,
     SemDedupIndex,
     train_centroids,
+    train_pq_codebooks,
 )
 from streamtasks_spark.session import get_spark, read_parquet
 
@@ -115,6 +117,23 @@ def main() -> None:
         for r in hits.collect():
             print(f"  q={r['query_id']} -> {r['vec_id']} "
                   f"cos={r['cosine']} rank={r['rank']}")
+
+        # --- embeddings: the PQ-coded serving index (r10) — probed
+        # cells store 32x-compressed codes, exact math only on the
+        # rerank*k survivors fetched from the raw side table; both
+        # codebooks trained once, then two increments under them
+        pq_cb = train_pq_codebooks(vecs, m_sub=8, n_codes=8)
+        ivfpq = IvfPqIndex(f"{td}/ivfpq", n_cells=8, n_probe=2)
+        ivfpq.ingest(
+            vecs.filter(F.col("vec_id") < 250),
+            codebook=cents, pq_codebooks=pq_cb,
+        )
+        ivfpq.ingest(vecs.filter(F.col("vec_id") >= 250))
+        hits = ivfpq.query(vecs.filter(F.col("vec_id") < 3), k=3)
+        print("ANN over the PQ-coded index (codes scan + exact re-rank):")
+        for r in hits.collect():
+            print(f"  q={r['query_id']} -> {r['vec_id']} "
+                  f"cos={r['cosine']} approx={r['approx']} rank={r['rank']}")
 
         # --- embeddings: semantic dedup of each increment vs kept
         # history (id-MONOTONE batches — the crawl-increment order the

@@ -568,6 +568,45 @@ def _pq_codebooks(
     return cents, cint
 
 
+def train_pq_codebooks(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    n_iters: int = 2,
+) -> tuple[dict, dict]:
+    """Public train-once entry for the PQ codebooks (r10) — the
+    :func:`train_centroids` convention applied to product
+    quantization: train on a reference corpus, freeze, and feed the
+    returned ``(cents, cint)`` pair to :func:`pq_topk` /
+    :func:`ivf_pq_topk` (their ``_cb``) or
+    :meth:`IvfPqIndex.ingest` (``pq_codebooks=``). Training is the
+    deterministic integer-mean k-means of :func:`_pq_train`, so two
+    runs over the same corpus are bit-identical — which is what makes
+    "index built incrementally under a frozen codebook" equal
+    "one-shot plan fed the same codebook" exactly."""
+    if dim % m_sub:
+        raise ValueError(
+            f"train_pq_codebooks: dim {dim} not divisible by m_sub {m_sub}"
+        )
+    nv = "transform(__v, x -> x / __nrm)"
+    v = pin(
+        _require_dim(
+            _with_norm(
+                spread(vectors, id_col).select(id_col, vec_col), vec_col
+            ),
+            dim, "train_pq_codebooks",
+        ).withColumn("__nv", F.expr(nv))
+    )
+    try:
+        return _pq_codebooks(v, id_col, dim, m_sub, n_codes, n_iters)
+    finally:
+        v.unpersist()
+
+
 def _empty_pq_result(
     vectors: DataFrame, queries: DataFrame, id_col: str
 ) -> DataFrame:
@@ -2250,6 +2289,374 @@ class IvfIndex:
                 "query_id",
                 F.col(idc),
                 F.round("__cos", 6).alias("cosine"),
+                "rank",
+            )
+        )
+
+
+class IvfPqIndex:
+    """Persistent PQ-coded IVF ANN index (r10) — the serving shape of
+    :func:`ivf_pq_topk`, and the storage answer :class:`IvfIndex`
+    leaves open: at 100 TB the index IS the storage problem, and
+    keeping raw float vectors per cell means the scan cost of a probe
+    is the corpus's float payload. Here a probed cell stores only
+    ``(id, codes)`` — ``m_sub`` small ints per vector, the 32×
+    compression of :func:`pq_topk` — so the ADC scan over probed
+    cells touches code-sized rows, and exact math runs only on the
+    ``rerank·k`` survivors fetched from a raw-vector side table.
+
+    On-disk layout under ``path``:
+
+      ``centroids/`` — the coarse codebook (``__cell, __cv, __cn``),
+        exactly :class:`IvfIndex`'s: written by the FIRST ingest from
+        the supplied ``codebook`` or the batch's ``id_col < n_cells``
+        rows (the :func:`ivf_pq_topk` seeding), frozen thereafter.
+      ``pq_codebook/`` — the frozen PQ codebooks as rows
+        (``__m, __j, __cv array<double>``), trained by the FIRST
+        ingest via :func:`_pq_codebooks` on that batch's normalized
+        vectors (the non-residual variant: one codebook set shared
+        across cells — what lets codes stay valid across cell
+        migrations and the oracle re-derive training). Doubles
+        round-trip parquet exactly, and the int grid is a pure
+        function of them, so a reloaded codebook encodes
+        bit-identically to the training session's.
+      ``cells/`` — ``__cell=<id>/`` partition dirs of
+        ``(id, __codes array<int>)`` — the compressed scan payload; a
+        query's probed-cell filter prunes every other directory out
+        of the scan (the :class:`IvfIndex` partition-pruning
+        contract, now over 32×-smaller rows).
+      ``vectors/`` — ``__cell=<id>/`` partition dirs of
+        ``(id, __av array<double>, __anrm)`` — the raw side table the
+        exact re-rank fetches from. It is read ONLY for candidate
+        survivors: the probed-cell filter bounds which directories
+        are listed, and the join against the rerank·k candidate set
+        bounds which rows are touched.
+
+    One-shot equivalence (pinned in tests): an index built by a
+    single :meth:`ingest` of a corpus with default seeding answers
+    :meth:`query` identically to :func:`ivf_pq_topk` over the same
+    corpus and parameters — same coarse assignment, same codebooks
+    (trained on the same rows with the same seeds), same integer ADC
+    candidate order, same exact re-rank. Incremental ingests reuse
+    both frozen codebooks (production semantics; answers then reflect
+    codebooks trained on the first batch, the documented IVF drift
+    trade-off).
+
+    Reads are snapshot-isolated against concurrent appends via
+    :func:`~streamtasks_spark.llmdata.dedup.snapshot_read`; ingest
+    requires a single owner (the MinHashIndex discipline)."""
+
+    def __init__(
+        self,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int = 64,
+        n_cells: int = 8,
+        n_probe: int = 2,
+        m_sub: int = 8,
+        n_codes: int = 8,
+        n_iters: int = 2,
+        rerank: int = 4,
+    ) -> None:
+        if dim % m_sub:
+            raise ValueError(
+                f"IvfPqIndex: dim {dim} not divisible by m_sub {m_sub}"
+            )
+        self.path = str(path)
+        self.centroids_path = f"{self.path}/centroids"
+        self.pq_codebook_path = f"{self.path}/pq_codebook"
+        self.cells_path = f"{self.path}/cells"
+        self.vectors_path = f"{self.path}/vectors"
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.dim = dim
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+        self.m_sub = m_sub
+        self.n_codes = n_codes
+        self.n_iters = n_iters
+        self.rerank = rerank
+
+    # -- codebooks ----------------------------------------------------
+
+    def _centroids(self, spark) -> DataFrame | None:
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        return snapshot_read(spark, self.centroids_path)
+
+    def _pq_cents(self, spark) -> tuple[dict, dict] | None:
+        """Reload the frozen PQ codebooks as the (cents, cint) pair
+        the encoding/scoring expressions consume; None before the
+        first ingest."""
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        df = snapshot_read(spark, self.pq_codebook_path)
+        if df is None:
+            return None
+        cents: dict[int, dict[int, list[float]]] = {}
+        for r in df.collect():  # codebook-sized pull
+            cents.setdefault(r["__m"], {})[r["__j"]] = list(r["__cv"])
+        cint = {
+            m: {
+                j: [int(math.floor(c * PQ_GRID + 0.5)) for c in cv]
+                for j, cv in cents[m].items()
+            }
+            for m in cents
+        }
+        return cents, cint
+
+    def _assign(self, df: DataFrame, cents: DataFrame, id_out: str,
+                rank_limit: int) -> DataFrame:
+        score = (
+            F.expr(f"{_dot('__v', '__cv')}")
+            / (F.col("__nrm") * F.col("__cn"))
+        )
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("__score").desc(), F.col("__cell").asc()
+        )
+        return (
+            df.crossJoin(broadcast(cents))
+            .withColumn("__score", score)
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= rank_limit)
+            .drop("__cv", "__cn", "__score", "__cr")
+        )
+
+    # -- ingest -------------------------------------------------------
+
+    def ingest(
+        self,
+        vectors: DataFrame,
+        *,
+        codebook: DataFrame | None = None,
+        pq_codebooks: tuple[dict, dict] | None = None,
+    ) -> None:
+        """Assign a batch to cells, PQ-encode it, and append codes +
+        raw vectors. The first ingest freezes BOTH codebooks — the
+        coarse one per :class:`IvfIndex`'s contract (supplied
+        ``codebook`` or the batch's ``id_col < n_cells`` rows) and
+        the PQ one: the supplied ``pq_codebooks`` (from
+        :func:`train_pq_codebooks` over a training corpus — the
+        production shape, and what makes an incremental build answer
+        identically to the one-shot :func:`ivf_pq_topk` fed the same
+        ``_cb``) or, by default, codebooks trained on this batch's
+        normalized vectors with the :func:`pq_topk` seeding
+        (``id_col < n_codes``). Later ingests reuse both. A first
+        ingest that cannot produce either codebook fails loudly and
+        unwrites whatever it wrote in this call."""
+        spark = vectors.sparkSession
+        idc = self.id_col
+        nv = "transform(__v, x -> x / __nrm)"
+        v = pin(
+            _require_dim(
+                _with_norm(
+                    spread(vectors, idc).select(idc, self.vec_col),
+                    self.vec_col,
+                ),
+                self.dim, "IvfPqIndex.ingest",
+            ).withColumn("__nv", F.expr(nv))
+        )
+        wrote_centroids = False
+        cents = self._centroids(spark)
+        if cents is None:
+            seed = (
+                codebook
+                if codebook is not None
+                else v.filter(F.col(idc) < self.n_cells).select(
+                    F.col(idc).alias("__cell"),
+                    F.col("__v").alias("__cv"),
+                    F.col("__nrm").alias("__cn"),
+                )
+            )
+            seed.coalesce(1).write.parquet(self.centroids_path)
+            wrote_centroids = True
+            cents = self._centroids(spark)
+            if cents is None or not cents.limit(1).count():
+                import shutil
+
+                shutil.rmtree(self.centroids_path, ignore_errors=True)
+                v.unpersist()
+                raise ValueError(
+                    "IvfPqIndex first ingest produced an empty coarse "
+                    "codebook"
+                    + (
+                        ": the supplied codebook= has no rows."
+                        if codebook is not None
+                        else f": no batch ids satisfy {idc} < "
+                        f"{self.n_cells}. Pass an explicit codebook= "
+                        "(e.g. train_centroids) when ids are not "
+                        "0-based contiguous."
+                    )
+                )
+        cb = self._pq_cents(spark)
+        if cb is None:
+            try:
+                trained = (
+                    pq_codebooks[0]
+                    if pq_codebooks is not None
+                    else _pq_codebooks(
+                        v, idc, self.dim, self.m_sub, self.n_codes,
+                        self.n_iters,
+                    )[0]
+                )
+                if not trained:
+                    raise ValueError("the batch has no usable vectors")
+            except ValueError as e:
+                import shutil
+
+                if wrote_centroids:
+                    shutil.rmtree(self.centroids_path, ignore_errors=True)
+                v.unpersist()
+                raise ValueError(
+                    f"IvfPqIndex first ingest could not train PQ "
+                    f"codebooks: {e}. Pass pq_codebooks= (from "
+                    f"train_pq_codebooks over a training corpus) when "
+                    f"ids are not 0-based contiguous."
+                ) from e
+            rows = [
+                (m, j, trained[m][j])
+                for m in sorted(trained)
+                for j in sorted(trained[m])
+            ]
+            spark.createDataFrame(
+                rows, "__m int, __j int, __cv array<double>"
+            ).coalesce(1).write.parquet(self.pq_codebook_path)
+            cb = self._pq_cents(spark)
+        pq_cents, _ = cb
+        sub = self.dim // self.m_sub
+        assigned = self._assign(v, cents, idc, 1).select(
+            F.col(idc),
+            F.col("__cell"),
+            F.col("__v").alias("__av"),
+            F.col("__nrm").alias("__anrm"),
+            _pq_codes_col(pq_cents, self.m_sub, sub).alias("__codes"),
+        )
+        assigned = pin(assigned)
+        assigned.select(idc, "__codes", "__cell").write.mode(
+            "append"
+        ).partitionBy("__cell").parquet(self.cells_path)
+        assigned.select(idc, "__av", "__anrm", "__cell").write.mode(
+            "append"
+        ).partitionBy("__cell").parquet(self.vectors_path)
+        assigned.unpersist()
+        v.unpersist()
+
+    def compact(self, spark, *, files_per_cell: int = 1) -> None:
+        """Coalesce both per-cell tables' accreted part files;
+        partition layout (and probed-cell pruning) preserved.
+        Exclusive access required — see
+        :func:`~streamtasks_spark.llmdata.dedup.compact_table`."""
+        from streamtasks_spark.llmdata.dedup import compact_table
+
+        compact_table(
+            spark, self.cells_path,
+            files=files_per_cell, partition_by="__cell",
+        )
+        compact_table(
+            spark, self.vectors_path,
+            files=files_per_cell, partition_by="__cell",
+        )
+
+    # -- query --------------------------------------------------------
+
+    def query(
+        self,
+        queries: DataFrame,
+        *,
+        k: int = 5,
+        n_probe: int | None = None,
+        rerank: int | None = None,
+    ) -> DataFrame:
+        """ADC scan over the probed cells' CODE rows, exact re-rank
+        over only the ``rerank·k`` survivors' raw vectors. Output
+        matches :func:`ivf_pq_topk` (query_id, id, cosine, approx,
+        rank) when the index was one-shot-built from the same corpus
+        and parameters."""
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        spark = queries.sparkSession
+        n_probe = self.n_probe if n_probe is None else n_probe
+        rerank = self.rerank if rerank is None else rerank
+        idc = self.id_col
+        cents = self._centroids(spark)
+        cb = self._pq_cents(spark)
+        if cents is None or cb is None:
+            raise ValueError(f"IvfPqIndex at {self.path} has no data")
+        _, cint = cb
+        sub = self.dim // self.m_sub
+        nv = "transform(__v, x -> x / __nrm)"
+        q = self._assign(
+            _require_dim(
+                _with_norm(
+                    queries.select(
+                        F.col(idc).alias("query_id"), self.vec_col
+                    ),
+                    self.vec_col,
+                ),
+                self.dim, "IvfPqIndex.query",
+            )
+            .withColumn("__nv", F.expr(nv))
+            .withColumn("__qi", F.expr(_pq_qi_expr()))
+            .select("query_id", "__v", "__nrm", "__qi"),
+            cents, "query_id", n_probe,
+        ).select(
+            "query_id",
+            "__cell",
+            F.col("__v").alias("__qv"),
+            F.col("__nrm").alias("__qnrm"),
+            F.expr(_pq_lut_expr(cint, self.m_sub, sub)).alias("__lut"),
+        )
+        probed = [
+            r["__cell"] for r in q.select("__cell").distinct().collect()
+        ]
+        cells = snapshot_read(
+            spark, self.cells_path, base_path=self.cells_path
+        )
+        if cells is None:
+            raise ValueError(f"IvfPqIndex at {self.path} has no data")
+        cells = cells.filter(F.col("__cell").isin(probed))
+        w_cand = Window.partitionBy("query_id").orderBy(
+            F.col("__is").desc(), F.col(idc).asc()
+        )
+        cand = (
+            cells.join(q, "__cell")
+            .filter(F.col(idc) != F.col("query_id"))
+            .withColumn("__is", _pq_iscore(self.m_sub))
+            .withColumn("__cr", F.row_number().over(w_cand))
+            .filter(F.col("__cr") <= rerank * k)
+            .select(
+                "query_id", F.col(idc), "__cell", "__is",
+                "__qv", "__qnrm",
+            )
+        )
+        raw = snapshot_read(
+            spark, self.vectors_path, base_path=self.vectors_path
+        ).filter(F.col("__cell").isin(probed)).select(
+            idc, "__cell", "__av", "__anrm"
+        )
+        cos = (
+            F.expr(_dot("__av", "__qv"))
+            / (F.col("__anrm") * F.col("__qnrm"))
+        )
+        w_final = Window.partitionBy("query_id").orderBy(
+            F.col("__cos").desc(), F.col(idc).asc()
+        )
+        return (
+            cand.join(raw, [idc, "__cell"])
+            .withColumn("__cos", cos)
+            .withColumn(
+                "__appx",
+                F.col("__is").cast("double") / F.lit(float(PQ_GRID) ** 2),
+            )
+            .withColumn("rank", F.row_number().over(w_final))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col(idc),
+                F.round("__cos", 6).alias("cosine"),
+                F.round("__appx", 6).alias("approx"),
                 "rank",
             )
         )

@@ -1138,6 +1138,134 @@ def test_ivf_index_default_seed_matches_ivf_topk_filter(spark, tmp_path):
     assert idx.query(ok.filter(F.col("vec_id") < 3), k=2).count() > 0
 
 
+def test_ivf_pq_index_matches_ivf_pq_topk(spark, tmp_path):
+    """A one-shot IvfPqIndex build (r10) answers queries identically
+    to the in-plan ivf_pq_topk — same coarse seeding, same PQ
+    codebook training, same integer ADC candidate order, same exact
+    re-rank — and the probed cells' scan payload is CODES ONLY (no
+    raw vector column in the cells table: the 32× compression is the
+    index's point, raw floats live in the side table the re-rank
+    fetches from)."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    qs = vecs.filter(F.col("vec_id") < 10)
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"], r["approx"])
+        for r in similarity.ivf_pq_topk(
+            vecs, qs, n_cells=8, n_probe=2, m_sub=8, n_codes=8, k=5
+        ).collect()
+    }
+    idx = similarity.IvfPqIndex(
+        str(tmp_path / "ivfpq"), n_cells=8, n_probe=2, m_sub=8, n_codes=8
+    )
+    idx.ingest(vecs)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"], r["approx"])
+        for r in idx.query(qs, k=5).collect()
+    }
+    assert got == want
+    # compression contract: codes table stores no float vectors
+    cells = spark.read.option("basePath", idx.cells_path).parquet(
+        idx.cells_path
+    )
+    assert sorted(cells.columns) == ["__cell", "__codes", "vec_id"]
+
+
+def test_ivf_pq_index_incremental_reload_and_pruning(spark, tmp_path):
+    """Index built in two increments under a FROZEN train_pq_codebooks
+    codebook (the production shape — trained once on the corpus, fed
+    to the first ingest) and queried through a FRESH object (codebooks
+    reloaded from parquet) answers identically to the one-shot plan
+    fed the same codebook; the probed-cell partition filter reaches
+    BOTH the codes scan and the raw-vector side-table scan; compaction
+    preserves results and layout."""
+    import glob
+    import re as _re
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    qs = vecs.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfpq")
+    kw = dict(n_cells=8, n_probe=2, m_sub=8, n_codes=8)
+    cb = similarity.train_pq_codebooks(vecs, m_sub=8, n_codes=8)
+    idx = similarity.IvfPqIndex(path, **kw)
+    idx.ingest(vecs.filter(F.col("vec_id") < 250), pq_codebooks=cb)
+    idx.ingest(vecs.filter(F.col("vec_id") >= 250))
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"], r["approx"])
+        for r in similarity.ivf_pq_topk(
+            vecs, qs, k=5, _cb=cb, **kw
+        ).collect()
+    }
+    reloaded = similarity.IvfPqIndex(path, **kw)  # fresh object
+    out = reloaded.query(qs, k=5)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"], r["approx"])
+        for r in out.collect()
+    }
+    assert got == want
+    # partition pruning reaches both scans: the executed plan carries
+    # an IN partition filter per parquet relation, each bounded by the
+    # probed-cell count
+    narrow = reloaded.query(qs.filter(F.col("vec_id") < 2), k=5)
+    narrow.collect()
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    filters = _re.findall(r"PartitionFilters: \[[^\]]*IN \(([^)]*)\)", plan)
+    assert len(filters) >= 2, (
+        f"probed-cell filter missing from a scan:\n{plan[:2000]}"
+    )
+    for grp in filters:
+        cells = {c.strip() for c in grp.split(",")}
+        assert len(cells) <= 2 * 2  # n_queries * n_probe bound
+        assert len(cells) < 8
+    # compaction: fewer files, same partition dirs, same answers
+    n_files = lambda sub: len(  # noqa: E731
+        glob.glob(f"{path}/{sub}/__cell=*/*.parquet")
+    )
+    before = n_files("cells") + n_files("vectors")
+    reloaded.compact(spark)
+    assert n_files("cells") + n_files("vectors") < before
+    assert glob.glob(f"{path}/cells/__cell=*")
+    after = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"], r["approx"])
+        for r in reloaded.query(qs, k=5).collect()
+    }
+    assert after == want
+
+
+def test_ivf_pq_index_failed_first_ingest_unwinds(spark, tmp_path):
+    """A first ingest that cannot seed either codebook fails loudly
+    AND unwrites what it wrote, so a later valid ingest on the same
+    path succeeds (the IvfIndex empty-codebook contract carried to
+    both codebooks)."""
+    import pytest
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").withColumn(
+        "vec_id", F.col("vec_id") + 100
+    )
+    idx = similarity.IvfPqIndex(str(tmp_path / "ivfpq"), n_cells=8)
+    with pytest.raises(ValueError, match="empty coarse codebook"):
+        idx.ingest(vecs)
+    # coarse codebook ok (supplied) but PQ seeding impossible: the
+    # supplied codebook must be unwritten too
+    cents = similarity.train_centroids(
+        vecs.withColumn("vec_id", F.col("vec_id") - 100),
+        n_cells=8, n_iters=1,
+    )
+    with pytest.raises(ValueError, match="could not train PQ"):
+        idx.ingest(vecs, codebook=cents)
+    ok = vecs.withColumn("vec_id", F.col("vec_id") - 100)
+    idx.ingest(ok)
+    assert idx.query(ok.filter(F.col("vec_id") < 3), k=2).count() > 0
+
+
 def test_dedup_recall_probe_sampling_is_systematic(spark, docs):
     """sample_mod=m must equal running the probe on the id%m==0 slice
     (engine-reproducible systematic sampling — not partitioning-
