@@ -445,6 +445,18 @@ def _q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_profile(vecs, n_cells=8, n_iters=3)
 
 
+def _q_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style cluster-then-prune selection (NEW r10): the op that
+    consumes cluster_profile's view — per-cluster keep rates from
+    tightness (tight/prototypical clusters prune hardest), members
+    kept most-diverse-first by the deterministic integer-unit
+    within-cluster rank (similarity.cluster_prune)."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return similarity.cluster_prune(
+        vecs, n_cells=8, n_iters=3, rate_floor=0.3, rate_ceil=0.9
+    )
+
+
 def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval decontamination (NEW r09): corpus vectors
     (vec_id % 10 != 3) exhaustively scored against the broadcast eval
@@ -1591,116 +1603,49 @@ def _q_synchronizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # programmatically, and tests/test_oracle_audit.py mechanically fails
 # naming any query whose rendered oracle SQL or canonical plan drifted
 # from ORACLE_MANIFEST.json without a listing here.
-_MUST_VERIFY_R09 = [
-    # changed r09 (the r08 advisor finding, certify FIRST): an eval
-    # item is now its eval_id — duplicated ids merge their gram unions
-    # (contamination can no longer exceed 1.0) and a NULL id survives
-    # the final join (eqNullSafe / IS NOT DISTINCT FROM) instead of
-    # silently reporting 0.0. Engine and oracle changed together.
-    "contamination_report",
-    # changed r09 (r08 verdict task 5): the entry call plumbs the new
-    # max_df hot-shingle guard at its inert test-scale value (1000 vs
-    # a measured corpus max df of 14) — values identical by
-    # construction, plan changed, so it re-certifies.
-    "ngram_containment",
-    # NEW ops r09: cross-split near-dup leakage audit (jaccard pairs x
-    # inline split hash — the within-corpus counterpart of
-    # decontaminate) and the DSIR selection step (deterministic
-    # hash-coin Bernoulli thinning over dsir_weights; the kept SET is
-    # bit-reproducible cross-engine). New code certifies in-window.
-    "split_leakage", "importance_resample",
-    # NEW op r09 (second wave): cross-corpus dedup — the new-crawl
-    # slice deduped AGAINST the frozen reference corpus, PPJoin prefix
-    # filter over the unioned shingle stream, reference never
-    # self-joined. Displaces ann_topk (untouched, r07-green, r10
-    # queue head).
-    "dedup_against",
-    # NEW ops r09 (third wave): product-quantized ANN top-k — the
-    # fixed-integer-grid ADC that closes sq_topk's open PQ design
-    # note; codebooks re-derived (never literal-injected) by the
-    # oracle's CTE k-means — and its IVF composition, the full
-    # production IVF_PQ shape. Displace dedup_simhash and
-    # dedup_minhash.
-    "ann_pq_topk", "ann_ivf_pq_topk",
-    # impl+oracle changed r09: recall_probe now measures all SIX
-    # approximate tiers (pq and ivf_pq joined lsh/ivf/sq/ivf_sq), so
-    # ann_recall's plan and rendered SQL both changed — re-certifies
-    # in-window, displacing decontaminate (untouched, r07-green, r10
-    # queue).
-    "ann_recall",
-    # NEW op r09 (fourth wave): BM25 retrieval top-k — the per-query
-    # ranking direction complementing tfidf_topk; raw-ratio idf and
-    # floored-integer scaled sums for bit-exactness. Displaces
-    # dedup_exact (untouched, r07-green, r10 queue).
-    "bm25_topk",
-    # NEW ops r09 (fifth wave): bloom-filter membership pre-filter for
-    # incremental ingest (deterministic md5-derived bit positions, so
-    # even the false positives are bit-reproducible in the oracle) and
-    # the n-gram generalization of the LM quality scorer (bigram
-    # fluency: word-salad with plausible unigrams scores near zero).
-    # Displace quality_filter and doc_repetition (untouched, r07-green,
-    # r10 queue).
-    "bloom_dedup", "ngram_lm",
-    # NEW op r09 (sixth wave): embedding-space eval decontamination —
-    # the vector-modality complement of decontaminate (paraphrased
-    # leakage has near-identical embeddings but disjoint 8-grams);
-    # exact-by-design against the broadcast benchmark-sized eval side.
-    # Displaces doc_fingerprint (untouched, r07-green, r10 queue).
-    "semantic_decontaminate",
-    # NEW op r09 (seventh wave): the SemDeDup/D4 cluster-then-prune
-    # curation view — per-cluster membership/tightness profile over
-    # the trained k-means codebook; floored-integer scaled mean so the
-    # per-cluster average is partition-order-free. Displaces lang_id
-    # (untouched, r07-green, r10 queue).
-    "cluster_profile",
-    # NEW op r09 (eighth wave): multi-query BM25 over a query TABLE —
-    # the production retrieval-workload shape; the corpus token stream
-    # is pruned by a broadcast semi-join against the distinct
-    # query-term set BEFORE the one (doc, term) shuffle. Displaces
-    # text_stats (untouched, r07-green, r10 queue).
-    "bm25_search",
-    # NEW op r09 (ninth wave): Count-Min-sketch heavy hitters with
-    # exact verification — the bounded-memory frequency tier next to
-    # vocab_topk's exact heap; d·w cells regardless of vocabulary,
-    # est >= true always, no false negatives at the phi bar, and the
-    # collision mass is a visible column. Displaces
-    # events_retention_cohorts (untouched, r07-green, r10 queue).
-    "heavy_hitters",
-    # NEW op r09 (tenth wave): HyperLogLog distinct-unit cardinality
-    # with exact verification — completes the sketch family (CMS =
-    # frequency, bloom = membership, MinHash = similarity, HLL =
-    # cardinality); integer-exact rank path via bin(), DECIMAL
-    # register sums, the measured error a driver-certified column.
-    # Displaces corpus_prepare (untouched, r07-green, r10 queue).
+_MUST_VERIFY_R10 = [
+    # NEW op r10 (verdict task 6): D4-style cluster-then-prune
+    # selection — consumes cluster_profile's per-cluster view
+    # (keep rate from tightness), keeps members most-diverse-first by
+    # the deterministic integer-unit within-cluster rank; completes
+    # the SemDeDup -> profile -> prune curation loop as a certified
+    # query. New code certifies in-window.
+    "cluster_prune",
+    # changed r10 (verdict task 5): approx_distinct_hll gained the
+    # published HLL range corrections (linear counting under 2.5m,
+    # 48-bit large-range) as corrected_estimate/corrected_rel_error
+    # through the shared _hll_corrected_expr fragment — schema, plan
+    # and oracle changed together, so it re-certifies FIRST.
     "approx_distinct",
+    # changed r10 (r09 advisor finding): bm25 doc length now carries
+    # an explicit CASE NULL guard instead of relying on ANSI-mode
+    # size(NULL) semantics — values identical under the session's
+    # ANSI posture, plan changed, so both consumers re-certify.
+    "bm25_topk", "bm25_search",
 ]
 
-# r09 rotation (r08 verdict task 2): the 31 rows whose latest driver
-# row is r06 (queued oldest-first since r08) + the 3 oldest
-# r07-certified rows that fit the remaining slots (16 must-verify + 34
+# r10 rotation (r09 verdict task 2): the whole r07-certified backlog
+# (43 rows, queued oldest-first since r09) + the 3 oldest
+# r08-certified rows that fit the remaining slots (4 must-verify + 46
 # rotation = 50). After this window no query's latest driver row is
-# older than r07.
-_ROTATE_R09 = [
-    # the 31 r06-green rows (r06 window order — the whole r09 queue)
-    "text_format", "number_to_text", "video_layout", "q4_order_priority",
-    "q13_customer_distribution", "q16_parts_supplier_relationship",
-    "q18_large_volume_customers", "q20_potential_promotion",
-    "q21_waiting_supplier", "q1_pricing_summary", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_stock", "q14_promo_effect",
-    "q19_disjunctive_predicates", "events_hourly_stats",
-    "events_sliding_stats", "events_anomaly", "q12_priority_shipping",
-    "codec_roundtrip", "llm_chat", "pii_scrub", "time_buffer", "repeater",
-    "replay_rebase", "replay_loop", "message_detector", "audio_volume_meter",
-    # the 3 oldest r07-green rows (r07 window order; ann_topk,
-    # dedup_minhash, dedup_simhash, decontaminate, dedup_exact,
-    # quality_filter, doc_repetition, doc_fingerprint, lang_id,
-    # text_stats, events_retention_cohorts, and corpus_prepare were
-    # displaced by the dedup_against / ann_pq_topk / ann_ivf_pq_topk /
-    # ann_recall / bm25_topk / bloom_dedup / ngram_lm /
-    # semantic_decontaminate / cluster_profile / bm25_search /
-    # heavy_hitters / approx_distinct waves and head the r10 queue)
-    "vocab_topk", "substring_dedup", "token_histogram",
+# older than r08.
+_ROTATE_R10 = [
+    # the 43 r07-green rows (r07 window order — the whole r10 queue)
+    "corpus_prepare", "events_retention_cohorts", "text_stats", "lang_id",
+    "doc_fingerprint", "quality_filter", "doc_repetition", "dedup_exact",
+    "ann_topk", "dedup_minhash", "dedup_simhash", "decontaminate",
+    "ann_lsh_topk", "ann_ivf_topk", "gate", "interleave_mux",
+    "interleave_desync", "container_roundtrip", "audio_smoother",
+    "audio_volume_scaler", "asr_transcribe", "speech_enhance",
+    "stretch_align", "dedup_recall", "ann_ivf_trained", "events_funnel",
+    "events_rollup", "events_json_extract", "source_stats",
+    "pack_sequences", "doc_chunk", "ngram_jaccard", "dedup_components",
+    "dedup_retention", "tfidf_topk", "hashed_embed", "embedding_near_dup",
+    "embedding_dup_classes", "tts_synthesize", "text_renderer",
+    "image_decode", "image_resize", "image_features",
+    # the 3 oldest r08-green rows (r08 window order; the rest of the
+    # r08 tier heads the r11 queue)
+    "quality_buckets", "events_session_windows", "set_ops",
 ]
 
 
@@ -1710,81 +1655,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # r09 window = contamination_report first (this round's
-    # advisor-finding repair), the ngram_containment guard
-    # re-certification, the two NEW r09 ops, the 31 rows last certified
-    # in r06 (the whole remaining backlog), and the 15 oldest
-    # r07-certified rows. After this round no query's latest driver row
-    # is older than r07. The tail stays ordered oldest-first (remaining
-    # r07 rows in r07 window order, then the r08-certified rows in r08
-    # window order) so r10 keeps rotating the same way; all 140 stay
-    # covered by the bit-level compare in scripts/check_oracle.py
-    # locally, and tests/test_oracle_audit.py mechanically fails any
-    # query whose rendered oracle/plan drifts without a
-    # _MUST_VERIFY_R09 listing.
+    # r10 window = the NEW cluster_prune op and the three
+    # changed-this-round queries first (_MUST_VERIFY_R10), then the
+    # WHOLE 43-row r07-certified backlog plus the 3 oldest
+    # r08-certified rows (_ROTATE_R10). After this round no query's
+    # latest driver row is older than r08. The tail stays ordered
+    # oldest-first (remaining r08 rows in r08 window order, then the
+    # r09-certified rows in r09 window order) so r11 keeps rotating
+    # the same way; all 141 stay covered by the bit-level compare in
+    # scripts/check_oracle.py locally, and tests/test_oracle_audit.py
+    # mechanically fails any query whose rendered oracle/plan drifts
+    # without a _MUST_VERIFY_R10 listing.
     q = {
-        # --- r09 window: changed + NEW code certifies first (see
-        # _MUST_VERIFY_R09)
-        "contamination_report": _q_contamination_report,
-        "ngram_containment": _q_ngram_containment,
-        "split_leakage": _q_split_leakage,
-        "importance_resample": _q_importance_resample,
-        "dedup_against": _q_dedup_against,
-        "ann_pq_topk": _q_ann_pq_topk,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
-        "ann_recall": _q_ann_recall,
-        "bm25_topk": _q_bm25_topk,
-        "bloom_dedup": _q_bloom_dedup,
-        "ngram_lm": _q_ngram_lm,
-        "semantic_decontaminate": _q_semantic_decontaminate,
-        "cluster_profile": _q_cluster_profile,
-        "bm25_search": _q_bm25_search,
-        "heavy_hitters": _q_heavy_hitters,
+        # --- r10 window: changed + NEW code certifies first (see
+        # _MUST_VERIFY_R10)
+        "cluster_prune": _q_cluster_prune,
         "approx_distinct": _q_approx_distinct,
-        # --- r09 window: the 31 r06-green rows (r06 window order)
-        "text_format": _q_text_format,
-        "number_to_text": _q_number_to_text,
-        "video_layout": _q_video_layout,
-        "q4_order_priority": rel(rq.q4_order_priority),
-        "q13_customer_distribution": rel(rq.q13_customer_distribution),
-        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
-        "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
-        "q20_potential_promotion": rel(rq.q20_potential_promotion),
-        "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
-        "q1_pricing_summary": rel(rq.q1_pricing_summary),
-        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
-        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
-        "q7_volume_shipping": rel(rq.q7_volume_shipping),
-        "q8_market_share": rel(rq.q8_market_share),
-        "q9_product_profit": rel(rq.q9_product_profit),
-        "q11_important_stock": rel(rq.q11_important_stock),
-        "q14_promo_effect": rel(rq.q14_promo_effect),
-        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
-        "events_hourly_stats": rel(rq.events_hourly_stats),
-        "events_sliding_stats": rel(rq.events_sliding_stats),
-        "events_anomaly": rel(rq.events_anomaly),
-        "q12_priority_shipping": rel(rq.q12_priority_shipping),
-        "codec_roundtrip": _q_codec_roundtrip,
-        "llm_chat": _q_llm_chat,
-        "pii_scrub": _q_pii_scrub,
-        "time_buffer": _q_time_buffer,
-        "repeater": _q_repeater,
-        "replay_rebase": _q_replay_rebase,
-        "replay_loop": _q_replay_loop,
-        "message_detector": _q_message_detector,
-        "audio_volume_meter": _q_audio_volume_meter,
-        # --- r09 window: the 15 oldest r07-green rows (r07 order)
-        "vocab_topk": _q_vocab_topk,
-        "substring_dedup": _q_substring_dedup,
-        "token_histogram": _q_token_histogram,
-        # ------- first entry PAST the driver's 50-query window -------
-        # remaining r07-certified rows in r07 window order — the head
-        # of the r10 queue (corpus_prepare displaced by
-        # approx_distinct, events_retention_cohorts by heavy_hitters,
-        # text_stats by bm25_search, lang_id by cluster_profile,
-        # doc_fingerprint by semantic_decontaminate,
-        # quality_filter/doc_repetition by bloom_dedup/ngram_lm,
-        # dedup_exact by bm25_topk, ann_topk by dedup_against)
+        "bm25_topk": _q_bm25_topk,
+        "bm25_search": _q_bm25_search,
+        # --- r10 window rotation: the whole r07-certified backlog (43
+        # rows, r07 window order) + the 3 oldest r08-certified rows.
+        # After this round no query's latest driver row is older than
+        # r08.
         "corpus_prepare": _q_corpus_prepare,
         "events_retention_cohorts": rel(rq.events_retention_cohorts),
         "text_stats": _q_text_stats,
@@ -1828,11 +1720,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": _q_image_decode,
         "image_resize": _q_image_resize,
         "image_features": _q_image_features,
-        # r08-certified rows in r08 window order (ngram_containment and
-        # contamination_report moved into the r09 window above)
         "quality_buckets": _q_quality_buckets,
         "events_session_windows": rel(rq.events_session_windows),
         "set_ops": rel(rq.union_intersect_except),
+        # ------- first entry PAST the driver's 50-query window -------
+        # remaining r08-certified rows in r08 window order — the head
+        # of the r11 queue (quality_buckets, events_session_windows
+        # and set_ops rotated into the r10 window above)
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
         "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
@@ -1877,9 +1771,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "image_renderer": _q_image_renderer,
         "string_matcher": _q_string_matcher,
+        # r09-certified rows in r09 window order (approx_distinct,
+        # bm25_topk and bm25_search re-certify in the r10 window above
+        # because their code changed this round)
+        "contamination_report": _q_contamination_report,
+        "ngram_containment": _q_ngram_containment,
+        "split_leakage": _q_split_leakage,
+        "importance_resample": _q_importance_resample,
+        "dedup_against": _q_dedup_against,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
+        "ann_recall": _q_ann_recall,
+        "bloom_dedup": _q_bloom_dedup,
+        "ngram_lm": _q_ngram_lm,
+        "semantic_decontaminate": _q_semantic_decontaminate,
+        "cluster_profile": _q_cluster_profile,
+        "heavy_hitters": _q_heavy_hitters,
+        "text_format": _q_text_format,
+        "number_to_text": _q_number_to_text,
+        "video_layout": _q_video_layout,
+        "q4_order_priority": rel(rq.q4_order_priority),
+        "q13_customer_distribution": rel(rq.q13_customer_distribution),
+        "q16_parts_supplier_relationship": rel(rq.q16_parts_supplier_relationship),
+        "q18_large_volume_customers": rel(rq.q18_large_volume_customers),
+        "q20_potential_promotion": rel(rq.q20_potential_promotion),
+        "q21_waiting_supplier": rel(rq.q21_waiting_supplier),
+        "q1_pricing_summary": rel(rq.q1_pricing_summary),
+        "q5_local_supplier_volume": rel(rq.q5_local_supplier_volume),
+        "q6_forecast_revenue": rel(rq.q6_forecast_revenue),
+        "q7_volume_shipping": rel(rq.q7_volume_shipping),
+        "q8_market_share": rel(rq.q8_market_share),
+        "q9_product_profit": rel(rq.q9_product_profit),
+        "q11_important_stock": rel(rq.q11_important_stock),
+        "q14_promo_effect": rel(rq.q14_promo_effect),
+        "q19_disjunctive_predicates": rel(rq.q19_disjunctive_predicates),
+        "events_hourly_stats": rel(rq.events_hourly_stats),
+        "events_sliding_stats": rel(rq.events_sliding_stats),
+        "events_anomaly": rel(rq.events_anomaly),
+        "q12_priority_shipping": rel(rq.q12_priority_shipping),
+        "codec_roundtrip": _q_codec_roundtrip,
+        "llm_chat": _q_llm_chat,
+        "pii_scrub": _q_pii_scrub,
+        "time_buffer": _q_time_buffer,
+        "repeater": _q_repeater,
+        "replay_rebase": _q_replay_rebase,
+        "replay_loop": _q_replay_loop,
+        "message_detector": _q_message_detector,
+        "audio_volume_meter": _q_audio_volume_meter,
+        "vocab_topk": _q_vocab_topk,
+        "substring_dedup": _q_substring_dedup,
+        "token_histogram": _q_token_histogram,
     }
     window = list(q)[:50]
-    missing = [n for n in _MUST_VERIFY_R09 + _ROTATE_R09
+    missing = [n for n in _MUST_VERIFY_R10 + _ROTATE_R10
                if n not in window]
     if missing:
         # explicit raise, not assert — survives python -O (the same
@@ -2737,6 +2681,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cluster_profile": similarity.oracle_cluster_profile_sql(
             n_cells=8, n_iters=3
+        ),
+        "cluster_prune": similarity.oracle_cluster_prune_sql(
+            n_cells=8, n_iters=3, rate_floor=0.3, rate_ceil=0.9
         ),
         "bm25_search": textstats.oracle_bm25_search_sql(
             query_bags=_BM25_BAGS, k=10

@@ -22,8 +22,17 @@ from pyspark.sql import functions as F
 
 from streamtasks_spark.core.dataset import shuffle_shards, write_dataset
 from streamtasks_spark.llmdata.dedup import connected_components, dedup_minhash
-from streamtasks_spark.llmdata.pipeline import decontaminate, split_assign
+from streamtasks_spark.llmdata.pipeline import (
+    corpus_prepare,
+    decontaminate,
+    split_assign,
+)
 from streamtasks_spark.llmdata.quality import quality_filter
+from streamtasks_spark.llmdata.similarity import (
+    cluster_profile,
+    cluster_prune,
+    train_centroids,
+)
 from streamtasks_spark.session import get_spark, read_parquet
 
 
@@ -50,6 +59,33 @@ def main() -> None:
     eval_docs = docs.filter(F.col("doc_id") % 25 == 7)
     contaminated = decontaminate(kept, eval_docs).select("doc_id")
     kept = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    # 3.5 D4-style embedding-space curation (r10): train the codebook
+    # once, READ the per-cluster profile (what a human/policy layer
+    # would inspect to pick rates), PRUNE with per-cluster keep rates
+    # derived from tightness, and drop the pruned docs from the corpus
+    # (vec_id keys the same documents). The per-(source, split) report
+    # of the surviving corpus then comes from corpus_prepare — the
+    # profile -> prune -> prepare loop as one pipeline.
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(vecs, n_cells=8, n_iters=3)
+    profile = cluster_profile(vecs, centroids=cents)
+    print("cluster profile (tightness drives the keep rate):")
+    for r in profile.orderBy("cell").collect():
+        print(f"  cell {r['cell']}: {r['n_members']} members, "
+              f"avg_cos={r['avg_cos']:.4f}")
+    pruned = (
+        cluster_prune(vecs, centroids=cents, rate_floor=0.5, rate_ceil=0.95)
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    n_pruned = pruned.count()
+    kept = kept.join(F.broadcast(pruned), "doc_id", "left_anti")
+    report = corpus_prepare(kept, eval_docs)
+    print(f"D4 prune dropped {n_pruned} prototypical docs; "
+          "per-(source, split) report of the survivors:")
+    for r in report.orderBy("source", "split").limit(6).collect():
+        print(f"  {r['source']}/{r['split']}: kept {r['n_kept']}")
 
     # 4. deterministic split + global shuffle + sharded write
     kept = split_assign(kept, carry=("text", "lang", "source", "n_chars"))

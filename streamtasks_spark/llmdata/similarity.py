@@ -3060,6 +3060,200 @@ def oracle_cluster_profile_sql(
     """
 
 
+def cluster_prune(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    rate_floor: float = 0.3,
+    rate_ceil: float = 0.9,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """D4-style cluster-then-prune selection (r10) — the op that
+    CONSUMES :func:`cluster_profile`'s per-cluster view and emits the
+    per-document verdicts, completing the SemDeDup → profile → prune
+    loop (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+    Document De-Duplication and Diversification"): assign every vector
+    to its nearest centroid, derive each cluster's KEEP RATE from its
+    tightness, and keep the most DIVERSE members first. Output: one
+    row per (nonzero-norm) vector — (``vec_id``, ``cell``,
+    ``cosine``, ``cell_rank``, ``keep``).
+
+    Keep-rate rule (the profile consumption): a cluster's
+    ``keep_rate = rate_floor + (rate_ceil − rate_floor) ·
+    (1 − avg_cos)`` with ``avg_cos`` computed exactly as
+    :func:`cluster_profile` reports it (floored-1e-6-unit DECIMAL
+    mean) — TIGHT clusters (high mean cosine = prototypical, redundant
+    mass) prune hardest toward ``rate_floor``; LOOSE clusters keep up
+    to ``rate_ceil``. ``n_keep = max(1, ceil(keep_rate · n_members))``
+    (every cluster keeps ≥1 representative, the semantic_dedup
+    always-keep-one invariant).
+
+    Within-cluster ranking (the semantic_dedup determinism
+    discipline): members rank by (floored-1e-6-unit cosine ASC, id
+    ASC) — farthest-from-centroid first, the D4 prune-the-prototypes
+    direction, with the integer-unit floor making the order — and
+    therefore the kept SET — bit-reproducible cross-engine regardless
+    of float tie noise; ``keep = cell_rank ≤ n_keep``.
+
+    ``centroids`` takes a frozen codebook (the
+    :func:`cluster_profile` hook), so a pipeline can train once and
+    share the assignment across profile and prune.
+
+    100 TB shape: assignment is the literal-codebook narrow
+    projection (no join); the profile is a ≤ n_cells-key rollup with
+    map-side combine, broadcast back; the rank is ONE window
+    partitioned on the cell key — per-task work is bounded by cell
+    population, which is the knob (the paper runs tens of thousands
+    of clusters; n_cells scales with the corpus exactly as in
+    :func:`semantic_dedup`)."""
+    if not (0.0 <= rate_floor <= rate_ceil <= 1.0):
+        raise ValueError(
+            f"cluster_prune: need 0 <= rate_floor <= rate_ceil <= 1, "
+            f"got ({rate_floor}, {rate_ceil})"
+        )
+    cents_df = (
+        centroids if centroids is not None
+        else train_centroids(
+            vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            n_iters=n_iters, expect_dim=dim,
+        )
+    )
+    cb = _collect_codebook(cents_df)
+    v = _require_dim(
+        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+        dim, "cluster_prune",
+    )
+    best = F.expr(_argmax_struct_expr(cb))
+    scale = "CAST(1000000 AS DOUBLE)"
+    assigned = pin(
+        v.withColumn("__best", best)
+        .select(
+            F.col(id_col),
+            (-F.col("__best.c")).cast("int").alias("cell"),
+            F.col("__best.s").alias("__cos"),
+            F.expr(
+                f"CAST(floor(__best.s * {scale}) AS DECIMAL(38,0))"
+            ).alias("__cu"),
+        )
+    )
+    rf, rc = float(rate_floor), float(rate_ceil)
+    prof = (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__cu").alias("__ssum"),
+        )
+        .select(
+            "cell",
+            "__n",
+            F.expr(
+                f"CAST(__ssum AS DOUBLE) / (CAST(__n AS DOUBLE) * {scale})"
+            ).alias("__avg"),
+        )
+        .select(
+            "cell",
+            "__n",
+            F.expr(
+                f"CAST({rf!r} AS DOUBLE) + "
+                f"(CAST({rc!r} AS DOUBLE) - CAST({rf!r} AS DOUBLE)) * "
+                f"(CAST(1 AS DOUBLE) - __avg)"
+            ).alias("__rate"),
+        )
+        .select(
+            "cell",
+            F.expr(
+                "greatest(CAST(1 AS BIGINT), "
+                "CAST(ceil(__rate * CAST(__n AS DOUBLE)) AS BIGINT))"
+            ).alias("__nkeep"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("__cu").asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("cell_rank", F.row_number().over(w).cast("int"))
+        .join(broadcast(prof), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.round("__cos", 6).alias("cosine"),
+            "cell_rank",
+            (F.col("cell_rank") <= F.col("__nkeep")).alias("keep"),
+        )
+    )
+
+
+def oracle_cluster_prune_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    rate_floor: float = 0.3,
+    rate_ceil: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`cluster_prune` — the k-means CTE chain
+    re-derives the codebook, assignment keeps the winning cosine, the
+    keep rate derives from the same floored-integer mean, and the
+    within-cluster rank orders by the same integer cosine units."""
+    kmeans, final = _duck_kmeans_ctes(dim, n_cells, n_iters, id_col)
+    cdot = _duck_dot("x.__v", "c.__cv", dim)
+    rf, rc = float(rate_floor), float(rate_ceil)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    n AS (
+      SELECT {id_col}, __v,
+             sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
+    ),
+    {kmeans},
+    assigned AS (
+      SELECT x.{id_col}, CAST(c.__cell AS INT) AS cell,
+        {cdot} / (x.__nrm * c.__cn) AS __cos,
+        CAST(floor(({cdot} / (x.__nrm * c.__cn)) *
+          CAST(1000000 AS DOUBLE)) AS DECIMAL(38,0)) AS __cu,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__cn) DESC, c.__cell ASC) AS cr
+      FROM n x, {final} c
+      QUALIFY cr = 1
+    ),
+    prof AS (
+      SELECT cell, count(*) AS __n,
+        CAST({rf!r} AS DOUBLE) +
+          (CAST({rc!r} AS DOUBLE) - CAST({rf!r} AS DOUBLE)) *
+          (CAST(1 AS DOUBLE) -
+            CAST(sum(__cu) AS DOUBLE) / (CAST(count(*) AS DOUBLE) *
+              CAST(1000000 AS DOUBLE))) AS __rate
+      FROM assigned GROUP BY cell
+    ),
+    nk AS (
+      SELECT cell,
+        greatest(CAST(1 AS BIGINT),
+          CAST(ceil(__rate * CAST(__n AS DOUBLE)) AS BIGINT)) AS __nkeep
+      FROM prof
+    ),
+    ranked AS (
+      SELECT a.{id_col}, a.cell, a.__cos,
+        CAST(row_number() OVER (PARTITION BY a.cell
+          ORDER BY a.__cu ASC, a.{id_col} ASC) AS INT) AS cell_rank
+      FROM assigned a
+    )
+    SELECT r.{id_col}, CAST(r.cell AS BIGINT) AS cell,
+      round(r.__cos, 6) AS cosine,
+      r.cell_rank,
+      r.cell_rank <= k.__nkeep AS keep
+    FROM ranked r JOIN nk k USING (cell)
+    """
+
+
 def semantic_dedup(
     vectors: DataFrame,
     *,

