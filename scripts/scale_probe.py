@@ -213,6 +213,19 @@ def probe_vector_ops(spark, vecs, queries, factor: int):
     yield "cluster_profile", lambda: similarity.cluster_profile(
         vecs, n_cells=8, n_iters=3
     ), n
+    # r10: cluster_prune adds a broadcast keep-rate rollup and ONE
+    # cell-key rank window on top of cluster_profile's narrow
+    # assignment — per-task work bounded by cell population (n_cells
+    # is the deployment knob, as in semantic_dedup)
+    yield "cluster_prune", lambda: similarity.cluster_prune(
+        vecs, n_cells=8, n_iters=3
+    ), n
+    # r10: the IVF_PQ composite — cells bound WHICH vectors a query
+    # touches, codes bound what touching one costs; expected to track
+    # ivf_topk's shape with a smaller per-candidate constant
+    yield "ivf_pq_topk", lambda: similarity.ivf_pq_topk(
+        vecs, queries, n_cells=8, n_probe=2, n_codes=16, k=5, rerank=8
+    ), n
     # threshold 0.9 + the decorrelated tilt bounds each vector's true
     # near-dup neighborhood to a few adjacent copies: output saturates
     # per family, so the exponent measures candidate generation.

@@ -74,23 +74,6 @@ def _atomic_state_write(spark, rows, schema: str, path: str) -> None:
         shutil.move(tmp, path)
 
 
-def _round_half_up(x: float, digits: int) -> float:
-    """Driver-side twin of Spark's ``F.round`` (HALF_UP over the
-    shortest decimal repr of the double, i.e. BigDecimal.valueOf).
-    Python's built-in ``round`` is banker's (half-to-even), which can
-    disagree with the batch op on an exact-half final digit — estimates
-    recorded by the streaming sketch twins must round exactly like
-    their batch ops so the documented bit-equality holds."""
-    import decimal
-
-    q = decimal.Decimal(1).scaleb(-digits)
-    return float(
-        decimal.Decimal(repr(x)).quantize(
-            q, rounding=decimal.ROUND_HALF_UP
-        )
-    )
-
-
 def streaming_last_value_join(
     data: DataFrame,
     controls: dict[str, DataFrame],

@@ -822,6 +822,26 @@ def test_cluster_profile_assignment_is_narrow_literal_argmax(psession):
     assert set(parts) <= {"cell", "vec_id"}, parts
 
 
+def test_cluster_prune_narrow_assign_broadcast_profile(psession):
+    """cluster_prune's scale contract (r10): assignment rides the same
+    narrow literal-argmax projection as cluster_profile (no join for
+    the codebook), the ≤ n_cells-row keep-rate profile comes back as a
+    BROADCAST (never a sort-merge join against the corpus), the rank
+    is one window on the cell key, and nothing shuffles except the
+    cell/id keys."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(psession, f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(similarity.cluster_prune(vecs, n_cells=4, n_iters=2))
+    assert "EvalPython" not in plan, plan[:600]
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "SortMergeJoin" not in plan, plan[:600]
+    assert "BroadcastExchange" in plan, plan[:600]
+    parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(parts) <= {"cell", "vec_id"}, parts
+
+
 def test_semantic_decontaminate_broadcasts_eval_side(psession):
     """semantic_decontaminate's scale contract: the benchmark-sized
     eval side BROADCASTS onto one corpus scan (the
