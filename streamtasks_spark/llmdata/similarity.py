@@ -3187,6 +3187,75 @@ def cluster_prune(
     )
 
 
+def prune_cutoffs(pruned: DataFrame) -> list[tuple[int, float]]:
+    """Freeze :func:`cluster_prune`'s verdicts into a per-cluster
+    POLICY: ``(cell, cutoff)`` where ``cutoff`` is the kept set's
+    maximum (6-dp rounded) cosine — the rank boundary as a pure
+    threshold. Driver-small (≤ n_cells rows); feed it to
+    :func:`cluster_prune_frozen` or the streaming twin."""
+    return [
+        (int(r["cell"]), float(r["c"]))
+        for r in pruned.filter(F.col("keep"))
+        .groupBy("cell").agg(F.max("cosine").alias("c")).collect()
+    ]
+
+
+def cluster_prune_frozen(
+    vectors: DataFrame,
+    *,
+    centroids: DataFrame,
+    cutoffs: list[tuple[int, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Frozen-policy cluster pruning (r10) — the continuous-ingest
+    form of :func:`cluster_prune`: profile + prune a REFERENCE corpus
+    once, freeze the codebook and the per-cluster cosine cutoffs
+    (:func:`prune_cutoffs`), then judge any vector against the frozen
+    policy — keep iff its (6-dp) cosine to its assigned centroid is
+    ≤ the cluster's cutoff (diverse survives, prototypical mass past
+    the boundary drops; a cell with no cutoff row — nothing kept in
+    the reference, impossible under cluster_prune's keep-≥1 — drops).
+
+    Unlike the rank form, a verdict here is a PURE function of the
+    vector and the policy — no within-cluster rank, so no dependence
+    on what else is in the batch — which is exactly what lets it run
+    under ``foreachBatch`` with per-batch appends unioning to the
+    batch result bit-exactly (:func:`~streamtasks_spark.streaming.
+    stateful.streaming_cluster_prune`), and why boundary TIES are
+    kept: on the reference corpus itself the frozen keep-set is a
+    superset of the rank form's that differs only where rounded
+    cosines tie across the rank boundary.
+
+    Output (``vec_id``, ``cell``, ``cosine``, ``keep``); assignment
+    is the same narrow literal-argmax projection, the policy rides as
+    a literal CASE — no join at all."""
+    cb = _collect_codebook(centroids)
+    v = _require_dim(
+        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+        dim, "cluster_prune_frozen",
+    )
+    best = F.expr(_argmax_struct_expr(cb))
+    cut = "CAST(NULL AS DOUBLE)"
+    for cell, c in sorted(cutoffs):
+        cut = f"CASE WHEN cell = {cell} THEN {c!r}D ELSE {cut} END"
+    return (
+        v.withColumn("__best", best)
+        .select(
+            F.col(id_col),
+            (-F.col("__best.c")).cast("long").alias("cell"),
+            F.round(F.col("__best.s"), 6).alias("cosine"),
+        )
+        .withColumn(
+            "keep",
+            F.coalesce(
+                F.col("cosine") <= F.expr(cut), F.lit(False)
+            ),
+        )
+    )
+
+
 def oracle_cluster_prune_sql(
     *,
     source_sql: str = "SELECT vec_id, embedding FROM embeddings",

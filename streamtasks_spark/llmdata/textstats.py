@@ -1236,6 +1236,7 @@ def heavy_hitters_cms(
     width: int = 256,
     depth: int = 4,
     phi: float = 0.005,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy hitters via a COUNT-MIN SKETCH with exact verification
     (Cormode & Muthukrishnan 2005) — the bounded-memory frequency tier
@@ -1264,11 +1265,17 @@ def heavy_hitters_cms(
     100 TB shape: ONE (row, bucket) shuffle with map-side combine
     builds the sketch (d·w bounded output rows); candidate estimation
     joins the distinct-token stream against the BROADCAST sketch
-    (d·w ≤ a few thousand cells). The candidate stream here is the
-    corpus's own distinct tokens (exact at any test scale); at true
-    stream scale candidates come from a coarse pre-filter or an
-    external dictionary while the SKETCH stays the only full-stream
-    aggregate — documented, not hidden."""
+    (d·w ≤ a few thousand cells). By default the candidate stream is
+    the corpus's own distinct tokens (exact at any test scale); at
+    true stream scale pass ``candidates`` — a one-column token
+    DICTIONARY (coarse pre-filter output, a curated lexicon) that
+    broadcast-semi-prunes the candidate side while the SKETCH stays
+    the only full-stream aggregate. The restricted output equals the
+    full run filtered to the dictionary (same sketch, same total,
+    same bar — pinned in tests); dictionary tokens absent from the
+    corpus report nothing (their true count is 0; keep the dictionary
+    within the observed vocabulary, which any pre-filter output
+    is)."""
     toks = (
         spread(docs, id_col)
         .select(F.explode(F.expr(tokens_expr(text_col))).alias("__t"))
@@ -1303,6 +1310,13 @@ def heavy_hitters_cms(
     from pyspark.sql.functions import broadcast
 
     est = counts
+    if candidates is not None:
+        cand = (
+            candidates.select(
+                F.col(candidates.columns[0]).alias("__t")
+            ).distinct()
+        )
+        est = est.join(broadcast(cand), "__t", "left_semi")
     for j in range(depth):
         sk = sketch.filter(F.col("__row") == j).select(
             F.col("__bucket").alias(f"__b{j}"),

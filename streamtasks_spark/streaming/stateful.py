@@ -1409,3 +1409,61 @@ def streaming_importance_resample(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_cluster_prune(
+    vectors: DataFrame,
+    *,
+    centroids_rows: list[tuple[int, list[float], float]],
+    cutoffs: list[tuple[int, float]],
+    verdicts_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Streaming D4 curation against a FROZEN prune policy (r10): each
+    arriving embedding micro-batch is judged by :func:`~streamtasks_
+    spark.llmdata.similarity.cluster_prune_frozen` under the
+    ``(centroids, cutoffs)`` policy profiled once on a reference
+    corpus (:func:`~streamtasks_spark.llmdata.similarity.
+    cluster_profile` → :func:`cluster_prune` →
+    :func:`prune_cutoffs`) — the continuous-ingest shape of
+    cluster-then-prune data curation, and the same frozen-model
+    contract as :func:`streaming_unigram_lm`: the policy never moves
+    under already-judged vectors, so a verdict is a pure function of
+    the vector and the policy, independent of arrival batching or
+    order. Per-batch appends union to the batch
+    ``cluster_prune_frozen`` over everything ingested, bit-exactly;
+    restart replays at most one in-flight append; consumers needing
+    exactly-once dedup ``verdicts_path`` on the id — the documented
+    foreachBatch contract.
+
+    ``centroids_rows``: the frozen codebook as plain
+    ``(cell, vector, norm)`` tuples (collect the ``__cell/__cv/__cn``
+    table once on the driver — codebook-sized), so the twin carries
+    no live DataFrame across micro-batches.
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.llmdata.similarity import cluster_prune_frozen
+
+    def _judge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cents = batch.sparkSession.createDataFrame(
+            centroids_rows, "__cell int, __cv array<double>, __cn double"
+        )
+        out = cluster_prune_frozen(
+            batch.select(id_col, vec_col),
+            centroids=cents, cutoffs=cutoffs,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(verdicts_path)
+
+    return (
+        vectors.writeStream.foreachBatch(_judge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

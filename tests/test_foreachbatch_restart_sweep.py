@@ -7,7 +7,7 @@ test_streaming_restart_sweep.py (checkpointed state store). The
 foreachBatch twins keep their durable state OUTSIDE the checkpoint —
 parquet index tables, sketch files, appended outputs — so their
 restart contract is different and is pinned here, parametrized over
-all ten:
+all eleven:
 
 1. **clean-stop resume**: the stream is stopped after the first two
    of four micro-batches and a NEW query incarnation resumes from the
@@ -36,7 +36,8 @@ all ten:
      documented contract is consumer-side dedup of the output paths,
      not state invariance, so no replay leg here;
    - frozen-model twins (unigram, ngram, bm25 filter, dsir weights,
-     importance resample): stateless — replay duplicates output rows
+     importance resample, cluster prune): stateless — replay
+     duplicates output rows
      keyed by the same ids with identical values (asserted), which is
      exactly why the documented contract is consumer dedup on the id.
 """
@@ -327,6 +328,47 @@ def _spec_semantic():
     )
 
 
+def _spec_cluster_prune():
+    from streamtasks_spark.llmdata.similarity import (
+        cluster_prune,
+        cluster_prune_frozen,
+        prune_cutoffs,
+        train_centroids,
+    )
+    from streamtasks_spark.streaming.stateful import (
+        streaming_cluster_prune,
+    )
+
+    def prepare(spark, full):
+        cents = train_centroids(full, n_cells=8, n_iters=2)
+        cutoffs = prune_cutoffs(cluster_prune(full, centroids=cents))
+        rows = [
+            (int(r["__cell"]), list(r["__cv"]), float(r["__cn"]))
+            for r in cents.collect()
+        ]
+        return rows, cutoffs
+
+    def expect(spark, full, chunks, td, ctx):
+        rows, cutoffs = ctx
+        cents = spark.createDataFrame(
+            rows, "__cell int, __cv array<double>, __cn double"
+        )
+        return _canon(
+            cluster_prune_frozen(full, centroids=cents, cutoffs=cutoffs)
+        )
+
+    return dict(
+        source="embeddings", idc="vec_id",
+        prepare=prepare,
+        start=lambda stream, td, ctx, ck: streaming_cluster_prune(
+            stream, centroids_rows=ctx[0], cutoffs=ctx[1],
+            verdicts_path=f"{td}/out", checkpoint=ck,
+        ),
+        expect=expect,
+        replay="stateless",
+    )
+
+
 def _spec_hll():
     from streamtasks_spark.llmdata.textstats import approx_distinct_hll
     from streamtasks_spark.streaming.stateful import (
@@ -402,6 +444,7 @@ def _spec_cms():
 
 
 SPECS = {
+    "cluster_prune": _spec_cluster_prune,
     "unigram_lm": _spec_unigram,
     "ngram_lm": _spec_ngram,
     "bm25_filter": _spec_bm25_filter,

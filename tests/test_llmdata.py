@@ -2478,6 +2478,74 @@ def test_cluster_prune_matches_oracle_and_d4_invariants(spark):
         similarity.cluster_prune(vecs, rate_floor=0.9, rate_ceil=0.3)
 
 
+def test_cluster_prune_frozen_policy_matches_rank_form(spark):
+    """cluster_prune_frozen (r10): the frozen (codebook, cutoffs)
+    policy reproduces the rank form's verdicts on the reference
+    corpus itself — keep-set a SUPERSET differing only at rounded-
+    cosine ties across the rank boundary (the purity trade the
+    streaming twin needs), one row per vector, and a cell's extras
+    all sit exactly ON its cutoff."""
+    from streamtasks_spark.llmdata import similarity
+
+    sf_dir = "/root/testdata/sf0.001"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_centroids(vecs, n_cells=8, n_iters=3)
+    ranked = similarity.cluster_prune(vecs, centroids=cents).toPandas()
+    cutoffs = similarity.prune_cutoffs(
+        similarity.cluster_prune(vecs, centroids=cents)
+    )
+    frozen = similarity.cluster_prune_frozen(
+        vecs, centroids=cents, cutoffs=cutoffs
+    ).toPandas()
+    assert len(frozen) == len(ranked) == vecs.count()
+    r = ranked.set_index("vec_id").sort_index()
+    f = frozen.set_index("vec_id").sort_index()
+    assert (r["cell"] == f["cell"]).all()
+    assert (r["cosine"] == f["cosine"]).all()
+    cut = dict(cutoffs)
+    # superset: every rank-kept vector is policy-kept
+    assert bool(f.loc[r[r["keep"]].index, "keep"].all())
+    # extras are exactly the boundary ties
+    extra = f[f["keep"] & ~r["keep"]]
+    for vid, row in extra.iterrows():
+        assert row["cosine"] == cut[int(row["cell"])], vid
+    # and rank-dropped strictly past the cutoff stay dropped
+    dropped = f[~f["keep"]]
+    for _, row in dropped.iterrows():
+        assert row["cosine"] > cut[int(row["cell"])]
+
+
+def test_heavy_hitters_candidates_dictionary_restricts_exactly(spark):
+    """heavy_hitters_cms(candidates=...) (r10): the dictionary hook
+    the 100 TB caveat prescribes — the restricted output equals the
+    full run filtered to the dictionary tokens (same sketch, same
+    total, same bar), and dictionary tokens absent from the corpus
+    report nothing."""
+    from streamtasks_spark.llmdata import textstats
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        r["token"]: (r["est"], r["true_count"], r["overestimate"])
+        for r in textstats.heavy_hitters_cms(
+            docs, width=64, depth=3, phi=0.002
+        ).collect()
+    }
+    assert len(full) >= 4
+    toks = sorted(full)
+    dictionary = toks[::2] + ["__never_in_corpus__"]
+    cand = docs.sparkSession.createDataFrame(
+        [(t,) for t in dictionary], "token string"
+    )
+    got = {
+        r["token"]: (r["est"], r["true_count"], r["overestimate"])
+        for r in textstats.heavy_hitters_cms(
+            docs, width=64, depth=3, phi=0.002, candidates=cand
+        ).collect()
+    }
+    assert got == {t: full[t] for t in toks[::2]}
+
+
 def test_bloom_index_batch_equivalence_and_compaction(spark, tmp_path):
     """BloomIndex (r09): probing after ingesting batches B1..Bn equals
     the one-shot bloom_dedup against their union (the bit set is a
