@@ -19,11 +19,13 @@ Usage:
       # embedding dimensionality MISMATCH axis (default 64). The
       # entry queries and their oracles are configured for the driver
       # corpus's dim 64, so a non-64 run must fail LOUDLY — expected
-      # outcome is 10 ERR lines naming the dim mismatch (7 pre-r08 +
-      # the semantic_dedup train guard + the ann_sq_topk and
-      # ann_ivf_sq_topk entry guards) and ZERO silent FAIL lines (the
-      # r07 pre-guard state was 15 silent FAILs at dim 3 and one
-      # oracle-truncation FAIL at dim 512)
+      # outcome is 14 ERR lines naming the dim mismatch (10 through
+      # r08: 7 pre-r08 + the semantic_dedup train guard + the
+      # ann_sq_topk and ann_ivf_sq_topk entry guards; +3 r09 PQ/
+      # decontaminate/profile guards; +1 r10 cluster_prune) and ZERO
+      # silent FAIL lines (the r07 pre-guard state was 15 silent
+      # FAILs at dim 3 and one oracle-truncation FAIL at dim 512;
+      # re-verified r10, seed 7310: 14 loud ERR, 0 silent FAIL)
   python scripts/fuzz_sweep.py --unicode            # docs tier only:
       # half the prose tokens drawn from UNI_WORDS (Σ/İ special
       # casing, CJK, emoji, combining marks, NBSP/ZWSP-in-token —
