@@ -466,9 +466,88 @@ def probe_incremental_sem(spark, n_batches: int) -> int:
     return 0
 
 
+def probe_incremental_ivfpq(spark, n_batches: int) -> int:
+    """Incremental-ingest probe for IvfPqIndex (r10): ingest
+    ``n_batches`` constant-size embedding batches into one persistent
+    PQ-coded index — both codebooks frozen before batch 0 (the
+    production train-once shape) — timing each ingest and a fixed
+    3-query top-k after it.
+
+    The ingest claim is FLAT per batch: encoding is a narrow
+    literal-codebook projection over the batch and the append never
+    touches history. The query claim is NOT flat — a probed cell's
+    population grows with history — but the scan rows are m_sub-int
+    code rows (32× smaller than floats) and the raw side table is
+    touched only for rerank·k survivors, so query time should grow
+    well below history's byte growth. Both printed per batch."""
+    from streamtasks_spark.llmdata import similarity
+
+    base = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids(base, n_cells=8, n_iters=2)
+    cb = similarity.train_pq_codebooks(base, m_sub=8, n_codes=8)
+    qs = base.filter(F.col("vec_id") < 3)
+    ing, qry = [], []
+    with tempfile.TemporaryDirectory(prefix="ivfpq_inc_") as td:
+        idx = similarity.IvfPqIndex(f"{td}/index", n_cells=8, n_probe=2)
+        for k in range(n_batches):
+            batch = base.select(
+                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, (x, i) -> cast("
+                    f"x * (1.0d + 1.0d * sin(i * (1 + {k} * 7919))) "
+                    f"as float))"
+                ).alias("embedding"),
+            )
+            batch.write.mode("overwrite").parquet(f"{td}/batch.parquet")
+            mat = spark.read.parquet(f"{td}/batch.parquet")
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            idx.ingest(mat, codebook=cents, pq_codebooks=cb)
+            dt = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            n_hits = idx.query(qs, k=5).count()
+            dq = time.perf_counter() - t1
+            ing.append(dt)
+            qry.append(dq)
+            print(json.dumps({
+                "op": "ivfpq_index", "batch": k, "history_batches": k,
+                "ingest_sec": round(dt, 3), "query_sec": round(dq, 3),
+                "n_hits": n_hits,
+            }), flush=True)
+        # the query growth above is dominated by small-files accretion
+        # (each ingest appends part files into every cell dir);
+        # compaction is the documented cure — measure it
+        idx.compact(spark)
+        spark.catalog.clearCache()
+        t2 = time.perf_counter()
+        idx.query(qs, k=5).count()
+        post = time.perf_counter() - t2
+    print(json.dumps({
+        "op": "ivfpq_index_ingest",
+        "first_batch_sec": round(ing[0], 3),
+        "last_batch_sec": round(ing[-1], 3),
+        "steady_ratio_last_over_second": round(ing[-1] / ing[1], 3)
+        if len(ing) > 2 else None,
+        "verdict": "flat" if len(ing) > 2 and ing[-1] / ing[1] <= 1.3
+        else "growing",
+    }), flush=True)
+    print(json.dumps({
+        "op": "ivfpq_index_query",
+        "first_sec": round(qry[0], 3), "last_sec": round(qry[-1], 3),
+        "history_growth": n_batches,
+        "query_growth_ratio": round(qry[-1] / qry[1], 3)
+        if len(qry) > 2 else None,
+        "post_compact_sec": round(post, 3),
+    }), flush=True)
+    return 0
+
+
 def main() -> int:
     factors = [1, 10, 100]
     for a in sys.argv[1:]:
+        if a.startswith("--incremental-ivfpq"):
+            n = int(a.split("=", 1)[1]) if "=" in a else 8
+            return probe_incremental_ivfpq(get_spark("scale_probe"), n)
         if a.startswith("--incremental-sem"):
             n = int(a.split("=", 1)[1]) if "=" in a else 8
             return probe_incremental_sem(get_spark("scale_probe"), n)
