@@ -3230,7 +3230,10 @@ def cluster_prune_frozen(
 
     Output (``vec_id``, ``cell``, ``cosine``, ``keep``); assignment
     is the same narrow literal-argmax projection, the policy rides as
-    a literal CASE — no join at all."""
+    a literal CASE — no join at all. Both literals share the inlined
+    codebook's practical bound (a few hundred cells — the
+    semantic_dedup scaled-cells note); past that, assignment and the
+    cutoff attach as broadcast joins instead (the IvfIndex path)."""
     cb = _collect_codebook(centroids)
     v = _require_dim(
         _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
