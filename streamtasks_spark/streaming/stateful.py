@@ -1084,7 +1084,8 @@ def streaming_approx_distinct(
     the streaming-native summary: per micro-batch, compute the batch's
     registers and max-merge them into the ``state_path`` table (≤ 2^p
     rows however much history accretes), then append one
-    (batch_id, n_buckets_hit, raw_estimate) row to ``estimates_path``.
+    (batch_id, n_buckets_hit, raw_estimate, corrected_estimate) row to
+    ``estimates_path``.
     After any batch decomposition the merged registers — and therefore
     the estimate — equal the one-shot
     :func:`~streamtasks_spark.llmdata.textstats.approx_distinct_hll`
