@@ -457,6 +457,19 @@ def _q_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_prune_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-policy pruning certified end-to-end (NEW r10): the rank
+    form's per-cluster cutoffs re-derived IN-PLAN (a ≤ n_cells rollup,
+    broadcast back — never literal-injected) and every vector
+    re-judged against them; keep = the rank keep-set closed under
+    rounded-cosine boundary ties — the exact semantics the streaming
+    twin applies (similarity.cluster_prune_policy)."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return similarity.cluster_prune_policy(
+        vecs, n_cells=8, n_iters=3, rate_floor=0.3, rate_ceil=0.9
+    )
+
+
 def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval decontamination (NEW r09): corpus vectors
     (vec_id % 10 != 3) exhaustively scored against the broadcast eval
@@ -1611,6 +1624,14 @@ _MUST_VERIFY_R10 = [
     # the SemDeDup -> profile -> prune curation loop as a certified
     # query. New code certifies in-window.
     "cluster_prune",
+    # NEW op r10 (second wave): the frozen-policy re-judgment in one
+    # plan — per-cluster cutoffs re-derived in-plan (never
+    # literal-injected) and every vector re-judged; certifies the
+    # exact policy semantics the streaming_cluster_prune twin applies.
+    # Takes the window slot set_ops (r08-green, r11 queue head) would
+    # have used — the after-r10 freshness claim (no row older than
+    # r08) is unaffected.
+    "cluster_prune_policy",
     # changed r10 (verdict task 5): approx_distinct_hll gained the
     # published HLL range corrections (linear counting under 2.5m,
     # 48-bit large-range) as corrected_estimate/corrected_rel_error
@@ -1643,9 +1664,9 @@ _ROTATE_R10 = [
     "dedup_retention", "tfidf_topk", "hashed_embed", "embedding_near_dup",
     "embedding_dup_classes", "tts_synthesize", "text_renderer",
     "image_decode", "image_resize", "image_features",
-    # the 3 oldest r08-green rows (r08 window order; the rest of the
-    # r08 tier heads the r11 queue)
-    "quality_buckets", "events_session_windows", "set_ops",
+    # the 2 oldest r08-green rows (r08 window order; set_ops and the
+    # rest of the r08 tier head the r11 queue)
+    "quality_buckets", "events_session_windows",
 ]
 
 
@@ -1655,14 +1676,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # r10 window = the NEW cluster_prune op and the three
+    # r10 window = the two NEW cluster_prune ops and the three
     # changed-this-round queries first (_MUST_VERIFY_R10), then the
-    # WHOLE 43-row r07-certified backlog plus the 3 oldest
+    # WHOLE 43-row r07-certified backlog plus the 2 oldest
     # r08-certified rows (_ROTATE_R10). After this round no query's
     # latest driver row is older than r08. The tail stays ordered
     # oldest-first (remaining r08 rows in r08 window order, then the
     # r09-certified rows in r09 window order) so r11 keeps rotating
-    # the same way; all 141 stay covered by the bit-level compare in
+    # the same way; all 142 stay covered by the bit-level compare in
     # scripts/check_oracle.py locally, and tests/test_oracle_audit.py
     # mechanically fails any query whose rendered oracle/plan drifts
     # without a _MUST_VERIFY_R10 listing.
@@ -1670,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10 window: changed + NEW code certifies first (see
         # _MUST_VERIFY_R10)
         "cluster_prune": _q_cluster_prune,
+        "cluster_prune_policy": _q_cluster_prune_policy,
         "approx_distinct": _q_approx_distinct,
         "bm25_topk": _q_bm25_topk,
         "bm25_search": _q_bm25_search,
@@ -1722,11 +1744,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "quality_buckets": _q_quality_buckets,
         "events_session_windows": rel(rq.events_session_windows),
-        "set_ops": rel(rq.union_intersect_except),
         # ------- first entry PAST the driver's 50-query window -------
         # remaining r08-certified rows in r08 window order — the head
-        # of the r11 queue (quality_buckets, events_session_windows
-        # and set_ops rotated into the r10 window above)
+        # of the r11 queue (quality_buckets and events_session_windows
+        # rotated into the r10 window above; set_ops displaced by
+        # cluster_prune_policy, still r08-green)
+        "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
         "customers_with_orders_semi": rel(rq.customers_with_orders_semi),
@@ -2683,6 +2706,9 @@ def oracle_sql() -> dict[str, str]:
             n_cells=8, n_iters=3
         ),
         "cluster_prune": similarity.oracle_cluster_prune_sql(
+            n_cells=8, n_iters=3, rate_floor=0.3, rate_ceil=0.9
+        ),
+        "cluster_prune_policy": similarity.oracle_cluster_prune_policy_sql(
             n_cells=8, n_iters=3, rate_floor=0.3, rate_ceil=0.9
         ),
         "bm25_search": textstats.oracle_bm25_search_sql(

@@ -3259,6 +3259,58 @@ def cluster_prune_frozen(
     )
 
 
+def cluster_prune_policy(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    rate_floor: float = 0.3,
+    rate_ceil: float = 0.9,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`cluster_prune` plus the frozen-policy re-judgment in ONE
+    PLAN (r10): derive each cluster's cutoff (the kept set's max
+    cosine — what :func:`prune_cutoffs` freezes) as a ≤ n_cells-row
+    aggregate INSIDE the plan and re-judge every vector against it —
+    the certified form of the policy semantics the streaming twin
+    applies (:func:`cluster_prune_frozen` takes the cutoffs as
+    literals; here they stay data, so the DuckDB oracle re-derives
+    them instead of receiving them injected). Output (``vec_id``,
+    ``cell``, ``cosine``, ``keep``) with ``keep`` the POLICY verdict:
+    the rank form's keep-set closed under rounded-cosine boundary
+    ties.
+
+    100 TB shape: everything of cluster_prune's, plus one
+    codebook-sized rollup broadcast back — no new wide work."""
+    # no pin: training (the expensive part) runs ONCE at plan-build
+    # time on the driver and both branches below share the resulting
+    # literal plan; what recomputes across the two passes is only the
+    # narrow assignment projection, cheaper than a persist round-trip
+    # (measured: pinned 4.4 s vs unpinned 2.7 s at sf0.1)
+    pruned = cluster_prune(
+        vectors, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_cells=n_cells, n_iters=n_iters, rate_floor=rate_floor,
+        rate_ceil=rate_ceil, centroids=centroids,
+    )
+    cuts = (
+        pruned.filter(F.col("keep"))
+        .groupBy("cell")
+        .agg(F.max("cosine").alias("__cut"))
+    )
+    return (
+        pruned.join(broadcast(cuts), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            "cosine",
+            (F.col("cosine") <= F.col("__cut")).alias("keep"),
+        )
+    )
+
+
 def oracle_cluster_prune_sql(
     *,
     source_sql: str = "SELECT vec_id, embedding FROM embeddings",
@@ -3323,6 +3375,38 @@ def oracle_cluster_prune_sql(
       r.cell_rank,
       r.cell_rank <= k.__nkeep AS keep
     FROM ranked r JOIN nk k USING (cell)
+    """
+
+
+def oracle_cluster_prune_policy_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    rate_floor: float = 0.3,
+    rate_ceil: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`cluster_prune_policy` — the full rank-form
+    chain as a nested CTE, then the per-cluster cutoff re-derived from
+    its kept set (never literal-injected) and the policy verdict as
+    one more join."""
+    inner = oracle_cluster_prune_sql(
+        source_sql=source_sql, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_cells=n_cells, n_iters=n_iters, rate_floor=rate_floor,
+        rate_ceil=rate_ceil,
+    )
+    return f"""
+    WITH verdicts AS ({inner}),
+    cuts AS (
+      SELECT cell, max(cosine) AS __cut FROM verdicts
+      WHERE keep GROUP BY cell
+    )
+    SELECT v.{id_col}, v.cell, v.cosine,
+           v.cosine <= c.__cut AS keep
+    FROM verdicts v JOIN cuts c USING (cell)
     """
 
 

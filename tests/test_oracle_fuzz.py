@@ -801,11 +801,11 @@ def test_empty_inputs_agree_or_fail_loudly(spark, tmp_path):
     # the ONLY queries allowed to raise, and only with the documented
     # loud codebook error — the train_centroids consumers, whose
     # contract is fail-loud on an unseedable codebook (cluster_profile
-    # joined in r09, cluster_prune in r10; the PQ tiers instead return
+    # joined in r09, cluster_prune + cluster_prune_policy in r10; the PQ tiers instead return
     # empty on an EMPTY corpus and stay loud only for
     # non-empty-but-unseedable)
     LOUD_OK = {"ann_ivf_trained", "semantic_dedup", "text_semantic_dedup",
-               "cluster_profile", "cluster_prune"}
+               "cluster_profile", "cluster_prune", "cluster_prune_policy"}
     problems = []
     for name, fn in qs.items():
         try:

@@ -1572,6 +1572,50 @@ def test_streaming_bm25_filter_matches_batch_threshold(spark, tmp_path):
     assert got == expect
 
 
+def test_atomic_state_write_swap_and_orphan_inertness(spark, tmp_path):
+    """_atomic_state_write (r10, advisor finding): the sketch state is
+    replaced by a tmp-dir + rename swap, never overwrite's
+    delete-then-write — a rewrite that dies BEFORE the swap leaves the
+    old state untouched and readable, and the orphaned __swap_/__old_
+    sibling directories a crash can leave behind are invisible to
+    snapshot_read (siblings, not children)."""
+    import os
+
+    from streamtasks_spark.llmdata.dedup import snapshot_read
+    from streamtasks_spark.streaming.stateful import _atomic_state_write
+
+    path = str(tmp_path / "state")
+    _atomic_state_write(
+        spark, [(0, 3), (1, 5)], "`__bucket` bigint, `__M` int", path
+    )
+    assert {
+        (r["__bucket"], r["__M"])
+        for r in snapshot_read(spark, path).collect()
+    } == {(0, 3), (1, 5)}
+    # a crashed rewrite: the replacement landed in a __swap_ sibling
+    # but the swap never happened; an aborted previous swap also left
+    # an __old_ sibling. Readers of `path` must see ONLY live state.
+    spark.createDataFrame(
+        [(9, 9)], "`__bucket` bigint, `__M` int"
+    ).write.parquet(f"{path}__swap_deadbeef")
+    spark.createDataFrame(
+        [(8, 8)], "`__bucket` bigint, `__M` int"
+    ).write.parquet(f"{path}__old_deadbeef")
+    assert {
+        (r["__bucket"], r["__M"])
+        for r in snapshot_read(spark, path).collect()
+    } == {(0, 3), (1, 5)}
+    # the next successful write still swaps cleanly with orphans present
+    _atomic_state_write(
+        spark, [(0, 4)], "`__bucket` bigint, `__M` int", path
+    )
+    assert {
+        (r["__bucket"], r["__M"])
+        for r in snapshot_read(spark, path).collect()
+    } == {(0, 4)}
+    assert os.path.isdir(f"{path}__swap_deadbeef")  # orphans untouched
+
+
 def test_streaming_approx_distinct_merges_to_one_shot(spark, tmp_path):
     """Streaming HLL (r09): after two micro-batches the max-merged
     register file — and therefore the estimate — equals the one-shot
