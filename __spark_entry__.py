@@ -1646,8 +1646,8 @@ _MUST_VERIFY_R10 = [
 ]
 
 # r10 rotation (r09 verdict task 2): the whole r07-certified backlog
-# (43 rows, queued oldest-first since r09) + the 3 oldest
-# r08-certified rows that fit the remaining slots (4 must-verify + 46
+# (43 rows, queued oldest-first since r09) + the 2 oldest
+# r08-certified rows that fit the remaining slots (5 must-verify + 45
 # rotation = 50). After this window no query's latest driver row is
 # older than r08.
 _ROTATE_R10 = [
@@ -1696,7 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_search": _q_bm25_search,
         # --- r10 window rotation: the whole r07-certified backlog (43
-        # rows, r07 window order) + the 3 oldest r08-certified rows.
+        # rows, r07 window order) + the 2 oldest r08-certified rows.
         # After this round no query's latest driver row is older than
         # r08.
         "corpus_prepare": _q_corpus_prepare,

@@ -2633,7 +2633,16 @@ class IvfPqIndex:
         )
         raw = snapshot_read(
             spark, self.vectors_path, base_path=self.vectors_path
-        ).filter(F.col("__cell").isin(probed)).select(
+        )
+        if raw is None:
+            # cells/ without vectors/ cannot arise from a crash (ingest
+            # commits vectors FIRST), so this is a damaged index — fail
+            # loudly rather than AttributeError (r10 advisor finding)
+            raise ValueError(
+                f"IvfPqIndex at {self.path} has no raw-vector side "
+                f"table (vectors/) — index is damaged or mid-build"
+            )
+        raw = raw.filter(F.col("__cell").isin(probed)).select(
             idc, "__cell", "__av", "__anrm"
         )
         cos = (
@@ -3084,7 +3093,9 @@ def cluster_prune(
 
     Keep-rate rule (the profile consumption): a cluster's
     ``keep_rate = rate_floor + (rate_ceil − rate_floor) ·
-    (1 − avg_cos)`` with ``avg_cos`` computed exactly as
+    (1 − avg_cos)``, clamped to ``[rate_floor, rate_ceil]`` (a cluster
+    with negative mean cosine would otherwise exceed the band), with
+    ``avg_cos`` computed exactly as
     :func:`cluster_profile` reports it (floored-1e-6-unit DECIMAL
     mean) — TIGHT clusters (high mean cosine = prototypical, redundant
     mass) prune hardest toward ``rate_floor``; LOOSE clusters keep up
@@ -3157,10 +3168,16 @@ def cluster_prune(
         .select(
             "cell",
             "__n",
+            # clamped to the documented [rate_floor, rate_ceil] band:
+            # a cluster with NEGATIVE mean cosine (anti-aligned mass)
+            # makes (1 - avg) exceed 1, which unclamped would push the
+            # rate past rate_ceil (even past 1.0) — r10 advisor finding
             F.expr(
+                f"least(CAST({rc!r} AS DOUBLE), "
+                f"greatest(CAST({rf!r} AS DOUBLE), "
                 f"CAST({rf!r} AS DOUBLE) + "
                 f"(CAST({rc!r} AS DOUBLE) - CAST({rf!r} AS DOUBLE)) * "
-                f"(CAST(1 AS DOUBLE) - __avg)"
+                f"(CAST(1 AS DOUBLE) - __avg)))"
             ).alias("__rate"),
         )
         .select(
@@ -3351,11 +3368,13 @@ def oracle_cluster_prune_sql(
     ),
     prof AS (
       SELECT cell, count(*) AS __n,
-        CAST({rf!r} AS DOUBLE) +
-          (CAST({rc!r} AS DOUBLE) - CAST({rf!r} AS DOUBLE)) *
-          (CAST(1 AS DOUBLE) -
-            CAST(sum(__cu) AS DOUBLE) / (CAST(count(*) AS DOUBLE) *
-              CAST(1000000 AS DOUBLE))) AS __rate
+        least(CAST({rc!r} AS DOUBLE),
+          greatest(CAST({rf!r} AS DOUBLE),
+            CAST({rf!r} AS DOUBLE) +
+              (CAST({rc!r} AS DOUBLE) - CAST({rf!r} AS DOUBLE)) *
+              (CAST(1 AS DOUBLE) -
+                CAST(sum(__cu) AS DOUBLE) / (CAST(count(*) AS DOUBLE) *
+                  CAST(1000000 AS DOUBLE))))) AS __rate
       FROM assigned GROUP BY cell
     ),
     nk AS (

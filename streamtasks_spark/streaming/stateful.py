@@ -1280,13 +1280,19 @@ def streaming_heavy_hitters(
         )
         total = sum(r["__cell"] for r in rows if r["__row"] == 0)
         bar = total * int(round(phi * 1_000_000))
-        # heavy-cell count per the min-row bound: every truly heavy
-        # token's cell clears the bar in EVERY row (CMS never
-        # under-counts), so the per-row heavy-cell counts are each an
-        # upper bound on the heavy-token count and their minimum is the
-        # tightest one — a cheap sketch-side report; the token-level
-        # heavy SET is the batch op's job
-        n_heavy_cells = min(
+        # heavy-cell count: every truly heavy token's cell clears the
+        # bar in EVERY row (CMS never under-counts), but a CELL is not
+        # a TOKEN — two heavy tokens hashed into the same bucket of a
+        # row merge into one cell there, so a row's heavy-cell count
+        # can sit BELOW the heavy-token count. max() across rows is
+        # therefore the report: it is an upper bound on the heavy-token
+        # count whenever at least one row separates all heavy tokens
+        # (collision in every one of the `depth` independent rows has
+        # probability ~(k²/2w)^depth for k heavy tokens), where min()
+        # already undercounts at a single colliding row — r10 advisor
+        # finding. Report-only; the token-level heavy SET is the batch
+        # op's job.
+        n_heavy_cells = max(
             sum(
                 1 for r in rows
                 if r["__row"] == j and r["__cell"] * 1_000_000 >= bar
