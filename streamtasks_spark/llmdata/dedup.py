@@ -1273,7 +1273,12 @@ class BloomIndex:
         new_bits = _bloom_bits(
             docs, self.id_col, self.text_col, self.m_bits, self.n_hashes
         )
-        new_bits.write.mode("append").parquet(self.bits_path)
+        # versioned-manifest append: the batch's positions become
+        # visible in one atomic pointer flip — a crash mid-write leaves
+        # an invisible orphan segment, never a torn bit set
+        from streamtasks_spark.core.state import append_write
+
+        append_write(new_bits, self.bits_path)
         return res
 
     def compact(self, spark, *, files: int = 4) -> None:
@@ -1868,15 +1873,32 @@ def oracle_dedup_recall_sql(
 # ---------------------------------------------------- incremental index
 
 def snapshot_read(spark, path: str, base_path: str | None = None):
-    """Read a parquet dataset as a SNAPSHOT: resolve the concrete file
-    list up front and read those files explicitly. Appending to ``path``
-    fires Spark's refreshByPath cache invalidation, so any cached plan
-    reading the plain path recomputes against a RE-LISTED directory —
-    observing rows appended after the read was planned (the
-    double-counting trap MinHashIndex documents). Explicit file lists
-    pin the view; ``base_path`` preserves partition columns when the
-    dataset is directory-partitioned. Returns None when the dataset
-    doesn't exist yet."""
+    """Read a parquet dataset as a SNAPSHOT. Two layouts:
+
+    **Manifest tables** (anything written through
+    :mod:`streamtasks_spark.core.state` — every index and sketch state
+    table since r11): resolve the committed segment set through the
+    atomic ``_MANIFEST.json`` pointer. Isolation is structural —
+    segments are immutable and a concurrent commit only flips the
+    pointer, so this read sees exactly one version, never a torn mix,
+    and never an uncommitted (crash-orphaned) segment. ``base_path``
+    is ignored: partition columns survive via per-segment basePath.
+
+    **Legacy plain directories** (pre-manifest data, appended output
+    logs): resolve the concrete file list up front and read those
+    files explicitly. Appending to ``path`` fires Spark's
+    refreshByPath cache invalidation, so any cached plan reading the
+    plain path recomputes against a RE-LISTED directory — observing
+    rows appended after the read was planned (the double-counting trap
+    MinHashIndex documents). Explicit file lists pin the view;
+    ``base_path`` preserves partition columns when the dataset is
+    directory-partitioned.
+
+    Returns None when the dataset doesn't exist yet."""
+    from streamtasks_spark.core.state import manifest_read, read_manifest
+
+    if read_manifest(path) is not None:
+        return manifest_read(spark, path)
     try:
         reader = spark.read
         if base_path:
@@ -1921,20 +1943,30 @@ def compact_table(
     transform=None,
 ) -> bool:
     """Rewrite a parquet dataset coalesced into ``files`` files (per
-    partition directory when ``partition_by`` is set), then swap
-    directories (two renames). Cures the small-files accretion of
-    append-based index tables.
+    partition directory when ``partition_by`` is set). Cures the
+    small-files accretion of append-based index tables.
 
-    Compaction requires EXCLUSIVE access — no concurrent writer and no
-    concurrent reader mid-query. The swap renames the live directory
-    aside before the replacement lands, so a :func:`snapshot_read` view
-    resolved before compaction holds concrete file paths that move and
-    are then deleted; a read started inside the rename gap sees a
-    missing dataset. Run it from the single maintenance owner of the
-    index (the same discipline ingest already requires). Returns False
-    if the dataset doesn't exist."""
+    Manifest tables (the normal case since r11) rewrite through the
+    versioned-manifest protocol: the compacted copy lands as a NEW
+    segment, one atomic pointer flip makes it the live version, and
+    the superseded segments are swept — a crash anywhere before the
+    flip leaves the previous version fully live (no rename gap; the
+    old directory-swap's crash window is gone). Legacy plain
+    directories keep the historical two-rename swap.
+
+    Compaction still requires EXCLUSIVE access — no concurrent writer,
+    and no concurrent reader mid-query (the post-flip sweep deletes
+    segment files a long-running plan may still hold). Run it from the
+    single maintenance owner of the index (the same discipline ingest
+    already requires). Returns False if the dataset doesn't exist."""
     import shutil
     import uuid
+
+    from streamtasks_spark.core.state import (
+        commit_segments,
+        new_segment,
+        read_manifest,
+    )
 
     cur = snapshot_read(
         spark, path, base_path=path if partition_by else None
@@ -1946,14 +1978,19 @@ def compact_table(
         # BloomIndex re-distincts positions duplicated across appended
         # part files (append-mode parquet cannot dedup across files)
         cur = transform(cur)
-    tag = uuid.uuid4().hex[:8]
-    tmp = f"{path}__compact_{tag}"
-    old = f"{path}__old_{tag}"
     writer = cur.repartition(
         files, *( [partition_by] if partition_by else [] )
     ).write
     if partition_by:
         writer = writer.partitionBy(partition_by)
+    if read_manifest(path) is not None:
+        name, seg = new_segment(path)
+        writer.parquet(seg)
+        commit_segments(path, [name])
+        return True
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{path}__compact_{tag}"
+    old = f"{path}__old_{tag}"
     writer.parquet(tmp)
     shutil.move(path, old)
     shutil.move(tmp, path)
@@ -2121,8 +2158,16 @@ class MinHashIndex:
             .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))
         )
         verified.count()  # materialize before the append below
-        new_posts.write.mode("append").parquet(self.bands_path)
-        new_hashes.write.mode("append").parquet(self.hashes_path)
+        # versioned-manifest appends, HASHES FIRST: a band posting must
+        # always find its hash row (the verify join is inner), so the
+        # crash-safe order is the dependency order — an orphan hash row
+        # with no posting is unreachable and harmless, a posting with
+        # no hashes would silently drop verified pairs. Each commit is
+        # one atomic pointer flip.
+        from streamtasks_spark.core.state import append_write
+
+        append_write(new_hashes, self.hashes_path)
+        append_write(new_posts, self.bands_path)
         # drop this batch's working pins — a long-running ingest loop
         # would otherwise accumulate two persisted tables per batch
         # (verified stays pinned: it is the returned result; callers
@@ -2134,21 +2179,28 @@ class MinHashIndex:
     def compact(self, spark, *, files_per_table: int = 8) -> None:
         """Rewrite both index tables into ``files_per_table`` files.
 
-        Every :meth:`ingest` appends a batch's worth of part files, so
-        a long-running index accretes thousands of small files and the
+        Every :meth:`ingest` appends a batch's worth of segments, so a
+        long-running index accretes thousands of small files and the
         band join's scan degrades into file-listing overhead — the
         standard small-files problem of any append-based table format.
-        Compaction reads a snapshot, rewrites it coalesced into a
-        sibling directory, and swaps directories (two renames).
-        EXCLUSIVE access required — no concurrent ingest and no reader
-        mid-query: the swap renames the live directory aside, so a
-        snapshot's resolved file paths move (and are then deleted), and
-        a read started inside the rename gap sees a missing dataset.
-        See :func:`compact_table`.
+        Compaction reads a snapshot, rewrites it coalesced into a new
+        segment, and commits it with one atomic manifest flip (see
+        :func:`compact_table`). EXCLUSIVE access required — no
+        concurrent ingest and no reader mid-query: the post-flip sweep
+        deletes superseded segment files a long-running plan may still
+        hold.
 
         At warehouse scale this is where the postings table would also
         be re-bucketed on the band key (sort/cluster within rewrite);
         locally a plain coalesced rewrite keeps the semantics
-        byte-identical (pinned by the equivalence test)."""
+        byte-identical (pinned by the equivalence test). The distinct
+        fold is a no-op on clean data (one posting per (id, band), one
+        hash row per id) and durably cures the value-identical
+        duplicates a crash-replayed ingest can append (hashes commit
+        before bands, so a crash between the two flips makes the
+        replay re-append the batch's hash rows)."""
         for path in (self.bands_path, self.hashes_path):
-            compact_table(spark, path, files=files_per_table)
+            compact_table(
+                spark, path, files=files_per_table,
+                transform=lambda df: df.distinct(),
+            )

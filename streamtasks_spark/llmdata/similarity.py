@@ -2134,6 +2134,7 @@ class IvfIndex:
         self.path = str(path)
         self.centroids_path = f"{self.path}/centroids"
         self.cells_path = f"{self.path}/cells"
+        self.stats_path = f"{self.path}/stats"
         self.id_col = id_col
         self.vec_col = vec_col
         self.n_cells = n_cells
@@ -2190,7 +2191,9 @@ class IvfIndex:
                     F.col("__nrm").alias("__cn"),
                 )
             )
-            seed.coalesce(1).write.parquet(self.centroids_path)
+            from streamtasks_spark.core.state import replace_write
+
+            replace_write(seed, self.centroids_path, coalesce=1)
             cents = self._centroids(spark)
             # emptiness check AFTER the write, against the materialized
             # file — one tiny file read that covers BOTH seed paths
@@ -2213,10 +2216,30 @@ class IvfIndex:
                         "0-based contiguous."
                     )
                 )
-        assigned = self._assign(pin(v), cents, idc, 1)
-        assigned.write.mode("append").partitionBy("__cell").parquet(
-            self.cells_path
-        )
+        v = pin(v)
+        assigned = self._assign(v, cents, idc, 1)
+        # versioned-manifest append: the batch becomes visible in one
+        # atomic pointer flip; partition dirs (__cell=N/) live inside
+        # the segment, so probed-cell pruning is unchanged
+        from streamtasks_spark.core.state import append_write, read_manifest
+
+        append_write(assigned, self.cells_path, partition_by="__cell")
+        # drift instrumentation (r11): one stats row per ingest against
+        # the FROZEN codebook — n and the floored-integer mean winning
+        # cosine (the _drift_stats fragment ann_drift_probe certifies).
+        # A distribution that drifts from the training batch lands
+        # farther from every centroid and this number falls — the
+        # measured rebuild trigger for the documented frozen-codebook
+        # trade-off. Written LAST: a crash before this flip loses only
+        # the report row, never data. One extra narrow pass over the
+        # pinned batch + a 1-row rollup.
+        m = read_manifest(self.stats_path)
+        ingest_id = (m["version"] if m else 0) + 1
+        stats = _drift_stats(
+            v, _collect_codebook(cents), None,
+            batch_expr=F.lit(ingest_id),
+        ).withColumnRenamed("batch_id", "ingest_id")
+        append_write(stats, self.stats_path)
         v.unpersist()
 
     def compact(self, spark, *, files_per_cell: int = 1) -> None:
@@ -2232,6 +2255,31 @@ class IvfIndex:
         compact_table(
             spark, self.cells_path,
             files=files_per_cell, partition_by="__cell",
+        )
+
+    def drift_report(self, spark) -> DataFrame:
+        """Per-ingest assignment quality vs the frozen codebook, with
+        the drop against the FIRST ingest (the training distribution)
+        as the rebuild-trigger column: (ingest_id, n, mean_win_cosine,
+        win_cos_drop). Ingest-count-sized; the single-partition window
+        is bounded by ingest COUNT, never data volume."""
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        st = snapshot_read(spark, self.stats_path)
+        if st is None:
+            raise ValueError(
+                f"IvfIndex at {self.path} has no drift stats yet"
+            )
+        w = (
+            Window.orderBy("ingest_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return st.select(
+            "ingest_id", "n", "mean_win_cosine",
+            (
+                F.first("mean_win_cosine").over(w)
+                - F.col("mean_win_cosine")
+            ).alias("win_cos_drop"),
         )
 
     def query(
@@ -2331,6 +2379,10 @@ class IvfPqIndex:
         survivors: the probed-cell filter bounds which directories
         are listed, and the join against the rerank·k candidate set
         bounds which rows are touched.
+      ``stats/`` — one drift row per ingest (r11):
+        ``(ingest_id, n, mean_win_cosine, mean_adc_err)`` measured
+        against the frozen codebooks; :meth:`drift_report` turns it
+        into the rebuild-trigger view.
 
     One-shot equivalence (pinned in tests): an index built by a
     single :meth:`ingest` of a corpus with default seeding answers
@@ -2369,6 +2421,7 @@ class IvfPqIndex:
         self.pq_codebook_path = f"{self.path}/pq_codebook"
         self.cells_path = f"{self.path}/cells"
         self.vectors_path = f"{self.path}/vectors"
+        self.stats_path = f"{self.path}/stats"
         self.id_col = id_col
         self.vec_col = vec_col
         self.dim = dim
@@ -2470,7 +2523,9 @@ class IvfPqIndex:
                     F.col("__nrm").alias("__cn"),
                 )
             )
-            seed.coalesce(1).write.parquet(self.centroids_path)
+            from streamtasks_spark.core.state import replace_write
+
+            replace_write(seed, self.centroids_path, coalesce=1)
             wrote_centroids = True
             cents = self._centroids(spark)
             if cents is None or not cents.limit(1).count():
@@ -2520,9 +2575,14 @@ class IvfPqIndex:
                 for m in sorted(trained)
                 for j in sorted(trained[m])
             ]
-            spark.createDataFrame(
-                rows, "__m int, __j int, __cv array<double>"
-            ).coalesce(1).write.parquet(self.pq_codebook_path)
+            from streamtasks_spark.core.state import replace_write
+
+            replace_write(
+                spark.createDataFrame(
+                    rows, "__m int, __j int, __cv array<double>"
+                ),
+                self.pq_codebook_path, coalesce=1,
+            )
             cb = self._pq_cents(spark)
         pq_cents, _ = cb
         sub = self.dim // self.m_sub
@@ -2534,29 +2594,88 @@ class IvfPqIndex:
             _pq_codes_col(pq_cents, self.m_sub, sub).alias("__codes"),
         )
         assigned = pin(assigned)
-        assigned.select(idc, "__codes", "__cell").write.mode(
-            "append"
-        ).partitionBy("__cell").parquet(self.cells_path)
-        assigned.select(idc, "__av", "__anrm", "__cell").write.mode(
-            "append"
-        ).partitionBy("__cell").parquet(self.vectors_path)
+        # versioned-manifest appends, RAW VECTORS FIRST: query()'s
+        # exact re-rank inner-joins candidates (from cells/) against
+        # raw rows (from vectors/), so the crash-safe order is the
+        # dependency order — an orphan raw row no code row references
+        # is unreachable and harmless, while a code row with no raw
+        # counterpart would silently drop ADC candidates from top-k
+        # (r10 advisor finding). Each commit is one atomic flip.
+        from streamtasks_spark.core.state import append_write
+
+        append_write(
+            assigned.select(idc, "__av", "__anrm", "__cell"),
+            self.vectors_path, partition_by="__cell",
+        )
+        append_write(
+            assigned.select(idc, "__codes", "__cell"),
+            self.cells_path, partition_by="__cell",
+        )
         assigned.unpersist()
+        # drift instrumentation (r11): one stats row per ingest against
+        # BOTH frozen codebooks — mean winning coarse cosine AND the
+        # exact-integer self-ADC error (the _drift_stats fragment
+        # ann_drift_probe certifies). Drift shows as the first falling
+        # and the second rising, per batch, as data. Written LAST: a
+        # crash before this flip loses only the report row.
+        from streamtasks_spark.core.state import read_manifest
+
+        m = read_manifest(self.stats_path)
+        ingest_id = (m["version"] if m else 0) + 1
+        stats = _drift_stats(
+            v, _collect_codebook(cents), cb,
+            batch_expr=F.lit(ingest_id), dim=self.dim, m_sub=self.m_sub,
+        ).withColumnRenamed("batch_id", "ingest_id")
+        append_write(stats, self.stats_path)
         v.unpersist()
 
     def compact(self, spark, *, files_per_cell: int = 1) -> None:
         """Coalesce both per-cell tables' accreted part files;
-        partition layout (and probed-cell pruning) preserved.
-        Exclusive access required — see
+        partition layout (and probed-cell pruning) preserved. The
+        distinct fold makes the query-side tolerance for crash-replay
+        duplicates durable (a replayed ingest re-appends value-identical
+        rows). Exclusive access required — see
         :func:`~streamtasks_spark.llmdata.dedup.compact_table`."""
         from streamtasks_spark.llmdata.dedup import compact_table
 
         compact_table(
             spark, self.cells_path,
             files=files_per_cell, partition_by="__cell",
+            transform=lambda df: df.distinct(),
         )
         compact_table(
             spark, self.vectors_path,
             files=files_per_cell, partition_by="__cell",
+            transform=lambda df: df.distinct(),
+        )
+
+    def drift_report(self, spark) -> DataFrame:
+        """Per-ingest assignment quality vs BOTH frozen codebooks:
+        (ingest_id, n, mean_win_cosine, mean_adc_err, win_cos_drop,
+        adc_err_rise) — the deltas are against the FIRST ingest (the
+        training distribution), the rebuild-trigger columns. Ingest-
+        count-sized; the single-partition window is bounded by ingest
+        COUNT, never data volume."""
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        st = snapshot_read(spark, self.stats_path)
+        if st is None:
+            raise ValueError(
+                f"IvfPqIndex at {self.path} has no drift stats yet"
+            )
+        w = (
+            Window.orderBy("ingest_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return st.select(
+            "ingest_id", "n", "mean_win_cosine", "mean_adc_err",
+            (
+                F.first("mean_win_cosine").over(w)
+                - F.col("mean_win_cosine")
+            ).alias("win_cos_drop"),
+            (
+                F.col("mean_adc_err") - F.first("mean_adc_err").over(w)
+            ).alias("adc_err_rise"),
         )
 
     # -- query --------------------------------------------------------
@@ -2654,6 +2773,12 @@ class IvfPqIndex:
         )
         return (
             cand.join(raw, [idc, "__cell"])
+            # tolerate value-identical duplicate raw rows (a crash
+            # between the checkpoint commit and a replayed ingest
+            # re-appends a batch; vectors/ commits before cells/):
+            # cand is already unique per (query_id, id), so this only
+            # collapses raw-side dups — rerank·k-bounded rows, cheap
+            .dropDuplicates(["query_id", idc])
             .withColumn("__cos", cos)
             .withColumn(
                 "__appx",
@@ -3723,7 +3848,9 @@ class SemDedupIndex:
                 n_cells=self.n_cells, n_iters=self.n_iters,
                 expect_dim=self.dim,
             )
-            trained.write.mode("errorifexists").parquet(self.codebook_path)
+            from streamtasks_spark.core.state import replace_write
+
+            replace_write(trained, self.codebook_path)
             cb = snapshot_read(spark, self.codebook_path)
         argmax = _argmax_cell_expr(_collect_codebook(cb))
         v = _require_dim(
@@ -3788,12 +3915,15 @@ class SemDedupIndex:
             )
         )
         verdict.count()  # materialize BEFORE the append below
-        (
+        # versioned-manifest append: survivors become visible in one
+        # atomic pointer flip (crash mid-write = invisible orphan)
+        from streamtasks_spark.core.state import append_write
+
+        append_write(
             batch.join(
                 verdict.filter(F.col("keep")).select(idc), idc, "left_semi"
-            )
-            .write.mode("append")
-            .parquet(self.kept_path)
+            ),
+            self.kept_path,
         )
         batch.unpersist()
         return verdict
@@ -3806,3 +3936,273 @@ class SemDedupIndex:
         from streamtasks_spark.llmdata.dedup import compact_table
 
         compact_table(spark, self.kept_path, files=files_per_table)
+
+
+# ------------------------------------------------------ codebook drift
+
+GRID_SQ = PQ_GRID * PQ_GRID  # 2^40: the self-ADC score of a perfect code
+
+
+def _drift_stats(
+    v: DataFrame,
+    cb: dict[int, tuple[list[float], float]],
+    pqcb: tuple[dict, dict] | None,
+    *,
+    batch_expr,
+    dim: int = 0,
+    m_sub: int = 0,
+) -> DataFrame:
+    """Per-batch assignment-quality stats against FROZEN codebooks —
+    the shared fragment behind :meth:`IvfIndex.ingest` /
+    :meth:`IvfPqIndex.ingest` stats rows and :func:`ann_drift_probe`
+    (engine and oracle consume the same math, the cluster_profile
+    discipline). ``v`` carries (__v, __nrm) and — when ``pqcb`` is
+    given — ``__nv``; ``batch_expr`` labels each row's batch.
+
+    Columns per batch: ``n`` (nonzero-norm, dim-valid rows — the rows
+    an ingest actually indexes), ``mean_win_cosine`` (mean winning
+    coarse-assignment cosine as a floored-1e-6-unit DECIMAL mean —
+    partition-order-free, bit-identical cross-engine) and, under PQ,
+    ``mean_adc_err``: the mean self-ADC shortfall ``(2^40 − iscore) /
+    2^40`` where ``iscore`` is the vector's integer ADC score against
+    its OWN code — exactly 2^40 for a perfect reconstruction, an
+    EXACT-integer quantization-error measure (sums in DECIMAL(38,0),
+    so the mean is order-free too).
+
+    Why these two numbers: a frozen codebook serves data it was never
+    trained on (the documented IVF drift trade-off). When the incoming
+    distribution drifts, vectors land FARTHER from every coarse
+    centroid (mean_win_cosine drops) and PQ codes reconstruct worse
+    (mean_adc_err rises) — per-batch, measured, appended as data, so a
+    rebuild is triggered on evidence instead of faith."""
+    rows = v.withColumn("__best", F.expr(_argmax_struct_expr(cb)))
+    if pqcb is not None:
+        sub = dim // m_sub
+        pq_cents, cint = pqcb
+        rows = (
+            rows.withColumn("__codes", _pq_codes_col(pq_cents, m_sub, sub))
+            .withColumn("__qi", F.expr(_pq_qi_expr()))
+            .withColumn("__lut", F.expr(_pq_lut_expr(cint, m_sub, sub)))
+            .withColumn("__is", _pq_iscore(m_sub))
+        )
+    rows = rows.select(
+        batch_expr.cast("int").alias("batch_id"),
+        F.expr(
+            "CAST(floor(__best.s * 1000000) AS DECIMAL(38,0))"
+        ).alias("__cu"),
+        *(
+            []
+            if pqcb is None
+            else [
+                F.expr(
+                    f"CAST({GRID_SQ}L - __is AS DECIMAL(38,0))"
+                ).alias("__eu")
+            ]
+        ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(sum(__cu) AS DOUBLE) / "
+            "(CAST(count(1) AS DOUBLE) * CAST(1000000 AS DOUBLE))"
+        ).alias("mean_win_cosine"),
+    ]
+    if pqcb is not None:
+        aggs.append(
+            F.expr(
+                f"CAST(sum(__eu) AS DOUBLE) / "
+                f"(CAST(count(1) AS DOUBLE) * CAST({GRID_SQ} AS DOUBLE))"
+            ).alias("mean_adc_err")
+        )
+    return rows.groupBy("batch_id").agg(*aggs)
+
+
+
+def ann_drift_probe(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    pq_iters: int = 2,
+    split_id: int = 250,
+) -> DataFrame:
+    """Codebook-drift probe (r11) — the certified form of the stats
+    rows :meth:`IvfIndex.ingest` / :meth:`IvfPqIndex.ingest` append:
+    train BOTH codebooks (coarse spherical k-means via
+    :func:`train_centroids`, per-subspace PQ via
+    :func:`train_pq_codebooks`) on the FIRST batch
+    (``id_col < split_id``) only, freeze them, then measure every
+    batch's assignment quality against the frozen books. Output one
+    row per batch: (``batch_id``, ``n``, ``mean_win_cosine``,
+    ``mean_adc_err``, ``win_cos_drop``, ``adc_err_rise``) — the last
+    two are deltas vs batch 0, the trigger signals a production
+    pipeline alerts on (the quality-as-data pattern of
+    :func:`recall_probe`).
+
+    Everything is exact-integer-mean arithmetic over frozen literal
+    codebooks, so the full pipeline — including both k-means training
+    loops — has a bit-exact DuckDB twin (:func:`oracle_ann_drift_sql`).
+
+    100 TB shape: training is codebook-sized (first batch, driver
+    literals); per-batch measurement is ONE narrow projection + a
+    ≤ n_batches-row rollup with map-side combine — no join, no window
+    over data rows, nothing wider than the ingest already does."""
+    train_src = vectors.filter(F.col(id_col) < split_id)
+    cents_df = train_centroids(
+        train_src, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        n_iters=n_iters, expect_dim=dim,
+    )
+    cb = _collect_codebook(cents_df)
+    pqcb = train_pq_codebooks(
+        train_src, id_col=id_col, vec_col=vec_col, dim=dim,
+        m_sub=m_sub, n_codes=n_codes, n_iters=pq_iters,
+    )
+    v = _require_dim(
+        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+        dim, "ann_drift_probe",
+    ).withColumn("__nv", F.expr("transform(__v, x -> x / __nrm)"))
+    stats = _drift_stats(
+        v, cb, pqcb,
+        batch_expr=F.when(F.col(id_col) < split_id, 0).otherwise(1),
+        dim=dim, m_sub=m_sub,
+    )
+    # deltas vs batch 0 — a ≤ n_batches-row window (two rows here);
+    # the single-partition window is bounded by batch COUNT, never by
+    # data volume (the prune_cutoffs legitimacy class)
+    w = (
+        Window.orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return stats.select(
+        "batch_id",
+        "n",
+        "mean_win_cosine",
+        "mean_adc_err",
+        (F.first("mean_win_cosine").over(w) - F.col("mean_win_cosine"))
+        .alias("win_cos_drop"),
+        (F.col("mean_adc_err") - F.first("mean_adc_err").over(w))
+        .alias("adc_err_rise"),
+    )
+
+
+def oracle_ann_drift_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    pq_iters: int = 2,
+    split_id: int = 250,
+) -> str:
+    """DuckDB twin of :func:`ann_drift_probe` — both k-means chains
+    re-derived over the FIRST batch only (the ``n``/``nn`` training
+    CTEs are split-filtered), then every batch measured against the
+    frozen result with the same floored-integer means and the same
+    exact-integer self-ADC shortfall."""
+    kmeans, cfinal = _duck_kmeans_ctes(dim, n_cells, n_iters, id_col)
+    pqkmeans, pqfinal = _duck_pq_kmeans_ctes(
+        dim, m_sub, n_codes, pq_iters, id_col
+    )
+    sub = dim // m_sub
+    cdot = _duck_dot("x.__v", "c.__cv", dim)
+    dist = (
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(x.__nv[c.__m * {sub} + i] - c.__cv[i]) "
+        f"* (x.__nv[c.__m * {sub} + i] - c.__cv[i])))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    alln AS (
+      SELECT {id_col}, __v,
+        sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
+    ),
+    n AS (
+      SELECT * FROM alln WHERE {id_col} < {split_id}
+    ),
+    {kmeans},
+    nn AS (
+      SELECT {id_col}, __v, __nrm,
+        list_transform(__v, x -> x / __nrm) AS __nv
+      FROM n
+    ),
+    {pqkmeans},
+    allnn AS (
+      SELECT {id_col}, __v, __nrm,
+        list_transform(__v, x -> x / __nrm) AS __nv,
+        CASE WHEN {id_col} < {split_id} THEN 0 ELSE 1 END AS batch_id
+      FROM alln
+    ),
+    ci AS (
+      SELECT __m, __j,
+        list_transform(__cv,
+                       x -> CAST(floor(x * {PQ_GRID}.0 + 0.5) AS BIGINT))
+          AS __ci
+      FROM {pqfinal}
+    ),
+    won AS (
+      SELECT x.{id_col}, x.batch_id,
+        CAST(floor(({cdot} / (x.__nrm * c.__cn)) *
+          CAST(1000000 AS DOUBLE)) AS DECIMAL(38,0)) AS __cu,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__cn) DESC, c.__cell ASC) AS cr
+      FROM allnn x, {cfinal} c
+      QUALIFY cr = 1
+    ),
+    codes AS (
+      SELECT x.{id_col}, c.__m, c.__j,
+        row_number() OVER (PARTITION BY x.{id_col}, c.__m
+          ORDER BY {dist} ASC, c.__j ASC) AS cr
+      FROM allnn x, {pqfinal} c
+      QUALIFY cr = 1
+    ),
+    qi AS (
+      SELECT {id_col},
+        list_transform(__nv,
+                       x -> CAST(floor(x * {PQ_GRID}.0 + 0.5) AS BIGINT))
+          AS __qi
+      FROM allnn
+    ),
+    selfs AS (
+      SELECT a.{id_col},
+        CAST(sum(list_sum(list_transform(range(1, {sub + 1}),
+          i -> q.__qi[a.__m * {sub} + i] * c.__ci[i]))) AS BIGINT)
+          AS __is
+      FROM codes a
+      JOIN ci c ON c.__m = a.__m AND c.__j = a.__j
+      JOIN qi q USING ({id_col})
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT w.batch_id,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(w.__cu) AS DOUBLE) /
+          (CAST(count(1) AS DOUBLE) * CAST(1000000 AS DOUBLE))
+          AS mean_win_cosine,
+        CAST(sum(CAST({PQ_GRID * PQ_GRID} - s.__is AS DECIMAL(38,0)))
+             AS DOUBLE) /
+          (CAST(count(1) AS DOUBLE) * CAST({PQ_GRID * PQ_GRID} AS DOUBLE))
+          AS mean_adc_err
+      FROM won w JOIN selfs s USING ({id_col})
+      GROUP BY 1
+    )
+    SELECT batch_id, n, mean_win_cosine, mean_adc_err,
+      (first_value(mean_win_cosine) OVER w0 - mean_win_cosine)
+        AS win_cos_drop,
+      (mean_adc_err - first_value(mean_adc_err) OVER w0)
+        AS adc_err_rise
+    FROM agg
+    WINDOW w0 AS (ORDER BY batch_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """

@@ -44,34 +44,27 @@ def _schema_of(df: DataFrame, cols: Sequence[str]) -> StructType:
 
 
 def _atomic_state_write(spark, rows, schema: str, path: str) -> None:
-    """Replace a (small) persistent state table atomically: land the
-    replacement in a sibling tmp directory, rename the live directory
-    aside, rename tmp in, delete the old — the
-    :func:`~streamtasks_spark.llmdata.dedup.compact_table` swap
-    pattern. ``write.mode('overwrite')`` deletes the target BEFORE the
-    replacement commits, so a crash mid-rewrite would lose ALL accreted
-    state (registers / counters), and a restart would replay only the
-    in-flight batch against EMPTY state — a silent under-estimate. With
-    the swap, a crash leaves the old state intact (the rewrite lands in
-    tmp first); the only residual window is the instant between the two
-    renames, where the previous state survives at the ``__old_`` path
-    for manual recovery instead of being destroyed. Orphaned
-    ``__swap_``/``__old_`` siblings from a crash are inert — they are
-    siblings of ``path``, never read by :func:`snapshot_read`."""
-    import os
-    import shutil
-    import uuid
+    """Replace a (small) persistent state table atomically through the
+    versioned-manifest commit protocol
+    (:func:`streamtasks_spark.core.state.replace_write`): the rewrite
+    lands in a fresh immutable segment, then ONE atomic single-file
+    manifest replace makes it the live version. A crash at any point
+    before the flip leaves the previous state the live one (a restart
+    replays the in-flight batch against intact registers/counters —
+    never against empty state, which would be a silent under-estimate,
+    and never against a half-written rewrite). Unlike the r10
+    directory-rename swap this replaces, there is NO residual window:
+    directory rename is copy+delete on S3-class object stores, while
+    atomic replacement of one small file is the primitive every target
+    filesystem provides (POSIX rename, HDFS rename, object PUT).
+    Crash debris is an unreferenced segment directory — inert (never
+    resolved by :func:`~streamtasks_spark.llmdata.dedup.snapshot_read`,
+    which reads through the manifest) and swept by the next commit."""
+    from streamtasks_spark.core.state import replace_write
 
-    tag = uuid.uuid4().hex[:8]
-    tmp = f"{path}__swap_{tag}"
-    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
-    if os.path.exists(path):
-        old = f"{path}__old_{tag}"
-        shutil.move(path, old)
-        shutil.move(tmp, path)
-        shutil.rmtree(old)
-    else:
-        shutil.move(tmp, path)
+    replace_write(
+        spark.createDataFrame(rows, schema), path, coalesce=1
+    )
 
 
 def streaming_last_value_join(
@@ -1095,9 +1088,10 @@ def streaming_approx_distinct(
     (the classic sketch replay-safety argument; the estimates append
     can duplicate one batch row — consumers dedup on batch_id, the
     standard foreachBatch contract). The state rewrite is ATOMIC
-    (:func:`_atomic_state_write`: tmp-dir + rename swap, never
-    ``mode('overwrite')``'s delete-then-write), so a crash mid-rewrite
-    cannot lose the accreted registers; it is still last-writer-wins,
+    (:func:`_atomic_state_write`: versioned segment + one-file manifest
+    flip, never ``mode('overwrite')``'s delete-then-write), so a crash
+    mid-rewrite cannot lose the accreted registers; it is still
+    last-writer-wins,
     not transactional with the checkpoint — run one ingest owner, the
     MinHashIndex discipline.
 

@@ -82,6 +82,16 @@ def _drain(q):
         q.stop()
 
 
+def _state_read(spark, path):
+    """Durable state tables commit through the versioned-manifest
+    protocol (r11) — resolve them the way the engine does."""
+    from streamtasks_spark.llmdata.dedup import snapshot_read
+
+    df = snapshot_read(spark, path)
+    assert df is not None, f"no committed state at {path}"
+    return df
+
+
 def _rows(spark, path, drop=("batch_id",)):
     df = spark.read.parquet(path).drop(*drop)
     cols = sorted(df.columns)
@@ -244,6 +254,10 @@ def _spec_minhash():
         expect=lambda spark, full, chunks, td, ctx: _canon(
             dedup_minhash(full, threshold=0.5)
         ),
+        state=lambda spark, td: sorted(
+            (r["doc_id"], r["__band_idx"], r["__band_key"])
+            for r in _state_read(spark, f"{td}/index/bands").collect()
+        ),
         replay=None,
     )
 
@@ -282,7 +296,7 @@ def _spec_bloom():
         ),
         state=lambda spark, td: sorted(
             r["__pos"]
-            for r in spark.read.parquet(f"{td}/index/bits")
+            for r in _state_read(spark, f"{td}/index/bits")
             .select("__pos").distinct().collect()
         ),
         state_expect=lambda spark, full, td: sorted(
@@ -323,6 +337,10 @@ def _spec_semantic():
         canon_out=lambda spark, td: sorted(
             (r["vec_id"], r["cell"], r["keep"])
             for r in spark.read.parquet(f"{td}/out").collect()
+        ),
+        state=lambda spark, td: sorted(
+            r["vec_id"]
+            for r in _state_read(spark, f"{td}/index/kept").collect()
         ),
         replay=None,
     )
@@ -402,7 +420,7 @@ def _spec_hll():
         expect=expect,
         state=lambda spark, td: sorted(
             (r["__bucket"], r["__M"])
-            for r in spark.read.parquet(f"{td}/state").collect()
+            for r in _state_read(spark, f"{td}/state").collect()
         ),
         replay="idempotent",
     )
@@ -437,7 +455,7 @@ def _spec_cms():
         expect=expect,
         state=lambda spark, td: sorted(
             (r["__row"], r["__bucket"], r["__cell"])
-            for r in spark.read.parquet(f"{td}/state").collect()
+            for r in _state_read(spark, f"{td}/state").collect()
         ),
         replay="double",
     )
@@ -533,3 +551,97 @@ def test_foreachbatch_twin_restart_and_replay(name, spark, tmp_path):
             f"{name}: replayed stateless twin must duplicate rows "
             "with identical values (consumer dedups on id)"
         )
+
+
+# ------------------------------------------------- crash injection (r11)
+#
+# All durable state now commits through the versioned-manifest
+# protocol (core/state.py): immutable segments + ONE atomic
+# single-file pointer flip. This leg kills the flip itself — the one
+# instant the r10 rename-swap could not survive on an object store —
+# mid-stream, and proves (a) the durable state still resolves to the
+# pre-batch version intact, and (b) a restart from the same checkpoint
+# replays the failed batch cleanly to the bit-exact one-shot result.
+
+_CRASH_SPECS = (
+    "bloom_dedup", "dedup_minhash", "semantic_dedup",
+    "approx_distinct", "heavy_hitters",
+)
+
+
+@pytest.mark.parametrize("name", _CRASH_SPECS)
+def test_foreachbatch_twin_crash_at_flip(name, spark, tmp_path):
+    from streamtasks_spark.core import state as state_mod
+
+    spec = SPECS[name]()
+    td = str(tmp_path)
+    src = f"{td}/src"
+    os.makedirs(src)
+    table = spec["source"]
+    idc = spec["idc"]
+    cols = ("vec_id", "embedding") if table == "embeddings" else (
+        "doc_id", "text"
+    )
+    full = read_parquet(spark, f"{SF_DIR}/{table}.parquet").select(*cols)
+    chunks = [full.filter(p) for p in _chunk_preds(idc)]
+    ctx = spec["prepare"](spark, full)
+
+    def make_stream():
+        return (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    ck = f"{td}/ckpt"
+    # batches 0,1 land cleanly and freeze any first-ingest codebooks
+    _write_chunks(full, idc, src, (0, 1), 1_700_000_000)
+    _drain(spec["start"](make_stream(), td, ctx, ck))
+    s1 = spec["state"](spark, td)
+
+    # batch 2 arrives; its FIRST manifest flip dies
+    _write_chunks(full, idc, src, (2,), 1_700_001_000)
+    orig = state_mod._flip
+    calls = {"n": 0}
+
+    def dying_flip(tmp, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash at manifest flip")
+        orig(tmp, dst)
+
+    state_mod._flip = dying_flip
+    try:
+        q = spec["start"](make_stream(), td, ctx, ck)
+        with pytest.raises(Exception, match="injected crash"):
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    finally:
+        state_mod._flip = orig
+    assert calls["n"] >= 1, "flip was never reached"
+    # (a) durable state is the PRE-BATCH version, intact
+    assert spec["state"](spark, td) == s1, (
+        f"{name}: crash at flip moved the durable state"
+    )
+
+    # (b) restart from the same checkpoint: the failed batch replays,
+    # batch 3 follows; everything converges to the one-shot result
+    _write_chunks(full, idc, src, (3,), 1_700_002_000)
+    _drain(spec["start"](make_stream(), td, ctx, ck))
+    canon_out = spec.get(
+        "canon_out", lambda spark, td: _rows(spark, f"{td}/out")
+    )
+    got = canon_out(spark, td)
+    expect = spec["expect"](spark, full, chunks, td, ctx)
+    if expect is not None:
+        assert got == expect, (
+            f"{name}: post-crash resume diverged from one-shot "
+            f"({len(got)} vs {len(expect)} rows)"
+        )
+    if "state_expect" in spec:
+        assert spec["state"](spark, td) == spec["state_expect"](
+            spark, full, td
+        ), f"{name}: post-crash durable state != one-shot derivation"

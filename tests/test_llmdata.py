@@ -1030,13 +1030,17 @@ def test_minhash_index_compaction_preserves_results(spark, docs, tmp_path):
     idx = dedup.MinHashIndex(str(tmp_path / "mh"), threshold=0.5)
     for part in range(2):
         idx.ingest(docs.filter(F.col("doc_id") % 3 == part))
-    before = len(glob.glob(str(tmp_path / "mh" / "bands" / "*.parquet")))
+    before = len(
+        glob.glob(str(tmp_path / "mh" / "bands" / "seg_*" / "*.parquet"))
+    )
     uncompacted = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in dedup.dedup_minhash(docs, threshold=0.5).collect()
     }
     idx.compact(spark, files_per_table=2)
-    after = len(glob.glob(str(tmp_path / "mh" / "bands" / "*.parquet")))
+    after = len(
+        glob.glob(str(tmp_path / "mh" / "bands" / "seg_*" / "*.parquet"))
+    )
     assert after < before
     got = {}
     for r in idx.ingest(docs.filter(F.col("doc_id") % 3 == 2)).collect():
@@ -1068,13 +1072,15 @@ def test_ivf_index_compaction_preserves_results_and_pruning(spark, tmp_path):
         for r in idx.query(qs, k=5).collect()
     }
     n_files = lambda: len(  # noqa: E731
-        glob.glob(str(tmp_path / "ivf" / "cells" / "__cell=*" / "*.parquet"))
+        glob.glob(
+            str(tmp_path / "ivf" / "cells" / "seg_*" / "__cell=*" / "*.parquet")
+        )
     )
     before_files = n_files()
     idx.compact(spark)
     assert n_files() < before_files
-    # partition dirs survive the rewrite
-    assert glob.glob(str(tmp_path / "ivf" / "cells" / "__cell=*"))
+    # partition dirs survive the rewrite (inside the live segment)
+    assert glob.glob(str(tmp_path / "ivf" / "cells" / "seg_*" / "__cell=*"))
     after_res = {
         (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
         for r in idx.query(qs, k=5).collect()
@@ -1222,14 +1228,15 @@ def test_ivf_pq_index_incremental_reload_and_pruning(spark, tmp_path):
         cells = {c.strip() for c in grp.split(",")}
         assert len(cells) <= 2 * 2  # n_queries * n_probe bound
         assert len(cells) < 8
-    # compaction: fewer files, same partition dirs, same answers
+    # compaction: fewer files, same partition dirs (inside the live
+    # manifest segments since r11), same answers
     n_files = lambda sub: len(  # noqa: E731
-        glob.glob(f"{path}/{sub}/__cell=*/*.parquet")
+        glob.glob(f"{path}/{sub}/seg_*/__cell=*/*.parquet")
     )
     before = n_files("cells") + n_files("vectors")
     reloaded.compact(spark)
     assert n_files("cells") + n_files("vectors") < before
-    assert glob.glob(f"{path}/cells/__cell=*")
+    assert glob.glob(f"{path}/cells/seg_*/__cell=*")
     after = {
         (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"], r["approx"])
         for r in reloaded.query(qs, k=5).collect()
@@ -2053,7 +2060,7 @@ def test_sem_dedup_index_restart_resumes_identically(spark, tmp_path):
 
     assert (v_cont.values == v_rest.values).all()
     # and the on-disk kept table matches the union of kept verdicts
-    kept = spark.read.parquet(reopened.kept_path)
+    kept = dedup.snapshot_read(spark, reopened.kept_path)
     assert kept.select("vec_id").distinct().count() == kept.count()
 
 
@@ -2925,3 +2932,102 @@ def test_ivf_pq_topk_converges_and_matches_oracle(spark):
         )
         assert sdf.shape == odf.shape and len(sdf) > 0, (n_cells, n_codes)
         assert (sdf.values == odf.values).all(), (n_cells, n_probe, rerank)
+
+
+# ------------------------------------------------- codebook drift (r11)
+
+
+def test_ann_drift_probe_matches_ivf_pq_index_stats(spark, tmp_path):
+    """The certified probe and the index's per-ingest stats/ rows are
+    the SAME fragment (_drift_stats) fed the same frozen codebooks —
+    ingesting the probe's two batches into an IvfPqIndex built from
+    batch-1-trained codebooks must reproduce the probe's numbers
+    bit-exactly (ingest_id 1/2 <-> batch_id 0/1)."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    split = 250
+    b1 = vecs.filter(F.col("vec_id") < split)
+    b2 = vecs.filter(F.col("vec_id") >= split)
+    probe = {
+        r["batch_id"]: (
+            r["n"], r["mean_win_cosine"], r["mean_adc_err"],
+            r["win_cos_drop"], r["adc_err_rise"],
+        )
+        for r in similarity.ann_drift_probe(vecs, split_id=split).collect()
+    }
+    cents = similarity.train_centroids(b1, n_cells=8, n_iters=2)
+    pqcb = similarity.train_pq_codebooks(
+        b1, dim=64, m_sub=8, n_codes=8, n_iters=2
+    )
+    idx = similarity.IvfPqIndex(
+        str(tmp_path / "ivfpq"), n_cells=8, m_sub=8, n_codes=8
+    )
+    idx.ingest(b1, codebook=cents, pq_codebooks=pqcb)
+    idx.ingest(b2)
+    report = {
+        r["ingest_id"] - 1: (
+            r["n"], r["mean_win_cosine"], r["mean_adc_err"],
+            r["win_cos_drop"], r["adc_err_rise"],
+        )
+        for r in idx.drift_report(spark).collect()
+    }
+    assert report == probe
+
+
+def test_ivf_pq_drift_report_flags_shifted_batch(spark, tmp_path):
+    """A second ingest drawn from a deliberately SHIFTED distribution
+    must show up in the report: winning cosine drops and self-ADC
+    error moves — the measured rebuild trigger."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    b1 = vecs.filter(F.col("vec_id") < 250)
+    # constant offset: every vector's direction collapses toward the
+    # all-ones axis, far from codebooks trained on the raw cloud
+    b2 = vecs.filter(F.col("vec_id") >= 250).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x + 3.0 as double))"
+        ).alias("embedding"),
+    )
+    idx = similarity.IvfPqIndex(str(tmp_path / "ivfpq"), n_cells=8)
+    idx.ingest(b1)
+    idx.ingest(b2)
+    rows = {
+        r["ingest_id"]: r for r in idx.drift_report(spark).collect()
+    }
+    assert rows[1]["win_cos_drop"] == 0.0
+    assert rows[1]["adc_err_rise"] == 0.0
+    assert rows[2]["win_cos_drop"] > 0.02, rows[2]
+    assert rows[2]["adc_err_rise"] > 0.05, rows[2]
+
+
+def test_ivf_index_drift_report(spark, tmp_path):
+    """IvfIndex carries the coarse-only stats row per ingest; an
+    identically-distributed second batch drifts far less than a
+    shifted one."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = similarity.IvfIndex(str(tmp_path / "ivf"), n_cells=8)
+    idx.ingest(vecs.filter(F.col("vec_id") < 250))
+    idx.ingest(vecs.filter(F.col("vec_id") >= 250))
+    rows = sorted(
+        idx.drift_report(spark).collect(), key=lambda r: r["ingest_id"]
+    )
+    assert [r["ingest_id"] for r in rows] == [1, 2]
+    assert rows[0]["win_cos_drop"] == 0.0
+    assert all(r["n"] > 0 for r in rows)
+    assert set(rows[0].asDict()) == {
+        "ingest_id", "n", "mean_win_cosine", "win_cos_drop"
+    }

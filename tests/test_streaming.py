@@ -1668,7 +1668,9 @@ def test_streaming_approx_distinct_merges_to_one_shot(spark, tmp_path):
     assert rows[0]["raw_estimate"] <= rows[1]["raw_estimate"]
     assert rows[1]["raw_estimate"] == expect["raw_estimate"]
     assert rows[1]["n_buckets_hit"] == expect["n_buckets_hit"]
-    assert spark.read.parquet(state).count() <= 256
+    from streamtasks_spark.llmdata.dedup import snapshot_read
+
+    assert snapshot_read(spark, state).count() <= 256
 
 
 def test_streaming_heavy_hitters_sums_to_one_shot_sketch(spark, tmp_path):
@@ -1740,9 +1742,11 @@ def test_streaming_heavy_hitters_sums_to_one_shot_sketch(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    from streamtasks_spark.llmdata.dedup import snapshot_read
+
     got = {
         (r["__row"], r["__bucket"]): r["__cell"]
-        for r in spark.read.parquet(state).collect()
+        for r in snapshot_read(spark, state).collect()
     }
     assert got == expect
     reps = sorted(
