@@ -1209,12 +1209,46 @@ def _q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_pq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (NEW r11): the full Faiss IVFx,PQy formulation
+    — codes quantize the residual against the assigned unit centroid,
+    candidates rank by exact cell-dot + integer ADC of the residual,
+    exact re-rank on the survivors (similarity.ivf_pq_res_topk). The
+    measured recall gap to the non-residual ann_ivf_pq_topk is
+    ann_recall's seventh rung."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    vecs = similarity.guard_dim(
+        vecs, "embedding", 64, "ann_ivf_pq_res_topk"
+    )
+    return similarity.ivf_pq_res_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10),
+        n_cells=8, n_probe=2, m_sub=8, n_codes=16, n_iters=2,
+        k=5, rerank=8,
+    )
+
+
+def _q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-drift probe (NEW r11): both codebooks (coarse k-means
+    + per-subspace PQ) train on the FIRST id-half of the corpus and
+    freeze; every half's assignment quality against the frozen books
+    comes back as data — n, floored-integer mean winning cosine,
+    exact-integer self-ADC error, and the deltas vs the training half
+    (similarity.ann_drift_probe; the certified form of the stats rows
+    IvfIndex/IvfPqIndex append per ingest)."""
+    vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    vecs = similarity.guard_dim(vecs, "embedding", 64, "ann_index_drift")
+    return similarity.ann_drift_probe(
+        vecs, dim=64, n_cells=8, n_iters=2, m_sub=8, n_codes=8,
+        pq_iters=2, split_id=250,
+    )
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall@5 of all SIX approximate tiers (lsh, ivf, sq,
-    ivf_sq — r08; pq, ivf_pq — r09) vs the exact baseline — the
-    approximate tiers' quality as driver-verified numbers. All
-    geometry pinned explicitly to match the oracle rather than relying
-    on shared defaults."""
+    """Measured recall@5 of all SEVEN approximate tiers (lsh, ivf, sq,
+    ivf_sq — r08; pq, ivf_pq — r09; ivf_pq_res — r11) vs the exact
+    baseline — the approximate tiers' quality as driver-verified
+    numbers. All geometry pinned explicitly to match the oracle rather
+    than relying on shared defaults."""
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.recall_probe(
         vecs, vecs.filter(F.col("vec_id") < 10),
@@ -1616,57 +1650,49 @@ def _q_synchronizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # programmatically, and tests/test_oracle_audit.py mechanically fails
 # naming any query whose rendered oracle SQL or canonical plan drifted
 # from ORACLE_MANIFEST.json without a listing here.
-_MUST_VERIFY_R10 = [
-    # NEW op r10 (verdict task 6): D4-style cluster-then-prune
-    # selection — consumes cluster_profile's per-cluster view
-    # (keep rate from tightness), keeps members most-diverse-first by
-    # the deterministic integer-unit within-cluster rank; completes
-    # the SemDeDup -> profile -> prune curation loop as a certified
-    # query. New code certifies in-window.
-    "cluster_prune",
-    # NEW op r10 (second wave): the frozen-policy re-judgment in one
-    # plan — per-cluster cutoffs re-derived in-plan (never
-    # literal-injected) and every vector re-judged; certifies the
-    # exact policy semantics the streaming_cluster_prune twin applies.
-    # Takes the window slot set_ops (r08-green, r11 queue head) would
-    # have used — the after-r10 freshness claim (no row older than
-    # r08) is unaffected.
-    "cluster_prune_policy",
-    # changed r10 (verdict task 5): approx_distinct_hll gained the
-    # published HLL range corrections (linear counting under 2.5m,
-    # 48-bit large-range) as corrected_estimate/corrected_rel_error
-    # through the shared _hll_corrected_expr fragment — schema, plan
-    # and oracle changed together, so it re-certifies FIRST.
-    "approx_distinct",
-    # changed r10 (r09 advisor finding): bm25 doc length now carries
-    # an explicit CASE NULL guard instead of relying on ANSI-mode
-    # size(NULL) semantics — values identical under the session's
-    # ANSI posture, plan changed, so both consumers re-certify.
-    "bm25_topk", "bm25_search",
+_MUST_VERIFY_R11 = [
+    # NEW op r11 (r10 verdict task 2): the codebook-drift probe — both
+    # codebooks trained on the first id-half and frozen, every half's
+    # assignment quality measured against them as data (the certified
+    # form of the IvfIndex/IvfPqIndex per-ingest stats rows). New code
+    # certifies in-window.
+    "ann_index_drift",
+    # NEW op r11 (r10 verdict task 4): residual-encoding IVF-PQ — the
+    # standard Faiss formulation; codes quantize the residual against
+    # the assigned centroid, candidates rank by exact cell-dot +
+    # integer ADC.
+    "ann_ivf_pq_res_topk",
+    # changed r11: the recall probe gained its seventh rung
+    # (ivf_pq_res) — output grows a row, plan and oracle changed
+    # together, so it re-certifies despite its r09-green history.
+    "ann_recall",
+    # changed r11 (r10 advisor finding): keep_rate now clamps to the
+    # documented [rate_floor, rate_ceil] band in BOTH the plan and the
+    # oracle — values identical on this corpus (no negative-mean
+    # cluster), plan changed, so both consumers re-certify.
+    "cluster_prune", "cluster_prune_policy",
 ]
 
-# r10 rotation (r09 verdict task 2): the whole r07-certified backlog
-# (43 rows, queued oldest-first since r09) + the 2 oldest
-# r08-certified rows that fit the remaining slots (5 must-verify + 45
-# rotation = 50). After this window no query's latest driver row is
-# older than r08.
-_ROTATE_R10 = [
-    # the 43 r07-green rows (r07 window order — the whole r10 queue)
-    "corpus_prepare", "events_retention_cohorts", "text_stats", "lang_id",
-    "doc_fingerprint", "quality_filter", "doc_repetition", "dedup_exact",
-    "ann_topk", "dedup_minhash", "dedup_simhash", "decontaminate",
-    "ann_lsh_topk", "ann_ivf_topk", "gate", "interleave_mux",
-    "interleave_desync", "container_roundtrip", "audio_smoother",
-    "audio_volume_scaler", "asr_transcribe", "speech_enhance",
-    "stretch_align", "dedup_recall", "ann_ivf_trained", "events_funnel",
-    "events_rollup", "events_json_extract", "source_stats",
-    "pack_sequences", "doc_chunk", "ngram_jaccard", "dedup_components",
-    "dedup_retention", "tfidf_topk", "hashed_embed", "embedding_near_dup",
-    "embedding_dup_classes", "tts_synthesize", "text_renderer",
-    "image_decode", "image_resize", "image_features",
-    # the 2 oldest r08-green rows (r08 window order; set_ops and the
-    # rest of the r08 tier head the r11 queue)
-    "quality_buckets", "events_session_windows",
+# r11 rotation (r10 verdict task 3): the whole r08-certified backlog
+# (45 rows, queued oldest-first since r10; 5 must-verify + 45 rotation
+# = 50). After this window no query's latest driver row is older than
+# r09.
+_ROTATE_R11 = [
+    # the 45 r08-green rows (r08 window order — the whole r11 queue)
+    "set_ops", "top_customers_per_nation", "orders_without_lineitems",
+    "customers_with_orders_semi", "synchronizer", "asof_join", "switch",
+    "calculator", "calculator_multivar", "sr_latch", "pause_state",
+    "string_concatenator", "fn_task", "fn_task_stateful", "audio_mixer",
+    "video_activity_meter", "media_switch", "video_reformatter",
+    "q3_shipping_priority", "q10_returned_items", "q15_top_supplier",
+    "q17_small_quantity_revenue", "audio_chunker", "padded_chunker",
+    "audio_resampler", "video_mixer", "q22_global_sales_opportunity",
+    "salted_join", "range_join", "stratified_sample", "split_assign",
+    "mix_sample", "events_quantiles", "q2_min_cost_supplier",
+    "unigram_lm", "semantic_dedup", "text_semantic_dedup",
+    "dsir_weights", "ann_sq_topk", "ann_ivf_sq_topk", "time_to_text",
+    "timestamp_update", "frame_sample", "image_renderer",
+    "string_matcher",
 ]
 
 
@@ -1676,79 +1702,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # r10 window = the two NEW cluster_prune ops and the three
-    # changed-this-round queries first (_MUST_VERIFY_R10), then the
-    # WHOLE 43-row r07-certified backlog plus the 2 oldest
-    # r08-certified rows (_ROTATE_R10). After this round no query's
-    # latest driver row is older than r08. The tail stays ordered
-    # oldest-first (remaining r08 rows in r08 window order, then the
-    # r09-certified rows in r09 window order) so r11 keeps rotating
-    # the same way; all 142 stay covered by the bit-level compare in
+    # r11 window = the two NEW ops and the three changed-this-round
+    # queries first (_MUST_VERIFY_R11), then the WHOLE 45-row
+    # r08-certified backlog (_ROTATE_R11). After this round no query's
+    # latest driver row is older than r09. The tail stays ordered
+    # oldest-first (r09-certified rows in r09 window order, then the
+    # r10-certified rows in r10 window order) so r12 keeps rotating
+    # the same way; all 144 stay covered by the bit-level compare in
     # scripts/check_oracle.py locally, and tests/test_oracle_audit.py
     # mechanically fails any query whose rendered oracle/plan drifts
-    # without a _MUST_VERIFY_R10 listing.
+    # without a _MUST_VERIFY_R11 listing.
     q = {
-        # --- r10 window: changed + NEW code certifies first (see
-        # _MUST_VERIFY_R10)
+        # --- r11 window: changed + NEW code certifies first (see
+        # _MUST_VERIFY_R11)
+        "ann_index_drift": _q_ann_index_drift,
+        "ann_ivf_pq_res_topk": _q_ann_ivf_pq_res_topk,
+        "ann_recall": _q_ann_recall,
         "cluster_prune": _q_cluster_prune,
         "cluster_prune_policy": _q_cluster_prune_policy,
-        "approx_distinct": _q_approx_distinct,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_search": _q_bm25_search,
-        # --- r10 window rotation: the whole r07-certified backlog (43
-        # rows, r07 window order) + the 2 oldest r08-certified rows.
-        # After this round no query's latest driver row is older than
-        # r08.
-        "corpus_prepare": _q_corpus_prepare,
-        "events_retention_cohorts": rel(rq.events_retention_cohorts),
-        "text_stats": _q_text_stats,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "quality_filter": _q_quality_filter,
-        "doc_repetition": _q_doc_repetition,
-        "dedup_exact": _q_dedup_exact,
-        "ann_topk": _q_ann_topk,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "decontaminate": _q_decontaminate,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "gate": _q_gate,
-        "interleave_mux": _q_interleave_mux,
-        "interleave_desync": _q_interleave_desync,
-        "container_roundtrip": _q_container_roundtrip,
-        "audio_smoother": _q_audio_smoother,
-        "audio_volume_scaler": _q_audio_volume_scaler,
-        "asr_transcribe": _q_asr_transcribe,
-        "speech_enhance": _q_speech_enhance,
-        "stretch_align": _q_stretch_align,
-        "dedup_recall": _q_dedup_recall,
-        "ann_ivf_trained": _q_ann_ivf_trained,
-        "events_funnel": rel(rq.events_funnel),
-        "events_rollup": rel(rq.events_rollup),
-        "events_json_extract": rel(rq.events_json_extract),
-        "source_stats": _q_source_stats,
-        "pack_sequences": _q_pack_sequences,
-        "doc_chunk": _q_doc_chunk,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_components": _q_dedup_components,
-        "dedup_retention": _q_dedup_retention,
-        "tfidf_topk": _q_tfidf_topk,
-        "hashed_embed": _q_hashed_embed,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_dup_classes": _q_embedding_dup_classes,
-        "tts_synthesize": _q_tts_synthesize,
-        "text_renderer": _q_text_renderer,
-        "image_decode": _q_image_decode,
-        "image_resize": _q_image_resize,
-        "image_features": _q_image_features,
-        "quality_buckets": _q_quality_buckets,
-        "events_session_windows": rel(rq.events_session_windows),
-        # ------- first entry PAST the driver's 50-query window -------
-        # remaining r08-certified rows in r08 window order — the head
-        # of the r11 queue (quality_buckets and events_session_windows
-        # rotated into the r10 window above; set_ops displaced by
-        # cluster_prune_policy, still r08-green)
+        # --- r11 window rotation: the whole r08-certified backlog (45
+        # rows, r08 window order). After this round no query's latest
+        # driver row is older than r09.
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
@@ -1794,9 +1768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "image_renderer": _q_image_renderer,
         "string_matcher": _q_string_matcher,
-        # r09-certified rows in r09 window order (approx_distinct,
-        # bm25_topk and bm25_search re-certify in the r10 window above
-        # because their code changed this round)
+        # ------- first entry PAST the driver's 50-query window -------
+        # r09-certified rows in r09 window order (ann_recall
+        # re-certifies in the r11 window above: seventh rung added)
         "contamination_report": _q_contamination_report,
         "ngram_containment": _q_ngram_containment,
         "split_leakage": _q_split_leakage,
@@ -1804,7 +1778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": _q_dedup_against,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
-        "ann_recall": _q_ann_recall,
         "bloom_dedup": _q_bloom_dedup,
         "ngram_lm": _q_ngram_lm,
         "semantic_decontaminate": _q_semantic_decontaminate,
@@ -1844,9 +1817,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "substring_dedup": _q_substring_dedup,
         "token_histogram": _q_token_histogram,
+        # r10-certified rows in r10 window order (cluster_prune and
+        # cluster_prune_policy re-certify in the r11 window above
+        # because the clamp changed their plans)
+        "approx_distinct": _q_approx_distinct,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_search": _q_bm25_search,
+        "corpus_prepare": _q_corpus_prepare,
+        "events_retention_cohorts": rel(rq.events_retention_cohorts),
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "quality_filter": _q_quality_filter,
+        "doc_repetition": _q_doc_repetition,
+        "dedup_exact": _q_dedup_exact,
+        "ann_topk": _q_ann_topk,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "decontaminate": _q_decontaminate,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "gate": _q_gate,
+        "interleave_mux": _q_interleave_mux,
+        "interleave_desync": _q_interleave_desync,
+        "container_roundtrip": _q_container_roundtrip,
+        "audio_smoother": _q_audio_smoother,
+        "audio_volume_scaler": _q_audio_volume_scaler,
+        "asr_transcribe": _q_asr_transcribe,
+        "speech_enhance": _q_speech_enhance,
+        "stretch_align": _q_stretch_align,
+        "dedup_recall": _q_dedup_recall,
+        "ann_ivf_trained": _q_ann_ivf_trained,
+        "events_funnel": rel(rq.events_funnel),
+        "events_rollup": rel(rq.events_rollup),
+        "events_json_extract": rel(rq.events_json_extract),
+        "source_stats": _q_source_stats,
+        "pack_sequences": _q_pack_sequences,
+        "doc_chunk": _q_doc_chunk,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
+        "dedup_retention": _q_dedup_retention,
+        "tfidf_topk": _q_tfidf_topk,
+        "hashed_embed": _q_hashed_embed,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dup_classes": _q_embedding_dup_classes,
+        "tts_synthesize": _q_tts_synthesize,
+        "text_renderer": _q_text_renderer,
+        "image_decode": _q_image_decode,
+        "image_resize": _q_image_resize,
+        "image_features": _q_image_features,
+        "quality_buckets": _q_quality_buckets,
+        "events_session_windows": rel(rq.events_session_windows),
     }
     window = list(q)[:50]
-    missing = [n for n in _MUST_VERIFY_R10 + _ROTATE_R10
+    missing = [n for n in _MUST_VERIFY_R11 + _ROTATE_R11
                if n not in window]
     if missing:
         # explicit raise, not assert — survives python -O (the same
@@ -2823,6 +2847,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pq_topk": similarity.oracle_ivf_pq_topk_sql(
             n_cells=8, n_probe=2, m_sub=8, n_codes=16, n_iters=2,
             k=5, rerank=8,
+        ),
+        "ann_ivf_pq_res_topk": similarity.oracle_ivf_pq_res_topk_sql(
+            n_cells=8, n_probe=2, m_sub=8, n_codes=16, n_iters=2,
+            k=5, rerank=8,
+        ),
+        "ann_index_drift": similarity.oracle_ann_drift_sql(
+            dim=64, n_cells=8, n_iters=2, m_sub=8, n_codes=8,
+            pq_iters=2, split_id=250,
         ),
         "ann_lsh_topk": similarity.oracle_lsh_topk_sql(n_planes=4, k=5),
         "ann_ivf_topk": similarity.oracle_ivf_topk_sql(

@@ -95,6 +95,29 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
+def bounded_collect(df: DataFrame, max_rows: int, what: str) -> list:
+    """Driver-bound guard for codebook/sketch-class pulls (r11): every
+    deliberate ``.collect()`` in the engine argues a row bound in a
+    comment — this makes the argument EXECUTABLE. The pull runs under
+    a LIMIT of ``max_rows + 1``, so even a mis-configured knob (an
+    n_cells or sketch width sized for a different corpus) never
+    materializes an unbounded result on the driver; crossing the bound
+    raises loudly instead of silently OOMing the driver at 100×.
+
+    The LIMIT leaves collected row ORDER undefined — callers must be
+    order-insensitive (dict/set builders, full-replacement writes),
+    which every codebook-class pull in the engine is."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what}: driver pull exceeded its documented bound of "
+            f"{max_rows} rows — the current configuration implies a "
+            f"driver-unsafe codebook/sketch size; resize the knob "
+            f"deliberately or keep this object distributed"
+        )
+    return rows
+
+
 @contextmanager
 def pin_scope() -> "Iterator[list[DataFrame]]":
     """Bound the cache lifetime of every :func:`pin` taken inside the

@@ -798,7 +798,10 @@ def _dsir_train_on(
         )
     )
     try:
-        rows = counts.collect()  # ≤ n_buckets rows: codebook-class pull
+        from streamtasks_spark.llmdata.dedup import bounded_collect
+
+        # ≤ n_buckets rows (codebook-class): bound ENFORCED
+        rows = bounded_collect(counts, n_buckets, "dsir_train buckets")
     finally:
         # counts only feeds the driver pull; not in the returned
         # plan's lineage (the unigram_lm train-step rule)

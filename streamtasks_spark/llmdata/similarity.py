@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from streamtasks_spark.llmdata.dedup import pin, spread
+from streamtasks_spark.llmdata.dedup import bounded_collect, pin, spread
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 0xA11CE) -> list[list[int]]:
@@ -475,10 +475,12 @@ def _pq_train(
     Seeding = each subspace slice of the ``n_codes`` lowest-id
     vectors; a code left empty keeps its previous centroid."""
     sub = dim // m_sub
-    seed = (
+    # ≤ n_codes rows (bound ENFORCED — exceeding it means duplicate
+    # ids below n_codes, a mis-id'd corpus)
+    seed = bounded_collect(
         v.filter(F.col(id_col) < n_codes)
-        .select(F.col(id_col).alias("__j"), "__nv")
-        .collect()
+        .select(F.col(id_col).alias("__j"), "__nv"),
+        n_codes, "pq codebook seeds",
     )
     if not seed:
         if v.isEmpty():
@@ -524,7 +526,10 @@ def _pq_train(
                 F.sum(F.col("__mi").cast("decimal(38,0)")).alias("__s"),
                 F.count(F.lit(1)).alias("__c"),
             )
-            .collect()  # ≤ m_sub·n_codes·sub rows: codebook-class pull
+        )
+        # ≤ m_sub·n_codes·sub rows (codebook-class): bound ENFORCED
+        rows = bounded_collect(
+            rows, m_sub * n_codes * sub, "pq codebook training means"
         )
         new: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:
@@ -1771,8 +1776,9 @@ def recall_probe(
     per method: (method, hits, possible, recall). Since r08 the probe
     covers lsh, ivf, sq (int8 scalar quantization), and ivf_sq (the
     IVF_SQ8 composition); r09 adds pq (product quantization, 32×
-    compression) and ivf_pq (the production IVF_PQ composite) —
-    six rungs, so every step of the
+    compression) and ivf_pq (the production IVF_PQ composite); r11
+    adds ivf_pq_res (residual encoding, the full Faiss formulation) —
+    seven rungs, so every step of the
     accuracy/cost ladder carries a driver-verified quality number. The
     synthetic corpus is PQ's worst case (no cluster structure for the
     per-subspace codebooks to exploit), which is exactly why its
@@ -1862,6 +1868,16 @@ def recall_probe(
         n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
         n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank, _cb=cb,
     )
+    # seventh rung (r11): residual encoding — same code budget spent
+    # on within-cell detail; its codebooks train on residuals, so the
+    # shared `cb` cannot be reused. The measured gap between ivf_pq
+    # and ivf_pq_res IS the answer to "is residual coding worth the
+    # re-encode-on-retrain coupling?" for this corpus.
+    ivf_pq_res = ivf_pq_res_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
+        n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank,
+    )
     return (
         one(lsh, "lsh")
         .unionByName(one(ivf, "ivf"))
@@ -1869,6 +1885,7 @@ def recall_probe(
         .unionByName(one(ivf_sq, "ivf_sq"))
         .unionByName(one(pq, "pq"))
         .unionByName(one(ivf_pq, "ivf_pq"))
+        .unionByName(one(ivf_pq_res, "ivf_pq_res"))
     )
 
 
@@ -1908,6 +1925,10 @@ def oracle_recall_probe_sql(
         **common, n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
         n_codes=pq_codes, n_iters=pq_iters, rerank=pq_rerank,
     )
+    ivf_pq_res = oracle_ivf_pq_res_topk_sql(
+        **common, n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
+        n_codes=pq_codes, n_iters=pq_iters, rerank=pq_rerank,
+    )
     recall = (
         f"SELECT count(a.query_id) AS hits, count(*) AS possible,\n"
         f"  round(count(a.query_id)::DOUBLE / nullif(count(*), 0), 6)"
@@ -1922,7 +1943,8 @@ def oracle_recall_probe_sql(
     sq AS ({sq}),
     ivf_sq AS ({ivf_sq}),
     pq AS ({pq}),
-    ivf_pq AS ({ivf_pq})
+    ivf_pq AS ({ivf_pq}),
+    ivf_pq_res AS ({ivf_pq_res})
     SELECT 'lsh' AS method, * FROM ({recall.format(m='lsh')})
     UNION ALL
     SELECT 'ivf' AS method, * FROM ({recall.format(m='ivf')})
@@ -1934,6 +1956,8 @@ def oracle_recall_probe_sql(
     SELECT 'pq' AS method, * FROM ({recall.format(m='pq')})
     UNION ALL
     SELECT 'ivf_pq' AS method, * FROM ({recall.format(m='ivf_pq')})
+    UNION ALL
+    SELECT 'ivf_pq_res' AS method, * FROM ({recall.format(m='ivf_pq_res')})
     """
 
 
@@ -2318,7 +2342,14 @@ class IvfIndex:
         # probed cells: bounded by the codebook size — driver-safe; a
         # literal IN filter on the partition column prunes unprobed
         # cell directories out of the scan entirely
-        probed = [r["__cell"] for r in q.select("__cell").distinct().collect()]
+        # ≤ n_cells distinct cells: bound ENFORCED
+        probed = [
+            r["__cell"]
+            for r in bounded_collect(
+                q.select("__cell").distinct(), self.n_cells,
+                "IvfIndex probed cells",
+            )
+        ]
         cells = snapshot_read(spark, self.cells_path, base_path=self.cells_path)
         if cells is None:
             raise ValueError(f"IvfIndex at {self.path} has no data")
@@ -2364,7 +2395,10 @@ class IvfPqIndex:
         ingest via :func:`_pq_codebooks` on that batch's normalized
         vectors (the non-residual variant: one codebook set shared
         across cells — what lets codes stay valid across cell
-        migrations and the oracle re-derive training). Doubles
+        migrations and the oracle re-derive training; the residual
+        formulation exists as the one-shot :func:`ivf_pq_res_topk`,
+        whose measured recall gain :func:`recall_probe`'s seventh
+        rung prices against exactly this re-encode coupling). Doubles
         round-trip parquet exactly, and the int grid is a pure
         function of them, so a reloaded codebook encodes
         bit-identically to the training session's.
@@ -2449,7 +2483,10 @@ class IvfPqIndex:
         if df is None:
             return None
         cents: dict[int, dict[int, list[float]]] = {}
-        for r in df.collect():  # codebook-sized pull
+        # ≤ m_sub·n_codes rows (stored codebook): bound ENFORCED
+        for r in bounded_collect(
+            df, self.m_sub * self.n_codes, "IvfPqIndex pq_codebook"
+        ):
             cents.setdefault(r["__m"], {})[r["__j"]] = list(r["__cv"])
         cint = {
             m: {
@@ -2727,8 +2764,13 @@ class IvfPqIndex:
             F.col("__nrm").alias("__qnrm"),
             F.expr(_pq_lut_expr(cint, self.m_sub, sub)).alias("__lut"),
         )
+        # ≤ n_cells distinct cells: bound ENFORCED
         probed = [
-            r["__cell"] for r in q.select("__cell").distinct().collect()
+            r["__cell"]
+            for r in bounded_collect(
+                q.select("__cell").distinct(), self.n_cells,
+                "IvfPqIndex probed cells",
+            )
         ]
         cells = snapshot_read(
             spark, self.cells_path, base_path=self.cells_path
@@ -2846,10 +2888,12 @@ def train_centroids(
         # callers coupling the two pass the oracle's dim here
         v = _require_dim(v, expect_dim, "train_centroids")
     v = pin(v.select(id_col, "__v", "__nrm"))
-    seed = (
+    # ≤ n_cells rows (bound ENFORCED — exceeding it means duplicate
+    # ids below n_cells, a mis-id'd corpus)
+    seed = bounded_collect(
         v.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("__cell"), "__v")
-        .collect()
+        .select(F.col(id_col).alias("__cell"), "__v"),
+        n_cells, "train_centroids seeds",
     )
     # cell -> component list; repr() round-trips doubles exactly, so the
     # inlined literals are bit-identical to the driver values
@@ -2896,7 +2940,13 @@ def train_centroids(
                 F.sum(F.col("__m").cast("decimal(38,0)")).alias("__s"),
                 F.count(F.lit(1)).alias("__c"),
             )
-            .collect()
+        )
+        # ≤ n_cells·dim rows (codebook-class): bound ENFORCED; dim is
+        # read off the seeds since training is dim-agnostic
+        rows = bounded_collect(
+            rows,
+            n_cells * max(len(cv) for cv in cents.values()),
+            "train_centroids per-component means",
         )
         new: dict[int, dict[int, float]] = {}
         for r in rows:
@@ -3063,11 +3113,17 @@ def _argmax_struct_expr(cents: dict[int, tuple[list[float], float]]) -> str:
 
 def _collect_codebook(
     cents_df: DataFrame,
+    *,
+    bound: int = 4096,
+    what: str = "codebook",
 ) -> dict[int, tuple[list[float], float]]:
-    """Codebook-sized driver pull of a (__cell, __cv, __cn) table."""
+    """Codebook-sized driver pull of a (__cell, __cv, __cn) table.
+    ``bound`` (ENFORCED) names the inlined-literal-expression practical
+    ceiling — past a few thousand cells the assignment must become a
+    broadcast join (the IvfIndex path), not a bigger literal."""
     return {
         int(r["__cell"]): (list(r["__cv"]), float(r["__cn"]))
-        for r in cents_df.collect()
+        for r in bounded_collect(cents_df, bound, what)
     }
 
 
@@ -3335,10 +3391,15 @@ def prune_cutoffs(pruned: DataFrame) -> list[tuple[int, float]]:
     maximum (6-dp rounded) cosine — the rank boundary as a pure
     threshold. Driver-small (≤ n_cells rows); feed it to
     :func:`cluster_prune_frozen` or the streaming twin."""
+    # ≤ n_cells rows; 4096 is the literal-CASE practical ceiling the
+    # frozen-policy consumer shares with _collect_codebook (ENFORCED)
     return [
         (int(r["cell"]), float(r["c"]))
-        for r in pruned.filter(F.col("keep"))
-        .groupBy("cell").agg(F.max("cosine").alias("c")).collect()
+        for r in bounded_collect(
+            pruned.filter(F.col("keep"))
+            .groupBy("cell").agg(F.max("cosine").alias("c")),
+            4096, "prune_cutoffs",
+        )
     ]
 
 
@@ -4205,4 +4266,317 @@ def oracle_ann_drift_sql(
     FROM agg
     WINDOW w0 AS (ORDER BY batch_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+# --------------------------------------------------------- residual PQ
+
+def ivf_pq_res_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    k: int = 5,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (r11) — the standard Faiss
+    ``IVFx,PQy`` formulation :func:`ivf_pq_topk` deliberately skips:
+    each vector is coded as the PQ quantization of its residual
+    ``r = v̂ − ĉ(cell)`` against its assigned unit centroid, not of v̂
+    itself. Residuals concentrate near the origin once the coarse
+    quantizer has soaked up the between-cell structure, so the same
+    ``m_sub × n_codes`` code budget spends its resolution on the
+    within-cell detail that actually ranks neighbors — the measured
+    recall gain is :func:`recall_probe`'s seventh rung.
+
+    ADC decomposition: ``dot(q̂, v̂) ≈ dot(q̂, ĉ) + dot(q̂, recon(r))``.
+    The first term is EXACT per (query, probed cell) — n_probe cheap
+    dot products per query; the second is the integer LUT sum of
+    :func:`pq_topk` pointed at residual codebooks. Candidates rank by
+    the double sum (identical arithmetic in both engines over
+    identical inputs, ties to lowest id); exact cosine re-ranks the
+    ``rerank·k`` survivors. Output (query_id, vec_id, cosine, approx,
+    rank), ``approx`` = the ADC estimate of the dot.
+
+    One codebook set is still SHARED across cells (pooled-residual
+    training — Faiss's default too, per-cell books multiply training
+    cost n_cells-fold); what moves vs :func:`ivf_pq_topk` is WHAT the
+    codes describe. The trade-off: residual codes are only valid
+    under the coarse assignment that produced them, so a vector that
+    migrates cells on a coarse retrain must re-encode — the reason
+    the persistent :class:`IvfPqIndex` ships non-residual by default
+    and measures the cost via its drift stats instead.
+
+    100 TB shape: identical to ivf_pq_topk — broadcast coarse
+    codebook, one cell-keyed shuffle, integer-exact candidate
+    selection, exact math on rerank·k survivors only."""
+    if dim % m_sub:
+        raise ValueError(
+            f"ivf_pq_res_topk: dim {dim} not divisible by m_sub {m_sub}"
+        )
+    sub = dim // m_sub
+    cents = broadcast(
+        _with_norm(
+            vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
+            vec_col,
+        ).select(
+            F.col(id_col).alias("__cell"),
+            F.col("__v").alias("__cv"),
+            F.col("__nrm").alias("__cn"),
+        )
+    )
+    score = F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
+
+    def assign(df: DataFrame, id_out: str, rank_limit: int,
+               keep_centroid: bool) -> DataFrame:
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("__score").desc(), F.col("__cell").asc()
+        )
+        out = (
+            df.crossJoin(cents)
+            .withColumn("__score", score)
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= rank_limit)
+            .drop("__score", "__cr")
+        )
+        return out if keep_centroid else out.drop("__cv", "__cn")
+
+    nv = "transform(__v, x -> x / __nrm)"
+    # residual against the UNIT centroid: r = v̂ − ĉ
+    res = (
+        "zip_with(__nv, transform(__cv, c -> c / __cn), (x, y) -> x - y)"
+    )
+    base = pin(
+        assign(
+            _require_dim(
+                _with_norm(
+                    spread(vectors, id_col).select(id_col, vec_col), vec_col
+                ),
+                dim, "ivf_pq_res_topk",
+            ).withColumn("__nv", F.expr(nv)),
+            id_col, 1, True,
+        ).withColumn("__res", F.expr(res))
+    )
+    # pooled-residual codebooks: _pq_train consumes (id, __nv), so feed
+    # it the residuals under that name — same seeding (id < n_codes),
+    # same exact-integer means, same DuckDB CTE twin
+    pqcb = _pq_codebooks(
+        base.select(F.col(id_col), F.col("__res").alias("__nv")),
+        id_col, dim, m_sub, n_codes, n_iters,
+    )
+    pq_cents, cint = pqcb
+    if not pq_cents:
+        base.unpersist()
+        return _empty_pq_result(vectors, queries, id_col)
+    a = base.select(
+        F.col(id_col),
+        F.col("__cell"),
+        F.col("__v").alias("__av"),
+        F.col("__nrm").alias("__anrm"),
+        _pq_codes_res_col(pq_cents, m_sub, sub).alias("__codes"),
+    )
+    q = assign(
+        _require_dim(
+            _with_norm(
+                queries.select(F.col(id_col).alias("query_id"), vec_col),
+                vec_col,
+            ),
+            dim, "ivf_pq_res_topk",
+        )
+        .withColumn("__nv", F.expr(nv))
+        .withColumn("__qi", F.expr(_pq_qi_expr()))
+        .select("query_id", "__v", "__nrm", "__nv", "__qi"),
+        "query_id", n_probe, True,
+    ).select(
+        "query_id",
+        "__cell",
+        F.col("__v").alias("__qv"),
+        F.col("__nrm").alias("__qnrm"),
+        # exact dot(q̂, ĉ) for the probed cell — the coarse ADC term
+        F.expr(
+            f"{_dot('__nv', 'transform(__cv, c -> c / __cn)')}"
+        ).alias("__cd"),
+        F.expr(_pq_lut_expr(cint, m_sub, sub)).alias("__lut"),
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        a.join(q, "__cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__is", _pq_iscore(m_sub))
+        .withColumn(
+            "__adc",
+            F.col("__cd")
+            + F.col("__is").cast("double") / F.lit(float(PQ_GRID) ** 2),
+        )
+        .withColumn("__cr", F.row_number().over(w_cand))
+        .filter(F.col("__cr") <= rerank * k)
+    )
+    cos = F.expr(_dot("__av", "__qv")) / (F.col("__anrm") * F.col("__qnrm"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__cos", cos)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round("__cos", 6).alias("cosine"),
+            F.round("__adc", 6).alias("approx"),
+            "rank",
+        )
+    )
+
+
+def _pq_codes_res_col(cents: dict, m_sub: int, sub: int):
+    """Per-subspace argmin codes of the RESIDUAL column ``__res``
+    (same literal-centroid L2 argmin as :func:`_pq_codes_col`, which
+    reads ``__nv``)."""
+    return F.array(*[
+        F.expr(
+            _pq_argmin_expr(cents[m], m * sub, sub).replace(
+                "__nv", "__res"
+            )
+        )
+        for m in range(m_sub)
+    ])
+
+
+def oracle_ivf_pq_res_topk_sql(
+    *,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    query_filter: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    k: int = 5,
+    rerank: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_res_topk` — coarse assignment from
+    the seeded codebook, residuals fed through the SAME per-subspace
+    k-means CTE chain as :func:`oracle_pq_topk_sql` (the ``nn`` CTE
+    just carries residuals as ``__nv``), candidates ranked by the
+    identical double (cell dot + integer LUT sum / 2^40)."""
+    kmeans, final = _duck_pq_kmeans_ctes(dim, m_sub, n_codes, n_iters,
+                                         id_col)
+    sub = dim // m_sub
+    cdot = _duck_dot("x.__v", "c.__cv", dim)
+    dist = (
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(x.__nv[c.__m * {sub} + i] - c.__cv[i]) "
+        f"* (x.__nv[c.__m * {sub} + i] - c.__cv[i])))"
+    )
+    r = rerank * k
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS __v FROM ({source_sql})
+    ),
+    nb AS (
+      SELECT {id_col}, __v,
+        sqrt({_duck_dot("__v", "__v", dim)}) AS __nrm
+      FROM base WHERE {_duck_norm_pred("__v", dim)}
+    ),
+    cents AS (
+      SELECT {id_col} AS __cell, __v AS __cv, __nrm AS __cn
+      FROM nb WHERE {id_col} < {n_cells}
+    ),
+    assigned AS (
+      SELECT x.{id_col}, x.__v, x.__nrm, c.__cell,
+        list_transform(range(1, {dim + 1}),
+          i -> x.__v[i] / x.__nrm - c.__cv[i] / c.__cn) AS __res,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__cn) DESC, c.__cell ASC) AS cr
+      FROM nb x, cents c
+      QUALIFY cr = 1
+    ),
+    nn AS (
+      SELECT {id_col}, __res AS __nv FROM assigned
+    ),
+    {kmeans},
+    ci AS (
+      SELECT __m, __j,
+        list_transform(__cv,
+                       x -> CAST(floor(x * {PQ_GRID}.0 + 0.5) AS BIGINT))
+          AS __ci
+      FROM {final}
+    ),
+    codes AS (
+      SELECT x.{id_col}, c.__m, c.__j,
+        row_number() OVER (PARTITION BY x.{id_col}, c.__m
+          ORDER BY {dist} ASC, c.__j ASC) AS cr
+      FROM nn x, {final} c
+      QUALIFY cr = 1
+    ),
+    probes AS (
+      SELECT x.{id_col} AS query_id, x.__v AS __qv, x.__nrm AS __qn,
+        c.__cell,
+        list_sum(list_transform(range(1, {dim + 1}),
+          i -> (x.__v[i] / x.__nrm) * (c.__cv[i] / c.__cn))) AS __cd,
+        list_transform(x.__v,
+          v -> CAST(floor((v / x.__nrm) * {PQ_GRID}.0 + 0.5) AS BIGINT))
+          AS __qi,
+        row_number() OVER (PARTITION BY x.{id_col}
+          ORDER BY {cdot} / (x.__nrm * c.__cn) DESC, c.__cell ASC) AS cr
+      FROM nb x, cents c
+      WHERE {query_filter.replace(id_col, "x." + id_col)}
+      QUALIFY cr <= {n_probe}
+    ),
+    lut AS (
+      SELECT q.query_id, c.__m, c.__j,
+        list_sum(list_transform(range(1, {sub + 1}),
+                 i -> q.__qi[c.__m * {sub} + i] * c.__ci[i])) AS __val
+      FROM (SELECT DISTINCT query_id, __qi FROM probes) q
+      CROSS JOIN ci c
+    ),
+    scored AS (
+      SELECT a.{id_col}, p.query_id,
+        p.__cd + CAST(iscore.__is AS DOUBLE) / {float(PQ_GRID) ** 2!r}
+          AS __adc
+      FROM assigned a
+      JOIN probes p ON a.__cell = p.__cell
+      JOIN (
+        SELECT c.{id_col}, l.query_id,
+          CAST(sum(l.__val) AS BIGINT) AS __is
+        FROM codes c JOIN lut l ON l.__m = c.__m AND l.__j = c.__j
+        GROUP BY 1, 2
+      ) iscore ON iscore.{id_col} = a.{id_col}
+             AND iscore.query_id = p.query_id
+      WHERE a.{id_col} <> p.query_id
+    ),
+    cand AS (
+      SELECT s.{id_col}, s.query_id, s.__adc,
+        row_number() OVER (
+          PARTITION BY s.query_id ORDER BY s.__adc DESC, s.{id_col} ASC
+        ) AS __cr
+      FROM scored s QUALIFY __cr <= {r}
+    ),
+    rer AS (
+      SELECT c.query_id, c.{id_col}, c.__adc,
+        {_duck_dot("a.__v", "q.__qv", dim)} / (a.__nrm * q.__qn) AS __cos
+      FROM cand c
+      JOIN nb a USING ({id_col})
+      JOIN (SELECT DISTINCT query_id, __qv, __qn FROM probes) q
+        ON q.query_id = c.query_id
+    )
+    SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
+           round(__adc, 6) AS approx,
+           CAST(row_number() OVER w AS INT) AS rank
+    FROM rer
+    WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
+    QUALIFY rank <= {k}
     """

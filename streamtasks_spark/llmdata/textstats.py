@@ -1148,8 +1148,11 @@ def bm25_stats(
         .filter(F.col("__tf") > 0)
         .groupBy("__term")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .collect()  # ≤ |terms| rows: codebook-class pull
     )
+    from streamtasks_spark.llmdata.dedup import bounded_collect
+
+    # ≤ |terms| rows (codebook-class): bound ENFORCED, not just argued
+    m = bounded_collect(m, len(tl), "bm25_stats per-term df")
     df_map = {r["__term"]: int(r["__df"]) for r in m}
     n = int(tot["__n"]) if tot["__n"] is not None else 0
     sdl = int(tot["__sdl"]) if tot["__sdl"] is not None else 0

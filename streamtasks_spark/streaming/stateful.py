@@ -1096,7 +1096,12 @@ def streaming_approx_distinct(
     MinHashIndex discipline.
 
     Returns the started StreamingQuery."""
-    from streamtasks_spark.llmdata.dedup import snapshot_read, spread, tokens_expr
+    from streamtasks_spark.llmdata.dedup import (
+        bounded_collect,
+        snapshot_read,
+        spread,
+        tokens_expr,
+    )
     from streamtasks_spark.llmdata.textstats import (
         _hll_corrected_expr,
         _hll_units_expr,
@@ -1148,7 +1153,10 @@ def streaming_approx_distinct(
             else new.unionByName(old.select("__bucket", "__M"))
             .groupBy("__bucket").agg(F.max("__M").alias("__M"))
         )
-        rows = merged.collect()  # ≤ m rows: register-file-sized pull
+        # ≤ m rows (register file): bound ENFORCED, not just argued
+        rows = bounded_collect(
+            merged, m, "streaming_approx_distinct registers"
+        )
         _atomic_state_write(
             spark, rows, "`__bucket` bigint, `__M` int", state_path
         )
@@ -1221,6 +1229,7 @@ def streaming_heavy_hitters(
 
     Returns the started StreamingQuery."""
     from streamtasks_spark.llmdata.dedup import (
+        bounded_collect,
         snapshot_read,
         spread,
         tokens_expr,
@@ -1267,7 +1276,10 @@ def streaming_heavy_hitters(
             .groupBy("__row", "__bucket")
             .agg(F.sum("__cell").alias("__cell"))
         )
-        rows = merged.collect()  # ≤ depth·width rows: sketch-sized pull
+        # ≤ depth·width rows (CMS grid): bound ENFORCED, not just argued
+        rows = bounded_collect(
+            merged, depth * width, "streaming_heavy_hitters sketch"
+        )
         _atomic_state_write(
             spark, rows, "`__row` int, `__bucket` bigint, `__cell` bigint",
             state_path,

@@ -3031,3 +3031,92 @@ def test_ivf_index_drift_report(spark, tmp_path):
     assert set(rows[0].asDict()) == {
         "ingest_id", "n", "mean_win_cosine", "win_cos_drop"
     }
+
+
+def test_ivf_pq_res_topk_converges_and_matches_oracle(spark):
+    """Residual IVF-PQ (r11): at full rerank the ADC stage is a no-op
+    filter and the exact re-rank reproduces plain ivf_topk exactly; at
+    production rerank cosines of shared pairs are exact; the whole
+    composite (seeded coarse books, pooled-residual k-means, cell-dot
+    + integer LUT candidate score, re-rank) is bit-exact vs the DuckDB
+    twin; and the measured recall of the residual rung is >= the
+    non-residual one on the probe (the point of residual coding)."""
+    import duckdb
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").cache()
+    qs = vecs.filter(F.col("vec_id") < 10)
+    n = vecs.count()
+    ivf = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in similarity.ivf_topk(
+            vecs, qs, n_cells=8, n_probe=2, k=5
+        ).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in similarity.ivf_pq_res_topk(
+            vecs, qs, n_cells=8, n_probe=2, n_codes=16, k=5,
+            rerank=(n // 5) + 1,
+        ).collect()
+    }
+    assert full == ivf
+    prod = similarity.ivf_pq_res_topk(
+        vecs, qs, n_cells=8, n_probe=2, n_codes=16, k=5, rerank=8
+    ).collect()
+    assert prod
+    for r in prod:
+        key = (r["query_id"], r["vec_id"])
+        if key in ivf:
+            assert r["cosine"] == ivf[key][0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cosine"], r["approx"], r["rank"])
+        for r in prod
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            similarity.oracle_ivf_pq_res_topk_sql(
+                n_cells=8, n_probe=2, n_codes=16, k=5, rerank=8
+            )
+        ).fetchall()
+    )
+    assert got == want
+    rec = {
+        r["method"]: r["recall"]
+        for r in similarity.recall_probe(vecs, qs).collect()
+    }
+    assert "ivf_pq_res" in rec
+    assert rec["ivf_pq_res"] >= rec["ivf_pq"], rec
+
+
+def test_bounded_collect_enforces_driver_bound(spark):
+    """bounded_collect (r11): the codebook-class driver pulls now
+    ENFORCE the row bound their comments argue — at the bound the pull
+    succeeds in full; past it, a loud ValueError instead of a silent
+    driver OOM at 100x. End to end: duplicate ids below n_cells make
+    the seed pull exceed its bound and training fails loudly."""
+    import pytest
+
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.llmdata.dedup import bounded_collect
+    from streamtasks_spark.session import read_parquet
+
+    df = spark.range(100)
+    assert len(bounded_collect(df, 100, "exact-bound pull")) == 100
+    with pytest.raises(ValueError, match="exceeded its documented bound"):
+        bounded_collect(df, 99, "misconfigured sketch")
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    doubled = vecs.unionByName(vecs)  # every seed id appears twice
+    with pytest.raises(ValueError, match="train_centroids seeds"):
+        similarity.train_centroids(doubled, n_cells=8, n_iters=1)
