@@ -2156,13 +2156,36 @@ class IvfIndex:
         n_probe: int = 2,
     ) -> None:
         self.path = str(path)
-        self.centroids_path = f"{self.path}/centroids"
-        self.cells_path = f"{self.path}/cells"
-        self.stats_path = f"{self.path}/stats"
         self.id_col = id_col
         self.vec_col = vec_col
         self.n_cells = n_cells
         self.n_probe = n_probe
+
+    # epoch resolution: identical to IvfPqIndex._root — a rebuild
+    # must replace centroids+cells+stats together, which four separate
+    # flips cannot do atomically; the index root's manifest names the
+    # live epoch, one flip commits it
+    def _root(self) -> str:
+        import os
+
+        from streamtasks_spark.core.state import read_manifest
+
+        m = read_manifest(self.path)
+        if m is None or not m["segments"]:
+            return self.path
+        return os.path.join(self.path, m["segments"][-1])
+
+    @property
+    def centroids_path(self) -> str:
+        return f"{self._root()}/centroids"
+
+    @property
+    def cells_path(self) -> str:
+        return f"{self._root()}/cells"
+
+    @property
+    def stats_path(self) -> str:
+        return f"{self._root()}/stats"
 
     def _centroids(self, spark) -> DataFrame | None:
         from streamtasks_spark.llmdata.dedup import snapshot_read
@@ -2306,6 +2329,76 @@ class IvfIndex:
             ).alias("win_cos_drop"),
         )
 
+    def rebuild(self, spark, *, coarse_iters: int = 3) -> dict:
+        """Retrain the coarse codebook on everything ingested (full
+        spherical k-means now, not first-batch seeding) and re-assign
+        every vector — the action :meth:`drift_report`'s trigger
+        exists to fire. The cells table already stores the raw
+        vectors, so no external corpus re-read. The new index
+        (centroids + re-partitioned cells + a fresh stats baseline)
+        stages as a complete new EPOCH directory and commits with the
+        index root's single atomic manifest flip: a crash anywhere
+        before the flip leaves the old epoch fully live, and there is
+        no window where assignments and codebook mix epochs. Exclusive
+        access required (the compact contract). Returns the measured
+        effect: ``{"n", "before_win_cosine", "after_win_cosine"}``."""
+        import shutil
+
+        from streamtasks_spark.core.state import (
+            append_write,
+            commit_segments,
+            new_segment,
+            replace_write,
+        )
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        idc = self.id_col
+        raw = snapshot_read(spark, self.cells_path)
+        if raw is None:
+            raise ValueError(f"IvfIndex at {self.path} has no data")
+        old_root = self._root()
+        old_cb = _collect_codebook(self._centroids(spark))
+        vecs = pin(
+            raw.dropDuplicates([idc]).select(idc, "__v", "__nrm")
+        )
+        corpus = vecs.select(F.col(idc), F.col("__v").alias(self.vec_col))
+        cents_df = train_centroids(
+            corpus, id_col=idc, vec_col=self.vec_col,
+            n_cells=self.n_cells, n_iters=coarse_iters,
+        )
+        new_cb = _collect_codebook(cents_df)
+        before = _drift_stats(
+            vecs, old_cb, None, batch_expr=F.lit(0)
+        ).collect()[0]
+        after = _drift_stats(
+            vecs, new_cb, None, batch_expr=F.lit(0)
+        ).collect()[0]
+        name, epoch = new_segment(self.path)
+        replace_write(cents_df, f"{epoch}/centroids", coalesce=1)
+        assigned = vecs.withColumn(
+            "__best", F.expr(_argmax_struct_expr(new_cb))
+        ).select(
+            F.col(idc), "__v", "__nrm",
+            (-F.col("__best.c")).cast("int").alias("__cell"),
+        )
+        append_write(assigned, f"{epoch}/cells", partition_by="__cell")
+        append_write(
+            _drift_stats(vecs, new_cb, None, batch_expr=F.lit(1))
+            .withColumnRenamed("batch_id", "ingest_id"),
+            f"{epoch}/stats",
+        )
+        vecs.unpersist()
+        commit_segments(self.path, [name])  # THE flip; sweeps an old
+        # epoch directory (unreferenced seg_* sibling)
+        if old_root == self.path:
+            for t in ("centroids", "cells", "stats"):
+                shutil.rmtree(f"{self.path}/{t}", ignore_errors=True)
+        return {
+            "n": int(after["n"]),
+            "before_win_cosine": float(before["mean_win_cosine"]),
+            "after_win_cosine": float(after["mean_win_cosine"]),
+        }
+
     def query(
         self, queries: DataFrame, *, k: int = 5, n_probe: int | None = None
     ) -> DataFrame:
@@ -2418,6 +2511,12 @@ class IvfPqIndex:
         against the frozen codebooks; :meth:`drift_report` turns it
         into the rebuild-trigger view.
 
+    After a :meth:`rebuild`, all five tables live inside an EPOCH
+    directory (``seg_*/``) named by a manifest at the index root —
+    the atomic-multi-table-replace mechanism rebuild needs (see the
+    epoch-resolution note at :meth:`_root`); a never-rebuilt index
+    keeps the flat layout above.
+
     One-shot equivalence (pinned in tests): an index built by a
     single :meth:`ingest` of a corpus with default seeding answers
     :meth:`query` identically to :func:`ivf_pq_topk` over the same
@@ -2451,11 +2550,6 @@ class IvfPqIndex:
                 f"IvfPqIndex: dim {dim} not divisible by m_sub {m_sub}"
             )
         self.path = str(path)
-        self.centroids_path = f"{self.path}/centroids"
-        self.pq_codebook_path = f"{self.path}/pq_codebook"
-        self.cells_path = f"{self.path}/cells"
-        self.vectors_path = f"{self.path}/vectors"
-        self.stats_path = f"{self.path}/stats"
         self.id_col = id_col
         self.vec_col = vec_col
         self.dim = dim
@@ -2465,6 +2559,48 @@ class IvfPqIndex:
         self.n_codes = n_codes
         self.n_iters = n_iters
         self.rerank = rerank
+
+    # -- epoch resolution (r11) ----------------------------------------
+    #
+    # A REBUILD must replace all four tables + stats together, and four
+    # separate manifest flips cannot be atomic — a crash between them
+    # would leave codes inconsistent with codebooks, the silent-wrong
+    # failure mode. So the index root carries its own manifest naming
+    # the live EPOCH (one seg_* directory holding all five tables);
+    # rebuild stages a complete new epoch and commits it with the same
+    # ONE atomic pointer flip every table commit uses. A pre-epoch
+    # index (tables directly under path, no root manifest) resolves to
+    # the root itself — fully backward compatible.
+
+    def _root(self) -> str:
+        import os
+
+        from streamtasks_spark.core.state import read_manifest
+
+        m = read_manifest(self.path)
+        if m is None or not m["segments"]:
+            return self.path
+        return os.path.join(self.path, m["segments"][-1])
+
+    @property
+    def centroids_path(self) -> str:
+        return f"{self._root()}/centroids"
+
+    @property
+    def pq_codebook_path(self) -> str:
+        return f"{self._root()}/pq_codebook"
+
+    @property
+    def cells_path(self) -> str:
+        return f"{self._root()}/cells"
+
+    @property
+    def vectors_path(self) -> str:
+        return f"{self._root()}/vectors"
+
+    @property
+    def stats_path(self) -> str:
+        return f"{self._root()}/stats"
 
     # -- codebooks ----------------------------------------------------
 
@@ -2714,6 +2850,142 @@ class IvfPqIndex:
                 F.col("mean_adc_err") - F.first("mean_adc_err").over(w)
             ).alias("adc_err_rise"),
         )
+
+    # -- rebuild --------------------------------------------------------
+
+    def rebuild(self, spark, *, coarse_iters: int = 3) -> dict:
+        """Retrain BOTH codebooks on everything ingested and re-encode
+        the whole index — the action the :meth:`drift_report` trigger
+        exists to fire. The raw-vector side table IS the training
+        corpus (no external re-read of the source data), so a rebuild
+        costs one k-means per codebook plus one re-encode pass.
+
+        Crash safety: the new index — retrained centroids (full
+        spherical k-means now, not first-batch seeding), retrained PQ
+        codebooks, re-assigned/re-encoded cells and vectors, and a
+        fresh stats baseline measuring the corpus against the NEW
+        books — is staged as a complete new EPOCH directory, then made
+        live by the index root's single atomic manifest flip. A crash
+        anywhere before the flip leaves the old epoch fully live (the
+        staged one is an invisible orphan, swept by the next commit);
+        there is NO window where codes and codebooks mix epochs.
+        Requires exclusive access (the compact contract). Value-
+        identical duplicate raw rows from a crash-replayed ingest are
+        folded here (dropDuplicates on id), making the query-side
+        tolerance durable.
+
+        Returns ``{"n", "before_win_cosine", "after_win_cosine",
+        "before_adc_err", "after_adc_err"}`` — the rebuild's measured
+        effect (the quality-as-data discipline), computed with the
+        same :func:`_drift_stats` fragment the stats rows use."""
+        import shutil
+
+        from streamtasks_spark.core.state import (
+            append_write,
+            commit_segments,
+            new_segment,
+            replace_write,
+        )
+        from streamtasks_spark.llmdata.dedup import snapshot_read
+
+        idc = self.id_col
+        raw = snapshot_read(spark, self.vectors_path)
+        if raw is None:
+            raise ValueError(f"IvfPqIndex at {self.path} has no data")
+        old_root = self._root()
+        old_cb = _collect_codebook(self._centroids(spark))
+        old_pq = self._pq_cents(spark)
+        vecs = pin(
+            raw.dropDuplicates([idc]).select(
+                F.col(idc),
+                F.col("__av").alias("__v"),
+                F.col("__anrm").alias("__nrm"),
+            ).withColumn("__nv", F.expr("transform(__v, x -> x / __nrm)"))
+        )
+        corpus = vecs.select(F.col(idc), F.col("__v").alias(self.vec_col))
+        cents_df = train_centroids(
+            corpus, id_col=idc, vec_col=self.vec_col,
+            n_cells=self.n_cells, n_iters=coarse_iters,
+            expect_dim=self.dim,
+        )
+        new_cb = _collect_codebook(cents_df)
+        new_pq = _pq_codebooks(
+            vecs, idc, self.dim, self.m_sub, self.n_codes, self.n_iters
+        )
+        if not new_pq[0]:
+            vecs.unpersist()
+            raise ValueError(
+                "IvfPqIndex.rebuild could not train PQ codebooks — no "
+                "usable seed vectors in the raw table"
+            )
+        # measured effect, same fragment as the stats rows
+        before = _drift_stats(
+            vecs, old_cb, old_pq, batch_expr=F.lit(0),
+            dim=self.dim, m_sub=self.m_sub,
+        ).collect()[0]
+        after = _drift_stats(
+            vecs, new_cb, new_pq, batch_expr=F.lit(0),
+            dim=self.dim, m_sub=self.m_sub,
+        ).collect()[0]
+        # stage the complete new epoch, invisible until the flip
+        name, epoch = new_segment(self.path)
+        replace_write(cents_df, f"{epoch}/centroids", coalesce=1)
+        pq_rows = [
+            (m, j, new_pq[0][m][j])
+            for m in sorted(new_pq[0])
+            for j in sorted(new_pq[0][m])
+        ]
+        replace_write(
+            spark.createDataFrame(
+                pq_rows, "__m int, __j int, __cv array<double>"
+            ),
+            f"{epoch}/pq_codebook", coalesce=1,
+        )
+        sub = self.dim // self.m_sub
+        assigned = pin(
+            vecs.withColumn(
+                "__best", F.expr(_argmax_struct_expr(new_cb))
+            ).select(
+                F.col(idc),
+                (-F.col("__best.c")).cast("int").alias("__cell"),
+                F.col("__v").alias("__av"),
+                F.col("__nrm").alias("__anrm"),
+                _pq_codes_col(new_pq[0], self.m_sub, sub).alias("__codes"),
+            )
+        )
+        append_write(
+            assigned.select(idc, "__av", "__anrm", "__cell"),
+            f"{epoch}/vectors", partition_by="__cell",
+        )
+        append_write(
+            assigned.select(idc, "__codes", "__cell"),
+            f"{epoch}/cells", partition_by="__cell",
+        )
+        append_write(
+            _drift_stats(
+                vecs, new_cb, new_pq, batch_expr=F.lit(1),
+                dim=self.dim, m_sub=self.m_sub,
+            ).withColumnRenamed("batch_id", "ingest_id"),
+            f"{epoch}/stats",
+        )
+        assigned.unpersist()
+        vecs.unpersist()
+        commit_segments(self.path, [name])  # THE flip; also GC's an
+        # old epoch directory (it is an unreferenced seg_* sibling)
+        if old_root == self.path:
+            # pre-epoch layout: the legacy tables live directly under
+            # the root and are not seg_* dirs, so sweep them explicitly
+            for t in (
+                "centroids", "pq_codebook", "cells", "vectors", "stats"
+            ):
+                shutil.rmtree(f"{self.path}/{t}", ignore_errors=True)
+        return {
+            "n": int(after["n"]),
+            "before_win_cosine": float(before["mean_win_cosine"]),
+            "after_win_cosine": float(after["mean_win_cosine"]),
+            "before_adc_err": float(before["mean_adc_err"]),
+            "after_adc_err": float(after["mean_adc_err"]),
+        }
 
     # -- query --------------------------------------------------------
 

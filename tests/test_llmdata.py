@@ -3120,3 +3120,152 @@ def test_bounded_collect_enforces_driver_bound(spark):
     doubled = vecs.unionByName(vecs)  # every seed id appears twice
     with pytest.raises(ValueError, match="train_centroids seeds"):
         similarity.train_centroids(doubled, n_cells=8, n_iters=1)
+
+
+def test_ivf_pq_index_rebuild_retrains_and_matches_one_shot(spark, tmp_path):
+    """rebuild (r11) — the action the drift report exists to trigger:
+    after a drifted second ingest, rebuilding retrains both codebooks
+    on the raw side table and re-encodes; the measured winning cosine
+    improves, the drift baseline resets, the rebuilt index answers
+    exactly like a one-shot index fed the same retrained codebooks,
+    and post-rebuild ingests land in the new epoch."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    b1 = vecs.filter(F.col("vec_id") < 250)
+    b2 = vecs.filter(F.col("vec_id") >= 250).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x + 3.0 as double))"
+        ).alias("embedding"),
+    )
+    kw = dict(n_cells=8, n_probe=2, m_sub=8, n_codes=8)
+    idx = similarity.IvfPqIndex(str(tmp_path / "ivfpq"), **kw)
+    idx.ingest(b1)
+    idx.ingest(b2)
+    rows = {r["ingest_id"]: r for r in idx.drift_report(spark).collect()}
+    assert rows[2]["win_cos_drop"] > 0.02  # drift visible pre-rebuild
+
+    res = idx.rebuild(spark, coarse_iters=3)
+    assert res["after_win_cosine"] > res["before_win_cosine"], res
+    rep2 = idx.drift_report(spark).collect()
+    assert [r["ingest_id"] for r in rep2] == [1]  # fresh baseline
+    assert rep2[0]["win_cos_drop"] == 0.0
+
+    # one-shot twin fed the SAME retrained codebooks answers equally
+    union = b1.unionByName(b2)
+    cents = similarity.train_centroids(union, n_cells=8, n_iters=3)
+    pqcb = similarity.train_pq_codebooks(
+        union, dim=64, m_sub=8, n_codes=8, n_iters=2
+    )
+    one = similarity.IvfPqIndex(str(tmp_path / "one"), **kw)
+    one.ingest(union, codebook=cents, pq_codebooks=pqcb)
+    qs = vecs.filter(F.col("vec_id") < 5)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(idx.query(qs, k=3)) == canon(one.query(qs, k=3))
+
+    # the new epoch accepts further ingests and reports against the
+    # REBUILT baseline
+    b3 = vecs.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    idx.ingest(b3)
+    rep3 = {r["ingest_id"]: r for r in idx.drift_report(spark).collect()}
+    assert set(rep3) == {1, 2}
+    assert idx.query(qs, k=3).count() > 0
+
+
+def test_ivf_pq_index_rebuild_crash_at_flip(spark, tmp_path, monkeypatch):
+    """A crash at the index root's epoch flip — the ONE commit point
+    of a rebuild — leaves the old epoch fully live: same answers, same
+    drift report; the staged epoch is an invisible orphan a clean
+    retry sweeps."""
+    import os
+
+    import pytest as _pytest
+
+    from streamtasks_spark.core import state
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = similarity.IvfPqIndex(str(tmp_path / "ivfpq"), n_cells=8)
+    idx.ingest(vecs.filter(F.col("vec_id") < 250))
+    idx.ingest(vecs.filter(F.col("vec_id") >= 250))
+    qs = vecs.filter(F.col("vec_id") < 5)
+    before_q = sorted(tuple(r) for r in idx.query(qs, k=3).collect())
+    before_rep = sorted(
+        tuple(r) for r in idx.drift_report(spark).collect()
+    )
+
+    root_manifest = os.path.join(idx.path, "_MANIFEST.json")
+    orig = state._flip
+
+    def dying_flip(tmp, dst):
+        if dst == root_manifest:
+            raise RuntimeError("injected crash at epoch flip")
+        orig(tmp, dst)
+
+    monkeypatch.setattr(state, "_flip", dying_flip)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        idx.rebuild(spark)
+    monkeypatch.undo()
+
+    assert sorted(tuple(r) for r in idx.query(qs, k=3).collect()) == before_q
+    assert sorted(
+        tuple(r) for r in idx.drift_report(spark).collect()
+    ) == before_rep
+    res = idx.rebuild(spark)  # clean retry
+    assert res["n"] > 0
+    # exactly one live epoch remains; the crashed stage was swept
+    live = state.read_manifest(idx.path)["segments"]
+    segs = [e for e in os.listdir(idx.path) if e.startswith("seg_")]
+    assert sorted(segs) == sorted(live) and len(live) == 1
+
+
+def test_ivf_index_rebuild_retrains_and_queries(spark, tmp_path):
+    """IvfIndex.rebuild (r11): after a drifted second ingest, the
+    rebuilt coarse codebook measurably improves the mean winning
+    cosine, the drift baseline resets, and queries keep answering
+    (now against the full-k-means codebook under the new epoch)."""
+    from streamtasks_spark.llmdata import similarity
+    from streamtasks_spark.session import read_parquet
+
+    vecs = read_parquet(spark, f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    b1 = vecs.filter(F.col("vec_id") < 250)
+    b2 = vecs.filter(F.col("vec_id") >= 250).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x + 3.0 as double))"
+        ).alias("embedding"),
+    )
+    idx = similarity.IvfIndex(str(tmp_path / "ivf"), n_cells=8, n_probe=2)
+    idx.ingest(b1)
+    idx.ingest(b2)
+    res = idx.rebuild(spark, coarse_iters=3)
+    assert res["after_win_cosine"] > res["before_win_cosine"], res
+    rep = idx.drift_report(spark).collect()
+    assert [r["ingest_id"] for r in rep] == [1]
+    assert rep[0]["win_cos_drop"] == 0.0
+    qs = vecs.filter(F.col("vec_id") < 5)
+    assert idx.query(qs, k=3).count() > 0
+    # post-rebuild ingest lands in the new epoch and reports against
+    # the rebuilt baseline
+    idx.ingest(
+        vecs.filter(F.col("vec_id") < 100).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+    )
+    assert [
+        r["ingest_id"] for r in idx.drift_report(spark).collect()
+    ] == [1, 2]
