@@ -1480,3 +1480,88 @@ def streaming_cluster_prune(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_ann_ingest(
+    vectors: DataFrame,
+    *,
+    index_path: str,
+    reports_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    rerank: int = 4,
+):
+    """Continuous ANN-index ingestion (r11) — the 24th foreachBatch
+    twin: each micro-batch appends into a persistent
+    :class:`~streamtasks_spark.llmdata.similarity.IvfPqIndex` (raw
+    vectors commit before codes; each commit is one atomic manifest
+    flip), and the batch's own drift-stats row — measured against the
+    frozen codebooks — re-emits to ``reports_path`` tagged with the
+    batch id, so the monitoring stream and the index's
+    :meth:`drift_report` are the same numbers. Queries serve from the
+    index between batches via :meth:`IvfPqIndex.query` (snapshot-
+    isolated by the manifest protocol).
+
+    First batch freezes BOTH codebooks (the IvfPqIndex seeding
+    contract: it must carry ids below ``n_cells``/``n_codes`` — the
+    natural id-monotone crawl order — or pre-build the index with
+    trained codebooks before starting the stream).
+
+    Restart semantics: index commits are crash-atomic but not
+    transactional with the checkpoint, so a crash between the final
+    commit and the checkpoint commit replays one batch — re-appending
+    VALUE-IDENTICAL code/vector rows, which ``query()`` tolerates
+    (dropDuplicates on the rerank set) and ``compact()`` folds
+    durably; the replayed batch also re-appends a stats row and a
+    report row (consumers dedup reports on ``batch_id``, the standard
+    foreachBatch contract). A crash at any manifest flip leaves the
+    index at its previous version intact — the crash-injection leg of
+    the restart sweep pins this.
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.core.state import read_manifest
+    from streamtasks_spark.llmdata.dedup import snapshot_read
+    from streamtasks_spark.llmdata.similarity import IvfPqIndex
+
+    index = IvfPqIndex(
+        index_path,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        m_sub=m_sub,
+        n_codes=n_codes,
+        n_iters=n_iters,
+        rerank=rerank,
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        index.ingest(batch.select(id_col, vec_col))
+        # the ingest's own stats row (one commit per ingest, so the
+        # stats manifest version IS its ingest_id), re-emitted with
+        # the batch id — sketch-sized read, never the data tables
+        iid = read_manifest(index.stats_path)["version"]
+        (
+            snapshot_read(spark, index.stats_path)
+            .filter(F.col("ingest_id") == iid)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(reports_path)
+        )
+
+    return (
+        vectors.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -7,7 +7,8 @@ test_streaming_restart_sweep.py (checkpointed state store). The
 foreachBatch twins keep their durable state OUTSIDE the checkpoint —
 parquet index tables, sketch files, appended outputs — so their
 restart contract is different and is pinned here, parametrized over
-all eleven:
+all twelve (r11 adds ann_ingest — continuous IvfPqIndex ingestion
+whose reports stream re-emits the index's own drift-stats rows):
 
 1. **clean-stop resume**: the stream is stopped after the first two
    of four micro-batches and a NEW query incarnation resumes from the
@@ -461,7 +462,79 @@ def _spec_cms():
     )
 
 
+def _spec_ann_ingest():
+    from streamtasks_spark.llmdata.similarity import IvfPqIndex
+    from streamtasks_spark.streaming.stateful import streaming_ann_ingest
+
+    kw = dict(n_cells=8, n_probe=2, m_sub=8, n_codes=8)
+
+    def _ref(spark, full, chunks, td):
+        """Sequential one-shot ingests of the same id-monotone chunks
+        — the reference the streamed index must equal bit-exactly."""
+        import os
+
+        ref_path = f"{td}/ref_index"
+        if not os.path.exists(ref_path):
+            ref = IvfPqIndex(ref_path, **kw)
+            for c in chunks:
+                ref.ingest(c)
+        return IvfPqIndex(ref_path, **kw)
+
+    def expect(spark, full, chunks, td, ctx):
+        ref = _ref(spark, full, chunks, td)
+        return sorted(
+            (
+                r["ingest_id"], r["n"], r["mean_win_cosine"],
+                r["mean_adc_err"],
+            )
+            for r in _state_read(spark, ref.stats_path).collect()
+        )
+
+    def canon_out(spark, td):
+        # reports re-emit the stats rows tagged with batch_id; drop
+        # the tag for the sequential-reference compare
+        return sorted(
+            (
+                r["ingest_id"], r["n"], r["mean_win_cosine"],
+                r["mean_adc_err"],
+            )
+            for r in spark.read.parquet(f"{td}/out").collect()
+        )
+
+    def state(spark, td):
+        idx = IvfPqIndex(f"{td}/index", **kw)
+        return sorted(
+            (r["vec_id"], tuple(r["__codes"]), r["__cell"])
+            for r in _state_read(spark, idx.cells_path).collect()
+        )
+
+    def state_expect(spark, full, td):
+        # chunks are recomputed from full exactly as the test built
+        # them (same predicates)
+        chunks = [full.filter(p) for p in _chunk_preds("vec_id")]
+        ref = _ref(spark, full, chunks, td)
+        return sorted(
+            (r["vec_id"], tuple(r["__codes"]), r["__cell"])
+            for r in _state_read(spark, ref.cells_path).collect()
+        )
+
+    return dict(
+        source="embeddings", idc="vec_id",
+        prepare=lambda spark, full: None,
+        start=lambda stream, td, ctx, ck: streaming_ann_ingest(
+            stream, index_path=f"{td}/index",
+            reports_path=f"{td}/out", checkpoint=ck, **kw,
+        ),
+        expect=expect,
+        canon_out=canon_out,
+        state=state,
+        state_expect=state_expect,
+        replay=None,
+    )
+
+
 SPECS = {
+    "ann_ingest": _spec_ann_ingest,
     "cluster_prune": _spec_cluster_prune,
     "unigram_lm": _spec_unigram,
     "ngram_lm": _spec_ngram,
@@ -564,7 +637,7 @@ def test_foreachbatch_twin_restart_and_replay(name, spark, tmp_path):
 # replays the failed batch cleanly to the bit-exact one-shot result.
 
 _CRASH_SPECS = (
-    "bloom_dedup", "dedup_minhash", "semantic_dedup",
+    "ann_ingest", "bloom_dedup", "dedup_minhash", "semantic_dedup",
     "approx_distinct", "heavy_hitters",
 )
 
