@@ -442,7 +442,12 @@ def _q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a D4-style pipeline reads to set per-cluster keep rates
     (similarity.cluster_profile)."""
     vecs = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
-    return similarity.cluster_profile(vecs, n_cells=8, n_iters=3)
+    # expect_dim: the oracle is dim-64-coupled; the guard rides the
+    # TRAINING pass only, so the certified plan hash is unchanged
+    # (r11 dim-axis finding — this query silently diverged at dim 512)
+    return similarity.cluster_profile(
+        vecs, n_cells=8, n_iters=3, expect_dim=64
+    )
 
 
 def _q_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,13 +19,18 @@ Usage:
       # embedding dimensionality MISMATCH axis (default 64). The
       # entry queries and their oracles are configured for the driver
       # corpus's dim 64, so a non-64 run must fail LOUDLY — expected
-      # outcome is 14 ERR lines naming the dim mismatch (10 through
+      # outcome is 17 ERR lines naming the dim mismatch (10 through
       # r08: 7 pre-r08 + the semantic_dedup train guard + the
-      # ann_sq_topk and ann_ivf_sq_topk entry guards; +3 r09 PQ/
-      # decontaminate/profile guards; +1 r10 cluster_prune) and ZERO
+      # ann_sq_topk and ann_ivf_sq_topk entry guards; +2 r09 PQ/
+      # decontaminate guards; +2 r10 cluster_prune pair; +3 r11:
+      # ann_index_drift, ann_ivf_pq_res_topk, and cluster_profile —
+      # whose missing guard the r11 campaign found as a LIVE silent
+      # divergence at dim 512 that the r10 "0 silent FAIL" record had
+      # miscounted; the guard now rides its training pass) and ZERO
       # silent FAIL lines (the r07 pre-guard state was 15 silent
-      # FAILs at dim 3 and one oracle-truncation FAIL at dim 512;
-      # re-verified r10, seed 7310: 14 loud ERR, 0 silent FAIL)
+      # FAILs at dim 3 plus oracle-truncation at dim 512;
+      # re-verified r11, seeds 7310 + 11422: 17 loud ERR, 0 silent
+      # FAIL)
   python scripts/fuzz_sweep.py --unicode            # docs tier only:
       # half the prose tokens drawn from UNI_WORDS (Σ/İ special
       # casing, CJK, emoji, combining marks, NBSP/ZWSP-in-token —

@@ -2162,9 +2162,14 @@ class IvfIndex:
         self.n_probe = n_probe
 
     # epoch resolution: identical to IvfPqIndex._root — a rebuild
-    # must replace centroids+cells+stats together, which four separate
+    # must replace centroids+cells+stats together, which separate
     # flips cannot do atomically; the index root's manifest names the
-    # live epoch, one flip commits it
+    # live epoch, one flip commits it. Paths resolve per access, so an
+    # operation overlapping a rebuild's flip could mix epochs — but
+    # rebuild (like compact) already requires exclusive access because
+    # its post-flip GC deletes the old epoch's files out from under
+    # any in-flight plan; the contract, not the resolution, is the
+    # isolation boundary.
     def _root(self) -> str:
         import os
 
@@ -2570,7 +2575,12 @@ class IvfPqIndex:
     # rebuild stages a complete new epoch and commits it with the same
     # ONE atomic pointer flip every table commit uses. A pre-epoch
     # index (tables directly under path, no root manifest) resolves to
-    # the root itself — fully backward compatible.
+    # the root itself — fully backward compatible. Paths resolve per
+    # access, so an operation overlapping a rebuild's flip could mix
+    # epochs — but rebuild (like compact) already requires exclusive
+    # access because its post-flip GC deletes the old epoch's files
+    # out from under any in-flight plan; the contract, not the
+    # resolution, is the isolation boundary.
 
     def _root(self) -> str:
         import os
@@ -3407,6 +3417,7 @@ def cluster_profile(
     n_cells: int = 8,
     n_iters: int = 3,
     centroids: DataFrame | None = None,
+    expect_dim: int | None = None,
 ) -> DataFrame:
     """Corpus clustering profile — the curation view behind
     SemDeDup/D4-style cluster-then-prune data selection (Abbas et al.
@@ -3429,12 +3440,23 @@ def cluster_profile(
     100 TB shape: training is the train_centroids codebook-sized
     driver loop; assignment + winning-cosine is ONE narrow projection
     (no join — the codebook rides as literals); the only shuffle is
-    the ≤ n_cells-key rollup with map-side partial aggregation."""
+    the ≤ n_cells-key rollup with map-side partial aggregation.
+
+    ``expect_dim`` routes the loud :func:`train_centroids` dim guard
+    through the training pass (the cluster_prune hook): a dim-64
+    oracle against non-64 data would otherwise diverge SILENTLY —
+    DuckDB's fixed-range dot truncates where Spark's data-derived dot
+    uses the full vector. The r11 ``--dim`` fuzz axis found exactly
+    this live (the r10 record had missed it); callers coupled to a
+    fixed-dim oracle pass the oracle's dim. Training-side only, so the
+    returned plan — and the certified manifest hash — is unchanged for
+    well-dimensioned corpora; with a supplied frozen ``centroids`` the
+    guard is the caller's job, as in cluster_prune."""
     cents_df = (
         centroids if centroids is not None
         else train_centroids(
             vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-            n_iters=n_iters,
+            n_iters=n_iters, expect_dim=expect_dim,
         )
     )
     cb = _collect_codebook(cents_df)

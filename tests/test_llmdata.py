@@ -411,8 +411,12 @@ def test_recall_probe_matches_manual_recall(spark):
             pq_codes=16, pq_rerank=8,
         ).collect()
     }
-    # all six rungs of the accuracy/cost ladder since r09
-    assert set(got) == {"lsh", "ivf", "sq", "ivf_sq", "pq", "ivf_pq"}
+    # all seven rungs of the accuracy/cost ladder (r11 adds the
+    # residual-encoding composite; its recall is pinned against the
+    # non-residual rung in the dedicated res test)
+    assert set(got) == {
+        "lsh", "ivf", "sq", "ivf_sq", "pq", "ivf_pq", "ivf_pq_res",
+    }
     for name, approx in [
         ("lsh", lsh), ("ivf", ivf), ("sq", sq), ("ivf_sq", ivf_sq),
         ("pq", pq), ("ivf_pq", ivf_pq),
@@ -3269,3 +3273,25 @@ def test_ivf_index_rebuild_retrains_and_queries(spark, tmp_path):
     assert [
         r["ingest_id"] for r in idx.drift_report(spark).collect()
     ] == [1, 2]
+
+
+def test_cluster_profile_dim_guard_is_loud(spark):
+    """r11 dim-axis finding: cluster_profile against a dim-coupled
+    oracle used to diverge SILENTLY on non-64 data (the r10 '0 silent
+    FAIL' record had miscounted it). expect_dim now routes the loud
+    train_centroids guard through the training pass; the well-formed
+    path is unchanged."""
+    import pytest
+
+    from streamtasks_spark.llmdata import similarity
+
+    bad = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(32)]) for i in range(12)],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dim 32 != configured dim 64"):
+        similarity.cluster_profile(bad, n_cells=4, n_iters=1, expect_dim=64)
+    ok = similarity.cluster_profile(
+        bad, n_cells=4, n_iters=1, expect_dim=32
+    )
+    assert ok.count() > 0
