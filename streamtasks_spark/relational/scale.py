@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -92,3 +92,120 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")),
     )
     return b.join(s, keys + ["__salt"], how).drop("__salt")
+
+
+# ------------------------------------------------------- skew profiling
+
+# Percentiles of the per-key count distribution, as exact integer
+# selection: the p-th value is the (floor(p·(n_keys−1)) + 1)-th smallest
+# count. num/den rationals keep the threshold in INTEGER arithmetic on
+# both engines — a 0.99 literal is DOUBLE in Spark but DECIMAL(3,2) in
+# DuckDB, and floor(0.99·300) differs between those types (296 vs 297),
+# a divergence integer div never has. One shared table so the engine and
+# the oracle cannot disagree on which percentiles the report carries.
+SKEW_PCTS = (("p50_cnt", 1, 2), ("p90_cnt", 9, 10), ("p99_cnt", 99, 100))
+
+
+def _pct_exprs(engine: str) -> list[str]:
+    idiv = "div" if engine == "spark" else "//"
+    return [
+        f"min(CASE WHEN cum >= (({num} * (n_keys - 1)) {idiv} {den}) + 1 "
+        f"THEN cnt END) AS {name}"
+        for name, num, den in SKEW_PCTS
+    ]
+
+
+def key_skew_report(df: DataFrame, key: str, *, top_k: int = 5) -> DataFrame:
+    """Skew profile of ``df``'s ``key`` distribution — the measurement
+    that decides between a plain shuffle join, :func:`salted_join` (and
+    its ``n_salt``), or a broadcast. Returns the ``top_k`` heaviest keys
+    (count desc, key asc), each row carrying the corpus-level
+    distribution columns::
+
+        (key, cnt, share_ppm, total_rows, n_keys, max_cnt,
+         p50_cnt, p90_cnt, p99_cnt, suggested_salt)
+
+    ``share_ppm`` = floor(cnt·10⁶/total). ``suggested_salt`` =
+    ceil(max_cnt / floor(total/n_keys)) — the hot key's multiple of the
+    (floored) average key load, i.e. how many partitions its rows should
+    fan out across; 1 means unskewed. All columns are integer-exact.
+
+    100 TB shape — every step is reduced before it moves: per-key counts
+    are ONE shuffle with map-side partial agg; the percentile selection
+    runs over the count-of-counts histogram (groupBy cnt — heavy-tailed
+    real data repeats count values massively, so |distinct cnt| is tiny
+    even at 10⁹ keys), whose cumulative window is a single ordered
+    partition of that tiny table, NOT of the keys; the top-k is a
+    TakeOrdered (per-partition heaps + driver merge of k·partitions
+    rows), never a global sort. The single-row profile broadcasts onto
+    the k output rows. Integer bounds: cnt·10⁶ requires a single key's
+    count < 9.2·10¹² — beyond pathological even at 100 TB."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    # three consumers (histogram, profile scalars, top-k heap) of one
+    # shuffle output
+    from streamtasks_spark.llmdata.dedup import pin
+
+    counts = pin(counts)
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+    cum = hist.withColumn("cum", F.sum("freq").over(Window.orderBy("cnt")))
+    prof_base = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    prof = (
+        cum.crossJoin(F.broadcast(prof_base))
+        .groupBy("total_rows", "n_keys", "max_cnt")
+        .agg(*[F.expr(e) for e in _pct_exprs("spark")])
+    )
+    heavy = counts.orderBy(F.col("cnt").desc(), F.col(key).asc()).limit(top_k)
+    return heavy.crossJoin(F.broadcast(prof)).select(
+        F.col(key),
+        F.col("cnt"),
+        F.expr("(cnt * 1000000) div total_rows").alias("share_ppm"),
+        F.col("total_rows"),
+        F.col("n_keys"),
+        F.col("max_cnt"),
+        *[F.col(name) for name, _, _ in SKEW_PCTS],
+        F.expr(
+            "(max_cnt + (total_rows div n_keys) - 1) div "
+            "(total_rows div n_keys)"
+        ).alias("suggested_salt"),
+    )
+
+
+def oracle_key_skew_report_sql(
+    source_sql: str, *, key: str, top_k: int = 5
+) -> str:
+    """DuckDB twin of :func:`key_skew_report` — same count-histogram
+    percentile selection and integer arithmetic, rendered from the same
+    :data:`SKEW_PCTS` table."""
+    pcts = ",\n           ".join(_pct_exprs("duck"))
+    return f"""
+    WITH src AS ({source_sql}),
+    counts AS (SELECT {key}, count(*) AS cnt FROM src GROUP BY 1),
+    hist AS (SELECT cnt, count(*) AS freq FROM counts GROUP BY 1),
+    cum_t AS (SELECT cnt, sum(freq) OVER (ORDER BY cnt) AS cum FROM hist),
+    prof_base AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+             count(*) AS n_keys, max(cnt) AS max_cnt
+      FROM counts
+    ),
+    prof AS (
+      SELECT p.total_rows, p.n_keys, p.max_cnt,
+           {pcts}
+      FROM cum_t, prof_base p
+      GROUP BY 1, 2, 3
+    ),
+    heavy AS (
+      SELECT {key}, cnt FROM counts
+      ORDER BY cnt DESC, {key} ASC LIMIT {top_k}
+    )
+    SELECT h.{key}, h.cnt,
+           (h.cnt * 1000000) // p.total_rows AS share_ppm,
+           p.total_rows, p.n_keys, p.max_cnt,
+           {", ".join("p." + name for name, _, _ in SKEW_PCTS)},
+           (p.max_cnt + (p.total_rows // p.n_keys) - 1)
+             // (p.total_rows // p.n_keys) AS suggested_salt
+    FROM heavy h, prof p
+    """

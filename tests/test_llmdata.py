@@ -845,6 +845,47 @@ def test_dedup_recall_probe_zero_guard(spark):
     assert row["candidate_precision"] == 0.0
 
 
+def test_paragraph_dedup_matches_python_model(spark):
+    """Keep-first paragraph dedup over a corpus exercising every edge:
+    within-doc repeat, cross-doc normalized duplicate (whitespace AND
+    case variants), a fully-duplicate doc (survives with empty text),
+    a whitespace-only paragraph (dropped pre-dedup), and a 3-newline
+    separator run (ONE boundary, not an empty middle paragraph)."""
+    rows = [
+        (1, "alpha beta\n\nshared footer\n\nalpha beta"),
+        (2, "shared  footer\n\n\ngamma"),
+        (3, "SHARED FOOTER"),
+        (4, " \t \n\ndelta"),
+        (5, "alpha beta\n\nepsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_kept"])
+        for r in dedup.paragraph_dedup(df).collect()
+    }
+    assert got == {
+        1: (3, 2, "alpha beta\n\nshared footer"),
+        2: (2, 1, "gamma"),
+        3: (1, 0, ""),
+        4: (1, 1, "delta"),
+        5: (2, 1, "epsilon"),
+    }
+
+
+def test_paragraph_dedup_keeps_original_text_of_winner(spark):
+    """The SURVIVING paragraph is the winner's ORIGINAL text (not the
+    normalized form, and not a later variant's): doc 1's double-spaced
+    footer wins over doc 2's single-spaced one because (1, idx) sorts
+    first, and the output preserves its exact spacing."""
+    rows = [(1, "the  footer"), (2, "the footer\n\nbody")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["text_kept"])
+        for r in dedup.paragraph_dedup(df).collect()
+    }
+    assert got == {1: (1, "the  footer"), 2: (1, "body")}
+
+
 def test_minhash_index_incremental_equals_batch(spark, docs, tmp_path):
     """The 100 TB ingestion contract: deduplicating the corpus in
     arrival batches through the persistent MinHashIndex yields EXACTLY

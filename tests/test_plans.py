@@ -448,6 +448,43 @@ def test_salted_join_matches_plain_and_spreads_key(psession):
     assert "__salt" in plan, plan[:900]
 
 
+def test_key_skew_report_matches_python_model(psession):
+    """Every column of the skew profile is integer-exact against a
+    hand-computed model: per-key counts, share in ppm, the
+    floor-index percentiles of the count distribution, and the
+    suggested salt fan-out (hot key's multiple of the floored average
+    key load). Top-k ordering ties break on the key."""
+    from streamtasks_spark.relational.scale import key_skew_report
+
+    # counts: key 1 -> 12 (hot), 2 -> 3, 3 -> 3, 4..8 -> 1
+    data = [(1,)] * 12 + [(2,)] * 3 + [(3,)] * 3 + [(k,) for k in range(4, 9)]
+    df = psession.createDataFrame(data, "user_id long")
+    rows = key_skew_report(df, "user_id", top_k=3).collect()
+
+    counts = {1: 12, 2: 3, 3: 3, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1}
+    total, n_keys, mx = sum(counts.values()), len(counts), 12
+    srt = sorted(counts.values())  # [1,1,1,1,1,3,3,12]
+    pct = {
+        "p50_cnt": srt[(1 * (n_keys - 1)) // 2],
+        "p90_cnt": srt[(9 * (n_keys - 1)) // 10],
+        "p99_cnt": srt[(99 * (n_keys - 1)) // 100],
+    }
+    avg_floor = total // n_keys
+    salt = (mx + avg_floor - 1) // avg_floor
+    assert [(r["user_id"], r["cnt"]) for r in rows] == [(1, 12), (2, 3), (3, 3)]
+    for r in rows:
+        assert r["share_ppm"] == r["cnt"] * 1_000_000 // total
+        assert (r["total_rows"], r["n_keys"], r["max_cnt"]) == (total, n_keys, mx)
+        for name, want in pct.items():
+            assert r[name] == want, name
+        # avg_floor = 23 // 8 = 2; salt = ceil(12 / 2) = 6
+        assert r["suggested_salt"] == salt == 6
+
+    # plan shape: the top-k is a bounded TakeOrdered, never a global sort
+    plan = plan_of(key_skew_report(df, "user_id", top_k=3))
+    assert "TakeOrderedAndProject" in plan, plan[:900]
+
+
 def test_q12_q18_q19_join_disciplines(psession, tables):
     """q12: fact⋈fact stays shuffle (no broadcast anywhere). q18: the
     quantity threshold aggregates lineitem BEFORE any join (partial_sum
@@ -1006,6 +1043,7 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         "audio_chunker": "per-chunk sample regroup, chunk_size-bounded",
         "padded_chunker": "per-chunk sample regroup, chunk_size-bounded",
         "events_quantiles": "exact-percentile per bounded event-type group",
+        "paragraph_dedup": "per-doc surviving-paragraph regroup, doc-size-bounded",
     }
     sf_dir = "/root/testdata/sf0.001"
     forbidden_hits, oha_hits, errors = [], set(), []
