@@ -612,6 +612,50 @@ def streaming_dedup_exact(
     )
 
 
+def streaming_paragraph_dedup(
+    docs: DataFrame,
+    *,
+    ts: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of ``llmdata.dedup.paragraph_dedup`` at PARAGRAPH
+    granularity: explode each arriving document on the shared blank-line
+    regex and emit only the FIRST arrival of each distinct normalized
+    paragraph, as ``(id, ts, idx, para, para_hash)`` rows.
+
+    The cross-batch state stays NATIVE: one compact state-store row per
+    distinct paragraph hash via ``dropDuplicatesWithinWatermark``,
+    sharded by hash across executors exactly like the batch
+    ``groupBy(__h)`` shuffle — no Python state loop, and boilerplate on
+    a billion pages is still one state row. Document reassembly
+    (``n_paras``/``n_kept``/``text_kept``) is a per-batch grouped agg
+    the consumer applies at the sink: a document's paragraphs all ride
+    in its arrival batch (the explode is stateless), so a foreachBatch
+    ``groupBy(id)`` rebuilds the batch operator's output shape without
+    any extra streaming state. Same micro-batch arrival-tie and
+    late-data horizon caveats as :func:`streaming_dedup_exact`."""
+    from streamtasks_spark.llmdata.dedup import PARA_SPLIT_RE, norm_text
+
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.col(ts),
+            F.posexplode(F.split(F.col(text_col), PARA_SPLIT_RE)).alias(
+                "idx", "para"
+            ),
+        )
+        .withColumn("__norm", F.expr(norm_text("para")))
+        .filter(F.col("__norm") != "")
+        .select(id_col, ts, "idx", "para", F.md5("__norm").alias("para_hash"))
+    )
+    paras = ensure_event_time(paras, ts)
+    return paras.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(
+        ["para_hash"]
+    )
+
+
 def streaming_ordered_merge(
     streams: Sequence[DataFrame],
     *,

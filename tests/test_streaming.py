@@ -433,6 +433,67 @@ def test_streaming_dedup_exact_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
+    """Streaming paragraph dedup must keep exactly the batch operator's
+    surviving paragraphs, reassembling to the batch text_kept per doc.
+    Duplicate paragraphs (a shared footer and whole-paragraph repeats)
+    arrive in a LATER micro-batch than their originals, and every
+    distinct paragraph appears at most once per batch — so first-arrival
+    is unambiguous and must equal the batch min-(id, idx) winner."""
+    from streamtasks_spark.llmdata.dedup import PARA_JOIN, paragraph_dedup
+    from streamtasks_spark.streaming.stateful import streaming_paragraph_dedup
+
+    nl = PARA_JOIN
+    batch1 = [(1, f"intro one{nl}shared footer")] + [
+        (k, f"body {k}") for k in range(2, 6)
+    ]
+    batch2 = [
+        (100 + k, f"extra {k}{nl}shared footer{nl}body {k}")
+        for k in range(2, 6)
+    ]
+    full = spark.createDataFrame(
+        batch1 + batch2, "doc_id long, text string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1000))
+
+    expect = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_kept"])
+        for r in paragraph_dedup(full.select("doc_id", "text")).collect()
+    }
+    # the batch operator collapses the footer and the body repeats
+    assert expect[102] == (3, 1, "extra 2")
+
+    src = tmp_path / "para_src"
+    full.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(str(src / "p1"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    full.filter(F.col("doc_id") >= 100).coalesce(1).write.parquet(str(src / "p2"))
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = streaming_paragraph_dedup(stream, watermark_delay="6 hours")
+    got_df = run_to_memory(spark, out, tmp_path)
+    # sink-side reassembly: per-doc regroup of the surviving paragraphs
+    got = {
+        r["doc_id"]: (r["n_kept"], r["text_kept"])
+        for r in got_df.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                    lambda x: x["para"],
+                ),
+                PARA_JOIN,
+            ).alias("text_kept"),
+        )
+        .collect()
+    }
+    for doc_id, (n_paras, n_kept, text_kept) in expect.items():
+        assert got.get(doc_id, (0, "")) == (n_kept, text_kept), doc_id
+
+
 def test_streaming_llm_chat_matches_batch(spark, tmp_path, event_dir):
     """Conversation history latches across micro-batches: the streaming
     chat twin must produce the identical replies to the batch stub."""
