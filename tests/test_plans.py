@@ -448,6 +448,106 @@ def test_salted_join_matches_plain_and_spreads_key(psession):
     assert "__salt" in plan, plan[:900]
 
 
+def test_zorder_key_matches_python_model(psession):
+    """The Morton key must equal a bit-by-bit python interleave of the
+    same min-max quantization — including the edge cells (min maps to
+    0, max to the top bin) and NULLs at the origin."""
+    from streamtasks_spark.relational.scale import zorder_key
+
+    rows = [
+        (1, 0, 0.0), (2, 1000, 10.0), (3, 250, 7.5), (4, 777, 0.1),
+        (5, None, 5.0), (6, 500, None),
+    ]
+    df = psession.createDataFrame(
+        rows, "event_id long, x long, v double"
+    )
+    bits, m = 10, (1 << 10) - 1
+
+    def quant_int(x, lo, hi):
+        return 0 if x is None else min(m, ((x - lo) * m) // (hi - lo))
+
+    def quant_dbl(x, lo, hi):
+        import math
+
+        return 0 if x is None else min(m, int(math.floor((x - lo) * m / (hi - lo))))
+
+    def interleave(qx, qv):
+        z = 0
+        for i in range(bits):
+            z |= ((qx >> i) & 1) << (2 * i)
+            z |= ((qv >> i) & 1) << (2 * i + 1)
+        return z
+
+    xs = [r[1] for r in rows if r[1] is not None]
+    vs = [r[2] for r in rows if r[2] is not None]
+    want = {
+        r[0]: interleave(
+            quant_int(r[1], min(xs), max(xs)), quant_dbl(r[2], min(vs), max(vs))
+        )
+        for r in rows
+    }
+    got = {
+        r["event_id"]: r["zkey"]
+        for r in zorder_key(df, [("x", "int"), ("v", "double")], bits=bits).collect()
+    }
+    assert got == want
+    # max of both dims -> all 2*bits bits set
+    assert got[2] == (1 << (2 * bits)) - 1 and got[1] == 0
+
+
+def test_zorder_layout_prunes_on_every_dim(psession):
+    """The point of the curve, measured on actual per-file min/max
+    stats: a single-column sort prunes ONLY its sort dimension — a
+    predicate on the other dim overlaps every file. The z-layout keeps
+    BOTH dims' per-file ranges narrow, so a middle-band predicate on
+    EITHER dimension skips files. Uniform synthetic grid so the
+    geometry is deterministic."""
+    from streamtasks_spark.relational.scale import zorder_key, zorder_layout
+
+    n_files = 8
+    grid = psession.range(10_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    dims = [("x", "int"), ("y", "int")]
+
+    def boxes(df, order_col):
+        parted = df.repartitionByRange(n_files, order_col).sortWithinPartitions(
+            order_col
+        )
+        return (
+            parted.select(F.spark_partition_id().alias("pid"), "x", "y")
+            .groupBy("pid")
+            .agg(
+                F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+                F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+            )
+            .collect()
+        )
+
+    z_boxes = boxes(zorder_key(grid, dims, bits=10), "zkey")
+    s_boxes = boxes(grid, "x")
+    assert len(z_boxes) == len(s_boxes) == n_files
+
+    def overlaps(bx, dim, lo, hi):
+        return sum(1 for b in bx if b[f"{dim}hi"] >= lo and b[f"{dim}lo"] <= hi)
+
+    # middle band on the NON-sorted dim: x-sort reads everything, the
+    # z-layout skips files (range boundaries fall at zkey quantiles,
+    # not exact curve octants, so boxes straddle — the claim is
+    # strict pruning on EVERY dim, not perfect quartering)
+    assert overlaps(s_boxes, "y", 375, 625) == n_files
+    assert overlaps(z_boxes, "y", 375, 625) < n_files
+    # and the z-layout still prunes on the sorted dim as well (edge
+    # band: 8 files give x only half-splits, and a MIDDLE x-band
+    # touches both halves by construction)
+    assert overlaps(z_boxes, "x", 0, 100) < n_files
+    # the layout entrypoint produces the declared file count
+    out = zorder_layout(grid, dims, bits=10, n_files=n_files)
+    assert out.rdd.getNumPartitions() == n_files
+
+
 def test_key_skew_report_matches_python_model(psession):
     """Every column of the skew profile is integer-exact against a
     hand-computed model: per-key counts, share in ppm, the
