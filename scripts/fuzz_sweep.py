@@ -31,6 +31,11 @@ Usage:
       # FAILs at dim 3 plus oracle-truncation at dim 512;
       # re-verified r11, seeds 7310 + 11422: 17 loud ERR, 0 silent
       # FAIL)
+  python scripts/fuzz_sweep.py --paragraphs         # docs tier only:
+      # ~30% of prose separators become blank-line runs — the r11
+      # PARAGRAPH axis giving paragraph_dedup real multi-paragraph
+      # geometry (duplicate docs, spliced tails crossing paragraph
+      # boundaries, trailing separator runs)
   python scripts/fuzz_sweep.py --unicode            # docs tier only:
       # half the prose tokens drawn from UNI_WORDS (Σ/İ special
       # casing, CJK, emoji, combining marks, NBSP/ZWSP-in-token —
@@ -120,12 +125,14 @@ def write_one(d: str, name: str, schema, rows) -> None:
 
 def make_dir(tier: str, seed: int, scale: int = 1, doc_len: int = 1,
              dim: int = 64, unicode_frac: float = 0.0,
-             rich_props: bool = False, nonfinite: bool = False) -> str:
+             rich_props: bool = False, nonfinite: bool = False,
+             para_frac: float = 0.0) -> str:
     d = tempfile.mkdtemp(prefix=f"fz_{tier}{seed}_")
     if tier == "docs":
         write_one(d, "documents", DOC_SCHEMA,
                   make_corpus(seed, n=80 * scale, doc_len=doc_len,
-                              unicode_frac=unicode_frac))
+                              unicode_frac=unicode_frac,
+                              para_frac=para_frac))
     elif tier == "events":
         write_one(d, "events", EV_SCHEMA,
                   make_events(seed, n=400 * scale, rich_props=rich_props))
@@ -270,6 +277,7 @@ def main() -> int:
     doc_len = 1
     dim = 64
     unicode_frac = 0.0
+    para_frac = 0.0
     rich_props = False
     nonfinite = False
     streaming = False
@@ -308,6 +316,9 @@ def main() -> int:
         elif argv[i] == "--unicode":
             unicode_frac = 0.5
             i += 1
+        elif argv[i] == "--paragraphs":
+            para_frac = 0.3
+            i += 1
         elif argv[i] == "--rich-props":
             rich_props = True
             i += 1
@@ -333,7 +344,7 @@ def main() -> int:
     for tier in tiers:
         for seed in seeds:
             d = make_dir(tier, seed, scale, doc_len, dim, unicode_frac,
-                         rich_props, nonfinite)
+                         rich_props, nonfinite, para_frac)
             con = duck_conn(d)
             ran = 0
             for name, fn in qs.items():

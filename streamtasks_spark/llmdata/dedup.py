@@ -388,7 +388,26 @@ def paragraph_dedup(
     1-row build side per key; AQE skew-split handles the hot probe
     partitions (session.py enables it). Reassembly groups by doc —
     bounded by document size."""
-    paras = (
+    # feeds the winner agg, the join probe AND the per-doc count — three
+    # consumers of one explode lineage (see pin/pin_scope contract)
+    paras = pin(_para_rows(docs, id_col, text_col))
+    winners = paras.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("w_id"), F.col("__idx").alias("w_idx"))
+        ).alias("__w")
+    )
+    kept = paras.join(winners, "__h").filter(
+        (F.col(id_col) == F.col("__w.w_id"))
+        & (F.col("__idx") == F.col("__w.w_idx"))
+    )
+    return _para_reassemble(paras, kept, id_col)
+
+
+def _para_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __idx, __para, __h): the non-empty paragraphs of each doc
+    with 0-based split index and normalized-text hash — the shared
+    explode step of :func:`paragraph_dedup` and :class:`ParagraphIndex`."""
+    return (
         spread(docs, id_col)
         .select(
             F.col(id_col),
@@ -400,18 +419,15 @@ def paragraph_dedup(
         .filter(F.col("__norm") != "")
         .select(id_col, "__idx", "__para", F.md5("__norm").alias("__h"))
     )
-    # feeds the winner agg, the join probe AND the per-doc count — three
-    # consumers of one explode lineage (see pin/pin_scope contract)
-    paras = pin(paras)
-    winners = paras.groupBy("__h").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("w_id"), F.col("__idx").alias("w_idx"))
-        ).alias("__w")
-    )
-    kept = paras.join(winners, "__h").filter(
-        (F.col(id_col) == F.col("__w.w_id"))
-        & (F.col("__idx") == F.col("__w.w_idx"))
-    )
+
+
+def _para_reassemble(
+    paras: DataFrame, kept: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-doc output shape shared by the one-shot and incremental
+    paragraph dedup: total non-empty paragraphs, survivors, and the
+    survivors re-joined in original order (collect_list is bounded by
+    document size)."""
     per_doc = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
     kept_doc = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -2357,3 +2373,87 @@ class MinHashIndex:
                 spark, path, files=files_per_table,
                 transform=lambda df: df.distinct(),
             )
+
+
+class ParagraphIndex:
+    """Incremental corpus-scale paragraph dedup: ONE persistent table
+    (``seen/``: para_hash) of every normalized-paragraph hash ever
+    kept, so each crawl increment keeps only its first-occurrence
+    paragraphs against the ENTIRE historical corpus without re-reading
+    it. The 100 TB companion of the one-shot :func:`paragraph_dedup`
+    exactly as :class:`MinHashIndex` is of :func:`dedup_minhash` —
+    boilerplate (headers, footers, subscribe-blocks) recurs across
+    crawl increments for YEARS, and a per-increment dedup that forgets
+    history re-admits all of it.
+
+    Per :meth:`ingest` batch B against history H: a paragraph of B
+    survives iff its hash is the batch's keep-first winner (min
+    (id, idx), exactly :func:`paragraph_dedup` within B) AND the hash
+    is absent from H. Output shape = ``paragraph_dedup(B)``'s
+    ``(id, n_paras, n_kept, text_kept)``. When batches arrive in
+    nondecreasing id order (crawl increments do), ingesting them one
+    by one reassembles byte-identically to the one-shot operator on
+    the union — pinned by the batch-equivalence test.
+
+    Crash safety: the single append commits through the
+    versioned-manifest protocol (one atomic pointer flip, object-store
+    safe). A crash BEFORE the flip loses nothing (the batch just
+    re-ingests); a replay AFTER the flip appends value-identical hash
+    rows, which the anti-join is insensitive to and :meth:`compact`'s
+    distinct fold removes — replayed ingests are idempotent by
+    construction. Scale shape: the history side is one left-anti join
+    keyed on the hash (at warehouse scale, keep ``seen/`` bucketed on
+    para_hash so it co-locates); only the new batch's paragraphs ever
+    shuffle."""
+
+    def __init__(
+        self, path: str, *, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        self.path = str(path)
+        self.seen_path = f"{self.path}/seen"
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def ingest(self, docs: DataFrame) -> DataFrame:
+        """Paragraph-dedup one batch against itself + history, append
+        its newly-seen hashes, and return the per-doc survivors. The
+        returned DataFrame is materialized (persisted) BEFORE the
+        append so its plan cannot observe the batch's own hashes as
+        history (see :func:`snapshot_read`)."""
+        from streamtasks_spark.core.state import append_write
+
+        spark = docs.sparkSession
+        idc = self.id_col
+        paras = pin(_para_rows(docs, idc, self.text_col))
+        winners = paras.groupBy("__h").agg(
+            F.min(
+                F.struct(F.col(idc).alias("w_id"), F.col("__idx").alias("w_idx"))
+            ).alias("__w")
+        )
+        batch_kept = paras.join(winners, "__h").filter(
+            (F.col(idc) == F.col("__w.w_id"))
+            & (F.col("__idx") == F.col("__w.w_idx"))
+        )
+        old = snapshot_read(spark, self.seen_path)
+        kept = (
+            batch_kept if old is None
+            else batch_kept.join(
+                old.withColumnRenamed("para_hash", "__h"), "__h", "left_anti"
+            )
+        )
+        out = pin(_para_reassemble(paras, kept, idc))
+        out.count()  # materialize before the append below
+        new_hashes = kept.select(F.col("__h").alias("para_hash"))
+        append_write(new_hashes, self.seen_path)
+        paras.unpersist()
+        return out
+
+    def compact(self, spark, *, files: int = 8) -> None:
+        """Rewrite ``seen/`` coalesced (and distinct — curing the
+        value-identical rows a crash-replayed ingest appends) with one
+        atomic manifest flip. EXCLUSIVE access required, like every
+        index compaction here."""
+        compact_table(
+            spark, self.seen_path, files=files,
+            transform=lambda df: df.distinct(),
+        )

@@ -886,6 +886,58 @@ def test_paragraph_dedup_keeps_original_text_of_winner(spark):
     assert got == {1: (1, "the  footer"), 2: (1, "body")}
 
 
+def test_paragraph_index_incremental_equals_batch(spark, docs, tmp_path):
+    """The 100 TB ingestion contract: paragraph-deduplicating the
+    corpus in id-ordered crawl increments through the persistent
+    ParagraphIndex yields EXACTLY the one-shot paragraph_dedup output
+    on the full corpus — same survivors, same reassembled text."""
+    full = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nshared footer paragraph"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit("\n\n"), F.col("text"))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    expect = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_kept"])
+        for r in dedup.paragraph_dedup(full).collect()
+    }
+    idx = dedup.ParagraphIndex(str(tmp_path / "para_index"))
+    got = {}
+    bounds = [(0, 30), (30, 60), (60, 10_000)]
+    for lo, hi in bounds:  # id-ordered increments
+        batch = full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for r in idx.ingest(batch).collect():
+            assert r["doc_id"] not in got  # each doc reported exactly once
+            got[r["doc_id"]] = (r["n_paras"], r["n_kept"], r["text_kept"])
+    assert got == expect
+
+
+def test_paragraph_index_replay_is_idempotent(spark, tmp_path):
+    """Re-ingesting a batch (the crash-replay case) reports zero
+    survivors — everything is history — and the duplicate hash rows it
+    appends change nothing, before or after compaction."""
+    rows = [(1, "alpha\n\nbeta"), (2, "beta\n\ngamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = dedup.ParagraphIndex(str(tmp_path / "pidx"))
+    first = {
+        r["doc_id"]: (r["n_kept"], r["text_kept"])
+        for r in idx.ingest(df).collect()
+    }
+    assert first == {1: (2, "alpha\n\nbeta"), 2: (1, "gamma")}
+    replay = {r["doc_id"]: r["n_kept"] for r in idx.ingest(df).collect()}
+    assert replay == {1: 0, 2: 0}
+    idx.compact(spark)
+    fresh = spark.createDataFrame(
+        [(3, "gamma\n\ndelta")], "doc_id long, text string"
+    )
+    post = {r["doc_id"]: (r["n_kept"], r["text_kept"]) for r in idx.ingest(fresh).collect()}
+    assert post == {3: (1, "delta")}
+
+
 def test_minhash_index_incremental_equals_batch(spark, docs, tmp_path):
     """The 100 TB ingestion contract: deduplicating the corpus in
     arrival batches through the persistent MinHashIndex yields EXACTLY

@@ -62,7 +62,8 @@ UNI_WORDS = [
 
 
 def make_corpus(seed: int, n: int = 60, doc_len: int = 1,
-                unicode_frac: float = 0.0) -> list[tuple]:
+                unicode_frac: float = 0.0,
+                para_frac: float = 0.0) -> list[tuple]:
     """``doc_len`` multiplies the token-count range of the prose kinds
     (the LENGTH volume axis — shingle-set size, substring-gram count,
     token-histogram mass per doc — orthogonal to the row-count axis
@@ -70,8 +71,13 @@ def make_corpus(seed: int, n: int = 60, doc_len: int = 1,
     stay short by design: their point is the boundary, not the bulk.
 
     ``unicode_frac`` draws that fraction of prose tokens from
-    UNI_WORDS (the UNICODE axis). The extra RNG draws are gated behind
-    ``if unicode_frac`` so the default keeps every previously-pinned
+    UNI_WORDS (the UNICODE axis). ``para_frac`` (the r11 PARAGRAPH
+    axis) promotes that fraction of the prose token separators to
+    blank-line runs (``\\n\\n`` / ``\\n\\n\\n``), so documents carry real
+    multi-paragraph structure — including leading/trailing/adjacent
+    separator runs — for the paragraph-granularity operators. The
+    extra RNG draws are gated behind ``if unicode_frac`` /
+    ``if para_frac`` so the default keeps every previously-pinned
     seed's corpus byte-identical."""
     rng = random.Random(seed)
     rows = []
@@ -102,6 +108,12 @@ def make_corpus(seed: int, n: int = 60, doc_len: int = 1,
             ]
             # random whitespace runs between tokens
             seps = [rng.choice([" ", "  ", "\t", "\n", " \t "]) for _ in toks]
+            if para_frac:
+                seps = [
+                    rng.choice(["\n\n", "\n\n\n", "\n\n "])
+                    if rng.random() < para_frac else s
+                    for s in seps
+                ]
             text = "".join(t + s for t, s in zip(toks, seps))
             if rng.random() < 0.3 and rows:
                 # splice a shared sentence from an earlier doc (near-dup);
@@ -144,10 +156,18 @@ def fuzz_dirs(tmp_path_factory):
     # diverged because DuckDB's concat() SKIPS NULL arguments (the
     # 'j:' phantom key) where Spark's NULL-propagates; the fix pins
     # the || form and this seed keeps it pinned
-    for seed, ufrac in ((7, 0.0), (23, 0.0), (99, 0.0), (311, 0.5),
-                        (9317, 0.0)):
+    # seed 4471 runs the r11 PARAGRAPH axis (a third of prose
+    # separators become blank-line runs) — the corpus that gives
+    # paragraph_dedup real multi-paragraph geometry: duplicate docs
+    # (kind 3) whose every paragraph collapses, spliced near-dup
+    # tails crossing paragraph boundaries, and trailing separator
+    # runs (an empty trailing split field on both engines).
+    for seed, ufrac, pfrac in ((7, 0.0, 0.0), (23, 0.0, 0.0),
+                               (99, 0.0, 0.0), (311, 0.5, 0.0),
+                               (9317, 0.0, 0.0), (4471, 0.25, 0.3)):
         d = tmp_path_factory.mktemp(f"fuzz{seed}")
-        cols = list(zip(*make_corpus(seed, unicode_frac=ufrac)))
+        cols = list(zip(*make_corpus(seed, unicode_frac=ufrac,
+                                     para_frac=pfrac)))
         table = pa.table(
             {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
         )
@@ -167,6 +187,9 @@ DOC_QUERIES = [
     "dedup_components", "dedup_retention", "corpus_prepare",
     "decontaminate", "split_assign", "stratified_sample",
     "dedup_recall",
+    # r11 second wave: paragraph-granularity dedup (the PARAGRAPH
+    # axis seed 4471 gives it real multi-paragraph geometry)
+    "paragraph_dedup",
     # media-tier queries that read only the documents table — the
     # NULL-text kind found tts/text_renderer voicing the literal
     # "None" and the image stubs crashing on a NULL payload (r07)
