@@ -421,6 +421,34 @@ def _para_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def paragraph_dedup_rows(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Row-granularity view of :func:`paragraph_dedup`: just the
+    surviving ``(id, idx, para, para_hash)`` rows — the batch twin of
+    ``streaming_paragraph_dedup``'s output shape (the streaming
+    equivalence harness compares the two frame-for-frame)."""
+    paras = pin(_para_rows(docs, id_col, text_col))
+    winners = paras.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("w_id"), F.col("__idx").alias("w_idx"))
+        ).alias("__w")
+    )
+    return (
+        paras.join(winners, "__h")
+        .filter(
+            (F.col(id_col) == F.col("__w.w_id"))
+            & (F.col("__idx") == F.col("__w.w_idx"))
+        )
+        .select(
+            F.col(id_col),
+            F.col("__idx").alias("idx"),
+            F.col("__para").alias("para"),
+            F.col("__h").alias("para_hash"),
+        )
+    )
+
+
 def _para_reassemble(
     paras: DataFrame, kept: DataFrame, id_col: str
 ) -> DataFrame:

@@ -213,6 +213,43 @@ def test_bloom_index_crash_at_flip(spark, tmp_path, monkeypatch):
     assert got == want
 
 
+def test_paragraph_index_crash_at_flip(spark, tmp_path, monkeypatch):
+    """ParagraphIndex has ONE commit (seen/): a crash at the flip
+    leaves history untouched, the retry re-reports the batch's
+    survivors identically, and the id-ordered ingest sequence still
+    converges to the one-shot paragraph_dedup output."""
+    from streamtasks_spark.llmdata.dedup import ParagraphIndex, paragraph_dedup
+
+    docs = _docs(spark).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n\nshared footer")).alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    idx = ParagraphIndex(str(tmp_path / "para"))
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_kept"])
+        for r in idx.ingest(b1).collect()
+    }
+    before = snapshot_read(spark, idx.seen_path).count()
+    with _crash_at_flip(monkeypatch):
+        with pytest.raises(_FlipCrash):
+            idx.ingest(b2)
+    assert snapshot_read(spark, idx.seen_path).count() == before
+    for r in idx.ingest(b2).collect():  # clean retry
+        assert r["doc_id"] not in got
+        got[r["doc_id"]] = (r["n_paras"], r["n_kept"], r["text_kept"])
+    want = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_kept"])
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert got == want
+    # compact durably folds any replay-duplicated hash rows
+    idx.compact(spark, files=2)
+    h = snapshot_read(spark, idx.seen_path)
+    assert h.count() == h.distinct().count()
+
+
 @pytest.mark.parametrize("at", [1, 2])
 def test_minhash_index_crash_at_flip(spark, tmp_path, monkeypatch, at):
     """flip #1 = hashes (nothing committed), flip #2 = bands (hashes

@@ -275,6 +275,30 @@ def sp_dedup_exact(src, m):
     )
 
 
+# paragraph structure derived from the fuzzed events: a per-type intro
+# paragraph (40 variants) and a shared tail (7 variants) — duplicate
+# classes recur heavily both within and across micro-batches
+PARA_TEXT = (
+    "concat(event_type, ' intro ', cast(pmod(cast(value * 10 as bigint),"
+    " 40) as string), '\\n\\nshared tail ',"
+    " cast(pmod(event_id, 7) as string))"
+)
+
+
+def sp_paragraph_dedup(src, m):
+    docs = src().select(
+        "event_id", "ts", F.expr(PARA_TEXT).alias("text")
+    ).filter(F.col("text").isNotNull() & ~F.col("text").startswith(FLUSH_TYPE))
+    fn = getattr(m, "streaming_paragraph_dedup", None)
+    if fn is not None:
+        return fn(docs, id_col="event_id", watermark_delay="30 days").select(
+            "para_hash", "event_id", "idx", "para"
+        )
+    return m.paragraph_dedup_rows(docs, id_col="event_id").select(
+        "para_hash", "event_id", "idx", "para"
+    )
+
+
 def sp_interval_join(src, m):
     clicks = _typed(src(), "click").select("user_id", "ts", "value")
     wins = _typed(src(), "purchase").select(
@@ -348,6 +372,7 @@ SPECS = {
     "llm_chat": sp_llm_chat,
     "stretch_align": sp_stretch_align,
     "dedup_exact": sp_dedup_exact,
+    "paragraph_dedup": sp_paragraph_dedup,
     "interval_join": sp_interval_join,
     "hourly_stats": sp_hourly,
     "sliding_stats": sp_sliding,
@@ -391,6 +416,7 @@ def _batch_mod():
         llm_chat_stub = staticmethod(inf_mod.llm_chat_stub)
         stretch_align = staticmethod(chunks_mod.stretch_align)
         dedup_exact = staticmethod(dedup_mod.dedup_exact)
+        paragraph_dedup_rows = staticmethod(dedup_mod.paragraph_dedup_rows)
         events_hourly_stats = staticmethod(rq.events_hourly_stats)
         events_sliding_stats = staticmethod(rq.events_sliding_stats)
         events_session_windows = staticmethod(rq.events_session_windows)
@@ -421,6 +447,9 @@ def _stream_mod():
         )
         streaming_dedup_exact = staticmethod(
             stream_stateful.streaming_dedup_exact
+        )
+        streaming_paragraph_dedup = staticmethod(
+            stream_stateful.streaming_paragraph_dedup
         )
         streaming_interval_join = staticmethod(
             stream_stateful.streaming_interval_join
