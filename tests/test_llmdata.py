@@ -886,6 +886,49 @@ def test_paragraph_dedup_keeps_original_text_of_winner(spark):
     assert got == {1: (1, "the  footer"), 2: (1, "body")}
 
 
+def test_paragraph_dedup_matches_python_model_random(spark):
+    """Randomized semantic check against a pure-python reference (the
+    engines agreeing with EACH OTHER is covered by the oracle; this
+    pins that they agree on the RIGHT thing): small vocabulary forces
+    heavy paragraph collisions, separators vary in run length, docs
+    may be empty/whitespace-only."""
+    import random
+    import re
+
+    vocab = ["alpha beta", "gamma", "delta  five", "ZETA eta", "theta"]
+    seps = ["\n\n", "\n\n\n", "\n\n "]
+    for seed in (11, 47, 901):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(100):
+            k = rng.randrange(0, 5)
+            parts = [rng.choice(vocab + ["", "  \t"]) for _ in range(k)]
+            rows.append((i, "".join(p + rng.choice(seps) for p in parts)))
+
+        def norm(p):
+            return re.sub(r"\s+", " ", p.lower()).strip()
+
+        seen, want = set(), {}
+        for i, text in rows:
+            paras = [
+                (j, p) for j, p in enumerate(re.split(r"\n\n+", text))
+                if norm(p) != ""
+            ]
+            kept = []
+            for j, p in paras:
+                if norm(p) not in seen:
+                    seen.add(norm(p))
+                    kept.append(p)
+            if paras:
+                want[i] = (len(paras), len(kept), "\n\n".join(kept))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_kept"])
+            for r in dedup.paragraph_dedup(df).collect()
+        }
+        assert got == want, seed
+
+
 def test_paragraph_index_incremental_equals_batch(spark, docs, tmp_path):
     """The 100 TB ingestion contract: paragraph-deduplicating the
     corpus in id-ordered crawl increments through the persistent

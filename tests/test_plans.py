@@ -585,6 +585,84 @@ def test_key_skew_report_matches_python_model(psession):
     assert "TakeOrderedAndProject" in plan, plan[:900]
 
 
+def test_key_skew_report_matches_python_model_random(psession):
+    """Randomized semantic check: arbitrary key multisets (including a
+    deliberately hot key and singleton tails) must reproduce the pure-
+    python percentile selection, shares, and salt suggestion exactly."""
+    import random
+
+    from streamtasks_spark.relational.scale import key_skew_report
+
+    for seed in (5, 83, 1207):
+        rng = random.Random(seed)
+        counts = {k: rng.randrange(1, 12) for k in range(rng.randrange(5, 40))}
+        counts[999] = rng.randrange(30, 90)  # hot key
+        data = [(k,) for k, c in counts.items() for _ in range(c)]
+        rng.shuffle(data)
+        df = psession.createDataFrame(data, "user_id long")
+        rows = key_skew_report(df, "user_id", top_k=4).collect()
+
+        total, n_keys = sum(counts.values()), len(counts)
+        srt = sorted(counts.values())
+        mx = srt[-1]
+        heavy = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        assert [(r["user_id"], r["cnt"]) for r in rows] == heavy, seed
+        avg_floor = total // n_keys
+        for r in rows:
+            assert r["share_ppm"] == r["cnt"] * 1_000_000 // total
+            assert (r["total_rows"], r["n_keys"], r["max_cnt"]) == (
+                total, n_keys, mx,
+            )
+            for name, num, den in (
+                ("p50_cnt", 1, 2), ("p90_cnt", 9, 10), ("p99_cnt", 99, 100)
+            ):
+                assert r[name] == srt[(num * (n_keys - 1)) // den], (seed, name)
+            assert r["suggested_salt"] == (mx + avg_floor - 1) // avg_floor
+
+
+def test_zorder_key_matches_python_model_random(psession):
+    """Randomized interleave check over signed int and double dims
+    (negative domains, repeated values, extremes)."""
+    import math
+    import random
+
+    from streamtasks_spark.relational.scale import zorder_key
+
+    bits, m = 8, (1 << 8) - 1
+    for seed in (3, 71):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randrange(-5000, 5000), rng.uniform(-10.0, 10.0))
+            for i in range(60)
+        ]
+        xs, vs = [r[1] for r in rows], [r[2] for r in rows]
+
+        def q_int(x):
+            return min(m, ((x - min(xs)) * m) // (max(xs) - min(xs)))
+
+        def q_dbl(v):
+            return min(
+                m, int(math.floor((v - min(vs)) * m / (max(vs) - min(vs))))
+            )
+
+        def z(qx, qv):
+            out = 0
+            for i in range(bits):
+                out |= ((qx >> i) & 1) << (2 * i)
+                out |= ((qv >> i) & 1) << (2 * i + 1)
+            return out
+
+        want = {i: z(q_int(x), q_dbl(v)) for i, x, v in rows}
+        df = psession.createDataFrame(rows, "event_id long, x long, v double")
+        got = {
+            r["event_id"]: r["zkey"]
+            for r in zorder_key(
+                df, [("x", "int"), ("v", "double")], bits=bits
+            ).collect()
+        }
+        assert got == want, seed
+
+
 def test_q12_q18_q19_join_disciplines(psession, tables):
     """q12: fact⋈fact stays shuffle (no broadcast anywhere). q18: the
     quantity threshold aggregates lineitem BEFORE any join (partial_sum
