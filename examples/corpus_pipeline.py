@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from streamtasks_spark.core.dataset import shuffle_shards, write_dataset
-from streamtasks_spark.llmdata.dedup import connected_components, dedup_minhash
+from streamtasks_spark.llmdata.dedup import (
+    connected_components,
+    dedup_minhash,
+    paragraph_dedup,
+)
 from streamtasks_spark.llmdata.pipeline import (
     corpus_prepare,
     decontaminate,
@@ -42,6 +46,33 @@ def main() -> None:
     spark = get_spark("example_corpus")
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     n0 = docs.count()
+
+    # 0. paragraph-level boilerplate scrub (C4/RefinedWeb run this
+    # FIRST: repeated footers/nav-blocks would otherwise drag every
+    # page's shingle set toward its site template and blunt the
+    # near-dup stage). The testdata is single-paragraph, so simulate
+    # the crawl reality by appending a per-source footer, then let
+    # paragraph_dedup keep each distinct paragraph once corpus-wide.
+    crawl = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("\n\nfollow "), F.col("source"),
+            F.lit(" for more updates"),
+        ),
+    )
+    scrubbed = paragraph_dedup(crawl)
+    n_boiler = scrubbed.agg(
+        F.sum(F.col("n_paras") - F.col("n_kept"))
+    ).collect()[0][0]
+    docs = (
+        docs.drop("text", "n_chars")
+        .join(scrubbed.filter(F.col("n_kept") > 0), "doc_id")
+        .select(
+            "doc_id", F.col("text_kept").alias("text"), "lang", "source",
+            F.length("text_kept").alias("n_chars"),
+        )
+    )
+    print(f"paragraph scrub removed {n_boiler} duplicate paragraphs")
 
     # 1. quality rules (one scan, inline expressions; quality_filter
     # emits per-rule 0/1 flags + keep, keyed by doc_id)
