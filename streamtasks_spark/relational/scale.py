@@ -187,18 +187,144 @@ def zorder_layout(
     *,
     bits: int = 10,
     n_files: int = 8,
+    curve: str = "z",
 ) -> DataFrame:
-    """Cluster ``df`` for writing: range-partition on the z-key into
-    ``n_files`` contiguous curve segments and sort within each — every
-    output file covers a compact z-range, hence a small box in every
-    interleaved dimension. Write the result with plain
-    ``.write.parquet``; the pruning then comes for free from parquet
-    min/max stats. (The z-key column rides along so stats land in the
-    footer; drop it before write if schema parity matters.)"""
-    keyed = zorder_key(df, dims, bits=bits)
-    return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions(
-        "zkey"
+    """Cluster ``df`` for writing: range-partition on the curve key
+    into ``n_files`` contiguous segments and sort within each — every
+    output file covers a compact key range, hence a small box in every
+    interleaved dimension. ``curve="hilbert"`` (2 dims only) uses the
+    jump-free :func:`hilbert_key` walk for tighter boxes. Write the
+    result with plain ``.write.parquet``; the pruning then comes for
+    free from parquet min/max stats. (The key column rides along so
+    stats land in the footer; drop it before write if schema parity
+    matters.)"""
+    if curve == "hilbert":
+        keyed, key = hilbert_key(df, dims, bits=bits), "hkey"
+    elif curve == "z":
+        keyed, key = zorder_key(df, dims, bits=bits), "zkey"
+    else:
+        raise ValueError(f"unknown curve {curve!r}: use 'z' or 'hilbert'")
+    return keyed.repartitionByRange(n_files, key).sortWithinPartitions(key)
+
+
+def _hilbert_level(s: int, n: int, engine: str) -> tuple[str, str, str]:
+    """One unrolled level of the classic xy→d Hilbert walk (Wikipedia's
+    ``xy2d``/``rot``): expressions for the d increment and the rotated
+    (x, y) in terms of the previous level's ``__hx``/``__hy``. The only
+    engine split is XOR — Spark spells it ``^``, DuckDB's ``^`` is
+    POWER and its XOR is ``xor()``."""
+    rx = f"(CASE WHEN (__hx & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (__hy & {s}) > 0 THEN 1 ELSE 0 END)"
+    mix = (
+        f"((3 * {rx}) ^ {ry})" if engine == "spark"
+        else f"xor(3 * {rx}, {ry})"
     )
+    d_inc = f"CAST({s} AS BIGINT) * {s} * {mix}"
+    # rot: if ry==0 { if rx==1 { x,y = n-1-x, n-1-y }; swap(x,y) }
+    x_new = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - __hy ELSE __hy END) "
+        f"ELSE __hx END"
+    )
+    y_new = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - __hx ELSE __hx END) "
+        f"ELSE __hy END"
+    )
+    return d_inc, x_new, y_new
+
+
+def hilbert_key(
+    df: DataFrame, dims: Sequence[tuple[str, str]], *, bits: int = 10
+) -> DataFrame:
+    """Append a Hilbert-curve key over exactly TWO dims (same
+    ``(column, kind)`` spec and min-max quantization as
+    :func:`zorder_key`) as ``hkey``.
+
+    Why a second curve: the z-curve takes long diagonal jumps at bit
+    boundaries (…011→100… flips every low bit), so a contiguous z-range
+    can cover two far-apart boxes; the Hilbert walk moves ONE grid step
+    per key increment (adjacency is pinned by test), so contiguous key
+    ranges are compact regions and per-file min/max boxes come out
+    tighter — the reason layout clustering in modern lakehouse engines
+    graduated from z-order to Hilbert. Cost: the key is ``bits``
+    unrolled rotate/flip levels instead of one interleave — still a
+    pure per-row codegen'd integer expression, no shuffle, no UDF.
+    Write path: ``zorder_layout(..., curve="hilbert")``."""
+    if len(dims) != 2:
+        raise ValueError(
+            f"hilbert_key supports exactly 2 dims (got {len(dims)}): the "
+            "rotate/flip recurrence is dimension-specific; for more dims "
+            "use zorder_key"
+        )
+    prof = df.agg(
+        *[
+            f
+            for col, _ in dims
+            for f in (
+                F.min(col).alias(f"min_{col}"),
+                F.max(col).alias(f"max_{col}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(prof))
+    for (col, kind), name in zip(dims, ("__hx", "__hy")):
+        out = out.withColumn(name, F.expr(_z_quantize(col, kind, bits, "spark")))
+    out = out.withColumn("hkey", F.lit(0).cast("bigint"))
+    n = 1 << bits
+    for lvl in range(bits - 1, -1, -1):
+        d_inc, x_new, y_new = _hilbert_level(1 << lvl, n, "spark")
+        out = out.withColumns(
+            {
+                "hkey": F.col("hkey") + F.expr(d_inc),
+                "__hx": F.expr(x_new),
+                "__hy": F.expr(y_new),
+            }
+        )
+    return out.drop(
+        "__hx", "__hy",
+        *[f"min_{c}" for c, _ in dims],
+        *[f"max_{c}" for c, _ in dims],
+    )
+
+
+def oracle_hilbert_key_sql(
+    source_sql: str,
+    dims: Sequence[tuple[str, str]],
+    *,
+    bits: int = 10,
+    keep: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`hilbert_key`: same quantization fragments,
+    same unrolled levels as chained CTEs."""
+    prof_cols = ", ".join(
+        f"min({col}) AS min_{col}, max({col}) AS max_{col}"
+        for col, _ in dims
+    )
+    keep_sql = (", ".join(keep) + ", ") if keep else ""
+    q0 = ", ".join(
+        f"{_z_quantize(col, kind, bits, 'duck')} AS {name}"
+        for (col, kind), name in zip(dims, ("__hx", "__hy"))
+    )
+    n = 1 << bits
+    levels = []
+    prev = "h0"
+    for i, lvl in enumerate(range(bits - 1, -1, -1)):
+        d_inc, x_new, y_new = _hilbert_level(1 << lvl, n, "duck")
+        levels.append(
+            f"h{i + 1} AS (SELECT {keep_sql}hkey + {d_inc} AS hkey, "
+            f"{x_new} AS __hx, {y_new} AS __hy FROM {prev})"
+        )
+        prev = f"h{i + 1}"
+    chain = ",\n    ".join(levels)
+    return f"""
+    WITH src AS ({source_sql}),
+    prof AS (SELECT {prof_cols} FROM src),
+    h0 AS (SELECT {keep_sql}CAST(0 AS BIGINT) AS hkey, {q0}
+           FROM src, prof),
+    {chain}
+    SELECT {keep_sql}hkey FROM {prev}
+    """
 
 
 def oracle_zorder_key_sql(

@@ -548,6 +548,82 @@ def test_zorder_layout_prunes_on_every_dim(psession):
     assert out.rdd.getNumPartitions() == n_files
 
 
+def _py_hilbert(bits, x, y):
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_is_the_true_hilbert_walk(psession):
+    """Over the FULL 16x16 quantized grid: (a) the engine key equals
+    the classic xy2d walk pointwise, (b) keys are a bijection onto
+    0..255, and (c) consecutive keys are Manhattan-distance-1 grid
+    neighbors — the locality property that separates Hilbert from the
+    z-curve (whose bit-boundary jumps are exactly what this layout
+    variant exists to avoid)."""
+    from streamtasks_spark.relational.scale import hilbert_key
+
+    bits = 4
+    rows = [(x * 16 + y, x, y) for x in range(16) for y in range(16)]
+    df = psession.createDataFrame(rows, "pid long, x long, y long")
+    # 16 values over bits=4 quantize to themselves (min 0, max 15)
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in hilbert_key(
+            df, [("x", "int"), ("y", "int")], bits=bits
+        ).collect()
+    }
+    assert got == {
+        (x, y): _py_hilbert(bits, x, y) for x in range(16) for y in range(16)
+    }
+    assert sorted(got.values()) == list(range(256))
+    walk = sorted(got, key=got.get)
+    for (x0, y0), (x1, y1) in zip(walk, walk[1:]):
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_hilbert_layout_prunes_on_every_dim(psession):
+    """Same per-file min/max measurement as the z-layout test: the
+    Hilbert layout prunes on BOTH dims where the single-column sort
+    reads everything on the non-sorted dim."""
+    from streamtasks_spark.relational.scale import zorder_layout
+
+    n_files = 8
+    grid = psession.range(10_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    dims = [("x", "int"), ("y", "int")]
+    parted = zorder_layout(grid, dims, bits=10, n_files=n_files, curve="hilbert")
+    boxes = (
+        parted.select(F.spark_partition_id().alias("pid"), "x", "y")
+        .groupBy("pid")
+        .agg(
+            F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+            F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+        )
+        .collect()
+    )
+    assert len(boxes) == n_files
+
+    def overlaps(dim, lo, hi):
+        return sum(1 for b in boxes if b[f"{dim}hi"] >= lo and b[f"{dim}lo"] <= hi)
+
+    assert overlaps("y", 375, 625) < n_files
+    assert overlaps("x", 0, 100) < n_files
+
+
 def test_key_skew_report_matches_python_model(psession):
     """Every column of the skew profile is integer-exact against a
     hand-computed model: per-key counts, share in ppm, the
