@@ -494,6 +494,116 @@ def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
         assert got.get(doc_id, (0, "")) == (n_kept, text_kept), doc_id
 
 
+def _run_parquet_avail_now(build, out, ckpt):
+    """One availableNow run of a freshly-built streaming pipeline into a
+    parquet sink under a FIXED checkpoint — the restart unit: the next
+    call with the same checkpoint resumes source offsets AND operator
+    state exactly where this one stopped."""
+    q = (
+        build()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_paragraph_dedup_restart_restores_state(spark, tmp_path):
+    """The native dedup state must survive a clean stop/restart: batch-2
+    documents (arriving in a SECOND availableNow run against the same
+    checkpoint) repeat batch-1 paragraphs, and the restored
+    dropDuplicatesWithinWatermark state — not any in-memory residue —
+    must drop them, reassembling to the one-shot batch output."""
+    from streamtasks_spark.llmdata.dedup import PARA_JOIN, paragraph_dedup
+    from streamtasks_spark.streaming.stateful import streaming_paragraph_dedup
+
+    nl = PARA_JOIN
+    b1 = [(1, f"intro one{nl}shared footer"), (2, "body two")]
+    b2 = [(101, f"extra a{nl}shared footer"), (102, f"body two{nl}extra b")]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1000))
+    src, out = tmp_path / "pr_src", str(tmp_path / "pr_out")
+    ckpt = str(tmp_path / "pr_ckpt")
+    schema = mk(b1).schema
+
+    def build():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        return streaming_paragraph_dedup(stream, watermark_delay="6 hours")
+
+    mk(b1).coalesce(1).write.parquet(str(src / "p1"))
+    _run_parquet_avail_now(build, out, ckpt)  # run 1: b1 only
+    mk(b2).coalesce(1).write.parquet(str(src / "p2"))
+    _run_parquet_avail_now(build, out, ckpt)  # restart: b2 via state
+
+    got = {
+        r["doc_id"]: (r["n_kept"], r["text_kept"])
+        for r in spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                    lambda x: x["para"],
+                ),
+                PARA_JOIN,
+            ).alias("text_kept"),
+        )
+        .collect()
+    }
+    expect = {
+        r["doc_id"]: (r["n_kept"], r["text_kept"])
+        for r in paragraph_dedup(
+            mk(b1 + b2).select("doc_id", "text")
+        ).collect()
+        if r["n_kept"] > 0
+    }
+    assert got == expect
+    assert got[101] == (1, "extra a") and got[102] == (1, "extra b")
+
+
+def test_streaming_dedup_exact_restart_restores_state(spark, tmp_path):
+    """Same restart contract for the document-level native twin: a
+    batch-2 whitespace variant of a batch-1 doc must be dropped by the
+    RESTORED hash state after a clean stop/restart."""
+    from streamtasks_spark.streaming.stateful import streaming_dedup_exact
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1000))
+    b1 = [(1, "alpha beta"), (2, "gamma")]
+    b2 = [(101, "  alpha   beta "), (102, "delta")]
+    src, out = tmp_path / "de_src", str(tmp_path / "de_out")
+    ckpt = str(tmp_path / "de_ckpt")
+    schema = mk(b1).schema
+
+    def build():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        return streaming_dedup_exact(stream, watermark_delay="6 hours")
+
+    mk(b1).coalesce(1).write.parquet(str(src / "p1"))
+    _run_parquet_avail_now(build, out, ckpt)
+    mk(b2).coalesce(1).write.parquet(str(src / "p2"))
+    _run_parquet_avail_now(build, out, ckpt)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 102}  # 101 dropped by restored state
+
+
 def test_streaming_llm_chat_matches_batch(spark, tmp_path, event_dir):
     """Conversation history latches across micro-batches: the streaming
     chat twin must produce the identical replies to the batch stub."""
