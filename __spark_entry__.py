@@ -1830,9 +1830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "cluster_prune": _q_cluster_prune,
         "cluster_prune_policy": _q_cluster_prune_policy,
-        # --- r11 window rotation: the whole r08-certified backlog (45
-        # rows, r08 window order). After this round no query's latest
-        # driver row is older than r09.
+        # --- r11 window rotation: the 41 oldest r08-certified backlog
+        # rows (r08 window order). After this round the only rows older
+        # than r09 are the four displaced ones at the tail head below.
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
@@ -1874,11 +1874,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
         "time_to_text": _q_time_to_text,
+        # ------- first entry PAST the driver's 50-query window -------
+        # tail head: the four r08 rows the second-wave ops displaced —
+        # byte-identical under the manifest gate, spot-verified via
+        # check_oracle this round, rotate FIRST in r12
         "timestamp_update": _q_timestamp_update,
         "frame_sample": _q_frame_sample,
         "image_renderer": _q_image_renderer,
         "string_matcher": _q_string_matcher,
-        # ------- first entry PAST the driver's 50-query window -------
         # r09-certified rows in r09 window order (ann_recall
         # re-certifies in the r11 window above: seventh rung added)
         "contamination_report": _q_contamination_report,

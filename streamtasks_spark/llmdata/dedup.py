@@ -372,12 +372,15 @@ def paragraph_dedup(
     semantics follow Raffel et al. (C4) §2.2's "three-sentence span"
     dedup simplified to whole paragraphs.
 
-    Returns one row per input document:
+    Returns one row per input document that has ≥1 non-empty paragraph:
     ``(id, n_paras, n_kept, text_kept)`` — non-empty paragraph count,
     surviving count, and the surviving paragraphs re-joined in original
-    order with one blank line (a fully-duplicate document keeps
-    ``text_kept = ''``, it is NOT dropped — dropping is a policy the
-    caller applies with a filter).
+    order with one blank line. A fully-DUPLICATE document keeps
+    ``text_kept = ''`` (it is not dropped — dropping is a policy the
+    caller applies with a filter); a NULL-text or whitespace-only
+    document has no paragraphs at all and is ABSENT from the output
+    (mirrored by the oracle), so callers joining back must use a left
+    join if they need those ids.
 
     100 TB shape: explode is narrow; the keep-first winner per paragraph
     hash is a groupBy(min(struct)) — map-side partial agg, so a
@@ -391,16 +394,7 @@ def paragraph_dedup(
     # feeds the winner agg, the join probe AND the per-doc count — three
     # consumers of one explode lineage (see pin/pin_scope contract)
     paras = pin(_para_rows(docs, id_col, text_col))
-    winners = paras.groupBy("__h").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("w_id"), F.col("__idx").alias("w_idx"))
-        ).alias("__w")
-    )
-    kept = paras.join(winners, "__h").filter(
-        (F.col(id_col) == F.col("__w.w_id"))
-        & (F.col("__idx") == F.col("__w.w_idx"))
-    )
-    return _para_reassemble(paras, kept, id_col)
+    return _para_reassemble(paras, _para_winners(paras, id_col), id_col)
 
 
 def _para_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -421,6 +415,25 @@ def _para_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _para_winners(paras: DataFrame, id_col: str) -> DataFrame:
+    """The keep-first surviving rows of a ``_para_rows`` table: one
+    row per distinct hash, the corpus-min ``(id, idx)`` occurrence.
+    groupBy(min(struct)) + join back — NOT a row_number window over
+    the hash, whose single-task sort a billion-row boilerplate class
+    would break (see :func:`paragraph_dedup`). One definition so the
+    tie-break invariant cannot drift between the one-shot operator,
+    the row view, and the incremental index."""
+    winners = paras.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("w_id"), F.col("__idx").alias("w_idx"))
+        ).alias("__w")
+    )
+    return paras.join(winners, "__h").filter(
+        (F.col(id_col) == F.col("__w.w_id"))
+        & (F.col("__idx") == F.col("__w.w_idx"))
+    )
+
+
 def paragraph_dedup_rows(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -429,23 +442,11 @@ def paragraph_dedup_rows(
     ``streaming_paragraph_dedup``'s output shape (the streaming
     equivalence harness compares the two frame-for-frame)."""
     paras = pin(_para_rows(docs, id_col, text_col))
-    winners = paras.groupBy("__h").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("w_id"), F.col("__idx").alias("w_idx"))
-        ).alias("__w")
-    )
-    return (
-        paras.join(winners, "__h")
-        .filter(
-            (F.col(id_col) == F.col("__w.w_id"))
-            & (F.col("__idx") == F.col("__w.w_idx"))
-        )
-        .select(
-            F.col(id_col),
-            F.col("__idx").alias("idx"),
-            F.col("__para").alias("para"),
-            F.col("__h").alias("para_hash"),
-        )
+    return _para_winners(paras, id_col).select(
+        F.col(id_col),
+        F.col("__idx").alias("idx"),
+        F.col("__para").alias("para"),
+        F.col("__h").alias("para_hash"),
     )
 
 
@@ -2453,15 +2454,7 @@ class ParagraphIndex:
         spark = docs.sparkSession
         idc = self.id_col
         paras = pin(_para_rows(docs, idc, self.text_col))
-        winners = paras.groupBy("__h").agg(
-            F.min(
-                F.struct(F.col(idc).alias("w_id"), F.col("__idx").alias("w_idx"))
-            ).alias("__w")
-        )
-        batch_kept = paras.join(winners, "__h").filter(
-            (F.col(idc) == F.col("__w.w_id"))
-            & (F.col("__idx") == F.col("__w.w_idx"))
-        )
+        batch_kept = _para_winners(paras, idc)
         old = snapshot_read(spark, self.seen_path)
         kept = (
             batch_kept if old is None
@@ -2469,10 +2462,15 @@ class ParagraphIndex:
                 old.withColumnRenamed("para_hash", "__h"), "__h", "left_anti"
             )
         )
+        # kept feeds BOTH the reassembled output and the hash append —
+        # without the pin the winner agg + join + history anti-join
+        # would execute twice per ingest
+        kept = pin(kept)
         out = pin(_para_reassemble(paras, kept, idc))
         out.count()  # materialize before the append below
         new_hashes = kept.select(F.col("__h").alias("para_hash"))
         append_write(new_hashes, self.seen_path)
+        kept.unpersist()
         paras.unpersist()
         return out
 

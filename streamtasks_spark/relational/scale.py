@@ -345,12 +345,12 @@ def oracle_zorder_key_sql(
         for col, kind in dims
     )
     zexpr = _z_interleave([f"__q_{c}" for c, _ in dims], bits, "duck")
-    keep_sql = ", ".join(keep)
+    keep_sql = (", ".join(keep) + ", ") if keep else ""
     return f"""
     WITH src AS ({source_sql}),
     prof AS (SELECT {prof_cols} FROM src),
-    q AS (SELECT {keep_sql}, {qsel} FROM src, prof)
-    SELECT {keep_sql}, {zexpr} AS zkey FROM q
+    q AS (SELECT {keep_sql}{qsel} FROM src, prof)
+    SELECT {keep_sql}{zexpr} AS zkey FROM q
     """
 
 
@@ -418,7 +418,12 @@ def key_skew_report(df: DataFrame, key: str, *, top_k: int = 5) -> DataFrame:
         .groupBy("total_rows", "n_keys", "max_cnt")
         .agg(*[F.expr(e) for e in _pct_exprs("spark")])
     )
-    heavy = counts.orderBy(F.col("cnt").desc(), F.col(key).asc()).limit(top_k)
+    # asc_nulls_last pins the tie-break to DuckDB's ASC default (NULLS
+    # LAST) — Spark's bare asc() is NULLS FIRST, a latent divergence
+    # when a NULL key ties on count exactly at the top_k boundary
+    heavy = counts.orderBy(
+        F.col("cnt").desc(), F.col(key).asc_nulls_last()
+    ).limit(top_k)
     return heavy.crossJoin(F.broadcast(prof)).select(
         F.col(key),
         F.col("cnt"),
