@@ -23,6 +23,7 @@ from streamtasks_spark.functions.text import (
 from streamtasks_spark.functions.fntask import fn_task
 from streamtasks_spark.functions.timefmt import time_to_text, timestamp_update
 from streamtasks_spark.llmdata import (
+    bpe,
     dedup,
     multimodal,
     pipeline,
@@ -346,6 +347,22 @@ def _docs_with_paras(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(_docs_with_paras(spark, sf_dir))
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-tokenizer merge table: 10 rounds of Sennrich BPE over
+    the corpus vocabulary — each row a fused symbol pair with its exact
+    integer adjacent-pair count at merge time."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return bpe.bpe_train(docs, n_merges=10, min_freq=2)
+
+
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-document subword counts under the same learned BPE —
+    the sequence-length number packing/pricing actually needs (vs
+    text_stats' regex estimate). All-integer output."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return bpe.bpe_token_count(docs, n_merges=10, min_freq=2)
 
 
 # the skew profile is exercised on an injected-hot-key stream: every 5th
@@ -1774,17 +1791,23 @@ _MUST_VERIFY_R11 = [
     # layout walk (adjacency pinned by test); unrolled rotate/flip
     # levels rendered for both engines from one fragment helper.
     "hilbert_key",
+    # NEW op r11 (third wave): learned BPE tokenizer — 10-round
+    # Sennrich merge learner over the corpus vocabulary (exact BIGINT
+    # pair counts, delimited-string fuse identical in both engines;
+    # oracle unrolls the learner as chained CTEs) and the exact
+    # per-document subword counts under it.
+    "bpe_train", "bpe_token_count",
 ]
 
 # r11 rotation (r10 verdict task 3): the r08-certified backlog, queued
-# oldest-first since r10. 9 must-verify + 41 rotation = 50. The four
-# NEW second-wave ops displace the backlog's last four rows
-# (timestamp_update, frame_sample, image_renderer, string_matcher) —
-# those stay r08-certified (byte-identical under the manifest gate,
-# spot-verified via scripts/check_oracle.py this round) and rotate
-# FIRST in r12.
+# oldest-first since r10. 11 must-verify + 39 rotation = 50. The six
+# NEW second/third-wave ops displace the backlog's last six rows
+# (timestamp_update, frame_sample, image_renderer, string_matcher,
+# ann_ivf_sq_topk, time_to_text) — those stay r08-certified
+# (byte-identical under the manifest gate, spot-verified via
+# scripts/check_oracle.py this round) and rotate FIRST in r12.
 _ROTATE_R11 = [
-    # the 41 oldest r08-green rows (r08 window order)
+    # the 39 oldest r08-green rows (r08 window order)
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join", "switch",
     "calculator", "calculator_multivar", "sr_latch", "pause_state",
@@ -1796,7 +1819,7 @@ _ROTATE_R11 = [
     "salted_join", "range_join", "stratified_sample", "split_assign",
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
     "unigram_lm", "semantic_dedup", "text_semantic_dedup",
-    "dsir_weights", "ann_sq_topk", "ann_ivf_sq_topk", "time_to_text",
+    "dsir_weights", "ann_sq_topk",
 ]
 
 
@@ -1826,13 +1849,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": _q_key_skew_report,
         "zorder_key": _q_zorder_key,
         "hilbert_key": _q_hilbert_key,
+        "bpe_train": _q_bpe_train,
+        "bpe_token_count": _q_bpe_token_count,
         "ann_ivf_pq_res_topk": _q_ann_ivf_pq_res_topk,
         "ann_recall": _q_ann_recall,
         "cluster_prune": _q_cluster_prune,
         "cluster_prune_policy": _q_cluster_prune_policy,
-        # --- r11 window rotation: the 41 oldest r08-certified backlog
+        # --- r11 window rotation: the 39 oldest r08-certified backlog
         # rows (r08 window order). After this round the only rows older
-        # than r09 are the four displaced ones at the tail head below.
+        # than r09 are the six displaced ones at the tail head below.
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
@@ -1872,12 +1897,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semantic_dedup": _q_text_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
         "ann_sq_topk": _q_ann_sq_topk,
+        # ------- first entry PAST the driver's 50-query window -------
+        # tail head: the six r08 rows the second/third-wave ops
+        # displaced — byte-identical under the manifest gate,
+        # spot-verified via check_oracle this round, rotate FIRST in r12
         "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
         "time_to_text": _q_time_to_text,
-        # ------- first entry PAST the driver's 50-query window -------
-        # tail head: the four r08 rows the second-wave ops displaced —
-        # byte-identical under the manifest gate, spot-verified via
-        # check_oracle this round, rotate FIRST in r12
         "timestamp_update": _q_timestamp_update,
         "frame_sample": _q_frame_sample,
         "image_renderer": _q_image_renderer,
@@ -2795,6 +2820,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": dedup.oracle_dedup_exact_sql(_DUP_INJECT_SQL),
         "paragraph_dedup": dedup.oracle_paragraph_dedup_sql(_PARA_INJECT_SQL),
+        "bpe_train": bpe.oracle_bpe_train_sql(n_merges=10, min_freq=2),
+        "bpe_token_count": bpe.oracle_bpe_token_count_sql(
+            n_merges=10, min_freq=2
+        ),
         "key_skew_report": scale.oracle_key_skew_report_sql(
             _SKEW_INJECT_SQL, key="user_id"
         ),
