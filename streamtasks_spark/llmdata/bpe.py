@@ -287,7 +287,29 @@ def bpe_encode(
     rows = bounded_collect(
         merges.select("merge_rank", "x", "y"), max_merges, "bpe_encode merges"
     )
-    rows.sort(key=lambda r: r["merge_rank"])
+    return bpe_encode_frozen(
+        docs,
+        sorted(
+            ((r["merge_rank"], r["x"], r["y"]) for r in rows),
+        ),
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def bpe_encode_frozen(
+    docs: DataFrame,
+    merge_rows: list[tuple],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`bpe_encode` against an ALREADY-COLLECTED merge table —
+    ``merge_rows`` as ``(merge_rank, x, y, ...)`` tuples sorted by
+    rank. The frozen-model form streaming twins use: collect once at
+    stream start, compile once, apply per batch (a doc's encoding is a
+    pure function of (text, merges), so per-batch results union to the
+    one-shot batch encode bit-exactly, independent of batching)."""
     toks = spread(docs, id_col).select(
         F.col(id_col),
         F.posexplode(F.expr(bpe_tokens_expr(text_col))).alias(
@@ -295,11 +317,9 @@ def bpe_encode(
         ),
     )
     seq = F.expr(_seq0_expr("__tok", "spark"))
-    for r in rows:
+    for _, x, y in ((m[0], m[1], m[2]) for m in merge_rows):
         seq = F.replace(
-            seq,
-            F.lit(f"~{r['x']}~~{r['y']}~"),
-            F.lit(f"~{r['x']}{r['y']}~"),
+            seq, F.lit(f"~{x}~~{y}~"), F.lit(f"~{x}{y}~")
         )
     enc = (
         toks.select("__tok")

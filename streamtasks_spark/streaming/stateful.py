@@ -1105,6 +1105,54 @@ def streaming_bm25_filter(
     )
 
 
+def streaming_bpe_count(
+    docs: DataFrame,
+    *,
+    merge_rows: list[tuple],
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming subword accounting under a FROZEN BPE merge table
+    (``merge_rows`` as ``(merge_rank, x, y, ...)`` tuples from a
+    :func:`~streamtasks_spark.llmdata.bpe.bpe_train` result, collected
+    once at stream start): each arriving document is encoded with
+    :func:`~streamtasks_spark.llmdata.bpe.bpe_encode_frozen` and its
+    ``(id, n_tokens, n_bpe_tokens, batch_id)`` row appended to
+    ``out_path`` — the live half of token-budget accounting while a
+    crawl streams in (what does this batch cost in training tokens
+    under OUR tokenizer, not a whitespace estimate). Same
+    frozen-model/foreachBatch contract as :func:`streaming_bm25_filter`:
+    a doc's encoding is a pure function of (text, merges), so per-batch
+    appends union to the one-shot batch encode bit-exactly,
+    independent of arrival batching and order.
+
+    Returns the started StreamingQuery."""
+    from streamtasks_spark.llmdata.bpe import bpe_encode_frozen
+
+    rows = sorted(tuple(m[:3]) for m in merge_rows)
+
+    def _count(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        enc = bpe_encode_frozen(
+            batch.select(id_col, text_col), rows,
+            id_col=id_col, text_col=text_col,
+        )
+        enc.select(
+            id_col,
+            "n_bpe_tokens",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        docs.writeStream.foreachBatch(_count)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def streaming_approx_distinct(
     docs: DataFrame,
     *,

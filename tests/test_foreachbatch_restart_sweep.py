@@ -196,6 +196,34 @@ def _spec_bm25_filter():
     )
 
 
+def _spec_bpe_count():
+    from streamtasks_spark.llmdata.bpe import bpe_encode_frozen, bpe_train
+    from streamtasks_spark.streaming.stateful import streaming_bpe_count
+
+    def prepare(spark, full):
+        rows = [
+            tuple(r)
+            for r in bpe_train(full, n_merges=6, min_freq=2).collect()
+        ]
+        assert rows  # the corpus must actually learn merges
+        return (rows,)
+
+    return dict(
+        source="documents", idc="doc_id",
+        prepare=prepare,
+        start=lambda stream, td, ctx, ck: streaming_bpe_count(
+            stream, merge_rows=ctx[0], out_path=f"{td}/out",
+            checkpoint=ck,
+        ),
+        expect=lambda spark, full, chunks, td, ctx: _canon(
+            bpe_encode_frozen(
+                full, sorted(m[:3] for m in ctx[0])
+            ).select("doc_id", "n_bpe_tokens")
+        ),
+        replay="stateless",
+    )
+
+
 def _spec_dsir_weights():
     from streamtasks_spark.llmdata.quality import dsir_score, dsir_train
     from streamtasks_spark.streaming.stateful import streaming_dsir_weights
@@ -539,6 +567,7 @@ SPECS = {
     "unigram_lm": _spec_unigram,
     "ngram_lm": _spec_ngram,
     "bm25_filter": _spec_bm25_filter,
+    "bpe_count": _spec_bpe_count,
     "dsir_weights": _spec_dsir_weights,
     "importance_resample": _spec_importance_resample,
     "dedup_minhash": _spec_minhash,
