@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from streamtasks_spark.core.dataset import shuffle_shards, write_dataset
+from streamtasks_spark.llmdata.bpe import bpe_token_count, bpe_train
 from streamtasks_spark.llmdata.dedup import (
     connected_components,
     dedup_minhash,
@@ -117,6 +118,21 @@ def main() -> None:
           "per-(source, split) report of the survivors:")
     for r in report.orderBy("source", "split").limit(6).collect():
         print(f"  {r['source']}/{r['split']}: kept {r['n_kept']}")
+
+    # 3.8 token-budget accounting (r11): train the tokenizer ON the
+    # surviving corpus and price it in ITS OWN subword tokens — the
+    # number a compute plan actually consumes (a whitespace estimate
+    # drifts 20-40% from the trained-tokenizer figure). The merge
+    # table is the artifact a production run would persist next to
+    # the dataset manifest.
+    merges = bpe_train(kept, n_merges=10, min_freq=2)
+    budget = bpe_token_count(kept, n_merges=10, min_freq=2).agg(
+        F.sum("n_bpe_tokens").alias("total"),
+        F.sum("n_tokens").alias("words"),
+    ).collect()[0]
+    print(f"token budget: {budget['total']} BPE subword tokens "
+          f"over {budget['words']} word-level tokens, under "
+          f"{merges.count()} learned merges")
 
     # 4. deterministic split + global shuffle + sharded write
     kept = split_assign(kept, carry=("text", "lang", "source", "n_chars"))
