@@ -365,6 +365,14 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_token_count(docs, n_merges=10, min_freq=2)
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer quality as data: per-source subwords-per-word under
+    the learned BPE, in exact integer micro-units (floor division in
+    both engines)."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return bpe.bpe_fertility(docs, n_merges=10, min_freq=2)
+
+
 # the skew profile is exercised on an injected-hot-key stream: every 5th
 # event re-keyed to one synthetic user, so the report provably surfaces
 # a key holding ~17% of the rows (suggested_salt >> 1) against an
@@ -1794,20 +1802,21 @@ _MUST_VERIFY_R11 = [
     # NEW op r11 (third wave): learned BPE tokenizer — 10-round
     # Sennrich merge learner over the corpus vocabulary (exact BIGINT
     # pair counts, delimited-string fuse identical in both engines;
-    # oracle unrolls the learner as chained CTEs) and the exact
-    # per-document subword counts under it.
-    "bpe_train", "bpe_token_count",
+    # oracle unrolls the learner as chained CTEs), the exact
+    # per-document subword counts under it, and the per-source
+    # fertility quality probe (integer micro-unit floor division).
+    "bpe_train", "bpe_token_count", "bpe_fertility",
 ]
 
 # r11 rotation (r10 verdict task 3): the r08-certified backlog, queued
-# oldest-first since r10. 11 must-verify + 39 rotation = 50. The six
-# NEW second/third-wave ops displace the backlog's last six rows
+# oldest-first since r10. 12 must-verify + 38 rotation = 50. The seven
+# NEW second/third-wave ops displace the backlog's last seven rows
 # (timestamp_update, frame_sample, image_renderer, string_matcher,
-# ann_ivf_sq_topk, time_to_text) — those stay r08-certified
-# (byte-identical under the manifest gate, spot-verified via
-# scripts/check_oracle.py this round) and rotate FIRST in r12.
+# ann_sq_topk, ann_ivf_sq_topk, time_to_text) — those stay
+# r08-certified (byte-identical under the manifest gate, spot-verified
+# via scripts/check_oracle.py this round) and rotate FIRST in r12.
 _ROTATE_R11 = [
-    # the 39 oldest r08-green rows (r08 window order)
+    # the 38 oldest r08-green rows (r08 window order)
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join", "switch",
     "calculator", "calculator_multivar", "sr_latch", "pause_state",
@@ -1819,7 +1828,7 @@ _ROTATE_R11 = [
     "salted_join", "range_join", "stratified_sample", "split_assign",
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
     "unigram_lm", "semantic_dedup", "text_semantic_dedup",
-    "dsir_weights", "ann_sq_topk",
+    "dsir_weights",
 ]
 
 
@@ -1851,13 +1860,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key": _q_hilbert_key,
         "bpe_train": _q_bpe_train,
         "bpe_token_count": _q_bpe_token_count,
+        "bpe_fertility": _q_bpe_fertility,
         "ann_ivf_pq_res_topk": _q_ann_ivf_pq_res_topk,
         "ann_recall": _q_ann_recall,
         "cluster_prune": _q_cluster_prune,
         "cluster_prune_policy": _q_cluster_prune_policy,
-        # --- r11 window rotation: the 39 oldest r08-certified backlog
+        # --- r11 window rotation: the 38 oldest r08-certified backlog
         # rows (r08 window order). After this round the only rows older
-        # than r09 are the six displaced ones at the tail head below.
+        # than r09 are the seven displaced ones at the tail head below.
         "set_ops": rel(rq.union_intersect_except),
         "top_customers_per_nation": rel(rq.top_customers_per_nation),
         "orders_without_lineitems": rel(rq.orders_without_lineitems),
@@ -1896,11 +1906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "text_semantic_dedup": _q_text_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
-        "ann_sq_topk": _q_ann_sq_topk,
         # ------- first entry PAST the driver's 50-query window -------
-        # tail head: the six r08 rows the second/third-wave ops
+        # tail head: the seven r08 rows the second/third-wave ops
         # displaced — byte-identical under the manifest gate,
         # spot-verified via check_oracle this round, rotate FIRST in r12
+        "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
@@ -2822,6 +2832,9 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": dedup.oracle_paragraph_dedup_sql(_PARA_INJECT_SQL),
         "bpe_train": bpe.oracle_bpe_train_sql(n_merges=10, min_freq=2),
         "bpe_token_count": bpe.oracle_bpe_token_count_sql(
+            n_merges=10, min_freq=2
+        ),
+        "bpe_fertility": bpe.oracle_bpe_fertility_sql(
             n_merges=10, min_freq=2
         ),
         "key_skew_report": scale.oracle_key_skew_report_sql(

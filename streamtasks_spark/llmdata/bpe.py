@@ -263,6 +263,71 @@ def bpe_token_count(
     )
 
 
+def bpe_fertility(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n_merges: int = 10,
+    min_freq: int = 2,
+) -> DataFrame:
+    """Tokenizer quality as data (the tier's :func:`ann_recall`
+    analog): per-``group_col`` fertility — subword tokens emitted per
+    word token, the standard tokenizer-efficiency metric (a fertility
+    of 1.0 means every word is one token; higher means the vocabulary
+    serves that slice poorly and its documents cost more sequence
+    length per word). Output ``(group, n_docs, n_words, n_subwords,
+    fertility_micro)`` where ``fertility_micro`` is the exact integer
+    ``(n_subwords * 1_000_000) div n_words`` — floor division in both
+    engines, so the probe is bit-stable with no float discipline.
+
+    Only word tokens count (atomics are 1 subword by definition and
+    would just dilute the metric). 100 TB shape: the train chain plus
+    ONE broadcast join and a map-side-combined groupBy on the
+    (bounded) group key."""
+    _, seqs = _bpe_fit(
+        _word_freqs(docs, id_col, text_col), n_merges, min_freq
+    )
+    vocab = seqs.select(
+        "word",
+        F.size(F.expr(_syms_expr("seq", "spark"))).cast("long").alias(
+            "__n_sym"
+        ),
+    )
+    toks = (
+        spread(docs, id_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.explode(F.expr(bpe_tokens_expr(text_col))).alias("__tok"),
+        )
+        .filter(F.col("__tok").rlike(f"^{_BPE_WORD_RE}$"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), toks["__tok"] == vocab["word"])
+        .groupBy(group_col)
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_sym").alias("n_subwords"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.expr(
+                "CAST((n_subwords * 1000000L) DIV n_words AS BIGINT)"
+            ).alias("fertility_micro"),
+        )
+        # asc_nulls_last pins the tie to DuckDB's ASC default (NULLS
+        # LAST); Spark's bare asc is NULLS FIRST — latent divergence on
+        # a NULL group value
+        .orderBy(F.col(group_col).asc_nulls_last())
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: DataFrame,
@@ -430,6 +495,47 @@ def oracle_bpe_train_sql(
     WITH src AS ({source_sql}),
     {ctes}
     SELECT merge_rank, x, y, merged, cnt FROM {mall} ORDER BY merge_rank
+    """
+
+
+def oracle_bpe_fertility_sql(
+    source_sql: str = "SELECT doc_id, text, source FROM documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n_merges: int = 10,
+    min_freq: int = 2,
+) -> str:
+    """DuckDB twin of :func:`bpe_fertility` — same trained vocabulary,
+    same integer floor-division fertility."""
+    ctes, sfin, _ = _duck_bpe_ctes(n_merges, min_freq, text_col, id_col)
+    return f"""
+    WITH src AS ({source_sql}),
+    {ctes},
+    __v AS (
+      SELECT word, CAST(len({_syms_expr("seq", "duck")}) AS BIGINT)
+               AS __n_sym
+      FROM {sfin}
+    ),
+    __gt AS (
+      SELECT {id_col}, {group_col},
+        unnest({bpe_tokens_expr(text_col, "duck")}) AS __tok
+      FROM src
+    ),
+    __g AS (
+      SELECT t.{group_col},
+        CAST(count(DISTINCT t.{id_col}) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(v.__n_sym) AS BIGINT) AS n_subwords
+      FROM __gt t JOIN __v v ON t.__tok = v.word
+      WHERE regexp_full_match(t.__tok, '{_BPE_WORD_RE}')
+      GROUP BY t.{group_col}
+    )
+    SELECT {group_col}, n_docs, n_words, n_subwords,
+      CAST((n_subwords * 1000000) // n_words AS BIGINT)
+        AS fertility_micro
+    FROM __g ORDER BY {group_col} ASC
     """
 
 

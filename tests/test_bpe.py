@@ -227,6 +227,57 @@ def test_encode_unseen_words_fuse_partially(spark):
     assert "!" in toks and got["n_bpe_tokens"] == len(toks)
 
 
+@pytest.mark.parametrize("seed", [59])
+def test_bpe_fertility_matches_python_model(spark, seed):
+    """Per-group fertility: exact integer micro-unit floor division,
+    NULL groups ordered last in both engines."""
+    texts = _rand_texts(seed, n_docs=16)
+    _, wsyms = py_bpe(texts, n_merges=6, min_freq=2)
+    groups = ["s1", "s2", None] * ((len(texts) + 2) // 3)
+    agg = {}
+    for i, t in enumerate(texts):
+        g = groups[i]
+        ws = [w for w in _toks(t) if WORD_RE.match(w)]
+        if not ws:
+            continue
+        d, nw, ns = agg.get(g, (set(), 0, 0))
+        agg[g] = (d | {i}, nw + len(ws), ns + sum(len(wsyms[w]) for w in ws))
+    exp = sorted(
+        (
+            (g, len(d), nw, ns, ns * 1_000_000 // nw)
+            for g, (d, nw, ns) in agg.items()
+        ),
+        key=lambda r: (r[0] is None, r[0]),
+    )
+    docs = spark.createDataFrame(
+        [(i, t, groups[i]) for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = [
+        tuple(r)
+        for r in bpe.bpe_fertility(docs, n_merges=6, min_freq=2).collect()
+    ]
+    assert got == exp
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "source": groups[: len(texts)],
+            }
+        ),
+    )
+    dm = con.execute(
+        bpe.oracle_bpe_fertility_sql(n_merges=6, min_freq=2)
+    ).fetchall()
+    assert [tuple(r) for r in dm] == exp
+
+
 def test_token_count_plan_shape(spark):
     """Vocabulary join is broadcast; nothing row-Python anywhere."""
     docs = _docs_df(spark, ["the cat sat on the mat"] * 4)
