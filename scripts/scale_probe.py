@@ -141,6 +141,17 @@ def probe_ops(spark, docs):
     yield "approx_distinct", lambda: textstats.approx_distinct_hll(
         docs, n=3, p=8
     ), n
+    # r11 third wave: bpe_train's per-round work is VOCABULARY-bound
+    # (Heaps' law — the replicated corpus barely grows the vocab, its
+    # word salt adds one token family per copy), so only the one word
+    # count should scale; bpe_token_count adds the corpus-sized
+    # broadcast-join recount back on top
+    from streamtasks_spark.llmdata import bpe
+
+    yield "bpe_train", lambda: bpe.bpe_train(docs, n_merges=8), n
+    yield "bpe_token_count", lambda: bpe.bpe_token_count(
+        docs, n_merges=8
+    ), n
 
 
 def replicate_vectors(spark, factor: int):
