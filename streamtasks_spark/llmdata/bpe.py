@@ -60,6 +60,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamtasks_spark.core.state import manifest_read, replace_write
 from streamtasks_spark.llmdata.dedup import (
     bounded_collect,
     norm_text,
@@ -420,6 +421,28 @@ def bpe_encode_frozen(
         )
         .orderBy(id_col)
     )
+
+
+def save_merges(merges: DataFrame, path: str) -> None:
+    """Persist a trained merge table through the versioned-manifest
+    commit protocol (:mod:`streamtasks_spark.core.state` — the same
+    crash-safety story as the index classes: a crash before the
+    pointer flip leaves the previous merge table live, which matters
+    because a HALF-written merge table silently changes every token
+    count downstream). The tokenizer is the artifact a production run
+    stores next to the dataset manifest; loading a different version
+    than the one the corpus was priced with is a budget bug."""
+    replace_write(merges.coalesce(1), path)
+
+
+def load_merges(spark, path: str) -> DataFrame:
+    """Read the live committed merge table back (snapshot-isolated
+    against a concurrent :func:`save_merges`). Raises if nothing has
+    been committed."""
+    df = manifest_read(spark, path)
+    if df is None:
+        raise ValueError(f"no committed BPE merge table at {path}")
+    return df.orderBy("merge_rank")
 
 
 def _duck_bpe_ctes(

@@ -278,6 +278,57 @@ def test_bpe_fertility_matches_python_model(spark, seed):
     assert [tuple(r) for r in dm] == exp
 
 
+def test_save_load_merges_roundtrip_and_crash_at_flip(
+    spark, tmp_path, monkeypatch
+):
+    """The persisted tokenizer artifact commits through the manifest
+    protocol: a crash between segment write and pointer flip leaves
+    the PREVIOUS merge table live (a half-written table would silently
+    change every downstream token count), and encoding with the loaded
+    table equals encoding with the in-memory one."""
+    from streamtasks_spark.core import state
+
+    texts = ["low lower lowest", "low lower newest"] * 3
+    docs = _docs_df(spark, texts)
+    merges = bpe.bpe_train(docs, n_merges=4, min_freq=2)
+    p = str(tmp_path / "tok")
+    bpe.save_merges(merges, p)
+    loaded = bpe.load_merges(spark, p)
+    assert [tuple(r) for r in loaded.collect()] == [
+        tuple(r) for r in merges.collect()
+    ]
+    enc_mem = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    enc_disk = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_encode(docs, loaded).collect()
+    }
+    assert enc_mem == enc_disk
+
+    # crash at the flip while committing a RETRAINED table
+    orig = state._flip
+    calls = {"n": 0}
+
+    def flip(tmp, dst):
+        calls["n"] += 1
+        raise RuntimeError("injected crash at flip")
+
+    monkeypatch.setattr(state, "_flip", flip)
+    with pytest.raises(RuntimeError, match="injected"):
+        bpe.save_merges(
+            bpe.bpe_train(docs, n_merges=2, min_freq=2), p
+        )
+    monkeypatch.setattr(state, "_flip", orig)
+    assert calls["n"] == 1
+    assert [tuple(r) for r in bpe.load_merges(spark, p).collect()] == [
+        tuple(r) for r in merges.collect()
+    ]
+    with pytest.raises(ValueError, match="no committed"):
+        bpe.load_merges(spark, str(tmp_path / "empty"))
+
+
 def test_token_count_plan_shape(spark):
     """Vocabulary join is broadcast; nothing row-Python anywhere."""
     docs = _docs_df(spark, ["the cat sat on the mat"] * 4)
