@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from streamtasks_spark.core.dataset import shuffle_shards, write_dataset
-from streamtasks_spark.llmdata.bpe import bpe_token_count, bpe_train
+from streamtasks_spark.llmdata.bpe import (
+    bpe_token_count,
+    bpe_train,
+    save_merges,
+)
 from streamtasks_spark.llmdata.dedup import (
     connected_components,
     dedup_minhash,
@@ -134,7 +138,10 @@ def main() -> None:
           f"over {budget['words']} word-level tokens, under "
           f"{merges.count()} learned merges")
 
-    # 4. deterministic split + global shuffle + sharded write
+    # 4. deterministic split + global shuffle + sharded write; the
+    # tokenizer commits beside the dataset through the same
+    # versioned-manifest protocol (a half-written merge table would
+    # silently re-price the corpus)
     kept = split_assign(kept, carry=("text", "lang", "source", "n_chars"))
     train = kept.filter(F.col("split") == "train").drop("split")
     addressed = shuffle_shards(
@@ -143,6 +150,7 @@ def main() -> None:
 
     td = tempfile.TemporaryDirectory(prefix="corpus_out_")
     out = out_dir or td.name
+    save_merges(merges, f"{out}/tokenizer")
     manifest = write_dataset(
         addressed, f"{out}/train",
         partition_by=["shard"], sort_within=["pos"], target_file_mb=64,
