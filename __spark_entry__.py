@@ -373,6 +373,13 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_fertility(docs, n_merges=10, min_freq=2)
 
 
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained vocabulary artifact: per-word frequency, final
+    symbol count, and the space-joined subword encoding."""
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return bpe.bpe_vocab(docs, n_merges=10, min_freq=2)
+
+
 # the skew profile is exercised on an injected-hot-key stream: every 5th
 # event re-keyed to one synthetic user, so the report provably surfaces
 # a key holding ~17% of the rows (suggested_salt >> 1) against an
@@ -1803,20 +1810,22 @@ _MUST_VERIFY_R11 = [
     # Sennrich merge learner over the corpus vocabulary (exact BIGINT
     # pair counts, delimited-string fuse identical in both engines;
     # oracle unrolls the learner as chained CTEs), the exact
-    # per-document subword counts under it, and the per-source
-    # fertility quality probe (integer micro-unit floor division).
-    "bpe_train", "bpe_token_count", "bpe_fertility",
+    # per-document subword counts under it, the per-source fertility
+    # quality probe (integer micro-unit floor division), and the
+    # trained-vocabulary artifact table.
+    "bpe_train", "bpe_token_count", "bpe_fertility", "bpe_vocab",
 ]
 
 # r11 rotation (r10 verdict task 3): the r08-certified backlog, queued
-# oldest-first since r10. 12 must-verify + 38 rotation = 50. The seven
-# NEW second/third-wave ops displace the backlog's last seven rows
+# oldest-first since r10. 13 must-verify + 37 rotation = 50. The eight
+# NEW second/third-wave ops displace the backlog's last eight rows
 # (timestamp_update, frame_sample, image_renderer, string_matcher,
-# ann_sq_topk, ann_ivf_sq_topk, time_to_text) — those stay
-# r08-certified (byte-identical under the manifest gate, spot-verified
-# via scripts/check_oracle.py this round) and rotate FIRST in r12.
+# dsir_weights, ann_sq_topk, ann_ivf_sq_topk, time_to_text) — those
+# stay r08-certified (byte-identical under the manifest gate,
+# spot-verified via scripts/check_oracle.py this round) and rotate
+# FIRST in r12.
 _ROTATE_R11 = [
-    # the 38 oldest r08-green rows (r08 window order)
+    # the 37 oldest r08-green rows (r08 window order)
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join", "switch",
     "calculator", "calculator_multivar", "sr_latch", "pause_state",
@@ -1828,7 +1837,6 @@ _ROTATE_R11 = [
     "salted_join", "range_join", "stratified_sample", "split_assign",
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
     "unigram_lm", "semantic_dedup", "text_semantic_dedup",
-    "dsir_weights",
 ]
 
 
@@ -1861,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "bpe_token_count": _q_bpe_token_count,
         "bpe_fertility": _q_bpe_fertility,
+        "bpe_vocab": _q_bpe_vocab,
         "ann_ivf_pq_res_topk": _q_ann_ivf_pq_res_topk,
         "ann_recall": _q_ann_recall,
         "cluster_prune": _q_cluster_prune,
@@ -1905,11 +1914,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": _q_unigram_lm,
         "semantic_dedup": _q_semantic_dedup,
         "text_semantic_dedup": _q_text_semantic_dedup,
-        "dsir_weights": _q_dsir_weights,
         # ------- first entry PAST the driver's 50-query window -------
-        # tail head: the seven r08 rows the second/third-wave ops
+        # tail head: the eight r08 rows the second/third-wave ops
         # displaced — byte-identical under the manifest gate,
         # spot-verified via check_oracle this round, rotate FIRST in r12
+        "dsir_weights": _q_dsir_weights,
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
         "time_to_text": _q_time_to_text,
@@ -2837,6 +2846,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": bpe.oracle_bpe_fertility_sql(
             n_merges=10, min_freq=2
         ),
+        "bpe_vocab": bpe.oracle_bpe_vocab_sql(n_merges=10, min_freq=2),
         "key_skew_report": scale.oracle_key_skew_report_sql(
             _SKEW_INJECT_SQL, key="user_id"
         ),

@@ -264,6 +264,56 @@ def bpe_token_count(
     )
 
 
+def bpe_vocab(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_freq: int = 2,
+) -> DataFrame:
+    """The trained vocabulary itself — one row per corpus word with
+    its frequency, final symbol count, and the space-joined subword
+    encoding (``low → 'low </w>'`` after a (l,o)+(lo,w) merge chain).
+    This is the direct artifact a trainer consumes next to the merge
+    table; deterministic (word-ordered), all strings ASCII by the
+    word-class construction."""
+    _, seqs = _bpe_fit(
+        _word_freqs(docs, id_col, text_col), n_merges, min_freq
+    )
+    return seqs.select(
+        "word",
+        "freq",
+        F.expr(_syms_expr("seq", "spark")).alias("__syms"),
+    ).select(
+        "word",
+        "freq",
+        F.size("__syms").cast("long").alias("n_sym"),
+        F.array_join("__syms", " ").alias("encoding"),
+    ).orderBy("word")
+
+
+def oracle_bpe_vocab_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_freq: int = 2,
+) -> str:
+    """DuckDB twin of :func:`bpe_vocab`."""
+    ctes, sfin, _ = _duck_bpe_ctes(n_merges, min_freq, text_col, id_col)
+    syms = _syms_expr("seq", "duck")
+    return f"""
+    WITH src AS ({source_sql}),
+    {ctes}
+    SELECT word, freq,
+      CAST(len({syms}) AS BIGINT) AS n_sym,
+      array_to_string({syms}, ' ') AS encoding
+    FROM {sfin} ORDER BY word
+    """
+
+
 def bpe_fertility(
     docs: DataFrame,
     *,

@@ -227,6 +227,25 @@ def test_encode_unseen_words_fuse_partially(spark):
     assert "!" in toks and got["n_bpe_tokens"] == len(toks)
 
 
+@pytest.mark.parametrize("seed", [71])
+def test_bpe_vocab_matches_python_model(spark, seed):
+    texts = _rand_texts(seed, n_docs=16)
+    freqs = collections.Counter(
+        w for t in texts for w in _toks(t) if WORD_RE.match(w)
+    )
+    _, wsyms = py_bpe(texts, n_merges=6, min_freq=2)
+    exp = sorted(
+        (w, freqs[w], len(s), " ".join(s)) for w, s in wsyms.items()
+    )
+    got = [
+        tuple(r)
+        for r in bpe.bpe_vocab(
+            _docs_df(spark, texts), n_merges=6, min_freq=2
+        ).collect()
+    ]
+    assert got == exp
+
+
 @pytest.mark.parametrize("seed", [59])
 def test_bpe_fertility_matches_python_model(spark, seed):
     """Per-group fertility: exact integer micro-unit floor division,
