@@ -8,6 +8,8 @@
   per-source corpus audit.
 - :mod:`.pipeline` — corpus assembly: benchmark decontamination,
   deterministic stratified sampling, hash-bucketed split assignment.
+- :mod:`.bpe` — learned BPE tokenization: merge-table training,
+  exact subword counts/fertility, encode, persisted tokenizer.
 - :mod:`.multimodal` — binary-column (image/audio blob) plumbing.
 
 Every operator ships with an ``oracle_*_sql`` builder that reproduces the
