@@ -1788,8 +1788,13 @@ _MUST_VERIFY_R11 = [
     # changed r11 (r10 advisor finding): keep_rate now clamps to the
     # documented [rate_floor, rate_ceil] band in BOTH the plan and the
     # oracle — values identical on this corpus (no negative-mean
-    # cluster), plan changed, so both consumers re-certify.
-    "cluster_prune", "cluster_prune_policy",
+    # cluster), plan changed, so both consumers re-certify. Changed
+    # AGAIN late-r11: the fuzz campaign (seed 31415, promoted to the
+    # fixtures) caught DuckDB round() emitting IEEE -0.0 where Spark's
+    # BigDecimal round gives +0.0 — the cosine/min_cos emissions now
+    # carry the dedup_recall-precedent '+ 0.0' normalization, pulling
+    # cluster_profile into the window too.
+    "cluster_prune", "cluster_prune_policy", "cluster_profile",
     # NEW op r11 (second wave): paragraph-level exact dedup — the
     # C4/RefinedWeb corpus-prep step (keep-first per normalized
     # paragraph corpus-wide, reassemble survivors).
@@ -1817,15 +1822,16 @@ _MUST_VERIFY_R11 = [
 ]
 
 # r11 rotation (r10 verdict task 3): the r08-certified backlog, queued
-# oldest-first since r10. 13 must-verify + 37 rotation = 50. The eight
-# NEW second/third-wave ops displace the backlog's last eight rows
-# (timestamp_update, frame_sample, image_renderer, string_matcher,
+# oldest-first since r10. 14 must-verify + 36 rotation = 50. The eight
+# NEW second/third-wave ops plus cluster_profile's late -0.0 oracle
+# fix displace the backlog's last nine rows (timestamp_update,
+# frame_sample, image_renderer, string_matcher, text_semantic_dedup,
 # dsir_weights, ann_sq_topk, ann_ivf_sq_topk, time_to_text) — those
 # stay r08-certified (byte-identical under the manifest gate,
 # spot-verified via scripts/check_oracle.py this round) and rotate
 # FIRST in r12.
 _ROTATE_R11 = [
-    # the 37 oldest r08-green rows (r08 window order)
+    # the 36 oldest r08-green rows (r08 window order)
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join", "switch",
     "calculator", "calculator_multivar", "sr_latch", "pause_state",
@@ -1836,7 +1842,7 @@ _ROTATE_R11 = [
     "audio_resampler", "video_mixer", "q22_global_sales_opportunity",
     "salted_join", "range_join", "stratified_sample", "split_assign",
     "mix_sample", "events_quantiles", "q2_min_cost_supplier",
-    "unigram_lm", "semantic_dedup", "text_semantic_dedup",
+    "unigram_lm", "semantic_dedup",
 ]
 
 
@@ -1874,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "cluster_prune": _q_cluster_prune,
         "cluster_prune_policy": _q_cluster_prune_policy,
+        "cluster_profile": _q_cluster_profile,
         # --- r11 window rotation: the 38 oldest r08-certified backlog
         # rows (r08 window order). After this round the only rows older
         # than r09 are the seven displaced ones at the tail head below.
@@ -1913,11 +1920,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
         "unigram_lm": _q_unigram_lm,
         "semantic_dedup": _q_semantic_dedup,
-        "text_semantic_dedup": _q_text_semantic_dedup,
         # ------- first entry PAST the driver's 50-query window -------
-        # tail head: the eight r08 rows the second/third-wave ops
-        # displaced — byte-identical under the manifest gate,
-        # spot-verified via check_oracle this round, rotate FIRST in r12
+        # tail head: the nine r08 rows the second/third-wave ops (and
+        # cluster_profile's late -0.0 oracle fix) displaced —
+        # byte-identical under the manifest gate, spot-verified via
+        # check_oracle this round, rotate FIRST in r12
+        "text_semantic_dedup": _q_text_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
@@ -1938,7 +1946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": _q_bloom_dedup,
         "ngram_lm": _q_ngram_lm,
         "semantic_decontaminate": _q_semantic_decontaminate,
-        "cluster_profile": _q_cluster_profile,
         "heavy_hitters": _q_heavy_hitters,
         "text_format": _q_text_format,
         "number_to_text": _q_number_to_text,

@@ -3507,7 +3507,11 @@ def oracle_cluster_profile_sql(
     """DuckDB twin of :func:`cluster_profile` — the k-means CTE chain
     re-derives the codebook (never literal-injected), assignment keeps
     the winning cosine, and the per-cluster mean uses the same
-    floored-integer scaled sum."""
+    floored-integer scaled sum. ``min_cos`` carries the ``+ 0.0``
+    signed-zero normalization: DuckDB's ``round`` keeps IEEE ``-0.0``
+    for a tiny-negative cosine where Spark's BigDecimal round emits
+    ``+0.0`` — a bit-only hash divergence the r11 fuzz campaign found
+    live at seed 31415 (the dedup_recall oracle set the precedent)."""
     kmeans, final = _duck_kmeans_ctes(dim, n_cells, n_iters, id_col)
     cdot = _duck_dot("x.__v", "c.__cv", dim)
     return f"""
@@ -3539,7 +3543,7 @@ def oracle_cluster_profile_sql(
       CAST(min({id_col}) AS BIGINT) AS rep_id,
       CAST(sum(__sc) AS DOUBLE) / (CAST(count(*) AS DOUBLE) *
         CAST(1000000 AS DOUBLE)) AS avg_cos,
-      round(min(__cos), 6) AS min_cos
+      round(min(__cos), 6) + 0.0 AS min_cos
     FROM sc GROUP BY cell
     """
 
@@ -3822,7 +3826,10 @@ def oracle_cluster_prune_sql(
     """DuckDB twin of :func:`cluster_prune` — the k-means CTE chain
     re-derives the codebook, assignment keeps the winning cosine, the
     keep rate derives from the same floored-integer mean, and the
-    within-cluster rank orders by the same integer cosine units."""
+    within-cluster rank orders by the same integer cosine units.
+    ``cosine`` carries the ``+ 0.0`` signed-zero normalization (see
+    :func:`oracle_cluster_profile_sql`); the policy twin inherits it
+    through its nested ``verdicts`` CTE."""
     kmeans, final = _duck_kmeans_ctes(dim, n_cells, n_iters, id_col)
     cdot = _duck_dot("x.__v", "c.__cv", dim)
     rf, rc = float(rate_floor), float(rate_ceil)
@@ -3870,7 +3877,7 @@ def oracle_cluster_prune_sql(
       FROM assigned a
     )
     SELECT r.{id_col}, CAST(r.cell AS BIGINT) AS cell,
-      round(r.__cos, 6) AS cosine,
+      round(r.__cos, 6) + 0.0 AS cosine,
       r.cell_rank,
       r.cell_rank <= k.__nkeep AS keep
     FROM ranked r JOIN nk k USING (cell)

@@ -277,9 +277,15 @@ def fuzz_vec_dirs(tmp_path_factory):
     # the PQ seed set SPARSE, the corpus that crashed pq_topk's
     # positional LUT indexing before the dense relabel fix — it stays
     # here so seed-id-labeled codebooks never meet positional indexing
-    # again
+    # again.
+    # seed 31415 is the r11 promotion: a cluster whose min/boundary
+    # cosine rounds to ZERO from below — DuckDB round() kept IEEE
+    # -0.0 where Spark's BigDecimal round gives +0.0, a bit-only hash
+    # divergence in cluster_profile/cluster_prune/cluster_prune_policy
+    # before the '+ 0.0' oracle normalization; it stays here so the
+    # signed-zero class never reopens on the cluster tier
     for seed, nonf in ((5, False), (41, False), (424, True),
-                       (9501, False)):
+                       (9501, False), (31415, False)):
         d = tmp_path_factory.mktemp(f"fuzzvec{seed}")
         cols = list(zip(*make_vectors(seed, nonfinite=nonf)))
         table = pa.table(
@@ -301,6 +307,9 @@ VEC_QUERIES = [
     # semantic_decontaminate and cluster_profile ride the same
     # zero-norm/NULL/duplicate axes
     "ann_ivf_pq_topk", "semantic_decontaminate", "cluster_profile",
+    # r11 promotion (seed 31415): the prune pair share cluster_profile's
+    # signed-zero boundary-cosine class
+    "cluster_prune", "cluster_prune_policy",
 ]
 
 
