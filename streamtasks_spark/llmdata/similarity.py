@@ -4874,8 +4874,8 @@ def oracle_ivf_pq_res_topk_sql(
       JOIN (SELECT DISTINCT query_id, __qv, __qn FROM probes) q
         ON q.query_id = c.query_id
     )
-    SELECT query_id, {id_col}, round(__cos, 6) AS cosine,
-           round(__adc, 6) AS approx,
+    SELECT query_id, {id_col}, round(__cos, 6) + 0.0 AS cosine,
+           round(__adc, 6) + 0.0 AS approx,
            CAST(row_number() OVER w AS INT) AS rank
     FROM rer
     WINDOW w AS (PARTITION BY query_id ORDER BY __cos DESC, {id_col} ASC)
