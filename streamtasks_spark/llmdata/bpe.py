@@ -57,6 +57,8 @@ cross-partitioning bit-equality holds by construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -123,6 +125,94 @@ _MERGE_SCHEMA = (
     "merge_rank int, x string, y string, merged string, cnt bigint"
 )
 
+# Driver-local fit gate (r11 optimization): vocabularies at or under
+# this many distinct words are pulled once (`limit(bound+1)` — driver-
+# safe by construction, the bounded_collect discipline) and the merge
+# loop runs in-process, replacing n_merges distributed argmax rounds
+# (2-3 Spark jobs each) with ZERO extra jobs. The same size-gated
+# driver fast path as dedup.connected_components' ``max_local_edges``
+# union-find: above the bound the distributed learner below runs
+# unchanged, so 100 TB corpora (whose Heaps-law vocabulary exceeds any
+# driver bound) keep the vocabulary distributed. Parameterized for
+# deployments via the env knob; 65,536 words ≈ a few MB of driver
+# state and < 1 s of in-process counting.
+_BPE_MAX_LOCAL_VOCAB = int(
+    os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB", "65536")
+)
+
+
+def _bpe_fit_local(
+    rows, n_merges: int, min_freq: int
+) -> tuple[list[tuple], list[tuple]]:
+    """Driver-local twin of the distributed merge learner — bit-identical
+    by construction: exact integer pair counts (Python ints), ties to
+    the lowest ``(x, y)`` (symbols are ASCII by the word-class
+    construction, so Python's per-codepoint order equals both engines'
+    byte order), and left-to-right non-overlapping fusion, which is
+    exactly what the delimited-string ``replace`` does (symbols never
+    contain ``~``, so every match aligns with symbol boundaries).
+
+    Incremental pair bookkeeping (the standard Sennrich learner shape):
+    a fused pair only changes the counts of words that contained it, so
+    each round rescans just those words, keeping the loop fast at the
+    gate's upper bound. Returns ``(merge rows, (word, freq, seq) rows)``
+    with ``seq`` re-delimited to the exact string the replace chain
+    would have produced."""
+    words = [(r["word"], r["freq"]) for r in rows]
+    syms: list[list[str]] = [
+        list(w) + [BPE_EOW] for w, _ in words
+    ]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, ((_, freq), ss) in enumerate(zip(words, syms)):
+        for i in range(len(ss) - 1):
+            p = (ss[i], ss[i + 1])
+            counts[p] = counts.get(p, 0) + freq
+            where.setdefault(p, set()).add(idx)
+    merges: list[tuple] = []
+    for t in range(1, n_merges + 1):
+        best = None
+        for p, c in counts.items():
+            if c >= min_freq:
+                key = (-c, p[0], p[1])
+                if best is None or key < best:
+                    best = key
+        if best is None:
+            break  # provably empty forever — the reference early stop
+        cnt, x, y = -best[0], best[1], best[2]
+        merges.append((t, x, y, x + y, cnt))
+        for idx in sorted(where.get((x, y), ())):
+            ss = syms[idx]
+            freq = words[idx][1]
+            for i in range(len(ss) - 1):
+                p = (ss[i], ss[i + 1])
+                counts[p] -= freq
+                if counts[p] == 0:
+                    del counts[p]
+                    del where[p]
+                else:
+                    where[p].discard(idx)
+            out: list[str] = []
+            i = 0
+            n = len(ss)
+            while i < n:
+                if i + 1 < n and ss[i] == x and ss[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[idx] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+                where.setdefault(p, set()).add(idx)
+    seq_rows = [
+        (w, f, "".join(f"~{s}~" for s in ss))
+        for (w, f), ss in zip(words, syms)
+    ]
+    return merges, seq_rows
+
 
 def _word_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(word, freq) over the corpus — the single corpus-sized stage of
@@ -138,10 +228,20 @@ def _word_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _bpe_fit(
-    words: DataFrame, n_merges: int, min_freq: int
+    words: DataFrame, n_merges: int, min_freq: int,
+    *, max_local_vocab: int | None = None,
 ) -> tuple[list[tuple], DataFrame]:
     """Run the ``n_merges``-round learner. Returns (merge rows as
     ``(merge_rank, x, y, merged, cnt)`` tuples, final seqs frame).
+
+    Vocabularies at or under ``max_local_vocab`` (default
+    :data:`_BPE_MAX_LOCAL_VOCAB`; 0 disables) take the driver-local
+    fast path: ONE ``limit(bound+1)`` pull of the (word, freq) table —
+    driver-safe whatever the true vocabulary size — then
+    :func:`_bpe_fit_local`, whose results are bit-identical to the
+    distributed loop below (pinned by tests/test_bpe.py both-paths
+    parametrization). Over the bound, the distributed learner runs
+    unchanged — the 100 TB path.
 
     The vocabulary base (word, freq, seq0) is :func:`pin`-ned once —
     every round's pair count replays only its own chain of narrow
@@ -151,6 +251,20 @@ def _bpe_fit(
     stops the loop (later rounds are provably also empty — pair counts
     are monotone under a no-op fuse), which is the reference learner's
     early stop."""
+    bound = (
+        _BPE_MAX_LOCAL_VOCAB if max_local_vocab is None else max_local_vocab
+    )
+    if bound > 0:
+        probe = words.limit(bound + 1).collect()
+        if len(probe) <= bound:
+            merges, seq_rows = _bpe_fit_local(probe, n_merges, min_freq)
+            seqs_local = words.sparkSession.createDataFrame(
+                seq_rows, "word string, freq bigint, seq string"
+            )
+            return merges, seqs_local
+        # over the bound: the probe cost one corpus tokenize pass — the
+        # same pass the pin below pays — and the vocabulary stays
+        # distributed from here on
     seqs = pin(
         words.select(
             "word", "freq", F.expr(_seq0_expr("word", "spark")).alias("seq")
@@ -200,6 +314,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 10,
     min_freq: int = 2,
+    max_local_vocab: int | None = None,
 ) -> DataFrame:
     """Learn the BPE merge table: ``(merge_rank, x, y, merged, cnt)``
     in merge order — rank t fused symbol pair (x, y) whose adjacent
@@ -211,7 +326,8 @@ def bpe_train(
     a distributed aggregate — see the module docstring for why the
     literal fold beats an in-plan chain)."""
     merges, _ = _bpe_fit(
-        _word_freqs(docs, id_col, text_col), n_merges, min_freq
+        _word_freqs(docs, id_col, text_col), n_merges, min_freq,
+        max_local_vocab=max_local_vocab,
     )
     return docs.sparkSession.createDataFrame(merges, _MERGE_SCHEMA).orderBy(
         "merge_rank"
@@ -225,6 +341,7 @@ def bpe_token_count(
     text_col: str = "text",
     n_merges: int = 10,
     min_freq: int = 2,
+    max_local_vocab: int | None = None,
 ) -> DataFrame:
     """Per-document token counts under a BPE trained on the same
     corpus: ``(id, n_tokens, n_word_tokens, n_bpe_tokens)`` — regex
@@ -238,7 +355,8 @@ def bpe_token_count(
     hash join of the token stream against the vocabulary's symbol
     counts and a map-side-combined groupBy(id)."""
     _, seqs = _bpe_fit(
-        _word_freqs(docs, id_col, text_col), n_merges, min_freq
+        _word_freqs(docs, id_col, text_col), n_merges, min_freq,
+        max_local_vocab=max_local_vocab,
     )
     vocab = seqs.select(
         "word",
@@ -271,6 +389,7 @@ def bpe_vocab(
     text_col: str = "text",
     n_merges: int = 10,
     min_freq: int = 2,
+    max_local_vocab: int | None = None,
 ) -> DataFrame:
     """The trained vocabulary itself — one row per corpus word with
     its frequency, final symbol count, and the space-joined subword
@@ -279,7 +398,8 @@ def bpe_vocab(
     table; deterministic (word-ordered), all strings ASCII by the
     word-class construction."""
     _, seqs = _bpe_fit(
-        _word_freqs(docs, id_col, text_col), n_merges, min_freq
+        _word_freqs(docs, id_col, text_col), n_merges, min_freq,
+        max_local_vocab=max_local_vocab,
     )
     return seqs.select(
         "word",
@@ -322,6 +442,7 @@ def bpe_fertility(
     group_col: str = "source",
     n_merges: int = 10,
     min_freq: int = 2,
+    max_local_vocab: int | None = None,
 ) -> DataFrame:
     """Tokenizer quality as data (the tier's :func:`ann_recall`
     analog): per-``group_col`` fertility — subword tokens emitted per
@@ -338,7 +459,8 @@ def bpe_fertility(
     ONE broadcast join and a map-side-combined groupBy on the
     (bounded) group key."""
     _, seqs = _bpe_fit(
-        _word_freqs(docs, id_col, text_col), n_merges, min_freq
+        _word_freqs(docs, id_col, text_col), n_merges, min_freq,
+        max_local_vocab=max_local_vocab,
     )
     vocab = seqs.select(
         "word",

@@ -154,6 +154,37 @@ def pin_scope() -> "Iterator[list[DataFrame]]":
             df.unpersist()
 
 
+def run_build_steps(*thunks):
+    """Run independent BUILD steps (training loops whose cost is
+    sequential driver⇄cluster round trips, not data volume) as
+    concurrent Spark jobs from a small thread pool — guide §2.6:
+    actions are only sequential because the driver calls them
+    sequentially, and overlapping independent jobs back-fills the
+    scheduling/latency gaps. Results are unchanged (each step is
+    deterministic and touches disjoint state). Each worker thread
+    INHERITS the caller's :func:`pin_scope` registries (the stack is
+    thread-local by design, so without this a pin taken inside a step
+    would escape its scope and leak in a long-lived session). Returns
+    the thunk results in order; the first exception propagates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    parent_stack = getattr(_PIN_SCOPES, "stack", None)
+
+    def wrap(fn):
+        def run():
+            if parent_stack is not None:
+                _PIN_SCOPES.stack = parent_stack
+            return fn()
+
+        return run
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(wrap(fn)) for fn in thunks]
+        return [f.result() for f in futs]
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition a (possibly single-file, hence single-partition) scan
     across the cluster before CPU-heavy per-row expressions. A small

@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from streamtasks_spark.llmdata.dedup import bounded_collect, pin, spread
+from streamtasks_spark.llmdata.dedup import (
+    bounded_collect,
+    pin,
+    run_build_steps,
+    spread,
+)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 0xA11CE) -> list[list[int]]:
@@ -1849,15 +1854,32 @@ def recall_probe(
             dim, "pq_topk",
         ).withColumn("__nv", F.expr(nv))
     )
-    try:
-        cb = _pq_codebooks(
-            pq_base, id_col, dim, pq_m_sub, pq_codes, pq_iters
-        )
-    finally:
-        # pq_base feeds only the training collects above, never the
-        # returned plan (each tier builds its own pinned scan) — the
-        # train-step rule: don't leak the pin
-        pq_base.unpersist()
+
+    def train_shared():
+        try:
+            return _pq_codebooks(
+                pq_base, id_col, dim, pq_m_sub, pq_codes, pq_iters
+            )
+        finally:
+            # pq_base feeds only the training collects above, never the
+            # returned plan (each tier builds its own pinned scan) — the
+            # train-step rule: don't leak the pin
+            pq_base.unpersist()
+
+    # the shared (pq/ivf_pq) codebook training and the residual tier's
+    # own training chain are independent deterministic jobs — overlap
+    # their driver⇄cluster round trips (guide §2.6). The residual rung
+    # (r11) trains on residuals, so the shared `cb` cannot be reused;
+    # the measured gap between ivf_pq and ivf_pq_res IS the answer to
+    # "is residual coding worth the re-encode-on-retrain coupling?".
+    cb, ivf_pq_res = run_build_steps(
+        train_shared,
+        lambda: ivf_pq_res_topk(
+            vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+            n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
+            n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank,
+        ),
+    )
     pq = pq_topk(
         vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         m_sub=pq_m_sub, n_codes=pq_codes, n_iters=pq_iters, k=k,
@@ -1867,16 +1889,6 @@ def recall_probe(
         vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
         n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank, _cb=cb,
-    )
-    # seventh rung (r11): residual encoding — same code budget spent
-    # on within-cell detail; its codebooks train on residuals, so the
-    # shared `cb` cannot be reused. The measured gap between ivf_pq
-    # and ivf_pq_res IS the answer to "is residual coding worth the
-    # re-encode-on-retrain coupling?" for this corpus.
-    ivf_pq_res = ivf_pq_res_topk(
-        vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
-        n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
-        n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank,
     )
     return (
         one(lsh, "lsh")
@@ -4415,14 +4427,19 @@ def ann_drift_probe(
     ≤ n_batches-row rollup with map-side combine — no join, no window
     over data rows, nothing wider than the ingest already does."""
     train_src = vectors.filter(F.col(id_col) < split_id)
-    cents_df = train_centroids(
-        train_src, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        n_iters=n_iters, expect_dim=dim,
-    )
-    cb = _collect_codebook(cents_df)
-    pqcb = train_pq_codebooks(
-        train_src, id_col=id_col, vec_col=vec_col, dim=dim,
-        m_sub=m_sub, n_codes=n_codes, n_iters=pq_iters,
+    # the two codebook chains are independent deterministic trainings
+    # over the same frozen split — overlap their driver⇄cluster round
+    # trips (guide §2.6); results are bit-identical to the sequential
+    # form by construction
+    cb, pqcb = run_build_steps(
+        lambda: _collect_codebook(train_centroids(
+            train_src, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            n_iters=n_iters, expect_dim=dim,
+        )),
+        lambda: train_pq_codebooks(
+            train_src, id_col=id_col, vec_col=vec_col, dim=dim,
+            m_sub=m_sub, n_codes=n_codes, n_iters=pq_iters,
+        ),
     )
     v = _require_dim(
         _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streamtasks_spark.llmdata.dedup import norm_text, spread, tokens_expr
+from streamtasks_spark.llmdata.dedup import (
+    norm_text,
+    pin,
+    spread,
+    tokens_expr,
+)
 
 # BPE-ish token regex: word runs OR single non-word-non-space symbols.
 # Explicit classes keep Java regex and RE2 in exact agreement.
@@ -1283,9 +1288,15 @@ def heavy_hitters_cms(
         spread(docs, id_col)
         .select(F.explode(F.expr(tokens_expr(text_col))).alias("__t"))
     )
-    counts = toks.groupBy("__t").agg(
+    # pin: the (token, count) table feeds SIX branches (the total, the
+    # `depth` sketch-row projections, and the estimate chain) and Spark
+    # has no cross-branch CSE — unpinned, the corpus tokenize+groupBy
+    # re-runs per branch (measured: 18 exec jobs / 44 Exchanges at
+    # sf0.1). The pinned table is VOCABULARY-sized (distinct tokens,
+    # Heaps-law ≪ corpus), the legitimate pin class per its docstring.
+    counts = pin(toks.groupBy("__t").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
-    )
+    ))
     # unique name: total shares lineage with the estimate chain (both
     # stem from counts), and Spark's self-join disambiguation would
     # otherwise see the generic name on both sides

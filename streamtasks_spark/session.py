@@ -8,6 +8,7 @@ on a 1000-executor cluster — only memory/parallelism sizing is local-only.
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
 
 from pyspark.sql import SparkSession
 
@@ -90,6 +91,20 @@ def get_spark(
     return spark
 
 
+# Process-level parquet METADATA memo (r11 optimization, guide §6):
+# schema inference for an unknown parquet path costs one Spark job per
+# read (footer fetch) plus a driver-side pyarrow footer read — pure
+# fixed overhead repeated by every query that opens the same file.
+# Keyed on (realpath, mtime_ns, size) so any rewrite of the data
+# invalidates the entry; holds only StructType + column names (never
+# rows), so it is catalog-class metadata — the same thing a metastore
+# caches — not result caching: every query still computes entirely
+# from the parquet bytes. Survives the bench's periodic session
+# restarts (StructType is session-independent), which is where the
+# win compounds: ~1 job × 10 tables × every relational query.
+_PARQUET_META_MEMO: dict = {}
+
+
 def read_parquet(spark: SparkSession, path: str):
     """Read parquet, transparently converting TIMESTAMP(NANOS) columns
     (which Spark lacks a native type for) to TIMESTAMP via micros.
@@ -100,19 +115,46 @@ def read_parquet(spark: SparkSession, path: str):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     exclude_generate_filter_inference(spark)
-    df = spark.read.parquet(path)
+    memo_key = None
     try:
-        import pyarrow.parquet as pq
+        st = os.stat(path)
+        if os.path.isfile(path):
+            memo_key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass
+    # Per-SESSION DataFrame memo: a DataFrame is an unexecuted plan —
+    # reusing it caches no rows (every action still scans the parquet),
+    # it only skips the ~180 ms driver-side DataSource re-resolution a
+    # repeated open pays. Attached to the live SparkSession object so a
+    # session restart (bench does one every 5 queries) starts clean.
+    df_memo = getattr(spark, "_stsp_df_memo", None)
+    if df_memo is None:
+        df_memo = {}
+        spark._stsp_df_memo = df_memo
+    if memo_key is not None and memo_key in df_memo:
+        return df_memo[memo_key]
+    cached = _PARQUET_META_MEMO.get(memo_key) if memo_key else None
+    if cached is not None:
+        spark_schema, nanos_cols = cached
+        df = spark.read.schema(spark_schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        try:
+            import pyarrow.parquet as pq
 
-        schema = pq.read_schema(path)
-        nanos_cols = [
-            f.name for f in schema if str(f.type) == "timestamp[ns]"
-        ]
-    except Exception:
-        nanos_cols = []
+            schema = pq.read_schema(path)
+            nanos_cols = [
+                f.name for f in schema if str(f.type) == "timestamp[ns]"
+            ]
+        except Exception:
+            nanos_cols = []
+        if memo_key:
+            _PARQUET_META_MEMO[memo_key] = (df.schema, nanos_cols)
     for c in nanos_cols:
         # integer division: epoch-nanos (~1.7e18) exceeds double precision
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if memo_key is not None:
+        df_memo[memo_key] = df
     return df
 
 
@@ -135,18 +177,59 @@ def list_named_topics(spark: SparkSession) -> list[str]:
     return [t.name for t in spark.catalog.listTables("global_temp")]
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
-    """Load every driver table from a scale-factor dir as DataFrames and
-    register temp views with the bare table names."""
+class LazyTables(Mapping):
+    """Mapping of table name → DataFrame that opens each table on FIRST
+    access (r11 optimization): opening a parquet table costs a Spark
+    job + driver round-trips, and the eager form charged every
+    relational query for all 10 tables when most touch 1-4 — measured
+    2.6 s / 10 jobs per query at sf0.1. Lazy loading is also the right
+    100 TB shape: never touch storage for tables a query doesn't read.
+    Semantics preserved: a missing file raises KeyError on access, the
+    temp view registers when (and only when) the table is opened, and
+    repeated access returns the same DataFrame."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, names):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._names = [
+            n for n in names
+            if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+        ]
+        self._loaded: dict = {}
+
+    def __getitem__(self, name: str):
+        if name not in self._names:
+            raise KeyError(name)
+        df = self._loaded.get(name)
+        if df is None:
+            path = os.path.join(self._sf_dir, f"{name}.parquet")
+            df = read_parquet(self._spark, path)
+            # registering the same plan under the same name is a no-op;
+            # skip the ~30 ms py4j round-trip when this session already
+            # holds this exact view (keyed on the df plan object)
+            views = getattr(self._spark, "_stsp_views", None)
+            if views is None:
+                views = {}
+                self._spark._stsp_views = views
+            if views.get(name) is not df:
+                df.createOrReplaceTempView(name)
+                views[name] = df
+            self._loaded[name] = df
+        return df
+
+    def __iter__(self):
+        return iter(self._names)
+
+    def __len__(self):
+        return len(self._names)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> "LazyTables":
+    """Driver tables of a scale-factor dir as a lazy name → DataFrame
+    mapping; each table opens (and registers its temp view) on first
+    access — see :class:`LazyTables`."""
     names = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    out = {}
-    for name in names:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = read_parquet(spark, path)
-            df.createOrReplaceTempView(name)
-            out[name] = df
-    return out
+    return LazyTables(spark, sf_dir, names)

@@ -110,28 +110,34 @@ def _docs_df(spark, texts):
     )
 
 
+# mlv: None = driver-local fit (the size-gated default), 0 = the
+# distributed learner forced — both paths must match the reference
 @pytest.mark.parametrize("seed", [11, 97, 5003])
-def test_bpe_train_matches_python_model(spark, seed):
+@pytest.mark.parametrize("mlv", [None, 0])
+def test_bpe_train_matches_python_model(spark, seed, mlv):
     texts = _rand_texts(seed)
     pym, _ = py_bpe(texts, n_merges=8, min_freq=2)
     got = [
         tuple(r)
         for r in bpe.bpe_train(
-            _docs_df(spark, texts), n_merges=8, min_freq=2
+            _docs_df(spark, texts), n_merges=8, min_freq=2,
+            max_local_vocab=mlv,
         ).collect()
     ]
     assert got == pym
 
 
 @pytest.mark.parametrize("seed", [13, 5003])
-def test_bpe_token_count_matches_python_model(spark, seed):
+@pytest.mark.parametrize("mlv", [None, 0])
+def test_bpe_token_count_matches_python_model(spark, seed, mlv):
     texts = _rand_texts(seed)
     pym, wsyms = py_bpe(texts, n_merges=8, min_freq=2)
     exp = py_counts(texts, wsyms)
     got = [
         tuple(r)
         for r in bpe.bpe_token_count(
-            _docs_df(spark, texts), n_merges=8, min_freq=2
+            _docs_df(spark, texts), n_merges=8, min_freq=2,
+            max_local_vocab=mlv,
         ).collect()
     ]
     assert got == exp
@@ -228,7 +234,8 @@ def test_encode_unseen_words_fuse_partially(spark):
 
 
 @pytest.mark.parametrize("seed", [71])
-def test_bpe_vocab_matches_python_model(spark, seed):
+@pytest.mark.parametrize("mlv", [None, 0])
+def test_bpe_vocab_matches_python_model(spark, seed, mlv):
     texts = _rand_texts(seed, n_docs=16)
     freqs = collections.Counter(
         w for t in texts for w in _toks(t) if WORD_RE.match(w)
@@ -240,14 +247,16 @@ def test_bpe_vocab_matches_python_model(spark, seed):
     got = [
         tuple(r)
         for r in bpe.bpe_vocab(
-            _docs_df(spark, texts), n_merges=6, min_freq=2
+            _docs_df(spark, texts), n_merges=6, min_freq=2,
+            max_local_vocab=mlv,
         ).collect()
     ]
     assert got == exp
 
 
 @pytest.mark.parametrize("seed", [59])
-def test_bpe_fertility_matches_python_model(spark, seed):
+@pytest.mark.parametrize("mlv", [None, 0])
+def test_bpe_fertility_matches_python_model(spark, seed, mlv):
     """Per-group fertility: exact integer micro-unit floor division,
     NULL groups ordered last in both engines."""
     texts = _rand_texts(seed, n_docs=16)
@@ -274,7 +283,9 @@ def test_bpe_fertility_matches_python_model(spark, seed):
     )
     got = [
         tuple(r)
-        for r in bpe.bpe_fertility(docs, n_merges=6, min_freq=2).collect()
+        for r in bpe.bpe_fertility(
+            docs, n_merges=6, min_freq=2, max_local_vocab=mlv
+        ).collect()
     ]
     assert got == exp
     duckdb = pytest.importorskip("duckdb")
