@@ -25,6 +25,7 @@ BASELINE.json LLM-data-pipeline requirement.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -36,6 +37,25 @@ from streamtasks_spark.llmdata.dedup import (
     pin,
     run_build_steps,
     spread,
+)
+
+
+# Driver-local training gate (r11 optimization): corpora at or under
+# this many surviving (finite-positive-norm) vectors are pulled once
+# (`limit(bound+1)` — driver-safe whatever the true corpus size, the
+# bounded_collect discipline) and the k-means / PQ training loops run
+# in-process, replacing n_iters distributed assignment+groupBy rounds
+# (2 Spark jobs each, plus per-round codegen of the literal-codebook
+# argmax expression) with ZERO extra jobs. Same size-gated fast path
+# as bpe._BPE_MAX_LOCAL_VOCAB and dedup.connected_components'
+# max_local_edges: above the gate the distributed loops run unchanged,
+# so 100 TB corpora keep training distributed. The local twins are
+# bit-identical by construction (exact integer micro-unit sums, IEEE
+# left-to-right folds equal to the JVM's, struct-comparator tie-breaks
+# reproduced) and pinned by tests/test_ann_local_train.py both-paths
+# sweeps. 65,536 vectors × dim 64 doubles ≈ 32 MB of driver state.
+_ANN_MAX_LOCAL_TRAIN = int(
+    os.environ.get("SPARK_GRAFT_ANN_LOCAL_TRAIN", "65536")
 )
 
 
@@ -461,6 +481,157 @@ def _pq_argmin_expr(
     return f"array_min(array({', '.join(structs)})).c"
 
 
+def _bound_error(what: str, max_rows: int) -> ValueError:
+    """The exact error :func:`bounded_collect` raises — the local-fit
+    twins enforce the same seed bounds with the same message so the
+    gated and distributed paths are indistinguishable to callers."""
+    return ValueError(
+        f"{what}: driver pull exceeded its documented bound of "
+        f"{max_rows} rows — the current configuration implies a "
+        f"driver-unsafe codebook/sketch size; resize the knob "
+        f"deliberately or keep this object distributed"
+    )
+
+
+def _pq_assign_py(
+    nv: list[float], cents_m: dict[int, list[float]], order: list[int],
+    off: int, sub: int,
+) -> int:
+    """Pure-Python twin of :func:`_pq_argmin_expr`'s comparator: min
+    squared L2 distance by IEEE left-to-right fold, NULL (ragged slice)
+    smallest, NaN greatest, ties to the LOWEST code — exactly Spark's
+    ``array_min`` over (s, c) structs."""
+    sl = nv[off:off + sub]
+    best = None
+    for j in order:
+        cv = cents_m[j]
+        if len(sl) != len(cv):
+            k = (0, 0.0, j)  # NULL dist: zip_with pads → null, smallest
+        else:
+            s = 0.0
+            for x, y in zip(sl, cv):
+                d = x - y
+                s = s + d * d
+            k = (2, 0.0, j) if s != s else (1, s, j)
+        if best is None or k < best:
+            best = k
+    return best[2]
+
+
+def _pq_fit_local(
+    rows, id_col: str, dim: int, m_sub: int, n_codes: int, n_iters: int
+) -> dict[int, dict[int, list[float]]]:
+    """Driver-local twin of :func:`_pq_train`'s distributed loop —
+    bit-identical by construction: the pulled ``__nv`` doubles are the
+    exact values the distributed assignment would see (the literal
+    codebooks round-trip through ``repr``), the per-subspace L2 argmin
+    reproduces the ``array_min``-over-structs comparator (min squared
+    distance by IEEE left-to-right fold ≡ :func:`sum_lr`, NaN greatest,
+    NULL smallest, ties to the LOWEST code), and the component means
+    come from exact int64/Python-int micro-unit sums ≡ the
+    DECIMAL(38,0) sums, fed through the SAME driver-side update
+    arithmetic.
+
+    The assignment vectorizes over (rows, codes) with numpy, looping
+    the accumulation over the ``sub`` components so every scalar's
+    fold order stays left-to-right (verified bit-equal to the scalar
+    loop); ``np.argmin`` ties to the first (lowest) code exactly like
+    the struct comparator. numpy's argmin differs from Spark only on
+    NaN distances (impossible for normalized finite vectors, but
+    guarded anyway) — those iterations, ragged inputs, and
+    numpy-less deployments fall back to the scalar twin."""
+    sub = dim // m_sub
+    data = [(r[0], list(r[1])) for r in rows]
+    seed = [(i, nv) for i, nv in data if i is not None and i < n_codes]
+    if len(seed) > n_codes:
+        raise _bound_error("pq codebook seeds", n_codes)
+    if not seed:
+        if not data:
+            return {}
+        raise ValueError(
+            f"pq_topk: no nonzero-norm vectors with {id_col} < {n_codes} "
+            f"to seed the codebooks — re-id the corpus or lower n_codes"
+        )
+    cents: dict[int, dict[int, list[float]]] = {
+        m: {j: nv[m * sub:(m + 1) * sub] for j, nv in seed}
+        for m in range(m_sub)
+    }
+    np = None
+    if all(len(nv) == dim for _, nv in data):
+        try:
+            import numpy
+            np = numpy
+        except ImportError:
+            np = None
+    V = MI = None
+    if np is not None:
+        V = np.array([nv for _, nv in data], dtype=np.float64)
+        # floor(x * 2^20) as int64 — code-independent, computed once
+        MI = np.floor(V * float(PQ_GRID)).astype(np.int64)
+    data_mi = None
+
+    def _iter_np(m: int, order: list[int]):
+        """One subspace's (m, j) -> comps means, or None when numpy's
+        argmin would diverge from array_min (NaN) or a centroid is
+        ragged — the caller then redoes the subspace in scalar form."""
+        if any(len(cents[m][j]) != sub for j in order):
+            return None
+        off = m * sub
+        C = np.array([cents[m][j] for j in order], dtype=np.float64)
+        a = np.zeros((len(data), len(order)), dtype=np.float64)
+        for d in range(sub):
+            D = V[:, off + d, None] - C[None, :, d]
+            a = a + D * D
+        if np.isnan(a).any():
+            return None
+        assign = np.argmin(a, axis=1)
+        out: dict[tuple[int, int], dict[int, float]] = {}
+        for pos, j in enumerate(order):
+            sel = MI[assign == pos, off:off + sub]
+            if len(sel):
+                s = sel.sum(axis=0)
+                out[(m, j)] = {
+                    d: float(int(s[d])) / (float(PQ_GRID) * len(sel))
+                    for d in range(sub)
+                }
+        return out
+
+    def _iter_py(m: int, order: list[int]):
+        nonlocal data_mi
+        if data_mi is None:
+            data_mi = [
+                (nv, [int(math.floor(x * PQ_GRID)) for x in nv])
+                for _, nv in data
+            ]
+        off = m * sub
+        sums: dict[tuple[int, int, int], int] = {}
+        cnts: dict[tuple[int, int, int], int] = {}
+        for nv, mi in data_mi:
+            j = _pq_assign_py(nv, cents[m], order, off, sub)
+            for d, x in enumerate(mi[off:off + sub]):
+                key = (m, j, d)
+                sums[key] = sums.get(key, 0) + x
+                cnts[key] = cnts.get(key, 0) + 1
+        out: dict[tuple[int, int], dict[int, float]] = {}
+        for (m, j, d), s in sums.items():
+            out.setdefault((m, j), {})[d] = float(s) / (
+                float(PQ_GRID) * cnts[(m, j, d)]
+            )
+        return out
+
+    for _ in range(n_iters):
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for m in range(m_sub):
+            order = sorted(cents[m])
+            got = _iter_np(m, order) if np is not None else None
+            if got is None:
+                got = _iter_py(m, order)
+            new.update(got)
+        for (m, j), comps in new.items():
+            cents[m][j] = [comps[d] for d in sorted(comps)]
+    return cents
+
+
 def _pq_train(
     v: DataFrame,
     id_col: str,
@@ -478,8 +649,24 @@ def _pq_train(
     Normalized components are bounded to [-1, 1] by ‖v̂‖ = 1, so no
     magnitude clamp is needed (both engines skip it identically).
     Seeding = each subspace slice of the ``n_codes`` lowest-id
-    vectors; a code left empty keeps its previous centroid."""
+    vectors; a code left empty keeps its previous centroid.
+
+    Corpora at or under :data:`_ANN_MAX_LOCAL_TRAIN` vectors take the
+    driver-local fast path (:func:`_pq_fit_local`): ONE
+    ``limit(bound+1)`` pull of (id, __nv) — driver-safe whatever the
+    true corpus size — then the whole loop in-process with zero
+    further jobs. Above the gate the distributed loop below runs
+    unchanged."""
     sub = dim // m_sub
+    if _ANN_MAX_LOCAL_TRAIN > 0:
+        pulled = (
+            v.select(F.col(id_col), "__nv")
+            .limit(_ANN_MAX_LOCAL_TRAIN + 1).collect()
+        )
+        if len(pulled) <= _ANN_MAX_LOCAL_TRAIN:
+            return _pq_fit_local(
+                pulled, id_col, dim, m_sub, n_codes, n_iters
+            )
     # ≤ n_codes rows (bound ENFORCED — exceeding it means duplicate
     # ids below n_codes, a mis-id'd corpus)
     seed = bounded_collect(
@@ -3134,6 +3321,117 @@ class IvfPqIndex:
 
 # ---------------------------------------------------- trained codebook
 
+def _km_assign_py(
+    vv: list[float], nrm: float, cents: dict[int, list[float]],
+    order: list[int], cns: dict[int, float],
+) -> int:
+    """Pure-Python twin of train_centroids' argmax comparator: max
+    cosine by IEEE left-to-right fold (≡ the JVM ``aggregate``), NULL
+    (ragged ``zip_with``) smallest, NaN greatest, ties to the LOWEST
+    cell — exactly Spark's ``array_max`` over (s, -cell) structs."""
+    best = None
+    for c in order:
+        cv = cents[c]
+        if len(vv) != len(cv):
+            k = (0, 0, 0.0, -c)  # NULL score: zip_with pads → null
+        else:
+            dot = 0.0
+            for x, y in zip(vv, cv):
+                dot = dot + x * y
+            s = dot / (nrm * cns[c])
+            k = (1, 1, 0.0, -c) if s != s else (1, 0, s, -c)
+        if best is None or k > best:
+            best = k
+    return -best[3]
+
+
+def _kmeans_fit_local(
+    rows, id_col: str, n_cells: int, n_iters: int
+) -> dict[int, list[float]]:
+    """Driver-local twin of train_centroids' distributed Lloyd loop —
+    bit-identical by construction: the pulled (__v, __nrm) doubles are
+    the exact values the distributed assignment would see (the literal
+    codebooks round-trip through ``repr``), the cosine argmax
+    reproduces the ``array_max``-over-structs comparator, and the
+    clamped micro-unit component sums are exact int64/Python ints ≡
+    the DECIMAL(38,0) sums, fed through the SAME driver-side update
+    arithmetic.
+
+    The assignment vectorizes over (rows, cells), looping the fold
+    over components so each scalar's rounding order stays
+    left-to-right; ``np.argmax`` ties to the FIRST (lowest) cell and
+    treats NaN as greatest — both exactly the struct comparator, so
+    (unlike the PQ argmin) no NaN guard is needed. Ragged corpora and
+    numpy-less deployments take the scalar twin."""
+    data = [(r[0], list(r[1]), r[2]) for r in rows]
+    seeds = [(i, vv) for i, vv, _ in data if i is not None and i < n_cells]
+    if len(seeds) > n_cells:
+        raise _bound_error("train_centroids seeds", n_cells)
+    cents = {i: list(vv) for i, vv in seeds}
+    if not cents:
+        raise ValueError(
+            "train_centroids: no nonzero-norm vectors with "
+            f"{id_col} < {n_cells} to seed the codebook — pass a "
+            "pre-trained centroids table or re-id the corpus"
+        )
+    np = None
+    dims = {len(vv) for _, vv, _ in data}
+    if len(dims) == 1:
+        try:
+            import numpy
+            np = numpy
+        except ImportError:
+            np = None
+    V = MI = NRM = None
+    if np is not None:
+        dim = dims.pop()
+        V = np.array([vv for _, vv, _ in data], dtype=np.float64)
+        NRM = np.array([nrm for _, _, nrm in data], dtype=np.float64)
+        MI = np.floor(
+            np.clip(V, -1048576.0, 1048576.0) * 1048576.0
+        ).astype(np.int64)
+    for _ in range(n_iters):
+        order = sorted(cents)
+        cns = {c: math.sqrt(sum_lr(x * x for x in cents[c]))
+               for c in order}
+        new: dict[int, dict[int, float]] = {}
+        if np is not None and all(len(cents[c]) == dim for c in order):
+            C = np.array([cents[c] for c in order], dtype=np.float64)
+            CN = np.array([cns[c] for c in order], dtype=np.float64)
+            dots = np.zeros((len(data), len(order)), dtype=np.float64)
+            for d in range(dim):
+                dots = dots + V[:, d, None] * C[None, :, d]
+            s = dots / (NRM[:, None] * CN[None, :])
+            assign = np.argmax(s, axis=1)
+            for pos, c in enumerate(order):
+                sel = MI[assign == pos]
+                if len(sel):
+                    ssum = sel.sum(axis=0)
+                    new[c] = {
+                        d: float(int(ssum[d])) / (1048576.0 * len(sel))
+                        for d in range(dim)
+                    }
+        else:
+            sums: dict[tuple[int, int], int] = {}
+            cnts: dict[tuple[int, int], int] = {}
+            for _i, vv, nrm in data:
+                c = _km_assign_py(vv, nrm, cents, order, cns)
+                for d, x in enumerate(vv):
+                    mi = int(math.floor(
+                        max(-1048576.0, min(1048576.0, x)) * 1048576
+                    ))
+                    key = (c, d)
+                    sums[key] = sums.get(key, 0) + mi
+                    cnts[key] = cnts.get(key, 0) + 1
+            for (c, d), sm in sums.items():
+                new.setdefault(c, {})[d] = float(sm) / (
+                    1048576.0 * cnts[(c, d)]
+                )
+        for c, comps in new.items():
+            cents[c] = [comps[d] for d in sorted(comps)]
+    return cents
+
+
 def train_centroids(
     vectors: DataFrame,
     *,
@@ -3181,7 +3479,25 @@ def train_centroids(
         # (oracle_ivf_trained_sql) silently diverges on any other —
         # callers coupling the two pass the oracle's dim here
         v = _require_dim(v, expect_dim, "train_centroids")
-    v = pin(v.select(id_col, "__v", "__nrm"))
+    v = v.select(id_col, "__v", "__nrm")
+    if _ANN_MAX_LOCAL_TRAIN > 0:
+        # corpora at or under the gate: ONE limit(bound+1) pull
+        # (driver-safe whatever the true corpus size), then the whole
+        # Lloyd loop in-process with zero further jobs — bit-identical
+        # to the distributed loop below (see _kmeans_fit_local). Above
+        # the gate (any 100 TB corpus) the pull is one wasted narrow
+        # job and training stays distributed.
+        pulled = v.limit(_ANN_MAX_LOCAL_TRAIN + 1).collect()
+        if len(pulled) <= _ANN_MAX_LOCAL_TRAIN:
+            cents = _kmeans_fit_local(pulled, id_col, n_cells, n_iters)
+            return vectors.sparkSession.createDataFrame(
+                [
+                    (cell, cv, math.sqrt(sum_lr(x * x for x in cv)))
+                    for cell, cv in sorted(cents.items())
+                ],
+                "__cell long, __cv array<double>, __cn double",
+            )
+    v = pin(v)
     # ≤ n_cells rows (bound ENFORCED — exceeding it means duplicate
     # ids below n_cells, a mis-id'd corpus)
     seed = bounded_collect(
