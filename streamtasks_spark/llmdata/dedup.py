@@ -1585,26 +1585,35 @@ def connected_components(
         .select(F.greatest(u, v).alias("__u"), F.least(u, v).alias("__v"))
         .distinct()
     )
+    if max_local_edges > 0:
+        # ONE bounded pull decides the path AND (under the bound)
+        # delivers the edge list — previously checkpoint + count +
+        # collect, i.e. three driver actions where one suffices (r11).
+        # Over the bound, CollectLimit stops reading shortly past the
+        # bound and the fall-through checkpoint's map stages reuse the
+        # distinct's shuffle files (same lineage), so the 100 TB path
+        # pays only a truncated extra reduce-side read.
+        rows = edges.limit(max_local_edges + 1).collect()
+        if len(rows) <= max_local_edges:
+            parent: dict = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for row in rows:
+                ra, rb = find(row["__u"]), find(row["__v"])
+                if ra != rb:
+                    # larger root points at smaller → final root IS the min
+                    parent[max(ra, rb)] = min(ra, rb)
+            members = [(x, find(x)) for x in parent]
+            return pairs.sparkSession.createDataFrame(
+                members, f"node {node_t}, component {node_t}"
+            )
     edges = edges.localCheckpoint(eager=True)
-    if max_local_edges > 0 and edges.count() <= max_local_edges:
-        parent: dict = {}
-
-        def find(x):
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for row in edges.collect():
-            ra, rb = find(row["__u"]), find(row["__v"])
-            if ra != rb:
-                # larger root points at smaller → final root IS the min
-                parent[max(ra, rb)] = min(ra, rb)
-        members = [(x, find(x)) for x in parent]
-        return pairs.sparkSession.createDataFrame(
-            members, f"node {node_t}, component {node_t}"
-        )
     prev_fp = None
     for _ in range(max_iterations):
         # large-star: group the bidirectional edge list by node; attach

@@ -155,6 +155,44 @@ def _require_dim(df: DataFrame, dim: int, op: str) -> DataFrame:
     return guard_dim(df, "__v", dim, op)
 
 
+def _corpus_norm(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The corpus-side (id, __v, __nrm) projection every ANN tier
+    builds. A PRE-NORMALIZED base — ``__v``/``__nrm`` already present,
+    e.g. :func:`recall_probe`'s shared pinned scan — is reused as-is,
+    removing one parquet scan + spread Exchange + normalize subtree
+    per tier (r11: recall_probe carried EIGHT identical copies); a raw
+    corpus takes the usual spread + :func:`_with_norm` path. Values
+    are identical either way (the base IS that same expression,
+    computed once), so downstream plans differ only in sharing."""
+    if "__v" in vectors.columns and "__nrm" in vectors.columns:
+        return vectors.select(id_col, "__v", "__nrm")
+    return _with_norm(
+        spread(vectors, id_col).select(id_col, vec_col), vec_col
+    ).select(id_col, "__v", "__nrm")
+
+
+def _seed_cells(
+    vectors: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> DataFrame:
+    """Default deterministic coarse codebook (``__cell, __cv, __cn``
+    from the ``n_cells`` lowest-id vectors), with the same
+    pre-normalized-base reuse as :func:`_corpus_norm`. Filtering the
+    already-normalized base commutes with normalization (both are
+    row-local), so the seeded codebook is bit-identical either way."""
+    if "__v" in vectors.columns and "__nrm" in vectors.columns:
+        src = vectors.filter(F.col(id_col) < n_cells)
+    else:
+        src = _with_norm(
+            vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
+            vec_col,
+        )
+    return src.select(
+        F.col(id_col).alias("__cell"),
+        F.col("__v").alias("__cv"),
+        F.col("__nrm").alias("__cn"),
+    )
+
+
 def _bucket_expr(planes: list[list[int]]) -> str:
     """Spark SQL bucket id: bit p = (plane_p · v) > 0."""
     bits = []
@@ -198,9 +236,7 @@ def cosine_topk(
     q = _with_norm(
         queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
     ).select("query_id", F.col("__v").alias("__qv"), F.col("__nrm").alias("__qn"))
-    v = _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col).select(
-        id_col, "__v", "__nrm"
-    )
+    v = _corpus_norm(vectors, id_col, vec_col)
     cos = F.expr(f"{_dot('__v', '__qv')}") / (F.col("__nrm") * F.col("__qn"))
     scored = (
         v.crossJoin(broadcast(q))
@@ -346,7 +382,7 @@ def sq_topk(
         "__q", ["query_id"],
     )
     v = _sq_encode(
-        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+        _corpus_norm(vectors, id_col, vec_col),
         "__a", [id_col],
     )
     appx = (
@@ -914,8 +950,7 @@ def pq_topk(
     nv = "transform(__v, x -> x / __nrm)"
     v = pin(
         _require_dim(
-            _with_norm(spread(vectors, id_col).select(id_col, vec_col),
-                       vec_col),
+            _corpus_norm(vectors, id_col, vec_col),
             dim, "pq_topk",
         ).withColumn("__nv", F.expr(nv))
     )
@@ -1168,7 +1203,7 @@ def lsh_topk(
     bucket = _bucket_expr(planes)
     v = (
         _require_dim(
-            _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+            _corpus_norm(vectors, id_col, vec_col),
             dim, "lsh_topk",
         )
         .withColumn("__bkt", F.expr(bucket))
@@ -1275,14 +1310,7 @@ def ivf_topk(
     cents = broadcast(
         centroids
         if centroids is not None
-        else _with_norm(
-            vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
-            vec_col,
-        ).select(
-            F.col(id_col).alias("__cell"),
-            F.col("__v").alias("__cv"),
-            F.col("__nrm").alias("__cn"),
-        )
+        else _seed_cells(vectors, id_col, vec_col, n_cells)
     )
     score = F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
 
@@ -1299,7 +1327,7 @@ def ivf_topk(
         )
 
     v = assign(
-        _with_norm(spread(vectors, id_col).select(id_col, vec_col), vec_col),
+        _corpus_norm(vectors, id_col, vec_col),
         id_col,
         1,
     ).select(id_col, "__v", "__nrm", "__cell")
@@ -1422,14 +1450,7 @@ def ivf_sq_topk(
     cents = broadcast(
         centroids
         if centroids is not None
-        else _with_norm(
-            vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
-            vec_col,
-        ).select(
-            F.col(id_col).alias("__cell"),
-            F.col("__v").alias("__cv"),
-            F.col("__nrm").alias("__cn"),
-        )
+        else _seed_cells(vectors, id_col, vec_col, n_cells)
     )
     score = F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
 
@@ -1447,9 +1468,7 @@ def ivf_sq_topk(
 
     v = _sq_encode(
         assign(
-            _with_norm(
-                spread(vectors, id_col).select(id_col, vec_col), vec_col
-            ),
+            _corpus_norm(vectors, id_col, vec_col),
             id_col, 1,
         ),
         "__a", [id_col, "__cell"],
@@ -1623,16 +1642,7 @@ def ivf_pq_topk(
             f"ivf_pq_topk: dim {dim} not divisible by m_sub {m_sub}"
         )
     sub = dim // m_sub
-    cents = broadcast(
-        _with_norm(
-            vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
-            vec_col,
-        ).select(
-            F.col(id_col).alias("__cell"),
-            F.col("__v").alias("__cv"),
-            F.col("__nrm").alias("__cn"),
-        )
-    )
+    cents = broadcast(_seed_cells(vectors, id_col, vec_col, n_cells))
     score = F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
 
     def assign(df: DataFrame, id_out: str, rank_limit: int) -> DataFrame:
@@ -1650,8 +1660,7 @@ def ivf_pq_topk(
     nv = "transform(__v, x -> x / __nrm)"
     base = pin(
         _require_dim(
-            _with_norm(spread(vectors, id_col).select(id_col, vec_col),
-                       vec_col),
+            _corpus_norm(vectors, id_col, vec_col),
             dim, "ivf_pq_topk",
         ).withColumn("__nv", F.expr(nv))
     )
@@ -1981,8 +1990,18 @@ def recall_probe(
     itself is deterministic and DuckDB-reproducible — the quality of
     the approximate tier becomes a driver-verified number instead of
     an asserted one."""
+    # ONE shared normalized corpus scan for the exact baseline and all
+    # seven approximate tiers (r11): every tier used to build its own
+    # spread + normalize subtree over the raw corpus — eight identical
+    # scans, eight spread Exchanges, in one plan. The pinned base is
+    # detected by each tier via _corpus_norm/_seed_cells and reused
+    # as-is; values are bit-identical (it IS the same expression). The
+    # pin feeds the RETURNED plan's lineage, so it cannot be released
+    # here — bound its lifetime with pin_scope() in long-lived
+    # sessions (the unigram_lm cache contract).
+    vn = pin(_corpus_norm(vectors, id_col, vec_col))
     exact = pin(
-        cosine_topk(vectors, queries, id_col=id_col, vec_col=vec_col, k=k)
+        cosine_topk(vn, queries, id_col=id_col, vec_col=vec_col, k=k)
     ).select("query_id", id_col)
 
     def one(approx: DataFrame, name: str) -> DataFrame:
@@ -2013,45 +2032,37 @@ def recall_probe(
         )
 
     lsh = lsh_topk(
-        vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         n_planes=n_planes, k=k,
     )
     ivf = ivf_topk(
-        vectors, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        vn, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
         n_probe=n_probe, k=k,
     )
     sq = sq_topk(
-        vectors, queries, id_col=id_col, vec_col=vec_col, k=k,
+        vn, queries, id_col=id_col, vec_col=vec_col, k=k,
         rerank=rerank,
     )
     ivf_sq = ivf_sq_topk(
-        vectors, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        vn, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
         n_probe=n_probe, k=k, rerank=rerank,
     )
     # the pq and ivf_pq tiers train IDENTICAL codebooks (same corpus,
     # same dim/m_sub/n_codes/n_iters; ivf_pq is the non-residual
     # variant precisely so codebooks are cell-independent) — train
     # once here and share, saving a full redundant training pass per
-    # probe (measured ~3 s of the probe's 8 s at sf0.1)
+    # probe (measured ~3 s of the probe's 8 s at sf0.1). The training
+    # frame is a projection over the shared pinned base, not its own
+    # pinned scan (r11) — nothing to unpersist.
     nv = "transform(__v, x -> x / __nrm)"
-    pq_base = pin(
-        _require_dim(
-            _with_norm(spread(vectors, id_col).select(id_col, vec_col),
-                       vec_col),
-            dim, "pq_topk",
-        ).withColumn("__nv", F.expr(nv))
+    pq_base = _require_dim(vn, dim, "pq_topk").withColumn(
+        "__nv", F.expr(nv)
     )
 
     def train_shared():
-        try:
-            return _pq_codebooks(
-                pq_base, id_col, dim, pq_m_sub, pq_codes, pq_iters
-            )
-        finally:
-            # pq_base feeds only the training collects above, never the
-            # returned plan (each tier builds its own pinned scan) — the
-            # train-step rule: don't leak the pin
-            pq_base.unpersist()
+        return _pq_codebooks(
+            pq_base, id_col, dim, pq_m_sub, pq_codes, pq_iters
+        )
 
     # the shared (pq/ivf_pq) codebook training and the residual tier's
     # own training chain are independent deterministic jobs — overlap
@@ -2062,18 +2073,18 @@ def recall_probe(
     cb, ivf_pq_res = run_build_steps(
         train_shared,
         lambda: ivf_pq_res_topk(
-            vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+            vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
             n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
             n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank,
         ),
     )
     pq = pq_topk(
-        vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         m_sub=pq_m_sub, n_codes=pq_codes, n_iters=pq_iters, k=k,
         rerank=pq_rerank, _cb=cb,
     )
     ivf_pq = ivf_pq_topk(
-        vectors, queries, id_col=id_col, vec_col=vec_col, dim=dim,
+        vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
         n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank, _cb=cb,
     )
@@ -4956,16 +4967,7 @@ def ivf_pq_res_topk(
             f"ivf_pq_res_topk: dim {dim} not divisible by m_sub {m_sub}"
         )
     sub = dim // m_sub
-    cents = broadcast(
-        _with_norm(
-            vectors.filter(F.col(id_col) < n_cells).select(id_col, vec_col),
-            vec_col,
-        ).select(
-            F.col(id_col).alias("__cell"),
-            F.col("__v").alias("__cv"),
-            F.col("__nrm").alias("__cn"),
-        )
-    )
+    cents = broadcast(_seed_cells(vectors, id_col, vec_col, n_cells))
     score = F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
 
     def assign(df: DataFrame, id_out: str, rank_limit: int,
@@ -4990,9 +4992,7 @@ def ivf_pq_res_topk(
     base = pin(
         assign(
             _require_dim(
-                _with_norm(
-                    spread(vectors, id_col).select(id_col, vec_col), vec_col
-                ),
+                _corpus_norm(vectors, id_col, vec_col),
                 dim, "ivf_pq_res_topk",
             ).withColumn("__nv", F.expr(nv)),
             id_col, 1, True,
