@@ -74,6 +74,19 @@ def get_spark(
         # many distinct queries per session (bench/oracle runs): keep their
         # compiled whole-stage-codegen classes cached instead of re-Janino-ing
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # Root LIMITs here are almost all bounded gate probes
+        # (bounded_collect, the ANN/BPE local-train pulls, the CC
+        # fast-path pull) that usually DRAIN an under-bound frame, so
+        # CollectLimit's default 1→4→16→... partition scale-up costs
+        # ~4 driver round-trips per pull. Factor 32 keeps the cheap
+        # 1-partition first probe (the over-bound early-exit at
+        # cluster scale) and then covers a local-mode frame in ONE
+        # second round. Same-session A/B at sf0.1 (best-of-3): the
+        # five training-pull-heaviest queries 17.97 s → 11.97 s
+        # (text_semantic_dedup 7.10 → 3.17). Setting
+        # initialNumPartitions=cores instead was measured WORSE (32
+        # task launches for every probe, even the selective ones).
+        .config("spark.sql.limit.scaleUpFactor", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # timestamps in testdata are timezone-less; read them as-is
