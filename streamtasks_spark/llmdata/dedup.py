@@ -191,10 +191,29 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     parquet file arrives as ONE input split regardless of cores — md5/
     shingle pipelines would then run on one task. One round-robin/hash
     shuffle of the raw rows buys full parallelism for everything
-    downstream; at real scale (many splits) it's a cheap no-op-sized
-    shuffle that also evens out skewed file sizes."""
+    downstream.
+
+    Scale-adaptive since the r11 optimization round: when the frame's
+    input already spans at least the target partition count in FILES
+    (each file is at least one scan split), the repartition is a pure
+    loss — at 100 TB it re-shuffles every corpus byte to REDUCE
+    parallelism to the local constant ``n`` — so it is skipped
+    outright (guide §2.4: remove shuffles; §2: partitioning must be
+    scale-adaptive, not tuned for local mode). ``inputFiles`` is
+    driver metadata served from the session's cached file index; a
+    frame with no file lineage (in-memory relations, streaming)
+    reports zero files and keeps the spread. Correctness never
+    depends on the choice: every operator's output is
+    partition-independent by the engine's bit-determinism discipline
+    (integer-sum aggregations, two-phase top-k, window tie-breaks),
+    which is exactly what the permutation/fuzz suites pin."""
     sc = df.sparkSession.sparkContext
     n = max(sc.defaultParallelism, 8)
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass  # no file lineage (local relation, stream): keep the spread
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
