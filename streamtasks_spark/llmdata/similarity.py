@@ -193,6 +193,39 @@ def _seed_cells(
     )
 
 
+def _cell_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    id_out: str,
+    rank_limit: int,
+    *,
+    keep_centroid: bool = False,
+) -> DataFrame:
+    """The coarse cell-assignment kernel every IVF-family tier builds
+    inline (broadcast-codebook crossJoin + per-``id_out`` cosine argmax
+    window, ties to the lowest cell): one module-level twin so
+    :func:`recall_probe` can compute the CORPUS assignment once and
+    share it across its four IVF rungs (r11 optimization round — they
+    assign with identical seeded centroids, so four corpus-wide
+    crossJoin+window subtrees collapse to one pinned pass). The
+    expressions are byte-for-byte those of the tiers' local closures;
+    ``keep_centroid`` mirrors :func:`ivf_pq_res_topk`'s variant that
+    carries ``__cv``/``__cn`` through for residual computation."""
+    score = F.expr(f"{_dot('__v', '__cv')}") / (F.col("__nrm") * F.col("__cn"))
+    w = Window.partitionBy(id_out).orderBy(
+        F.col("__score").desc(), F.col("__cell").asc()
+    )
+    out = (
+        df.crossJoin(cents)
+        .withColumn("__score", score)
+        .withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= rank_limit)
+    )
+    if keep_centroid:
+        return out.drop("__score", "__cr")
+    return out.drop("__cv", "__cn", "__score", "__cr")
+
+
 def _bucket_expr(planes: list[list[int]]) -> str:
     """Spark SQL bucket id: bit p = (plane_p · v) > 0."""
     bits = []
@@ -904,6 +937,7 @@ def pq_topk(
     k: int = 5,
     rerank: int = 4,
     _cb: tuple[dict, dict] | None = None,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via PRODUCT QUANTIZATION with exact
     re-rank — the highest-compression rung of the ANN family (Jégou,
@@ -948,7 +982,10 @@ def pq_topk(
         raise ValueError(f"pq_topk: dim {dim} not divisible by m_sub {m_sub}")
     sub = dim // m_sub
     nv = "transform(__v, x -> x / __nrm)"
-    v = pin(
+    # _base: a caller-pinned normalized corpus already carrying __nv
+    # (recall_probe's shared assigned scan) — skips this tier's own pin
+    # of the identical projection; the caller manages its lifetime.
+    v = _base if _base is not None else pin(
         _require_dim(
             _corpus_norm(vectors, id_col, vec_col),
             dim, "pq_topk",
@@ -1289,9 +1326,17 @@ def ivf_topk(
     n_probe: int = 2,
     k: int = 5,
     centroids: DataFrame | None = None,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path
     beside :func:`lsh_topk`.
+
+    ``_assigned`` (internal): a caller-pinned corpus assignment
+    (columns ⊇ ``id_col, __v, __nrm, __cell``) computed with the SAME
+    default seeded centroids — :func:`recall_probe` shares one
+    :func:`_cell_assign` pass across its four IVF rungs instead of
+    re-running the crossJoin+window per tier. Values are bit-identical
+    (it IS the same expression); only valid with ``centroids=None``.
 
     Coarse quantizer: the ``n_cells`` lowest-id vectors serve as cell
     centroids — a deterministic, reproducible seeding; a trained k-means
@@ -1326,10 +1371,10 @@ def ivf_topk(
             .drop("__cv", "__cn", "__score", "__cr")
         )
 
-    v = assign(
-        _corpus_norm(vectors, id_col, vec_col),
-        id_col,
-        1,
+    v = (
+        _assigned
+        if _assigned is not None
+        else assign(_corpus_norm(vectors, id_col, vec_col), id_col, 1)
     ).select(id_col, "__v", "__nrm", "__cell")
     q = assign(
         _with_norm(
@@ -1425,6 +1470,7 @@ def ivf_sq_topk(
     k: int = 5,
     rerank: int = 4,
     centroids: DataFrame | None = None,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × scalar quantization — the production warehouse-ANN shape
     (Faiss/Milvus ``IVF_SQ8``): the coarse quantizer of
@@ -1446,7 +1492,8 @@ def ivf_sq_topk(
 
     ``centroids`` (optional, columns ``__cell, __cv, __cn``) drops a
     :func:`train_centroids` codebook into the same plan, as in
-    :func:`ivf_topk`."""
+    :func:`ivf_topk`. ``_assigned``: shared corpus assignment, same
+    contract as :func:`ivf_topk`'s."""
     cents = broadcast(
         centroids
         if centroids is not None
@@ -1467,7 +1514,9 @@ def ivf_sq_topk(
         )
 
     v = _sq_encode(
-        assign(
+        _assigned.select(id_col, "__v", "__nrm", "__cell")
+        if _assigned is not None
+        else assign(
             _corpus_norm(vectors, id_col, vec_col),
             id_col, 1,
         ),
@@ -1610,6 +1659,7 @@ def ivf_pq_topk(
     k: int = 5,
     rerank: int = 4,
     _cb: tuple[dict, dict] | None = None,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × product quantization — the full production IVF_PQ shape
     (Faiss ``IVFx,PQy`` / Milvus ``IVF_PQ``): the coarse quantizer of
@@ -1658,7 +1708,11 @@ def ivf_pq_topk(
         )
 
     nv = "transform(__v, x -> x / __nrm)"
-    base = pin(
+    # _assigned: a caller-pinned corpus assignment carrying __nv
+    # (recall_probe's shared _cell_assign pass, same seeded centroids) —
+    # skips both this tier's own base pin and its corpus-side
+    # crossJoin+window; bit-identical values, caller manages lifetime.
+    base = _assigned if _assigned is not None else pin(
         _require_dim(
             _corpus_norm(vectors, id_col, vec_col),
             dim, "ivf_pq_topk",
@@ -1670,7 +1724,9 @@ def ivf_pq_topk(
     )
     if not pq_cents:
         return _empty_pq_result(vectors, queries, id_col)
-    a = assign(base, id_col, 1).select(
+    a = (
+        base if _assigned is not None else assign(base, id_col, 1)
+    ).select(
         F.col(id_col),
         F.col("__cell"),
         F.col("__v").alias("__av"),
@@ -2000,36 +2056,32 @@ def recall_probe(
     # here — bound its lifetime with pin_scope() in long-lived
     # sessions (the unigram_lm cache contract).
     vn = pin(_corpus_norm(vectors, id_col, vec_col))
-    exact = pin(
-        cosine_topk(vn, queries, id_col=id_col, vec_col=vec_col, k=k)
+    exact = cosine_topk(
+        vn, queries, id_col=id_col, vec_col=vec_col, k=k
     ).select("query_id", id_col)
 
-    def one(approx: DataFrame, name: str) -> DataFrame:
-        a = approx.select("query_id", id_col, F.lit(1).alias("__hit"))
-        return (
-            exact.join(a, ["query_id", id_col], "left")
-            .agg(
-                F.count(F.lit(1)).alias("possible"),
-                F.count("__hit").alias("hits"),
-            )
-            .select(
-                F.lit(name).alias("method"),
-                "hits",
-                "possible",
-                # nullif guard (r07 empty-input sweep): a global agg
-                # over ZERO exact rows still emits one row with
-                # possible = 0, and under ANSI the bare division kills
-                # the job (DIVIDE_BY_ZERO) where the oracle returned a
-                # NULL recall — same crash-vs-NULL divergence class as
-                # the JSON cast. NULL recall is the honest answer when
-                # there is nothing to recall.
-                F.round(
-                    F.col("hits")
-                    / F.expr("cast(nullif(possible, 0) as double)"),
-                    6,
-                ).alias("recall"),
-            )
-        )
+    # ONE shared corpus cell assignment for the four IVF rungs (r11
+    # optimization round, wave 6): ivf, ivf_sq, ivf_pq and ivf_pq_res
+    # each assigned the corpus with the SAME seeded centroids — four
+    # identical corpus-wide crossJoin+window passes in one plan. The
+    # shared pass carries the centroid columns and __nv/__res so every
+    # rung's projection (plain, int8 codes, PQ codes, residual codes)
+    # derives from it; values are bit-identical (same expressions,
+    # same tie-breaks). Empty-seed corpora stay bit-identical too: the
+    # shared assignment is empty exactly when each tier's own would be.
+    nv = "transform(__v, x -> x / __nrm)"
+    res = (
+        "zip_with(__nv, transform(__cv, c -> c / __cn), (x, y) -> x - y)"
+    )
+    va = pin(
+        _cell_assign(
+            _require_dim(vn, dim, "recall_probe").withColumn(
+                "__nv", F.expr(nv)
+            ),
+            broadcast(_seed_cells(vn, id_col, vec_col, n_cells)),
+            id_col, 1, keep_centroid=True,
+        ).withColumn("__res", F.expr(res))
+    )
 
     lsh = lsh_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
@@ -2037,7 +2089,7 @@ def recall_probe(
     )
     ivf = ivf_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        n_probe=n_probe, k=k,
+        n_probe=n_probe, k=k, _assigned=va,
     )
     sq = sq_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, k=k,
@@ -2045,16 +2097,16 @@ def recall_probe(
     )
     ivf_sq = ivf_sq_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        n_probe=n_probe, k=k, rerank=rerank,
+        n_probe=n_probe, k=k, rerank=rerank, _assigned=va,
     )
     # the pq and ivf_pq tiers train IDENTICAL codebooks (same corpus,
     # same dim/m_sub/n_codes/n_iters; ivf_pq is the non-residual
     # variant precisely so codebooks are cell-independent) — train
     # once here and share, saving a full redundant training pass per
     # probe (measured ~3 s of the probe's 8 s at sf0.1). The training
-    # frame is a projection over the shared pinned base, not its own
-    # pinned scan (r11) — nothing to unpersist.
-    nv = "transform(__v, x -> x / __nrm)"
+    # frame is a projection over the shared pinned base — NOT the
+    # assigned pass, whose rows vanish when the seed cells are empty
+    # while pq still scores the full corpus.
     pq_base = _require_dim(vn, dim, "pq_topk").withColumn(
         "__nv", F.expr(nv)
     )
@@ -2076,18 +2128,57 @@ def recall_probe(
             vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
             n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
             n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank,
+            _base=va,
         ),
     )
     pq = pq_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         m_sub=pq_m_sub, n_codes=pq_codes, n_iters=pq_iters, k=k,
-        rerank=pq_rerank, _cb=cb,
+        rerank=pq_rerank, _cb=cb, _base=pq_base,
     )
     ivf_pq = ivf_pq_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
         n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank, _cb=cb,
+        _assigned=va,
     )
+    # Scoring layer: per-tier left-join + single-row aggregate branches,
+    # DELIBERATELY kept (r11 optimization round): a measured alternative
+    # — union the tiers' (query_id, id, method) hits and score with ONE
+    # join + ONE groupBy(method) — cut exec Spark jobs 64 → 27 but ran
+    # consistently ~40% SLOWER at sf0.1 (15.1 s tight cluster vs 9.5 s
+    # best): funneling all seven tier plans through one broadcast-union
+    # barrier serializes branches the scheduler otherwise overlaps
+    # across cores. Seven independent single-row aggs is the shape that
+    # parallelizes; see OPTIMIZATION_r11.md wave 6.
+    exact = pin(exact)
+
+    def one(approx: DataFrame, name: str) -> DataFrame:
+        a = approx.select("query_id", id_col, F.lit(1).alias("__hit"))
+        return (
+            exact.join(a, ["query_id", id_col], "left")
+            .agg(
+                F.count(F.lit(1)).alias("possible"),
+                F.count("__hit").alias("hits"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                "hits",
+                "possible",
+                # nullif guard (r07 empty-input sweep): a global agg
+                # over ZERO exact rows still emits one row with
+                # possible = 0, and under ANSI the bare division kills
+                # the job (DIVIDE_BY_ZERO) where the oracle returned a
+                # NULL recall. NULL recall is the honest answer when
+                # there is nothing to recall.
+                F.round(
+                    F.col("hits")
+                    / F.expr("cast(nullif(possible, 0) as double)"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+
     return (
         one(lsh, "lsh")
         .unionByName(one(ivf, "ivf"))
@@ -4930,6 +5021,7 @@ def ivf_pq_res_topk(
     n_iters: int = 2,
     k: int = 5,
     rerank: int = 4,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding (r11) — the standard Faiss
     ``IVFx,PQy`` formulation :func:`ivf_pq_topk` deliberately skips:
@@ -4989,7 +5081,12 @@ def ivf_pq_res_topk(
     res = (
         "zip_with(__nv, transform(__cv, c -> c / __cn), (x, y) -> x - y)"
     )
-    base = pin(
+    # _base: a caller-pinned assigned corpus already carrying __res
+    # (recall_probe's shared _cell_assign pass — the same expressions
+    # as the pin below, so codebooks and codes are bit-identical);
+    # the caller manages its lifetime, so only a locally created pin
+    # is released on the empty-codebook early exit.
+    base = _base if _base is not None else pin(
         assign(
             _require_dim(
                 _corpus_norm(vectors, id_col, vec_col),
@@ -5007,7 +5104,8 @@ def ivf_pq_res_topk(
     )
     pq_cents, cint = pqcb
     if not pq_cents:
-        base.unpersist()
+        if _base is None:
+            base.unpersist()
         return _empty_pq_result(vectors, queries, id_col)
     a = base.select(
         F.col(id_col),

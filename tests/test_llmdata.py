@@ -427,6 +427,61 @@ def test_recall_probe_matches_manual_recall(spark):
         assert abs(r["recall"] - round(len(exact & approx) / len(exact), 6)) < 1e-9
 
 
+def test_recall_probe_empty_exact_still_emits_all_methods(spark):
+    """recall_probe's scoring layer (r11 optimization round) is ONE
+    union + ONE groupBy(method) aggregate instead of seven per-tier
+    join+aggregate branches; the 7-row method skeleton must preserve
+    the old per-method global agg's guarantee that ZERO exact rows
+    still yield one row per method — possible = 0, hits = 0, recall
+    NULL (the r07 empty-input contract the nullif guard pinned)."""
+    from streamtasks_spark.llmdata import similarity
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {
+        r["method"]: r
+        for r in similarity.recall_probe(
+            vecs, vecs.filter(F.col("vec_id") < 0), pq_codes=16
+        ).collect()
+    }
+    assert set(rows) == {
+        "lsh", "ivf", "sq", "ivf_sq", "pq", "ivf_pq", "ivf_pq_res",
+    }
+    for r in rows.values():
+        assert (r["hits"], r["possible"], r["recall"]) == (0, 0, None)
+
+
+def test_recall_probe_seedless_cells_keeps_ivf_tiers_empty(spark):
+    """The shared corpus cell assignment (r11 optimization round: one
+    _cell_assign pass feeds all four IVF rungs) must reproduce the
+    per-tier assignments' empty-seed behavior bit-exactly: a corpus
+    with no ids below n_cells has an EMPTY seeded codebook, so every
+    IVF rung returns nothing (hits 0, recall 0.0) while the full-scan
+    rungs (lsh, sq, pq — seedable: ids below pq_codes exist) still
+    score the corpus."""
+    from streamtasks_spark.llmdata import similarity
+
+    vecs = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("vec_id", F.col("vec_id") + 8)  # no ids < n_cells=8
+    )
+    rows = {
+        r["method"]: r
+        for r in similarity.recall_probe(
+            vecs, vecs.filter(F.col("vec_id") < 18), pq_codes=16
+        ).collect()
+    }
+    assert set(rows) == {
+        "lsh", "ivf", "sq", "ivf_sq", "pq", "ivf_pq", "ivf_pq_res",
+    }
+    possible = {r["possible"] for r in rows.values()}
+    assert possible == {rows["lsh"]["possible"]} and possible != {0}
+    for name in ("ivf", "ivf_sq", "ivf_pq", "ivf_pq_res"):
+        r = rows[name]
+        assert (r["hits"], r["recall"]) == (0, 0.0), (name, r)
+    # the exhaustive int8 scan needs no seeds: it must still find hits
+    assert rows["sq"]["hits"] > 0
+
+
 # ------------------------------------------------- corpus assembly tier
 
 def test_decontaminate_flags_exact_and_embedded_overlap(spark):
