@@ -1862,6 +1862,7 @@ def exact_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    _hashes: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT shingle-Jaccard pairs ≥ threshold via a postings self-join
     — the exhaustive ground truth the banded LSH tiers approximate.
@@ -1878,8 +1879,17 @@ def exact_jaccard_pairs(
     at corpus scale this runs on a sample, which is exactly how the
     recall probe uses it (mirroring the exact tier of the ANN probe,
     similarity.py recall_probe).
+
+    ``_hashes`` is the internal shared-subtree hook (the wave-6
+    ``_assigned`` pattern): a caller that already pinned
+    ``_shingle_hashes(docs, id_col, text_col, k)`` passes it so the
+    exact tier reuses ONE cached tokenization instead of building an
+    identical second scan→normalize→md5 pipeline over the same corpus
+    (dedup_recall_probe computes that exact frame for the LSH tiers
+    anyway). Default None keeps this function standalone-byte-identical.
     """
-    hs = pin(_shingle_hashes(docs, id_col, text_col, k))
+    hs = pin(_shingle_hashes(docs, id_col, text_col, k)) if _hashes is None \
+        else _hashes
     post = hs.select(F.col(id_col), F.explode("hashes").alias("__h"))
     # df=1 hashes cannot contribute a pair — pruning them is free
     # exactness-preserving selectivity (most shingles are unique, so
@@ -1963,10 +1973,14 @@ def dedup_recall_probe(
     """
     if sample_mod is not None:
         docs = docs.filter(F.col(id_col) % sample_mod == 0)
-    exact = exact_jaccard_pairs(
-        docs, id_col=id_col, text_col=text_col, k=k, threshold=threshold
-    )
     hs = pin(_shingle_hashes(docs, id_col, text_col, k))
+    # the exact tier shares the SAME pinned tokenization (guide §2.4:
+    # share common subtrees): without _hashes it would pin an identical
+    # second scan→normalize→shingle→md5 pipeline over the same corpus.
+    exact = exact_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col, k=k, threshold=threshold,
+        _hashes=hs,
+    )
     consts = ", ".join(
         f"named_struct('a', {a}L, 'b', {b}L)" for a, b in MINHASH_PERMS
     )

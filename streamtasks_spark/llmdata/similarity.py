@@ -2154,7 +2154,15 @@ def recall_probe(
     exact = pin(exact)
 
     def one(approx: DataFrame, name: str) -> DataFrame:
-        a = approx.select("query_id", id_col, F.lit(1).alias("__hit"))
+        # broadcast the tier's hit set: it is bounded by n_queries · k
+        # rows (top-k per probe query), so the left join against the
+        # pinned exact set never needs a shuffle — without the hint the
+        # initial plan sort-merge-joins two tiny sides (AQE only
+        # converts AFTER materializing both shuffles), costing two
+        # sort+exchange pairs per tier branch, seven times per probe
+        a = F.broadcast(
+            approx.select("query_id", id_col, F.lit(1).alias("__hit"))
+        )
         return (
             exact.join(a, ["query_id", id_col], "left")
             .agg(
