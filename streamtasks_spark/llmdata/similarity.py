@@ -1392,8 +1392,13 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col(id_col).asc()
     )
+    # broadcast the assigned-queries side (n_queries · n_probe rows —
+    # the probe batch is broadcast-sized by the tier contract, exactly
+    # as lsh_topk already hints): without it the initial plan
+    # sort-merge-joins, shuffling the whole assigned CORPUS by __cell
+    # before AQE can convert
     return (
-        v.join(q, "__cell")
+        v.join(broadcast(q), "__cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("__cos", cos)
         .withColumn("rank", F.row_number().over(w))
@@ -1539,8 +1544,9 @@ def ivf_sq_topk(
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("__appx").desc(), F.col(id_col).asc()
     )
+    # broadcast-sized q side (n_queries · n_probe) — the ivf_topk hint
     cand = (
-        v.join(q, "__cell")
+        v.join(broadcast(q), "__cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("__appx", appx)
         .withColumn("__cr", F.row_number().over(w_cand))
@@ -1755,8 +1761,9 @@ def ivf_pq_topk(
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("__is").desc(), F.col(id_col).asc()
     )
+    # broadcast-sized q side (n_queries · n_probe) — the ivf_topk hint
     cand = (
-        a.join(q, "__cell")
+        a.join(broadcast(q), "__cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("__is", _pq_iscore(m_sub))
         .withColumn("__cr", F.row_number().over(w_cand))
@@ -2766,7 +2773,9 @@ class IvfIndex:
             F.col("__cos").desc(), F.col(idc).asc()
         )
         return (
-            cells.join(q, "__cell")
+            # broadcast-sized q side (n_queries · n_probe; q was
+            # already bounded_collect'ed for partition pruning above)
+            cells.join(broadcast(q), "__cell")
             .filter(F.col(idc) != F.col("query_id"))
             .withColumn("__cos", cos)
             .withColumn("rank", F.row_number().over(w))
@@ -3373,7 +3382,9 @@ class IvfPqIndex:
             F.col("__is").desc(), F.col(idc).asc()
         )
         cand = (
-            cells.join(q, "__cell")
+            # broadcast-sized q side (n_queries · n_probe; q was
+            # already bounded_collect'ed for partition pruning above)
+            cells.join(broadcast(q), "__cell")
             .filter(F.col(idc) != F.col("query_id"))
             .withColumn("__is", _pq_iscore(self.m_sub))
             .withColumn("__cr", F.row_number().over(w_cand))
@@ -3405,7 +3416,9 @@ class IvfPqIndex:
             F.col("__cos").desc(), F.col(idc).asc()
         )
         return (
-            cand.join(raw, [idc, "__cell"])
+            # cand is rerank·k-bounded per query — broadcast it so the
+            # partition-pruned raw side table is scanned, never shuffled
+            broadcast(cand).join(raw, [idc, "__cell"])
             # tolerate value-identical duplicate raw rows (a crash
             # between the checkpoint commit and a replayed ingest
             # re-appends a batch; vectors/ commits before cells/):
@@ -5148,8 +5161,9 @@ def ivf_pq_res_topk(
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("__adc").desc(), F.col(id_col).asc()
     )
+    # broadcast-sized q side (n_queries · n_probe) — the ivf_topk hint
     cand = (
-        a.join(q, "__cell")
+        a.join(broadcast(q), "__cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("__is", _pq_iscore(m_sub))
         .withColumn(
