@@ -157,8 +157,11 @@ def contamination_report(
         )
         .withColumnRenamed("eval_id", "__eid")
     )
+    # hits is eval-benchmark-sized (one row per contaminated eval id) —
+    # broadcast it so the bounded-key final join never sorts/shuffles
+    # (the initial plan otherwise sort-merge-joins two tiny sides)
     return ev_stats.join(
-        hits, F.col("eval_id").eqNullSafe(F.col("__eid")), "left"
+        F.broadcast(hits), F.col("eval_id").eqNullSafe(F.col("__eid")), "left"
     ).select(
         F.col("eval_id"),
         "n_grams",
