@@ -48,6 +48,10 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# driver-facing default run excludes this sweep (pytest.ini, r12):
+# it is the slow tier — run with `-m slow`
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from streamtasks_spark.session import read_parquet

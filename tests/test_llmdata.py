@@ -1374,6 +1374,7 @@ def test_ivf_pq_index_matches_ivf_pq_topk(spark, tmp_path):
     assert sorted(cells.columns) == ["__cell", "__codes", "vec_id"]
 
 
+@pytest.mark.slow  # slow tier (pytest.ini, r12)
 def test_ivf_pq_index_incremental_reload_and_pruning(spark, tmp_path):
     """Index built in two increments under a FROZEN train_pq_codebooks
     codebook (the production shape — trained once on the corpus, fed
@@ -2179,6 +2180,7 @@ def test_sem_dedup_index_max_cell_guard(spark, tmp_path):
     assert list(capped["vec_id"]) == list(exact["vec_id"])
 
 
+@pytest.mark.slow  # slow tier (pytest.ini, r12)
 def test_sem_dedup_index_single_vector_batches_are_greedy(spark, tmp_path):
     """One-vector-per-batch ingestion must compute exactly the
     SemDeDup paper's greedy sequential scan: each arrival is dropped
@@ -3317,6 +3319,7 @@ def test_bounded_collect_enforces_driver_bound(spark):
         similarity.train_centroids(doubled, n_cells=8, n_iters=1)
 
 
+@pytest.mark.slow  # slow tier (pytest.ini, r12)
 def test_ivf_pq_index_rebuild_retrains_and_matches_one_shot(spark, tmp_path):
     """rebuild (r11) — the action the drift report exists to trigger:
     after a drifted second ingest, rebuilding retrains both codebooks
@@ -3376,6 +3379,7 @@ def test_ivf_pq_index_rebuild_retrains_and_matches_one_shot(spark, tmp_path):
     assert idx.query(qs, k=3).count() > 0
 
 
+@pytest.mark.slow  # slow tier (pytest.ini, r12)
 def test_ivf_pq_index_rebuild_crash_at_flip(spark, tmp_path, monkeypatch):
     """A crash at the index root's epoch flip — the ONE commit point
     of a rebuild — leaves the old epoch fully live: same answers, same

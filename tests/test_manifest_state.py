@@ -314,6 +314,7 @@ def test_ivf_index_crash_at_flip(spark, tmp_path, monkeypatch):
     assert _canon(idx.query(qs, k=3)) == _canon(one.query(qs, k=3))
 
 
+@pytest.mark.slow  # slow tier (pytest.ini, r12)
 @pytest.mark.parametrize("at", [1, 2])
 def test_ivf_pq_index_crash_at_flip(spark, tmp_path, monkeypatch, at):
     """Second-ingest flips: #1 = vectors (raw side), #2 = cells

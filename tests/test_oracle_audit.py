@@ -93,6 +93,7 @@ def test_changed_queries_sit_inside_driver_window():
     assert [q for q in qs if q not in oracles] == []
 
 
+@pytest.mark.slow  # slow tier (pytest.ini, r12)
 def test_oracle_manifest_blast_radius(spark):
     """Mechanized indirect-consumer detection (r07 verdict task 2): the
     committed ORACLE_MANIFEST.json maps every query to

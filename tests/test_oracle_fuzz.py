@@ -35,6 +35,10 @@ import sys
 import duckdb
 import pytest
 
+# driver-facing default run excludes this sweep (pytest.ini, r12):
+# it is the slow tier — run with `-m slow`
+pytestmark = pytest.mark.slow
+
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
 )

@@ -329,6 +329,7 @@ def test_deployment_resume_with_run_id_keeps_state_and_offsets(
     assert got == {2, 3}
 
 
+@pytest.mark.slow  # slow tier (pytest.ini, r12)
 def test_deployment_graph_killed_midrun_resumes_exactly_once(
     spark, tmp_path
 ):

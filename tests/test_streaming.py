@@ -1250,6 +1250,7 @@ def test_streaming_last_value_join_survives_restart(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # slow tier (pytest.ini, r12)
 def test_streaming_time_buffer_survives_restart(spark, tmp_path):
     """Checkpoint recovery for the clock-mode TimeBuffer: rows buffered
     (held, unreleased) when the query stops must survive in state and be
@@ -1346,6 +1347,7 @@ def test_streaming_time_buffer_survives_restart(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # slow tier (pytest.ini, r12)
 def test_streaming_message_detector_survives_restart(spark, tmp_path):
     """Checkpoint recovery for the other wall-clock twin: a key that
     went silent BEFORE the query stopped must get its down edge

@@ -25,6 +25,10 @@ import uuid
 
 import pytest
 
+# driver-facing default run excludes this sweep (pytest.ini, r12):
+# it is the slow tier — run with `-m slow`
+pytestmark = pytest.mark.slow
+
 from test_streaming_equivalence import (
     N_CHUNKS,
     SPECS,
