@@ -1327,6 +1327,7 @@ def ivf_topk(
     k: int = 5,
     centroids: DataFrame | None = None,
     _assigned: DataFrame | None = None,
+    _q_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path
     beside :func:`lsh_topk`.
@@ -1337,6 +1338,12 @@ def ivf_topk(
     :func:`_cell_assign` pass across its four IVF rungs instead of
     re-running the crossJoin+window per tier. Values are bit-identical
     (it IS the same expression); only valid with ``centroids=None``.
+    ``_q_assigned`` (internal, r12): the QUERY-side twin — a
+    caller-pinned probed-cell assignment (columns ⊇ ``query_id, __v,
+    __nrm, __cell``, n_probe rows per query, same seeded centroids and
+    the same :func:`_cell_assign` expressions), shared across the four
+    IVF rungs exactly like ``_assigned``; only valid with
+    ``centroids=None``.
 
     Coarse quantizer: the ``n_cells`` lowest-id vectors serve as cell
     centroids — a deterministic, reproducible seeding; a trained k-means
@@ -1376,12 +1383,17 @@ def ivf_topk(
         if _assigned is not None
         else assign(_corpus_norm(vectors, id_col, vec_col), id_col, 1)
     ).select(id_col, "__v", "__nrm", "__cell")
-    q = assign(
-        _with_norm(
-            queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
-        ).select("query_id", F.col("__v"), F.col("__nrm")),
-        "query_id",
-        n_probe,
+    q = (
+        _q_assigned
+        if _q_assigned is not None
+        else assign(
+            _with_norm(
+                queries.select(F.col(id_col).alias("query_id"), vec_col),
+                vec_col,
+            ).select("query_id", F.col("__v"), F.col("__nrm")),
+            "query_id",
+            n_probe,
+        )
     ).select(
         "query_id",
         F.col("__v").alias("__qv"),
@@ -1476,6 +1488,7 @@ def ivf_sq_topk(
     rerank: int = 4,
     centroids: DataFrame | None = None,
     _assigned: DataFrame | None = None,
+    _q_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × scalar quantization — the production warehouse-ANN shape
     (Faiss/Milvus ``IVF_SQ8``): the coarse quantizer of
@@ -1497,8 +1510,8 @@ def ivf_sq_topk(
 
     ``centroids`` (optional, columns ``__cell, __cv, __cn``) drops a
     :func:`train_centroids` codebook into the same plan, as in
-    :func:`ivf_topk`. ``_assigned``: shared corpus assignment, same
-    contract as :func:`ivf_topk`'s."""
+    :func:`ivf_topk`. ``_assigned``/``_q_assigned``: shared corpus /
+    probed-query assignments, same contracts as :func:`ivf_topk`'s."""
     cents = broadcast(
         centroids
         if centroids is not None
@@ -1528,7 +1541,9 @@ def ivf_sq_topk(
         "__a", [id_col, "__cell"],
     )
     q = _sq_encode(
-        assign(
+        _q_assigned.select("query_id", "__v", "__nrm", "__cell")
+        if _q_assigned is not None
+        else assign(
             _with_norm(
                 queries.select(F.col(id_col).alias("query_id"), vec_col),
                 vec_col,
@@ -1666,6 +1681,7 @@ def ivf_pq_topk(
     rerank: int = 4,
     _cb: tuple[dict, dict] | None = None,
     _assigned: DataFrame | None = None,
+    _q_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × product quantization — the full production IVF_PQ shape
     (Faiss ``IVFx,PQy`` / Milvus ``IVF_PQ``): the coarse quantizer of
@@ -1739,18 +1755,24 @@ def ivf_pq_topk(
         F.col("__nrm").alias("__anrm"),
         _pq_codes_col(pq_cents, m_sub, sub).alias("__codes"),
     )
-    q = assign(
-        _require_dim(
-            _with_norm(
-                queries.select(F.col(id_col).alias("query_id"), vec_col),
-                vec_col,
-            ),
-            dim, "ivf_pq_topk",
+    q = (
+        # shared probed-query assignment (recall_probe, r12): carries
+        # __qi already — same expressions, bit-identical values
+        _q_assigned.select("query_id", "__cell", "__v", "__nrm", "__qi")
+        if _q_assigned is not None
+        else assign(
+            _require_dim(
+                _with_norm(
+                    queries.select(F.col(id_col).alias("query_id"), vec_col),
+                    vec_col,
+                ),
+                dim, "ivf_pq_topk",
+            )
+            .withColumn("__nv", F.expr(nv))
+            .withColumn("__qi", F.expr(_pq_qi_expr()))
+            .select("query_id", "__v", "__nrm", "__qi"),
+            "query_id", n_probe,
         )
-        .withColumn("__nv", F.expr(nv))
-        .withColumn("__qi", F.expr(_pq_qi_expr()))
-        .select("query_id", "__v", "__nrm", "__qi"),
-        "query_id", n_probe,
     ).select(
         "query_id",
         "__cell",
@@ -2089,6 +2111,32 @@ def recall_probe(
             id_col, 1, keep_centroid=True,
         ).withColumn("__res", F.expr(res))
     )
+    # ONE shared probed-cell assignment for the four IVF rungs' QUERY
+    # side (r12 optimization round) — the query-side twin of `va`:
+    # ivf, ivf_sq, ivf_pq and ivf_pq_res each assigned the probe
+    # queries to their n_probe nearest cells with the SAME seeded
+    # centroids — four identical crossJoin+window chains in one plan.
+    # The shared pass carries __nv/__qi (the PQ rungs' integer query
+    # encoding) and __cv/__cn (the residual rung's coarse ADC term);
+    # every rung projects its tier columns from it. Values are
+    # bit-identical (same expressions, same tie-breaks); empty-seed
+    # corpora stay bit-identical too (the shared assignment is empty
+    # exactly when each tier's own would be).
+    qa = pin(
+        _cell_assign(
+            _require_dim(
+                _with_norm(
+                    queries.select(F.col(id_col).alias("query_id"), vec_col),
+                    vec_col,
+                ),
+                dim, "recall_probe",
+            )
+            .withColumn("__nv", F.expr(nv))
+            .withColumn("__qi", F.expr(_pq_qi_expr())),
+            broadcast(_seed_cells(vn, id_col, vec_col, n_cells)),
+            "query_id", n_probe, keep_centroid=True,
+        )
+    )
 
     lsh = lsh_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
@@ -2096,7 +2144,7 @@ def recall_probe(
     )
     ivf = ivf_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        n_probe=n_probe, k=k, _assigned=va,
+        n_probe=n_probe, k=k, _assigned=va, _q_assigned=qa,
     )
     sq = sq_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, k=k,
@@ -2104,7 +2152,7 @@ def recall_probe(
     )
     ivf_sq = ivf_sq_topk(
         vn, queries, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        n_probe=n_probe, k=k, rerank=rerank, _assigned=va,
+        n_probe=n_probe, k=k, rerank=rerank, _assigned=va, _q_assigned=qa,
     )
     # the pq and ivf_pq tiers train IDENTICAL codebooks (same corpus,
     # same dim/m_sub/n_codes/n_iters; ivf_pq is the non-residual
@@ -2135,7 +2183,7 @@ def recall_probe(
             vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
             n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
             n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank,
-            _base=va,
+            _base=va, _q_assigned=qa,
         ),
     )
     pq = pq_topk(
@@ -2147,7 +2195,7 @@ def recall_probe(
         vn, queries, id_col=id_col, vec_col=vec_col, dim=dim,
         n_cells=n_cells, n_probe=n_probe, m_sub=pq_m_sub,
         n_codes=pq_codes, n_iters=pq_iters, k=k, rerank=pq_rerank, _cb=cb,
-        _assigned=va,
+        _assigned=va, _q_assigned=qa,
     )
     # Scoring layer: per-tier left-join + single-row aggregate branches,
     # DELIBERATELY kept (r11 optimization round): a measured alternative
@@ -5043,6 +5091,7 @@ def ivf_pq_res_topk(
     k: int = 5,
     rerank: int = 4,
     _base: DataFrame | None = None,
+    _q_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding (r11) — the standard Faiss
     ``IVFx,PQy`` formulation :func:`ivf_pq_topk` deliberately skips:
@@ -5135,18 +5184,28 @@ def ivf_pq_res_topk(
         F.col("__nrm").alias("__anrm"),
         _pq_codes_res_col(pq_cents, m_sub, sub).alias("__codes"),
     )
-    q = assign(
-        _require_dim(
-            _with_norm(
-                queries.select(F.col(id_col).alias("query_id"), vec_col),
-                vec_col,
-            ),
-            dim, "ivf_pq_res_topk",
+    q = (
+        # shared probed-query assignment (recall_probe, r12): built
+        # with keep_centroid=True, so __cv/__cn for the coarse ADC
+        # term ride along — same expressions, bit-identical values
+        _q_assigned.select(
+            "query_id", "__cell", "__v", "__nrm", "__nv", "__qi",
+            "__cv", "__cn",
         )
-        .withColumn("__nv", F.expr(nv))
-        .withColumn("__qi", F.expr(_pq_qi_expr()))
-        .select("query_id", "__v", "__nrm", "__nv", "__qi"),
-        "query_id", n_probe, True,
+        if _q_assigned is not None
+        else assign(
+            _require_dim(
+                _with_norm(
+                    queries.select(F.col(id_col).alias("query_id"), vec_col),
+                    vec_col,
+                ),
+                dim, "ivf_pq_res_topk",
+            )
+            .withColumn("__nv", F.expr(nv))
+            .withColumn("__qi", F.expr(_pq_qi_expr()))
+            .select("query_id", "__v", "__nrm", "__nv", "__qi"),
+            "query_id", n_probe, True,
+        )
     ).select(
         "query_id",
         "__cell",
