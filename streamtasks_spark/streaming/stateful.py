@@ -62,8 +62,17 @@ def _atomic_state_write(spark, rows, schema: str, path: str) -> None:
     which reads through the manifest) and swept by the next commit."""
     from streamtasks_spark.core.state import replace_write
 
+    # ONE slice from the start (r12, measured): `rows` is a
+    # sketch-bounded driver-side list; the default createDataFrame
+    # spreads it over defaultParallelism pickled slices and the
+    # single-file write then pays one Python-worker round trip PER
+    # SLICE (~5-7 s per micro-batch at local[32]). parallelize(rows, 1)
+    # makes the write one task, one round trip (~0.3 s), same file.
     replace_write(
-        spark.createDataFrame(rows, schema), path, coalesce=1
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        ),
+        path,
     )
 
 
@@ -1234,26 +1243,51 @@ def streaming_approx_distinct(
             .agg(F.max("__M").alias("__M"))
         )
 
+    # Driver-side register cache (r12 — VERDICT r11 item 3): the merged
+    # register file is sketch-BOUNDED (≤ 2^p rows) and the estimate was
+    # ALREADY computed from its collected rows, so merging old∪new in a
+    # distributed union+groupBy only to collect the result paid one
+    # parquet scan + shuffle of the state per micro-batch for nothing.
+    # Now: collect the BATCH's registers (distributed — the batch is
+    # the unbounded side), max-merge into this dict in O(m), rewrite
+    # the state file atomically as before. Bit-identical state and
+    # estimates (integer max/sum are order-free; the division is the
+    # same one correctly-rounded op). Restart/replay: the cache loads
+    # lazily from the committed state, so a checkpoint replay of an
+    # in-flight batch max-merges idempotently exactly as the
+    # read-back path did; the single-ingest-owner contract
+    # (MinHashIndex discipline, documented above) is unchanged —
+    # the cache mirrors what this owner wrote.
+    _regs: dict[str, dict[int, int] | None] = {"v": None}
+
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         new = _registers(batch.select(id_col, text_col))
-        old = snapshot_read(spark, state_path)
-        merged = (
-            new if old is None
-            else new.unionByName(old.select("__bucket", "__M"))
-            .groupBy("__bucket").agg(F.max("__M").alias("__M"))
-        )
         # ≤ m rows (register file): bound ENFORCED, not just argued
-        rows = bounded_collect(
-            merged, m, "streaming_approx_distinct registers"
+        rows_new = bounded_collect(
+            new, m, "streaming_approx_distinct registers"
         )
+        if _regs["v"] is None:
+            old = snapshot_read(spark, state_path)
+            _regs["v"] = {} if old is None else {
+                r["__bucket"]: r["__M"] for r in bounded_collect(
+                    old.select("__bucket", "__M"), m,
+                    "streaming_approx_distinct state",
+                )
+            }
+        regs = _regs["v"]
+        for r in rows_new:
+            b = r["__bucket"]
+            if r["__M"] > regs.get(b, 0):
+                regs[b] = r["__M"]
+        rows = sorted(regs.items())
         _atomic_state_write(
             spark, rows, "`__bucket` bigint, `__M` int", state_path
         )
         n_hit = len(rows)
-        ssum = sum(2 ** (s - r["__M"]) for r in rows) + (m - n_hit) * (2 ** s)
+        ssum = sum(2 ** (s - M) for _, M in rows) + (m - n_hit) * (2 ** s)
         est = am2 * float(2 ** s) / float(ssum)
         # est is one correctly-rounded double division over exact
         # integers — bit-identical in Python and the JVM. The ROUNDING
@@ -1356,27 +1390,46 @@ def streaming_heavy_hitters(
             F.sum("__c").alias("__cell")
         )
 
+    # Driver-side CMS cache (r12 — VERDICT r11 item 3): same shape as
+    # streaming_approx_distinct's register cache — the merged grid is
+    # sketch-BOUNDED (≤ depth·width cells) and the report was already
+    # computed from its collected rows, so the per-batch distributed
+    # union+groupBy over the read-back state bought nothing. Collect
+    # the BATCH's cells (distributed), sum-merge into the dict in
+    # O(depth·width), rewrite atomically. Exact integer adds in either
+    # engine — state and reports bit-identical. The documented
+    # replay-double-counts caveat is unchanged: a replayed batch adds
+    # its cells again whether the merge ran in Spark or here.
+    _grid: dict[str, dict[tuple[int, int], int] | None] = {"v": None}
+
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         new = _cells(batch.select(id_col, text_col))
-        old = snapshot_read(spark, state_path)
-        merged = (
-            new if old is None
-            else new.unionByName(old.select("__row", "__bucket", "__cell"))
-            .groupBy("__row", "__bucket")
-            .agg(F.sum("__cell").alias("__cell"))
-        )
         # ≤ depth·width rows (CMS grid): bound ENFORCED, not just argued
-        rows = bounded_collect(
-            merged, depth * width, "streaming_heavy_hitters sketch"
+        rows_new = bounded_collect(
+            new, depth * width, "streaming_heavy_hitters sketch"
         )
+        if _grid["v"] is None:
+            old = snapshot_read(spark, state_path)
+            _grid["v"] = {} if old is None else {
+                (r["__row"], r["__bucket"]): r["__cell"]
+                for r in bounded_collect(
+                    old.select("__row", "__bucket", "__cell"),
+                    depth * width, "streaming_heavy_hitters state",
+                )
+            }
+        grid = _grid["v"]
+        for r in rows_new:
+            key = (r["__row"], r["__bucket"])
+            grid[key] = grid.get(key, 0) + r["__cell"]
+        rows = [(rj, b, c) for (rj, b), c in sorted(grid.items())]
         _atomic_state_write(
             spark, rows, "`__row` int, `__bucket` bigint, `__cell` bigint",
             state_path,
         )
-        total = sum(r["__cell"] for r in rows if r["__row"] == 0)
+        total = sum(c for rj, b, c in rows if rj == 0)
         bar = total * int(round(phi * 1_000_000))
         # heavy-cell count: every truly heavy token's cell clears the
         # bar in EVERY row (CMS never under-counts), but a CELL is not
@@ -1392,8 +1445,8 @@ def streaming_heavy_hitters(
         # op's job.
         n_heavy_cells = max(
             sum(
-                1 for r in rows
-                if r["__row"] == j and r["__cell"] * 1_000_000 >= bar
+                1 for rj, b, c in rows
+                if rj == j and c * 1_000_000 >= bar
             )
             for j in range(depth)
         )
